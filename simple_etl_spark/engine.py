@@ -1,0 +1,103 @@
+"""Session builder and table catalog.
+
+Scale posture: every default here is chosen for a multi-executor
+cluster reading ~100 TB, then merely *sized down* by local test
+configuration — AQE on (runtime skew-join + partition coalescing),
+dynamic partition overwrite for the merge primitive, broadcast
+threshold left to Spark, UTC session time so event-time semantics are
+timezone-stable across engines and executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dynamic SQL confs the engine needs regardless of who built the session.
+# Set at catalog init so driver-owned sessions behave identically.
+_RUNTIME_CONFS = {
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as long and convert (sources/parquet.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # merge_upsert rewrites only touched partitions
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+
+def get_spark(app_name: str = "simple-etl-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession sized for the local harness.
+
+    On a real cluster the same confs apply; only master/memory differ.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the engine's dynamic confs to an externally built session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # immutable in this build — loaders have per-table fallbacks
+            pass
+
+
+class Catalog:
+    """Lazy table catalog over a directory of parquet tables.
+
+    ``Catalog(spark, sf_dir)[name]`` returns the canonicalized
+    DataFrame (typed timestamps, UTC) and registers it as a temp view
+    so ``spark.sql`` queries see the same relation. Loading is lazy
+    per table: a query plan only ever scans what it references.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+        ensure_runtime_confs(spark)
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            from simple_etl_spark.sources.parquet import load_table
+
+            df = load_table(self.spark, self.sf_dir, name)
+            df.createOrReplaceTempView(name)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def register_all(self) -> None:
+        for name in TABLES:
+            self[name]

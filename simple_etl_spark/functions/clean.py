@@ -1,0 +1,118 @@
+"""Article text-cleaning function library (SURVEY §2.8 F1-F5, X1).
+
+Pure Column-expression re-implementations of the reference cleaner
+(`processor/cleaner.py:13-85`), whose SQL twin
+(`airflow_home/dags/sql/process_bronze_to_silver.sql:50-110`) proves
+every rule is expressible without UDFs. Staying in Column expressions
+keeps the whole bronze→silver promotion inside whole-stage codegen —
+no Python round trip per row, which is the difference between a
+JVM-speed scan and a 100× slower row-at-a-time path at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Indonesian month-name → number map (processor/cleaner.py:7-11).
+INDO_MONTHS = {
+    "Jan": "01", "Feb": "02", "Mar": "03", "Apr": "04",
+    "Mei": "05", "Jun": "06", "Jul": "07", "Agu": "08",
+    "Sep": "09", "Okt": "10", "Nov": "11", "Des": "12",
+}
+
+# The 8-step content-cleaning regex pipeline (processor/cleaner.py:24-54
+# ↔ process_bronze_to_silver.sql:50-110). Order is load-bearing.
+_CONTENT_RULES: list[tuple[str, str]] = [
+    # 1. ADVERTISEMENT ... SCROLL TO CONTINUE WITH CONTENT (dotall, ci)
+    (r"(?is)ADVERTISEMENT.*?SCROLL TO CONTINUE WITH CONTENT", " "),
+    # 2. editorial picks block up to newline
+    (r"(?i)Pilihan Redaksi[^\n]*", " "),
+    # 3. "Lihat Juga :" teasers up to newline
+    (r"(?i)Lihat Juga\s*:[^\n]*", " "),
+    # 4. photo/agency credits in parens
+    (r"(?i)\([^)]*FOTO[^)]*\)", " "),
+    (r"(?i)\([^)]*CNN[^)]*\)", " "),
+    # 5. [Gambas:Video CNN] embeds
+    (r"(?i)\[Gambas:[^\]]*\]", " "),
+    # 6. collapse 3+ newlines then all whitespace runs
+    (r"\n{3,}", "\n"),
+    (r"\s+", " "),
+]
+
+# Leading dateline "Jakarta, CNN Indonesia -- " (processor/cleaner.py:50-52)
+_DATELINE = r"(?i)^[A-Za-z .,-]*CNN Indonesia\s*-+\s*"
+
+
+def clean_title(col: Column | str) -> Column:
+    """F1: collapse newlines/whitespace runs and trim
+    (processor/cleaner.py:13-22)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def clean_content(col: Column | str) -> Column:
+    """F2: the 8-step boilerplate-stripping pipeline
+    (processor/cleaner.py:24-54). Chained regexp_replace — whole-stage
+    codegen keeps this JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _CONTENT_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    c = F.regexp_replace(c, _DATELINE, "")
+    return F.trim(c)
+
+
+def parse_date(col: Column | str) -> Column:
+    """F3: tolerant date parsing (processor/cleaner.py:56-68).
+
+    Mirrors the SQL twin's regex-dispatched fallback chain
+    (process_bronze_to_silver.sql:37-47): ISO timestamp, `DD/MM/YYYY`,
+    `DD-MM-YYYY`, and Indonesian `"Senin, 25 Agu 2025 10:30 WIB"`
+    (month map applied via chained replace). NULL when nothing matches
+    — the caller decides the fallback (the reference defaults to
+    NOW(), which is non-deterministic; the engine keeps NULL and
+    filters at gold, documented divergence)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.trim(c)
+    # strip weekday prefix + WIB/WITA/WIT suffix for the Indonesian form
+    indo = F.regexp_replace(c, r"(?i)^[A-Za-z]+,\s*", "")
+    indo = F.regexp_replace(indo, r"(?i)\s*(WIB|WITA|WIT)\s*$", "")
+    for name, num in INDO_MONTHS.items():
+        indo = F.regexp_replace(indo, rf"(?i)\b{name}[a-z]*\b", num)
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(c, F.lit("dd/MM/yyyy HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("dd/MM/yyyy")),
+        F.try_to_timestamp(c, F.lit("dd-MM-yyyy HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("dd-MM-yyyy")),
+        F.try_to_timestamp(indo, F.lit("dd MM yyyy HH:mm")),
+        F.try_to_timestamp(indo, F.lit("dd MM yyyy HH:mm:ss")),
+        F.try_to_timestamp(indo, F.lit("dd MM yyyy")),
+    )
+
+
+def gen_id(link: Column | str) -> Column:
+    """F4: primary identity id = md5(link)
+    (processor/cleaner.py:70-72)."""
+    c = F.col(link) if isinstance(link, str) else link
+    return F.md5(c)
+
+
+def content_length(col: Column | str) -> Column:
+    """F5: LENGTH(content) (services/pg_staging.py:216)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("int")
+
+
+def clean_article(df, title="title", content="content", date_raw="date_raw", link="link"):
+    """X1: compose F1-F4 into the bronze→silver promotion
+    (processor/cleaner.py:74-85) — one projection, zero UDFs."""
+    return (
+        df.withColumn(title, clean_title(title))
+        .withColumn(content, clean_content(content))
+        .withColumn("date", parse_date(date_raw))
+        .withColumn("id", gen_id(link))
+        .withColumn("content_length", content_length(content))
+    )

@@ -1,0 +1,563 @@
+"""Core relational operator queries (SURVEY.md §2.2-§2.7).
+
+Each query exercises one operator family from the reference's
+inventory — scans/filters, joins, aggregations, windows, sorts,
+set ops — re-expressed over the driver's TPC-H-ish tables so the
+DuckDB oracle can verify them. Reference locations cited per query.
+
+Scale notes are inline: joins broadcast their dimension side, global
+windows only ever run over post-aggregation frames of bounded
+cardinality, and scalar anchors (max timestamp) are computed as
+1-row aggregates then broadcast — never per-row subqueries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simple_etl_spark.engine import Catalog
+from simple_etl_spark.exactness import davg, dsum
+from simple_etl_spark.queries import query
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str, t: str = DEC) -> F.Column:
+    return F.col(c).cast(t)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS count_order,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+           cast(sum(cast(l_extendedprice as decimal(18,2))
+                    * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as double)
+               AS sum_disc_price,
+           cast(sum(cast(l_extendedprice as decimal(18,2))
+                    * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))
+                    * (cast(1 as decimal(4,2)) + cast(l_tax as decimal(4,2)))) as double)
+               AS sum_charge,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) AS avg_qty,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="A2 A3 A5 F10 (multi-stat grouped profile, services/staging_pg.py:323-372)",
+    bench=True,
+)
+def pricing_summary(cat: Catalog) -> DataFrame:
+    """Flagship grouped aggregate: the engine's A3 'multi-stat profile'
+    shape (reference `services/staging_pg.py:323-372`, `init.sql:291-327`)
+    at TPC-H Q1 scale. Partial aggregation map-side, two grouping keys,
+    decimal-exact sums."""
+    one = F.lit(1).cast("decimal(4,2)")
+    disc = one - _dec("l_discount", "decimal(4,2)")
+    tax = one + _dec("l_tax", "decimal(4,2)")
+    return (
+        cat["lineitem"]
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(_dec("l_extendedprice") * disc * tax).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+        )
+    )
+
+
+@query(
+    "topic_counts",
+    oracle="SELECT lang AS topic, count(*) AS article_count FROM documents GROUP BY lang",
+    survey="A1 T1 (count-by-group, services/pg_service.py:112-118, app.py:80-87)",
+    bench=True,
+)
+def topic_counts(cat: Catalog) -> DataFrame:
+    """A1: `SELECT topic, COUNT(*) ... GROUP BY topic` — the reference's
+    most common dashboard query, over documents.lang as the topic key."""
+    return (
+        cat["documents"]
+        .groupBy(F.col("lang").alias("topic"))
+        .agg(F.count(F.lit(1)).alias("article_count"))
+    )
+
+
+@query(
+    "doc_profile",
+    oracle="""
+    SELECT count(*) AS total_docs,
+           cast(sum(cast(n_chars as decimal(18,2))) as double) / count(*) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           count(DISTINCT lang) AS distinct_langs,
+           count(DISTINCT source) AS distinct_sources
+    FROM documents
+    """,
+    survey="A3 (single-pass profile, services/staging_pg.py:323-372, init.sql:291-327)",
+)
+def doc_profile(cat: Catalog) -> DataFrame:
+    """A3: COUNT/AVG/MIN/MAX/COUNT DISTINCT in one aggregation pass
+    (reference get_bronze_lv_stats / get_silver_lv_stats)."""
+    return cat["documents"].agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        davg("n_chars", "avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("distinct_langs"),
+        F.countDistinct("source").alias("distinct_sources"),
+    )
+
+
+@query(
+    "daily_rollup",
+    oracle="""
+    SELECT cast(ts AS date) AS event_date,
+           count(*) AS total_events,
+           count(DISTINCT event_type) AS distinct_types,
+           count(DISTINCT user_id) AS distinct_users,
+           cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value,
+           count_if(event_type = 'purchase') AS purchases,
+           count_if(event_type = 'error') AS errors
+    FROM events
+    GROUP BY cast(ts AS date)
+    """,
+    survey="A4 A2 F7 (view_daily_analytics, init.sql:91-103)",
+    bench=True,
+)
+def daily_rollup(cat: Catalog) -> DataFrame:
+    """A4: daily analytics rollup with conditional counts
+    (reference `init.sql:91-103` view_daily_analytics)."""
+    return (
+        cat["events"]
+        .groupBy(F.col("ts").cast("date").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.countDistinct("event_type").alias("distinct_types"),
+            F.countDistinct("user_id").alias("distinct_users"),
+            davg("value", "avg_value"),
+            F.count_if(F.col("event_type") == "purchase").alias("purchases"),
+            F.count_if(F.col("event_type") == "error").alias("errors"),
+        )
+    )
+
+
+@query(
+    "hourly_pattern_pct",
+    oracle="""
+    SELECT extract(hour FROM ts) AS publish_hour,
+           count(*) AS cnt,
+           count(*) * 100.0 / sum(count(*)) OVER () AS pct_of_total
+    FROM events
+    GROUP BY extract(hour FROM ts)
+    """,
+    survey="A6 W1 (view_publishing_patterns, init.sql:122-131)",
+)
+def hourly_pattern_pct(cat: Catalog) -> DataFrame:
+    """A6+W1: hourly histogram with %-of-total via an unpartitioned
+    window — safe at scale because it runs over the 24-row aggregate,
+    never the raw relation (init.sql:122-131)."""
+    agg = (
+        cat["events"]
+        .groupBy(F.hour("ts").cast("bigint").alias("publish_hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return agg.withColumn(
+        "pct_of_total",
+        F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy()),
+    )
+
+
+@query(
+    "weekly_trends",
+    oracle="""
+    SELECT extract(year FROM ts) AS publish_year,
+           extract(week FROM ts) AS publish_week,
+           min(cast(ts as date)) AS week_start,
+           max(cast(ts as date)) AS week_end,
+           count(*) AS total_events,
+           count(DISTINCT event_type) AS distinct_types,
+           cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="A7 F7 (view_weekly_trends, init.sql:134-145; ISO week == Spark weekofyear)",
+)
+def weekly_trends(cat: Catalog) -> DataFrame:
+    """A7: weekly trend rollup (init.sql:134-145). Spark weekofyear is
+    ISO-week, matching PG/DuckDB EXTRACT(WEEK)."""
+    return (
+        cat["events"]
+        .groupBy(
+            F.year("ts").cast("bigint").alias("publish_year"),
+            F.weekofyear("ts").cast("bigint").alias("publish_week"),
+        )
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("week_start"),
+            F.max(F.col("ts").cast("date")).alias("week_end"),
+            F.count(F.lit(1)).alias("total_events"),
+            F.countDistinct("event_type").alias("distinct_types"),
+            davg("value", "avg_value"),
+        )
+    )
+
+
+@query(
+    "two_key_timeseries",
+    oracle="""
+    SELECT cast(ts AS date) AS event_date, event_type,
+           count(*) AS daily_count,
+           cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="A8 (two-key time series, apx.py:97-112)",
+)
+def two_key_timeseries(cat: Catalog) -> DataFrame:
+    """A8: GROUP BY (date, category) dashboard trend query
+    (apx.py:97-112)."""
+    return (
+        cat["events"]
+        .groupBy(F.col("ts").cast("date").alias("event_date"), "event_type")
+        .agg(F.count(F.lit(1)).alias("daily_count"), davg("value", "avg_value"))
+    )
+
+
+@query(
+    "user_activity_having",
+    oracle="""
+    SELECT user_id, event_type,
+           count(*) AS mention_count,
+           cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value,
+           max(cast(ts as date)) AS last_seen
+    FROM events
+    WHERE value > 10.0
+    GROUP BY user_id, event_type
+    HAVING count(*) >= 2
+    """,
+    survey="A9 (rollup + HAVING + pre-filter, apx.py:114-135)",
+)
+def user_activity_having(cat: Catalog) -> DataFrame:
+    """A9: the entity-rollup shape — pre-aggregation filter, grouped
+    stats, HAVING as post-agg filter (apx.py:114-135)."""
+    return (
+        cat["events"]
+        .filter(F.col("value") > 10.0)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("mention_count"),
+            davg("value", "avg_value"),
+            F.max(F.col("ts").cast("date")).alias("last_seen"),
+        )
+        .filter(F.col("mention_count") >= 2)
+    )
+
+
+@query(
+    "scalar_metrics_block",
+    oracle="""
+    SELECT (SELECT count(*) FROM orders) AS total_orders,
+           (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS open_orders,
+           (SELECT cast(sum(cast(o_totalprice as decimal(18,2))) as double) FROM orders)
+               AS total_revenue,
+           (SELECT count(DISTINCT o_custkey) FROM orders) AS distinct_customers,
+           (SELECT max(cast(o_orderdate as date)) FROM orders) AS latest_order,
+           (SELECT count(*) FROM customer) AS total_customers
+    FROM (VALUES (1)) t(x)
+    """,
+    survey="A10 A12 (scalar-subquery metric block, apx.py:64-79)",
+)
+def scalar_metrics_block(cat: Catalog) -> DataFrame:
+    """A10: the dashboard's 8-scalar overview block — one wide agg per
+    table then a broadcast cross join of 1-row frames (apx.py:64-79)."""
+    o = cat["orders"].agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("open_orders"),
+        dsum("o_totalprice", "total_revenue"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.max(F.col("o_orderdate").cast("date")).alias("latest_order"),
+    )
+    c = cat["customer"].agg(F.count(F.lit(1)).alias("total_customers"))
+    return o.crossJoin(F.broadcast(c))
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE c.c_acctbal > 0
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    survey="J1 (left-anti NER-backlog join, services/staging_pg.py:294-317)",
+)
+def customers_without_orders(cat: Catalog) -> DataFrame:
+    """J1: left-anti join — rows in the base table with no match in the
+    side table (the reference's NER backlog query)."""
+    orders = cat["orders"]
+    return (
+        cat["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .join(orders, F.col("c_custkey") == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS order_count,
+           cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) AS revenue,
+           count(DISTINCT o.o_custkey) AS buyers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey="J2 A1 (inner equi-join + rollup, process_silver_to_gold.sql:140-169)",
+    bench=True,
+)
+def revenue_by_segment(cat: Catalog) -> DataFrame:
+    """J2: fact⋈dimension inner join with the dimension broadcast
+    (entity×gold analog). At 100 TB the customer side is still the
+    small side per-segment rollup → broadcast hash join, no shuffle of
+    the fact table beyond the aggregation."""
+    o, c = cat["orders"], cat["customer"]
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dsum("o_totalprice", "revenue"),
+            F.countDistinct("o_custkey").alias("buyers"),
+        )
+    )
+
+
+@query(
+    "orders_without_items",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus
+    FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+      ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_orderkey IS NULL
+    """,
+    survey="J3 (left-outer diff probe, viz.py:133-160)",
+)
+def orders_without_items(cat: Catalog) -> DataFrame:
+    """J3: the bronze-vs-silver drift probe — left outer join, keep rows
+    where the right side is missing (viz.py:133-160)."""
+    li = cat["lineitem"].select("l_orderkey").distinct()
+    o = cat["orders"]
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_outer")
+        .filter(F.col("l_orderkey").isNull())
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS order_count,
+           cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    survey="J2 (multi-hop dimension join chain; Catalyst join reorder + broadcast)",
+    bench=True,
+)
+def regional_revenue(cat: Catalog) -> DataFrame:
+    """Snowflake join chain orders→customer→nation→region with every
+    dimension broadcast — the canonical star-join plan at scale (zero
+    fact-side shuffle before aggregation)."""
+    o = cat["orders"]
+    c = F.broadcast(cat["customer"])
+    n = F.broadcast(cat["nation"])
+    r = F.broadcast(cat["region"])
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.count(F.lit(1)).alias("order_count"), dsum("o_totalprice", "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_user_per_event_type",
+    oracle="""
+    SELECT event_type, user_id, cnt FROM (
+        SELECT event_type, user_id, count(*) AS cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY count(*) DESC, user_id ASC) AS rn
+        FROM events GROUP BY event_type, user_id
+    ) WHERE rn = 1
+    """,
+    survey="W2 (top-1 per group, process_silver_to_gold.sql:172-208)",
+)
+def top_user_per_event_type(cat: Catalog) -> DataFrame:
+    """W2: ROW_NUMBER top-1-per-group (get_entity_stats). Window runs
+    over the grouped aggregate, not the raw events — bounded input."""
+    counts = (
+        cat["events"]
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "user_id", "cnt")
+    )
+
+
+@query(
+    "dedupe_keep_max",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM (
+        SELECT event_id, user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY value DESC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    survey="W4 (keep-max-confidence dedupe, processor/ner.py:176-199)",
+)
+def dedupe_keep_max(cat: Catalog) -> DataFrame:
+    """W4: per-key keep-highest dedupe (the NER confidence dedupe) as a
+    single window pass; event_id tiebreak makes it deterministic."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        cat["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops / filters (SURVEY §2.6, §2.7, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    survey="T1 T2 T3 (ORDER BY ... LIMIT top-k → TakeOrderedAndProject)",
+)
+def top10_orders(cat: Catalog) -> DataFrame:
+    """T1-T3: top-k — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge of k), never a full sort at scale."""
+    return (
+        cat["orders"]
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "pipeline_status_union",
+    oracle="""
+    SELECT 'orders' AS stage, count(*) AS row_count FROM orders
+    UNION ALL SELECT 'lineitem' AS stage, count(*) AS row_count FROM lineitem
+    UNION ALL SELECT 'customer' AS stage, count(*) AS row_count FROM customer
+    """,
+    survey="U1 U2 A12 (pipeline-status UNION ALL, viz.py:196-225, vis.py:64-76)",
+)
+def pipeline_status_union(cat: Catalog) -> DataFrame:
+    """U1/U2: per-stage metric rows stitched with UNION ALL
+    (the reference's pipeline-status dashboard)."""
+    def stage(name: str) -> DataFrame:
+        return cat[name].agg(
+            F.lit(name).alias("stage"), F.count(F.lit(1)).alias("row_count")
+        )
+
+    return stage("orders").unionByName(stage("lineitem")).unionByName(stage("customer"))
+
+
+@query(
+    "recent_events",
+    oracle="""
+    SELECT event_type, count(*) AS cnt,
+           cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 3 DAY
+    GROUP BY event_type
+    """,
+    survey="P5 F8 (interval time-window filter, services/pg_service.py:121-126)",
+)
+def recent_events(cat: Catalog) -> DataFrame:
+    """P5: `date >= anchor - INTERVAL '3 days'` recency filter. The
+    anchor is a 1-row aggregate broadcast into the scan filter — the
+    deterministic stand-in for NOW() so the oracle agrees."""
+    ev = cat["events"]
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 3 DAY"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "total_value"))
+    )
+
+
+@query(
+    "json_props_rollup",
+    oracle="""
+    SELECT event_type,
+           sum(cast(cast(json_extract(props, '$.k') as integer) as decimal(18,2))) != 0
+               AS has_props,
+           cast(sum(cast(cast(json_extract(props, '$.k') as integer) as decimal(18,2)))
+               as double) AS sum_k,
+           max(cast(json_extract(props, '$.k') as integer)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="F16 S8 (JSON field extraction, init.sql:150-183 jsonb_array_elements/->> )",
+)
+def json_props_rollup(cat: Catalog) -> DataFrame:
+    """F16: JSON payload field extraction (the reference's jsonb `->>`)
+    via get_json_object, then grouped aggregation."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        cat["events"]
+        .groupBy("event_type")
+        .agg(
+            (F.sum(k.cast(DEC)) != 0).alias("has_props"),
+            F.sum(k.cast(DEC)).cast("double").alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+    )

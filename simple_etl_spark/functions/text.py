@@ -1,0 +1,69 @@
+"""Text search & word-frequency operators (SURVEY §2.8 F19-F21, §2.4 A16).
+
+The reference routes full-text search to Elasticsearch
+(`services/es.py:166-240`, multi_match with field weights `title^3,
+content^1`) and wordcloud frequency to driver-side Python
+(`app.py:19-31,123-153`). Here both are distributed DataFrame
+operators: scoring is a Column expression (JVM-side, codegen), word
+frequency is explode→filter→aggregate — fully partition-parallel with
+map-side partial aggregation, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Compact stopword list (the reference carries ~120 Indonesian words
+# at app.py:19-31; the mechanism, not the lexicon, is the operator).
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+
+def term_count(col: Column | str, term: str) -> Column:
+    """Occurrences of ``term`` in ``col`` — pure length arithmetic, no
+    UDF, exact integers (so oracles agree bit-for-bit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(term), F.lit(""))))
+        / F.lit(len(term))
+    ).cast("bigint")
+
+
+def weighted_search(
+    df: DataFrame,
+    terms: list[str],
+    fields: dict[str, float] | None = None,
+) -> DataFrame:
+    """F21: ES multi_match parity — per-field term-frequency score with
+    weights (default `title^3, content^1` like services/es.py:189),
+    rows with zero score dropped, callers sort by score."""
+    fields = fields or {"title": 3.0, "content": 1.0}
+    score: Column = F.lit(0).cast("bigint")
+    for field, weight in fields.items():
+        for term in terms:
+            score = score + F.lit(int(weight)) * term_count(field, term)
+    return df.withColumn("score", score).filter(F.col("score") > 0)
+
+
+def tokenize(col: Column | str) -> Column:
+    """F19: lowercase, strip non-alpha to spaces, split on whitespace
+    (app.py:123-134)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.regexp_replace(F.lower(c), "[^a-z ]", " "), r"\s+")
+
+
+def word_frequencies(
+    df: DataFrame,
+    col: str = "content",
+    stopwords: tuple[str, ...] = STOPWORDS,
+    min_len: int = 3,
+) -> DataFrame:
+    """A16/F20: the wordcloud feed — explode tokens, drop stopwords and
+    short tokens, count. Partial aggregation makes this one shuffle of
+    (word, partial_count), not of the exploded token stream."""
+    return (
+        df.select(F.explode(tokenize(col)).alias("word"))
+        .filter((F.length("word") >= min_len) & (~F.col("word").isin(*stopwords)))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )

@@ -1,0 +1,169 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact hash dedup, MinHash+LSH near-dup detection, and n-gram Jaccard
+— all expressed as DataFrame plans (no reference equivalent; this is
+the engine's capability superset per BASELINE.json).
+
+Scale design:
+- exact dedup is one hash-shuffle on the fingerprint;
+- MinHash/LSH is explode→partial-min-agg (signatures), then a
+  band-bucket self-join — candidate generation is O(collisions), not
+  O(n²), which is the whole point at 100 TB;
+- the quadratic Jaccard verifier only ever runs on LSH candidates (or
+  an explicitly bounded subset).
+
+Hashes are md5-based (not Spark's xxhash) so a SQL oracle on any
+engine reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of the raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup summary: one row per distinct text with the
+    surviving (minimum) id and the copy count. Single hash aggregation;
+    survivors join back by fingerprint if full rows are needed."""
+    return (
+        df.groupBy(fingerprint(text_col).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column — built-in array
+    functions only (split → sequence → transform), no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(c, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )
+    # sequence(1, k) runs *descending* for k < 1 — guard short docs
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min(md5(i || '|' || shingle)).
+
+    explode → one grouped aggregation computing all ``num_hashes``
+    mins in a single pass (partial aggregation map-side, one shuffle
+    keyed by doc id)."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Band the signature and self-join on (band_index, band_key):
+    docs sharing any band are candidate near-dups. Returns distinct
+    (id_a < id_b) pairs. The band join shuffles on the band key —
+    collision groups, not the corpus, drive the cost."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * band_size + r}") for r in range(band_size)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact shingle-Jaccard for given candidate pairs: join each side
+    to its distinct shingle set, count intersection, derive union by
+    inclusion-exclusion. Intersection join shuffles on shingle."""
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sh.withColumnRenamed(id_col, "id_a")
+    sb = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "na")
+    zb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "nb")
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands →
+    candidate pairs → exact-Jaccard verify ≥ threshold."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes)
+    cands = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
+    return jaccard_pairs(df, cands, id_col, text_col).filter(
+        F.col("jaccard") >= threshold
+    )

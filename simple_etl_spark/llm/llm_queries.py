@@ -1,1 +1,383 @@
-"""LLM-data-pipeline queries (filled in next)."""
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — the engine's capability superset (BASELINE.json
+north star), each verified against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simple_etl_spark.engine import Catalog
+from simple_etl_spark.llm.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    near_dedup_minhash,
+)
+from simple_etl_spark.llm.multimodal import binary_documents, extract_features
+from simple_etl_spark.llm.similarity import brute_force_topk, bucketed_topk
+from simple_etl_spark.llm.textstats import (
+    doc_fingerprint,
+    language_scores,
+    quality_features,
+)
+from simple_etl_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+# deterministic dup injection: every 10th doc re-appears under a new id
+_DUP_CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+# near-dup injection: copy with the first word dropped
+_NEAR_CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id AS id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS id, substring(text, strpos(text, ' ') + 1) AS text
+    FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+# shared shingle/size SQL (twin of llm.dedup.shingles, n=3)
+_SHINGLE_SQL = """
+words AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+    SELECT DISTINCT id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+    FROM (SELECT id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM words) t
+    WHERE len(w) >= 3
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+"""
+
+
+def _dup_corpus(cat: Catalog) -> DataFrame:
+    d = cat["documents"]
+    dups = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return d.select("doc_id", "text").unionByName(dups.select("doc_id", "text"))
+
+
+def _near_corpus(cat: Catalog) -> DataFrame:
+    d = cat["documents"]
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.select(F.col("doc_id").alias("id"), "text").unionByName(near)
+
+
+@query(
+    "llm_exact_dedup",
+    oracle=f"""
+    WITH {_DUP_CORPUS_SQL}
+    SELECT md5(text) AS fingerprint, min(doc_id) AS survivor_id, count(*) AS copies
+    FROM corpus GROUP BY md5(text)
+    """,
+    survey="LLM dedup: exact hash-groupBy",
+    bench=True,
+)
+def llm_exact_dedup(cat: Catalog) -> DataFrame:
+    """Exact dedup over a corpus with injected duplicate texts: one
+    row per distinct text, min-id survivor, copy count."""
+    return exact_dedup(_dup_corpus(cat), "text", "doc_id")
+
+
+@query(
+    "llm_minhash_lsh",
+    oracle=f"""
+    WITH {_NEAR_CORPUS_SQL},
+    {_SHINGLE_SQL},
+    sig AS (
+        SELECT id,
+               min(md5(concat('0|', shingle))) AS h0,
+               min(md5(concat('1|', shingle))) AS h1,
+               min(md5(concat('2|', shingle))) AS h2,
+               min(md5(concat('3|', shingle))) AS h3,
+               min(md5(concat('4|', shingle))) AS h4,
+               min(md5(concat('5|', shingle))) AS h5,
+               min(md5(concat('6|', shingle))) AS h6,
+               min(md5(concat('7|', shingle))) AS h7
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT id, 3, md5(concat(h6, '|', h7)) FROM sig
+    ),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cands c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           i.n_inter / (za.n + zb.n - i.n_inter) AS jaccard
+    FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
+    WHERE i.n_inter / (za.n + zb.n - i.n_inter) >= 0.5
+    """,
+    survey="LLM dedup: MinHash+LSH (shingle→minhash→band→bucket-join→Jaccard verify)",
+)
+def llm_minhash_lsh(cat: Catalog) -> DataFrame:
+    """Near-dup detection over a corpus with injected first-word-drop
+    copies: LSH candidates verified by exact shingle-Jaccard ≥ 0.5."""
+    return near_dedup_minhash(_near_corpus(cat), "id", "text", threshold=0.5)
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id AS id, lang, text FROM documents WHERE doc_id < 200),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM corpus a JOIN corpus b ON a.lang = b.lang AND a.id < b.id
+    ),
+    {_SHINGLE_SQL},
+    inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.id = p.id_a
+        JOIN sh sb ON sb.id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           i.n_inter / (za.n + zb.n - i.n_inter) AS jaccard
+    FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
+    """,
+    survey="LLM dedup: n-gram Jaccard brute-force baseline (bounded subset)",
+)
+def llm_ngram_jaccard(cat: Catalog) -> DataFrame:
+    """Quadratic shingle-Jaccard baseline on an explicitly bounded
+    slice (doc_id < 200, same-language pairs) — pairs sharing ≥1
+    shingle with their exact similarity."""
+    docs = (
+        cat["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("id"), "lang", "text")
+    )
+    a = docs.select(F.col("id").alias("id_a"), F.col("lang").alias("lang_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("lang").alias("lang_b"))
+    pairs = a.join(
+        b, (F.col("lang_a") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    return jaccard_pairs(docs, pairs, "id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_VEC_SQL = """
+v AS (
+    SELECT vec_id, label,
+           list_transform(cast(embedding as double[]),
+                          x -> cast(x as decimal(12,10))) AS e
+    FROM embeddings
+),
+n AS (
+    SELECT vec_id, label, e,
+           list_sum(list_transform(generate_series(1, len(e)),
+                                   i -> e[i] * e[i])) AS n2
+    FROM v
+)
+"""
+
+_COSINE_SQL = """
+cast(list_sum(list_transform(generate_series(1, len(q.e)),
+                             i -> q.e[i] * c.e[i])) as double)
+  / (sqrt(cast(q.n2 as double)) * sqrt(cast(c.n2 as double)))
+"""
+
+
+@query(
+    "llm_cosine_topk",
+    oracle=f"""
+    WITH {_VEC_SQL},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COSINE_SQL} AS score
+        FROM n q JOIN n c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cast(score as decimal(18,9)) AS score_q, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    survey="LLM similarity: brute-force cosine top-k (exact baseline)",
+)
+def llm_cosine_topk(cat: Catalog) -> DataFrame:
+    """Exact cosine top-5 for 3 query vectors against the corpus."""
+    emb = cat["embeddings"]
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+@query(
+    "llm_ann_bucketed",
+    oracle=f"""
+    WITH {_VEC_SQL},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COSINE_SQL} AS score
+        FROM n q JOIN n c
+          ON q.vec_id < 10 AND q.label = c.label AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cast(score as decimal(18,9)) AS score_q, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    survey="LLM similarity: IVF/bucket-pruned ANN (scale path)",
+)
+def llm_ann_bucketed(cat: Catalog) -> DataFrame:
+    """Bucket-pruned ANN: top-3 within the query's coarse partition."""
+    emb = cat["embeddings"]
+    return bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_text_quality",
+    oracle=r"""
+    SELECT doc_id,
+           cast(length(text) as bigint) AS n_chars,
+           cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS n_tokens,
+           cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                as bigint) AS bpe_tokens,
+           cast(len(regexp_extract_all(text, '[^\w\s]')) as bigint) AS punct_hits,
+           cast(cast(len(regexp_extract_all(text, '[^\w\s]')) as bigint) as double)
+             / cast(length(text) as bigint) AS punct_ratio,
+           cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                    w -> list_contains(['the','and','of','a'], w))) as bigint)
+               AS stop_hits,
+           cast(cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                    w -> list_contains(['the','and','of','a'], w))) as bigint) as double)
+             / cast(len(string_split_regex(trim(text), '\s+')) as bigint)
+               AS stopword_ratio,
+           (len(string_split_regex(trim(text), '\s+')) >= 10
+            AND length(text) >= 50) AS is_quality
+    FROM documents
+    """,
+    survey="LLM text analysis: quality scoring (length/punct/stopword ratios, token counts)",
+    bench=True,
+)
+def llm_text_quality(cat: Catalog) -> DataFrame:
+    """Per-document quality features + keep/drop flag in one
+    projection pass."""
+    from simple_etl_spark.llm.textstats import LANG_MARKERS, stopword_hits
+
+    qf = quality_features(cat["documents"], "text")
+    punct_hits = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), F.lit(0))
+    ).cast("bigint")
+    return qf.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.col("n_tokens"),
+        F.col("bpe_tokens"),
+        punct_hits.alias("punct_hits"),
+        F.col("punct_ratio"),
+        stopword_hits(F.col("text"), LANG_MARKERS["en"]).alias("stop_hits"),
+        F.col("stopword_ratio"),
+        F.col("is_quality"),
+    )
+
+
+@query(
+    "llm_lang_id",
+    oracle=r"""
+    WITH feats AS (
+        SELECT lang,
+           cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                w -> list_contains(['der','die','und','das'], w))) as bigint) AS hits_de,
+           cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                w -> list_contains(['the','and','of','a'], w))) as bigint) AS hits_en,
+           cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                w -> list_contains(['el','la','de','que'], w))) as bigint) AS hits_es,
+           cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                w -> list_contains(['le','la','et','les'], w))) as bigint) AS hits_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                    WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                    WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                    WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM feats
+    )
+    SELECT lang, predicted_lang, count(*) AS docs
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+    survey="LLM text analysis: language-ID heuristic (stopword-marker argmax)",
+)
+def llm_lang_id(cat: Catalog) -> DataFrame:
+    """Confusion-style rollup of the stopword-marker language
+    heuristic against the labeled lang column."""
+    scored = language_scores(cat["documents"], "text")
+    return scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("docs")
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    survey="LLM text analysis: normalization-stable document fingerprint",
+)
+def llm_fingerprint(cat: Catalog) -> DataFrame:
+    return cat["documents"].select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_binary_features",
+    oracle="""
+    SELECT doc_id,
+           cast(octet_length(encode(text)) as bigint) AS n_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           'text' AS modality
+    FROM documents
+    """,
+    survey="LLM multimodal: binary column + Arrow-batched mapInPandas feature extraction",
+)
+def llm_binary_features(cat: Catalog) -> DataFrame:
+    """Opaque-binary pipeline: text→payload bytes→mapInPandas feature
+    extraction (the stub 'decoder'); oracle checks byte lengths and
+    first-byte values arrive intact through the Arrow boundary."""
+    return extract_features(binary_documents(cat["documents"]), modality="text")

@@ -1,0 +1,156 @@
+"""Embedding similarity search (ANN) over array<float> columns.
+
+Brute-force cosine top-k as the exact baseline, and a bucket-pruned
+variant as the scale path (search only the query's coarse partition —
+an IVF-style inverted file, here keyed by the precomputed ``label``
+assignment; at 100 TB the bucket column is the partition key, so
+Catalyst prunes the scan to the probed buckets).
+
+Numeric strategy: element-wise products are accumulated in DECIMAL
+(exact, order-independent) and converted to double only for the final
+sqrt/divide — so distributed partial aggregation order can't change
+the score, and an external SQL oracle reproduces it bit-for-bit.
+float64 accumulation would make scores depend on reduction order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# decimal(12,10) holds any |x| < 100 float element at 1e-10 resolution;
+# products are decimal(25,20) — inside the 38-digit cap of Spark/DuckDB.
+# The accumulator stays at precision 30 so decimal addition never hits
+# the 38-digit cap (which would force Spark to drop a scale digit and
+# round); the merge result is cast back to (30,20) — same scale, no
+# rounding — because F.aggregate requires merge output ≡ zero type.
+_ELEM_DEC = "decimal(12,10)"
+_ACC_DEC = "decimal(30,20)"
+
+
+def _dec_arr(col: Column) -> Column:
+    # widen float→double BEFORE the decimal cast: engines agree on
+    # rounding a double to 10 dp, but float→decimal directly may go
+    # through the float's shortest string repr in some engines
+    return F.transform(col, lambda x: x.cast("double").cast(_ELEM_DEC))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact decimal dot product of two float arrays."""
+    prods = F.zip_with(_dec_arr(a), _dec_arr(b), lambda x, y: (x * y).cast(_ACC_DEC))
+    return F.aggregate(
+        prods, F.lit(0).cast(_ACC_DEC), lambda acc, x: (acc + x).cast(_ACC_DEC)
+    )
+
+
+def norm2(a: Column) -> Column:
+    """Exact decimal squared L2 norm."""
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column, n2a: Column, n2b: Column) -> Column:
+    """cosine(a,b) given precomputed squared norms — three IEEE double
+    ops on exact decimal inputs (deterministic across engines)."""
+    return dot(a, b).cast("double") / (
+        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score every pair, window-rank per query.
+
+    One pass over the corpus, no corpus self-join; the per-query
+    ranking windows operate on |corpus| rows per query — at scale use
+    per-partition top-k pre-reduction (TakeOrderedAndProject does this
+    for single queries; for query batches the window after a
+    `filter(score > floor)` is the practical path)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm2(F.col(vec_col)).alias("q_n2"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm2(F.col(vec_col)).alias("c_n2"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_n2"), F.col("c_n2")
+            ).alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Rank by the raw double score (per-engine ulp noise is orders of
+    magnitude below real score gaps, so ranking is stable), but expose
+    the score quantized to 9 dp — decimal output absorbs the 1-ulp
+    decimal→double conversion differences between engines."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("score").cast("decimal(18,9)").alias("score_q"),
+            "rnk",
+        )
+    )
+
+
+def bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: candidates restricted to the query's coarse
+    bucket (inverted-file partition). Same scoring, but the join key
+    includes the bucket — the scan prunes to matching partitions and
+    the pairing is |bucket|-sized, not |corpus|-sized."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(bucket_col).alias("q_bucket"),
+        F.col(vec_col).alias("q_vec"),
+        norm2(F.col(vec_col)).alias("q_n2"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(bucket_col).alias("c_bucket"),
+        F.col(vec_col).alias("c_vec"),
+        norm2(F.col(vec_col)).alias("c_n2"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_n2"), F.col("c_n2")
+            ).alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)

@@ -1,0 +1,135 @@
+"""Entity extraction and entity analytics (SURVEY §2.10 X2, §2.5 W4).
+
+The reference's NER stage (`processor/ner.py:51-199`) runs a
+transformer model over article text and emits one row per entity — a
+table-generating UDF. The Spark-native shape is ``mapInPandas``: the
+model loads once per executor (broadcast-by-initialization), batches
+arrive as Arrow record batches, and output explodes to entity rows.
+
+The extractor is *injectable* (SURVEY §7 hard-part (c)): tests and the
+correctness oracle use :func:`deterministic_extractor`, a pure
+function of the text whose SQL twin (``ENTITIES_CTE``) DuckDB can
+evaluate; production would inject a model-backed callable with the
+same signature, e.g.::
+
+    def hf_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
+        global _PIPE  # loaded once per executor process
+        ...
+
+Confidence/type rules mirror processor/ner.py:95-132 structurally
+(min length, thresholds, per-type rules) with deterministic formulas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from simple_etl_spark.operators.medallion import GOLD_CTE
+
+ENTITY_SCHEMA = StructType(
+    [
+        StructField("article_id", StringType()),
+        StructField("entity_text", StringType()),
+        StructField("entity_type", StringType()),
+        StructField("confidence_score", DoubleType()),
+        StructField("start_position", IntegerType()),
+        StructField("end_position", IntegerType()),
+    ]
+)
+
+_TYPES = ("PER", "ORG", "LOC")
+
+Extractor = Callable[[str], list[tuple[str, str, float, int, int]]]
+
+
+def deterministic_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
+    """Deterministic fake NER: every distinct word longer than 4 chars
+    is an entity; type and confidence are pure functions of the word.
+    SQL twin: :data:`ENTITIES_CTE` (must stay in lockstep)."""
+    out = []
+    for word in dict.fromkeys(text.split(" ")):
+        if len(word) <= 4:
+            continue
+        etype = _TYPES[len(word) % 3]
+        conf = ((len(word) * 7 + ord(word[0])) % 50 + 50) / 100.0
+        start = text.find(word)
+        out.append((word, etype, conf, start, start + len(word)))
+    return out
+
+
+def extract_entities(
+    articles: DataFrame,
+    extractor: Extractor = deterministic_extractor,
+    text_col: str = "title",
+    min_confidence: float = 0.5,
+) -> DataFrame:
+    """X2: text → entity rows via mapInPandas (Arrow-batched; the
+    extractor runs once per input row, vectorized per batch). The
+    ≥``min_confidence`` filter mirrors processor/ner.py:158-162."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, text in zip(pdf["id"], pdf[text_col]):
+                if text is None:
+                    continue
+                for word, etype, conf, start, end in extractor(text):
+                    if conf >= min_confidence:
+                        rows.append((aid, word, etype, conf, start, end))
+            yield pd.DataFrame(rows, columns=[f.name for f in ENTITY_SCHEMA.fields])
+
+    return articles.select(F.col("id"), F.col(text_col)).mapInPandas(run, ENTITY_SCHEMA)
+
+
+def dedupe_entities(entities: DataFrame) -> DataFrame:
+    """W4: per (lower(entity_text), entity_type) keep the
+    highest-confidence mention (processor/ner.py:176-199), article_id
+    tiebreak for determinism."""
+    w = Window.partitionBy(F.lower("entity_text"), F.col("entity_type")).orderBy(
+        F.desc("confidence_score"), F.asc("article_id")
+    )
+    return (
+        entities.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def entity_backlog(articles: DataFrame, entities: DataFrame, limit: int | None = None) -> DataFrame:
+    """J1: articles not yet entity-processed — left-anti join on
+    article id (services/staging_pg.py:294-317)."""
+    out = articles.join(
+        entities, articles["id"] == entities["article_id"], "left_anti"
+    )
+    if limit is not None:
+        out = out.orderBy(F.desc("created_at")).limit(limit)
+    return out
+
+
+# SQL twin of deterministic_extractor over gold titles (positions are
+# not part of the comparable surface; they are offsets the oracle
+# can't cheaply reproduce and no analytics query consumes them).
+ENTITIES_CTE = GOLD_CTE + """
+, entities AS (
+    SELECT DISTINCT id AS article_id, word AS entity_text,
+           CASE length(word) % 3 WHEN 0 THEN 'PER' WHEN 1 THEN 'ORG'
+                ELSE 'LOC' END AS entity_type,
+           (((length(word) * 7 + ascii(substring(word, 1, 1))) % 50) + 50) / 100.0
+               AS confidence_score
+    FROM (SELECT id, unnest(string_split(title, ' ')) AS word FROM gold) t
+    WHERE length(word) > 4
+)
+"""

@@ -1,0 +1,106 @@
+"""Medallion layers: the gold view builder (SURVEY §2.2 P1-P4).
+
+The reference's gold layer is a *virtual view* over silver
+(`services/pg_staging.py:79-119` "Create Gold View (instead of
+table)", `init.sql:53-88`, `process_silver_to_gold.sql:10-69`). A lazy
+DataFrame IS that choice in Spark: :func:`gold_view` returns an
+unmaterialized projection, Catalyst prunes/pushes through it, and any
+analytics composed on top stay one fused plan.
+
+``GOLD_CTE`` is the SQL twin used by every medallion oracle — kept in
+lockstep with the DataFrame expressions, mirroring how the reference
+itself pairs Python and SQL implementations of the same transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simple_etl_spark.operators.articles import ARTICLES_CTE
+
+# P1 projection + P2 filter + P3 recategorization + P4 text stats,
+# from process_silver_to_gold.sql:10-69 (richest variant: 4-bucket
+# category, topic_category, word/sentence counts).
+GOLD_CTE = ARTICLES_CTE + """
+, gold AS (
+    SELECT id, title, link, image, date, topic, content,
+           cast(content_length as bigint) AS content_length, source, created_at,
+           concat(coalesce(title, ''), ' ', coalesce(content, ''), ' ',
+                  coalesce(topic, '')) AS search_text,
+           CASE WHEN content_length < 500 THEN 'Short'
+                WHEN content_length < 1500 THEN 'Medium'
+                WHEN content_length < 3000 THEN 'Long'
+                ELSE 'Very Long' END AS content_category,
+           CASE WHEN lower(topic) LIKE 'en%' THEN 'English'
+                WHEN lower(topic) LIKE 'de%' OR lower(topic) LIKE 'fr%'
+                     OR lower(topic) LIKE 'es%' THEN 'European'
+                WHEN lower(topic) LIKE 'zh%' OR lower(topic) LIKE 'ja%' THEN 'Asian'
+                ELSE coalesce(topic, 'Umum') END AS topic_category,
+           extract(hour FROM date) AS publish_hour,
+           cast(dayofweek(date) as bigint) AS publish_dow,
+           cast(weekofyear(date) as bigint) AS publish_week,
+           extract(month FROM date) AS publish_month,
+           extract(year FROM date) AS publish_year,
+           cast(date AS date) AS publish_date,
+           length(trim(title)) > 10 AS has_good_title,
+           content_length > 200 AS has_substantial_content,
+           (image IS NOT NULL AND image <> '' AND image <> 'No image') AS has_image,
+           cast(len(string_split(content, ' ')) as bigint) AS word_count,
+           cast(len(string_split(content, '.')) as bigint) AS sentence_count
+    FROM articles
+    WHERE processed AND title IS NOT NULL AND content IS NOT NULL
+      AND date IS NOT NULL AND content_length > 50
+)
+"""
+
+
+def gold_view(silver: DataFrame) -> DataFrame:
+    """Spark twin of :data:`GOLD_CTE`: P1 derived columns, P2 row
+    filter, P3 topic recategorization, P4 word/sentence counts.
+
+    publish_dow is normalized to PG semantics (0=Sunday): Spark's
+    dayofweek is 1=Sunday (SURVEY §4 dialect quirk F7)."""
+    silver = silver.filter(
+        F.col("processed")
+        & F.col("title").isNotNull()
+        & F.col("content").isNotNull()
+        & F.col("date").isNotNull()
+        & (F.col("content_length") > 50)
+    )
+    topic_l = F.lower(F.col("topic"))
+    return silver.select(
+        "id", "title", "link", "image", "date", "topic", "content",
+        F.col("content_length").cast("bigint").alias("content_length"),
+        "source", "created_at",
+        F.concat(
+            F.coalesce(F.col("title"), F.lit("")), F.lit(" "),
+            F.coalesce(F.col("content"), F.lit("")), F.lit(" "),
+            F.coalesce(F.col("topic"), F.lit("")),
+        ).alias("search_text"),
+        F.when(F.col("content_length") < 500, "Short")
+        .when(F.col("content_length") < 1500, "Medium")
+        .when(F.col("content_length") < 3000, "Long")
+        .otherwise("Very Long")
+        .alias("content_category"),
+        F.when(topic_l.like("en%"), "English")
+        .when(topic_l.like("de%") | topic_l.like("fr%") | topic_l.like("es%"), "European")
+        .when(topic_l.like("zh%") | topic_l.like("ja%"), "Asian")
+        .otherwise(F.coalesce(F.col("topic"), F.lit("Umum")))
+        .alias("topic_category"),
+        F.hour("date").cast("bigint").alias("publish_hour"),
+        (F.dayofweek("date") - 1).cast("bigint").alias("publish_dow"),
+        F.weekofyear("date").cast("bigint").alias("publish_week"),
+        F.month("date").cast("bigint").alias("publish_month"),
+        F.year("date").cast("bigint").alias("publish_year"),
+        F.col("date").cast("date").alias("publish_date"),
+        (F.length(F.trim(F.col("title"))) > 10).alias("has_good_title"),
+        (F.col("content_length") > 200).alias("has_substantial_content"),
+        (
+            F.col("image").isNotNull()
+            & (F.col("image") != "")
+            & (F.col("image") != "No image")
+        ).alias("has_image"),
+        F.size(F.split("content", " ")).cast("bigint").alias("word_count"),
+        F.size(F.split("content", r"\.")).cast("bigint").alias("sentence_count"),
+    )

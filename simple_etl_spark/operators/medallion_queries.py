@@ -1,1 +1,592 @@
-"""Medallion / article-domain queries (filled in next)."""
+"""Medallion / article-domain queries (SURVEY §2 over the article model).
+
+These exercise the reference's actual analytical surface — the gold
+view projection, the gold analytics views, cleaning, date parsing,
+merge semantics, entity extraction + analytics, text search — on the
+deterministic article-ization of ``documents`` (operators/articles.py)
+so DuckDB can verify every one end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simple_etl_spark.engine import Catalog
+from simple_etl_spark.exactness import davg, dsum
+from simple_etl_spark.functions.clean import (
+    _CONTENT_RULES,
+    _DATELINE,
+    clean_content,
+    clean_title,
+    parse_date,
+)
+from simple_etl_spark.functions.text import STOPWORDS, weighted_search, word_frequencies
+from simple_etl_spark.operators.articles import ARTICLES_CTE, silver_articles
+from simple_etl_spark.operators.entities import (
+    ENTITIES_CTE,
+    dedupe_entities,
+    extract_entities,
+)
+from simple_etl_spark.operators.medallion import GOLD_CTE, gold_view
+from simple_etl_spark.operators.merge import insert_if_absent, upsert_latest_wins
+from simple_etl_spark.queries import query
+
+
+def _gold(cat: Catalog) -> DataFrame:
+    return gold_view(silver_articles(cat))
+
+
+# ---------------------------------------------------------------------------
+# Gold projection + analytics views (P1-P4, A2, A4-A7, W1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_gold_projection",
+    oracle=GOLD_CTE + """
+    SELECT id, title, topic, topic_category, content_category, content_length,
+           publish_date, publish_hour, publish_dow, publish_week, publish_month,
+           publish_year, has_good_title, has_substantial_content, has_image,
+           word_count, sentence_count
+    FROM gold
+    """,
+    survey="P1 P2 P3 P4 F5-F9 F13 (gold view projection, process_silver_to_gold.sql:10-69)",
+    bench=True,
+)
+def m_gold_projection(cat: Catalog) -> DataFrame:
+    """The gold view itself: derived search/category/time/quality
+    columns over cleaned articles, filtered to publishable rows."""
+    return _gold(cat).select(
+        "id", "title", "topic", "topic_category", "content_category",
+        "content_length", "publish_date", "publish_hour", "publish_dow",
+        "publish_week", "publish_month", "publish_year", "has_good_title",
+        "has_substantial_content", "has_image", "word_count", "sentence_count",
+    )
+
+
+@query(
+    "m_daily_analytics",
+    oracle=GOLD_CTE + """
+    SELECT publish_date,
+           count(*) AS total_articles,
+           count(DISTINCT topic) AS topics_covered,
+           cast(sum(cast(content_length as decimal(18,2))) as double) / count(*)
+               AS avg_content_length,
+           count_if(content_category = 'Short') AS short_articles,
+           count_if(content_category = 'Medium') AS medium_articles,
+           count_if(content_category IN ('Long', 'Very Long')) AS long_articles,
+           count_if(has_image) AS with_images
+    FROM gold GROUP BY publish_date
+    """,
+    survey="A4 A2 (view_daily_analytics, init.sql:91-103)",
+    bench=True,
+)
+def m_daily_analytics(cat: Catalog) -> DataFrame:
+    g = _gold(cat)
+    return g.groupBy("publish_date").agg(
+        F.count(F.lit(1)).alias("total_articles"),
+        F.countDistinct("topic").alias("topics_covered"),
+        davg("content_length", "avg_content_length"),
+        F.count_if(F.col("content_category") == "Short").alias("short_articles"),
+        F.count_if(F.col("content_category") == "Medium").alias("medium_articles"),
+        F.count_if(F.col("content_category").isin("Long", "Very Long")).alias(
+            "long_articles"
+        ),
+        F.count_if(F.col("has_image")).alias("with_images"),
+    )
+
+
+@query(
+    "m_topic_analytics",
+    oracle=GOLD_CTE + """
+    SELECT topic,
+           count(*) AS total_articles,
+           cast(sum(cast(content_length as decimal(18,2))) as double) / count(*)
+               AS avg_content_length,
+           min(date) AS first_published,
+           max(date) AS last_published,
+           count_if(has_good_title) AS good_titles,
+           count_if(has_substantial_content) AS substantial,
+           count_if(has_image) AS with_images
+    FROM gold GROUP BY topic
+    """,
+    survey="A5 A2 (view_topic_analytics, init.sql:106-119)",
+)
+def m_topic_analytics(cat: Catalog) -> DataFrame:
+    return _gold(cat).groupBy("topic").agg(
+        F.count(F.lit(1)).alias("total_articles"),
+        davg("content_length", "avg_content_length"),
+        F.min("date").alias("first_published"),
+        F.max("date").alias("last_published"),
+        F.count_if(F.col("has_good_title")).alias("good_titles"),
+        F.count_if(F.col("has_substantial_content")).alias("substantial"),
+        F.count_if(F.col("has_image")).alias("with_images"),
+    )
+
+
+@query(
+    "m_publishing_patterns",
+    oracle=GOLD_CTE + """
+    SELECT publish_hour, publish_dow, count(*) AS cnt,
+           count(*) * 100.0 / sum(count(*)) OVER () AS pct_of_total
+    FROM gold GROUP BY publish_hour, publish_dow
+    """,
+    survey="A6 W1 F7 (view_publishing_patterns, init.sql:122-131; PG DOW normalized)",
+)
+def m_publishing_patterns(cat: Catalog) -> DataFrame:
+    agg = _gold(cat).groupBy("publish_hour", "publish_dow").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return agg.withColumn(
+        "pct_of_total", F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy())
+    )
+
+
+@query(
+    "m_content_quality",
+    oracle=GOLD_CTE + """
+    SELECT count(*) AS total_articles,
+           count_if(has_good_title) AS good_titles,
+           count_if(has_substantial_content) AS substantial_content,
+           count_if(has_image) AS with_images,
+           count_if(content_category = 'Short') AS short_cnt,
+           count_if(content_category = 'Medium') AS medium_cnt,
+           count_if(content_category = 'Long') AS long_cnt,
+           count_if(content_category = 'Very Long') AS very_long_cnt
+    FROM gold
+    """,
+    survey="A2 A12 (quality/conditional counts, init.sql:91-103, viz.py:196-225)",
+)
+def m_content_quality(cat: Catalog) -> DataFrame:
+    g = _gold(cat)
+    return g.agg(
+        F.count(F.lit(1)).alias("total_articles"),
+        F.count_if(F.col("has_good_title")).alias("good_titles"),
+        F.count_if(F.col("has_substantial_content")).alias("substantial_content"),
+        F.count_if(F.col("has_image")).alias("with_images"),
+        F.count_if(F.col("content_category") == "Short").alias("short_cnt"),
+        F.count_if(F.col("content_category") == "Medium").alias("medium_cnt"),
+        F.count_if(F.col("content_category") == "Long").alias("long_cnt"),
+        F.count_if(F.col("content_category") == "Very Long").alias("very_long_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning + date parsing (F1-F4, X1)
+# ---------------------------------------------------------------------------
+
+
+def _duck_clean_content(expr: str) -> str:
+    """SQL twin of functions.clean.clean_content — same patterns, same
+    order; DuckDB needs the explicit 'g' flag Spark applies by default."""
+    for pat, repl in _CONTENT_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    expr = f"regexp_replace({expr}, '{_DATELINE}', '', 'g')"
+    return f"trim({expr})"
+
+
+_DIRTY_CONTENT_SQL = """
+CASE doc_id % 4
+    WHEN 0 THEN concat('Jakarta, CNN Indonesia -- ', text)
+    WHEN 1 THEN concat('ADVERTISEMENT', chr(10), chr(10),
+                       'SCROLL TO CONTINUE WITH CONTENT ', text,
+                       ' [Gambas:Video CNN]')
+    WHEN 2 THEN concat('Lihat Juga : promo teaser', chr(10), text,
+                       ' (ANTARA FOTO/Budi)')
+    ELSE concat('Pilihan Redaksi teaser', chr(10), text, '  ', chr(10),
+                chr(10), chr(10), 'extra   spaces')
+END
+"""
+
+
+@query(
+    "m_clean_roundtrip",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               concat('  ', chr(10), substring(text, 1, 40), '  ') AS dirty_title,
+               {_DIRTY_CONTENT_SQL} AS dirty_content
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(dirty_title, '\\s+', ' ', 'g')) AS title_clean,
+           {_duck_clean_content('dirty_content')} AS content_clean
+    FROM dirty
+    """,
+    survey="F1 F2 X1 (8-step cleaning pipeline, processor/cleaner.py:13-54 ↔ "
+    "process_bronze_to_silver.sql:50-110)",
+)
+def m_clean_roundtrip(cat: Catalog) -> DataFrame:
+    """Inject the reference's boilerplate patterns into clean text,
+    then strip them with the Column-expression cleaner. The oracle runs
+    the same regex chain in SQL — the engine's version of the
+    reference's paired Python/SQL cleaner implementations."""
+    d = cat["documents"]
+    did = F.col("doc_id") % 4
+    dirty_content = (
+        F.when(did == 0, F.concat(F.lit("Jakarta, CNN Indonesia -- "), F.col("text")))
+        .when(
+            did == 1,
+            F.concat(
+                F.lit("ADVERTISEMENT\n\nSCROLL TO CONTINUE WITH CONTENT "),
+                F.col("text"),
+                F.lit(" [Gambas:Video CNN]"),
+            ),
+        )
+        .when(
+            did == 2,
+            F.concat(
+                F.lit("Lihat Juga : promo teaser\n"),
+                F.col("text"),
+                F.lit(" (ANTARA FOTO/Budi)"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Pilihan Redaksi teaser\n"),
+                F.col("text"),
+                F.lit("  \n\n\nextra   spaces"),
+            )
+        )
+    )
+    dirty_title = F.concat(F.lit("  \n"), F.substring("text", 1, 40), F.lit("  "))
+    return d.select(
+        "doc_id",
+        clean_title(dirty_title).alias("title_clean"),
+        clean_content(dirty_content).alias("content_clean"),
+    )
+
+
+_MONTH_ID_SQL = """CASE extract(month FROM date)
+    WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb' WHEN 3 THEN 'Mar' WHEN 4 THEN 'Apr'
+    WHEN 5 THEN 'Mei' WHEN 6 THEN 'Jun' WHEN 7 THEN 'Jul' WHEN 8 THEN 'Agu'
+    WHEN 9 THEN 'Sep' WHEN 10 THEN 'Okt' WHEN 11 THEN 'Nov' ELSE 'Des' END"""
+
+
+@query(
+    "m_date_parse_chain",
+    oracle=ARTICLES_CTE + f"""
+    , formatted AS (
+        SELECT doc_id, date,
+               CASE doc_id % 4
+                   WHEN 0 THEN strftime(date, '%Y-%m-%d %H:%M:%S')
+                   WHEN 1 THEN strftime(date, '%d/%m/%Y %H:%M:%S')
+                   WHEN 2 THEN strftime(date, '%d-%m-%Y %H:%M:%S')
+                   ELSE concat('Senin, ', strftime(date, '%d'), ' ',
+                               {_MONTH_ID_SQL}, ' ', strftime(date, '%Y %H:%M'),
+                               ' WIB')
+               END AS date_raw
+        FROM articles
+    )
+    SELECT doc_id, date_raw,
+           CASE WHEN doc_id % 4 = 3 THEN date_trunc('minute', date) ELSE date END
+               AS parsed
+    FROM formatted
+    """,
+    survey="F3 (tolerant date-parse chain incl. Indonesian months, "
+    "processor/cleaner.py:56-68 ↔ process_bronze_to_silver.sql:37-47)",
+)
+def m_date_parse_chain(cat: Catalog) -> DataFrame:
+    """Round-trip: format article timestamps into the reference's four
+    observed raw-date shapes (ISO, dd/MM/yyyy, dd-MM-yyyy, Indonesian
+    `"Senin, 25 Agu 2025 10:30 WIB"`), then recover them with the
+    no-UDF parse chain."""
+    a = silver_articles(cat)
+    month_id = (
+        F.when(F.month("date") == 1, "Jan").when(F.month("date") == 2, "Feb")
+        .when(F.month("date") == 3, "Mar").when(F.month("date") == 4, "Apr")
+        .when(F.month("date") == 5, "Mei").when(F.month("date") == 6, "Jun")
+        .when(F.month("date") == 7, "Jul").when(F.month("date") == 8, "Agu")
+        .when(F.month("date") == 9, "Sep").when(F.month("date") == 10, "Okt")
+        .when(F.month("date") == 11, "Nov").otherwise("Des")
+    )
+    did = F.col("doc_id") % 4
+    date_raw = (
+        F.when(did == 0, F.date_format("date", "yyyy-MM-dd HH:mm:ss"))
+        .when(did == 1, F.date_format("date", "dd/MM/yyyy HH:mm:ss"))
+        .when(did == 2, F.date_format("date", "dd-MM-yyyy HH:mm:ss"))
+        .otherwise(
+            F.concat(
+                F.lit("Senin, "), F.date_format("date", "dd"), F.lit(" "),
+                month_id, F.lit(" "), F.date_format("date", "yyyy HH:mm"),
+                F.lit(" WIB"),
+            )
+        )
+    )
+    return a.select(
+        "doc_id",
+        date_raw.alias("date_raw"),
+        parse_date(date_raw).cast("timestamp_ntz").alias("parsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge semantics (S6, S7)
+# ---------------------------------------------------------------------------
+
+_INCOMING_CTE = """
+, incoming AS (
+    SELECT doc_id, id, title, link, image, date, topic,
+           concat(content, ' updated v2') AS content,
+           length(concat(content, ' updated v2')) AS content_length,
+           source, created_at + INTERVAL 1 DAY AS created_at, processed
+    FROM articles WHERE doc_id % 5 = 0
+)
+"""
+
+
+def _incoming(cat: Catalog) -> DataFrame:
+    return (
+        silver_articles(cat)
+        .filter(F.col("doc_id") % 5 == 0)
+        .withColumn("content", F.concat(F.col("content"), F.lit(" updated v2")))
+        .withColumn("content_length", F.length("content"))
+        .withColumn("created_at", F.col("created_at") + F.expr("INTERVAL 1 DAY"))
+    )
+
+
+@query(
+    "m_upsert_latest_wins",
+    oracle=ARTICLES_CTE + _INCOMING_CTE + """
+    , unioned AS (
+        SELECT *, 1 AS pri FROM articles
+        UNION ALL SELECT *, 0 AS pri FROM incoming
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY link
+                                     ORDER BY created_at DESC, pri ASC) AS rn
+        FROM unioned
+    )
+    SELECT doc_id, cast(content_length as bigint) AS content_length,
+           content LIKE '%updated v2' AS updated
+    FROM ranked WHERE rn = 1
+    """,
+    survey="S7 J4 (ON CONFLICT DO UPDATE latest-wins, services/staging_pg.py:150-162)",
+)
+def m_upsert_latest_wins(cat: Catalog) -> DataFrame:
+    """S7: re-ingest a fifth of the articles with changed content and a
+    later timestamp; the merge must surface exactly those as updated."""
+    merged = upsert_latest_wins(
+        silver_articles(cat), _incoming(cat), ["link"], "created_at"
+    )
+    return merged.select(
+        "doc_id",
+        F.col("content_length").cast("bigint").alias("content_length"),
+        F.col("content").like("%updated v2").alias("updated"),
+    )
+
+
+@query(
+    "m_insert_if_absent",
+    oracle=ARTICLES_CTE + _INCOMING_CTE + """
+    , unioned AS (
+        SELECT *, 0 AS pri FROM articles
+        UNION ALL SELECT *, 1 AS pri FROM incoming
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY link ORDER BY pri ASC) AS rn
+        FROM unioned
+    )
+    SELECT count(*) AS total_rows,
+           count_if(content LIKE '%updated v2') AS updated_rows
+    FROM ranked WHERE rn = 1
+    """,
+    survey="S6 (ON CONFLICT DO NOTHING insert-if-absent, services/pg_staging.py:140-144)",
+)
+def m_insert_if_absent(cat: Catalog) -> DataFrame:
+    """S6: the same conflicting batch must change nothing —
+    updated_rows is 0 and the row count is unchanged."""
+    merged = insert_if_absent(silver_articles(cat), _incoming(cat), ["link"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count_if(F.col("content").like("%updated v2")).alias("updated_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search + word frequency (P6, P8, F19-F21, A16)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_search_ilike",
+    oracle=GOLD_CTE + """
+    SELECT id, substring(search_text, 1, 100) AS content_preview, content_length
+    FROM gold WHERE search_text ILIKE '%SPARK%'
+    """,
+    survey="P6 P8 F6 F11 F12 (ILIKE substring search + preview projection, "
+    "services/batch_pg.py:284-310, vis.py:92-103)",
+)
+def m_search_ilike(cat: Catalog) -> DataFrame:
+    g = _gold(cat)
+    return g.filter(F.col("search_text").ilike("%SPARK%")).select(
+        "id",
+        F.substring("search_text", 1, 100).alias("content_preview"),
+        "content_length",
+    )
+
+
+@query(
+    "m_word_freq",
+    oracle=GOLD_CTE + f"""
+    SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(
+            regexp_replace(lower(content), '[^a-z ]', ' ', 'g'), '\\s+')) AS word
+        FROM gold
+    ) t
+    WHERE length(word) >= 3
+      AND word NOT IN ({", ".join(repr(w) for w in STOPWORDS)})
+    GROUP BY word
+    """,
+    survey="A16 F19 F20 (wordcloud word frequency + stopword filter, app.py:19-31,123-153)",
+    bench=True,
+)
+def m_word_freq(cat: Catalog) -> DataFrame:
+    """A16: the canonical text-analysis operator — tokenize, stopword
+    filter, frequency. Distributed explode→partial-agg, not the
+    reference's driver-side Counter loop."""
+    return word_frequencies(_gold(cat), "content")
+
+
+@query(
+    "m_weighted_search",
+    oracle=GOLD_CTE + """
+    SELECT id, score FROM (
+        SELECT id,
+               3 * cast((length(title) - length(replace(title, 'spark', ''))) / 5 as bigint)
+                 + cast((length(content) - length(replace(content, 'spark', ''))) / 5 as bigint)
+                 + 3 * cast((length(title) - length(replace(title, 'merge', ''))) / 5 as bigint)
+                 + cast((length(content) - length(replace(content, 'merge', ''))) / 5 as bigint)
+                   AS score
+        FROM gold
+    ) t WHERE score > 0
+    """,
+    survey="F21 T5 (ES multi_match title^3/content^1 parity scoring, services/es.py:166-240)",
+)
+def m_weighted_search(cat: Catalog) -> DataFrame:
+    """F21: weighted multi-field term-frequency scoring — the engine's
+    replacement for the ES search route, pure Column arithmetic."""
+    return weighted_search(_gold(cat), ["spark", "merge"]).select("id", "score")
+
+
+# ---------------------------------------------------------------------------
+# Entities (X2, W2, W4, A9, J1, J2)
+# ---------------------------------------------------------------------------
+
+
+def _entities(cat: Catalog) -> DataFrame:
+    return extract_entities(_gold(cat))
+
+
+@query(
+    "m_entity_rollup",
+    oracle=ENTITIES_CTE + """
+    SELECT entity_text, entity_type,
+           count(*) AS mention_count,
+           count(DISTINCT article_id) AS article_count,
+           cast(sum(cast(confidence_score as decimal(18,2))) as double) / count(*)
+               AS avg_confidence
+    FROM entities
+    WHERE confidence_score > 0.7
+    GROUP BY entity_text, entity_type
+    HAVING count(*) >= 2
+    """,
+    survey="A9 X2 (entity rollup + HAVING over mapInPandas NER, apx.py:114-135)",
+)
+def m_entity_rollup(cat: Catalog) -> DataFrame:
+    return (
+        _entities(cat)
+        .filter(F.col("confidence_score") > 0.7)
+        .groupBy("entity_text", "entity_type")
+        .agg(
+            F.count(F.lit(1)).alias("mention_count"),
+            F.countDistinct("article_id").alias("article_count"),
+            davg("confidence_score", "avg_confidence"),
+        )
+        .filter(F.col("mention_count") >= 2)
+    )
+
+
+@query(
+    "m_top_entity_per_type",
+    oracle=ENTITIES_CTE + """
+    SELECT entity_type, entity_text, cnt FROM (
+        SELECT entity_type, entity_text, count(*) AS cnt,
+               row_number() OVER (PARTITION BY entity_type
+                                  ORDER BY count(*) DESC, entity_text ASC) AS rn
+        FROM entities GROUP BY entity_type, entity_text
+    ) t WHERE rn = 1
+    """,
+    survey="W2 W3 (top-1 entity per type, process_silver_to_gold.sql:172-208)",
+)
+def m_top_entity_per_type(cat: Catalog) -> DataFrame:
+    counts = _entities(cat).groupBy("entity_type", "entity_text").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("entity_type").orderBy(F.desc("cnt"), F.asc("entity_text"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity_type", "entity_text", "cnt")
+    )
+
+
+@query(
+    "m_entity_dedupe_keepmax",
+    oracle=ENTITIES_CTE + """
+    SELECT entity_text, entity_type, confidence_score, article_id FROM (
+        SELECT entity_text, entity_type, confidence_score, article_id,
+               row_number() OVER (PARTITION BY lower(entity_text), entity_type
+                                  ORDER BY confidence_score DESC, article_id ASC) AS rn
+        FROM entities
+    ) t WHERE rn = 1
+    """,
+    survey="W4 (keep-max-confidence entity dedupe, processor/ner.py:176-199)",
+)
+def m_entity_dedupe_keepmax(cat: Catalog) -> DataFrame:
+    return dedupe_entities(_entities(cat)).select(
+        "entity_text", "entity_type", "confidence_score", "article_id"
+    )
+
+
+@query(
+    "m_entity_context",
+    oracle=ENTITIES_CTE + """
+    SELECT g.topic_category, e.entity_type,
+           count(*) AS mention_count,
+           count(DISTINCT e.entity_text) AS distinct_entities,
+           count(DISTINCT e.article_id) AS articles
+    FROM entities e JOIN gold g ON e.article_id = g.id
+    GROUP BY g.topic_category, e.entity_type
+    """,
+    survey="J2 (entity×gold context join, process_silver_to_gold.sql:140-169)",
+)
+def m_entity_context(cat: Catalog) -> DataFrame:
+    g = _gold(cat)
+    e = _entities(cat)
+    return (
+        e.join(g, e["article_id"] == g["id"])
+        .groupBy("topic_category", "entity_type")
+        .agg(
+            F.count(F.lit(1)).alias("mention_count"),
+            F.countDistinct("entity_text").alias("distinct_entities"),
+            F.countDistinct("article_id").alias("articles"),
+        )
+    )
+
+
+@query(
+    "m_entity_backlog",
+    oracle=ENTITIES_CTE + """
+    SELECT count(*) AS backlog FROM gold g
+    WHERE NOT EXISTS (SELECT 1 FROM entities e WHERE e.article_id = g.id)
+    """,
+    survey="J1 (NER backlog left-anti join, services/staging_pg.py:294-317)",
+)
+def m_entity_backlog(cat: Catalog) -> DataFrame:
+    g = _gold(cat)
+    e = _entities(cat)
+    return (
+        g.join(e, g["id"] == e["article_id"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("backlog"))
+    )

@@ -561,3 +561,121 @@ def json_props_rollup(cat: Catalog) -> DataFrame:
             F.max(k).alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ES-aggregation analogs + SQL front door + maintenance (SURVEY §2.4, §2.1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_histogram",
+    oracle="""
+    SELECT cast(date_trunc('day', ts) as date) AS bucket, count(*) AS doc_count
+    FROM events GROUP BY 1
+    """,
+    survey="A14 (ES date_histogram, services/es.py:273-302)",
+)
+def date_histogram(cat: Catalog) -> DataFrame:
+    """A14: the ES date_histogram aggregation as date_trunc+count
+    (bucket surfaced as DATE — dialects disagree on date_trunc's
+    return type)."""
+    return (
+        cat["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+@query(
+    "stats_aggregation",
+    oracle="""
+    SELECT min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*)
+               AS avg_price,
+           count(*) AS cnt
+    FROM lineitem
+    """,
+    survey="A15 (ES stats aggregation, services/es.py:304-345)",
+)
+def stats_aggregation(cat: Catalog) -> DataFrame:
+    """A15: the ES stats aggregation (min/max/sum/avg/count) in one pass."""
+    return cat["lineitem"].agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        dsum("l_extendedprice", "sum_price"),
+        davg("l_extendedprice", "avg_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "sql_cte_stats",
+    oracle="""
+    WITH order_stats AS (
+        SELECT count(*) AS n_orders,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+        FROM orders
+    ),
+    item_stats AS (
+        SELECT count(*) AS n_items,
+               cast(sum(cast(l_quantity as decimal(18,2))) as double) AS total_qty
+        FROM lineitem
+    ),
+    cust_stats AS (SELECT count(*) AS n_customers FROM customer)
+    SELECT o.n_orders, o.revenue, i.n_items, i.total_qty, c.n_customers
+    FROM order_stats o, item_stats i, cust_stats c
+    """,
+    survey="A11 E3 (CTE multi-block stats via the spark.sql front door, app.py:62-111)",
+)
+def sql_cte_stats(cat: Catalog) -> DataFrame:
+    """A11/E3: the dashboards' SQL runs verbatim-ish on spark.sql()
+    against the registered temp views — the engine's SQL text
+    interface, exercised end to end."""
+    for t in ("orders", "lineitem", "customer"):
+        cat[t]  # registers temp views
+    return cat.spark.sql(
+        """
+        WITH order_stats AS (
+            SELECT count(*) AS n_orders,
+                   cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+            FROM orders
+        ),
+        item_stats AS (
+            SELECT count(*) AS n_items,
+                   cast(sum(cast(l_quantity as decimal(18,2))) as double) AS total_qty
+            FROM lineitem
+        ),
+        cust_stats AS (SELECT count(*) AS n_customers FROM customer)
+        SELECT o.n_orders, o.revenue, i.n_items, i.total_qty, c.n_customers
+        FROM order_stats o, item_stats i, cust_stats c
+        """
+    )
+
+
+@query(
+    "retention_split",
+    oracle="""
+    SELECT count_if(ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY) AS kept,
+           count_if(ts < (SELECT max(ts) FROM events) - INTERVAL 7 DAY) AS purged
+    FROM events
+    """,
+    survey="S12 (retention delete split, services/pg_staging.py:399-434)",
+)
+def retention_split(cat: Catalog) -> DataFrame:
+    """S12: the retention purge as a partition-prunable date filter —
+    kept/purged tallies relative to the data's own high-water mark
+    (with date-partitioned storage this is a partition drop, not a
+    row-level delete)."""
+    ev = cat["events"]
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    cutoff = F.col("max_ts") - F.expr("INTERVAL 7 DAY")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .agg(
+            F.count_if(F.col("ts") >= cutoff).alias("kept"),
+            F.count_if(F.col("ts") < cutoff).alias("purged"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Kafka source/sink builders (SURVEY §2.1 S3-S5).
+
+The reference's producer/consumer services
+(`services/producer_services.py:14-58`, `services/consumer_services.py:
+54-70`, robust variants `services/kafka_services.py:91-210`) map 1:1
+onto Spark's Kafka connector options; these builders encode that
+mapping. No broker exists in the test environment, so everything here
+is plan construction — exercised by schema tests, and by integration
+when a broker is configured via KAFKA_BOOTSTRAP.
+
+Delivery semantics: the reference relies on at-least-once +
+id-keyed idempotent upserts (ST6); the streaming medallion keeps that
+contract via checkpoints + merge sinks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+DEFAULT_BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP", "localhost:9092")
+
+
+def read_stream(
+    spark: SparkSession,
+    topic: str,
+    schema: StructType,
+    bootstrap: str = DEFAULT_BOOTSTRAP,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """S4 (stream): kafka JSON topic → typed columns.
+
+    ``maxOffsetsPerTrigger`` plays the role of the reference's
+    ``max_poll_records`` batch cap."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    raw = reader.load()
+    return raw.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("j"),
+        "timestamp",
+    ).select("kafka_key", "j.*", F.col("timestamp").alias("kafka_ts"))
+
+
+def read_batch(
+    spark: SparkSession,
+    topic: str,
+    schema: StructType,
+    bootstrap: str = DEFAULT_BOOTSTRAP,
+) -> DataFrame:
+    """S4 (batch): bounded read of a topic's current contents —
+    the reference's `consume_batch(timeout_ms, max_records)`."""
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("j")
+    ).select("j.*")
+
+
+def write_batch(
+    df: DataFrame,
+    topic: str,
+    key_col: str = "id",
+    bootstrap: str = DEFAULT_BOOTSTRAP,
+) -> None:
+    """S3: JSON-serialize rows keyed by id — the producer's
+    `value_serializer=json.dumps`, `key=article id` contract. The
+    connector batches and compresses per partition (the reference's
+    linger/batch.size tuning is connector-side config)."""
+    (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.to_json(F.struct("*")).alias("value"),
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+
+
+def to_kafka_frame(df: DataFrame, key_col: str = "id") -> DataFrame:
+    """The serialization transform alone (testable without a broker):
+    (key, value-as-JSON) exactly as the producer would emit."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct("*")).alias("value"),
+    )

@@ -1,0 +1,111 @@
+"""Structured-Streaming medallion topology (SURVEY §2.9 ST1-ST8).
+
+The reference's consumer loop (`pipeline/consumer_pipeline.py:237-316`:
+poll → bronze insert → silver clean → gold flag) becomes one streaming
+query with ``foreachBatch``: checkpoints subsume the ``processed``-flag
+watermark (ST7), and idempotent keyed merges per micro-batch give the
+same at-least-once + idempotent-sink guarantee (ST6) with exact
+bookkeeping.
+
+Source-agnostic: any streaming DataFrame works — Kafka
+(`readStream.format("kafka")` + from_json, see sources/kafka.py), or a
+file stream in tests (deterministic micro-batches via
+``maxFilesPerTrigger``). Sinks are parquet tables merged with the
+operators/merge primitives.
+
+Superset feature (SURVEY §2.9 note): the reference has no event-time
+windows; :func:`windowed_counts` adds watermarked tumbling-window
+aggregation for the daily/hourly analytics in streaming mode.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_etl_spark.operators.merge import insert_if_absent, upsert_latest_wins
+
+
+def _read_table(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+    """Existing sink contents, or an empty frame with the right schema."""
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], like.schema)
+
+
+def medallion_sink(
+    bronze_path: str,
+    silver_path: str,
+    clean: Callable[[DataFrame], DataFrame],
+    key: str = "id",
+    order_col: str = "created_at",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: bronze insert-if-absent (S6 semantics), then
+    clean → silver latest-wins upsert (S7). Both merges are idempotent
+    by key, so at-least-once redelivery is safe (ST6).
+
+    Note on atomicity (SURVEY §7 hard part (a)): each micro-batch
+    rewrites the merged table via a temp-path swap; per-partition
+    dynamic overwrite applies when the sink is date-partitioned."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates([key])
+
+        bronze = _read_table(spark, bronze_path, batch_df)
+        merged_bronze = insert_if_absent(bronze, batch_df, [key])
+        _overwrite(merged_bronze, bronze_path)
+
+        cleaned = clean(batch_df)
+        silver = _read_table(spark, silver_path, cleaned)
+        merged_silver = upsert_latest_wins(silver, cleaned, [key], order_col)
+        _overwrite(merged_silver, silver_path)
+
+    return process
+
+
+def _overwrite(df: DataFrame, path: str) -> None:
+    tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    out = df.sparkSession.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(path)
+
+
+def run_stream(
+    stream_df: DataFrame,
+    bronze_path: str,
+    silver_path: str,
+    checkpoint: str,
+    clean: Callable[[DataFrame], DataFrame],
+    key: str = "id",
+    order_col: str = "created_at",
+):
+    """Start the medallion stream and process everything available
+    (ST1). Returns the StreamingQuery; callers awaitTermination."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            medallion_sink(bronze_path, silver_path, clean, key, order_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermark —
+    the streaming twin of the daily/hourly analytics views."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *group_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

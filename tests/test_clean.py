@@ -1,0 +1,101 @@
+"""Golden tests for the cleaning library (SURVEY §5 item 2).
+
+Inputs mirror the boilerplate patterns the reference strips
+(processor/cleaner.py:24-54 / process_bronze_to_silver.sql:50-110);
+expected outputs derived from the paired regex pipelines.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from simple_etl_spark.functions.clean import (
+    clean_content,
+    clean_title,
+    gen_id,
+    parse_date,
+)
+
+CONTENT_GOLDENS = [
+    # dateline prefix
+    ("Jakarta, CNN Indonesia -- Presiden meninjau lokasi.", "Presiden meninjau lokasi."),
+    # advertisement block (dotall, case-insensitive)
+    (
+        "ADVERTISEMENT\n\nSCROLL TO CONTINUE WITH CONTENT Isi berita utama.",
+        "Isi berita utama.",
+    ),
+    ("advertisement scroll to continue with content Body.", "Body."),
+    # photo credits in parens
+    ("Berita (ANTARA FOTO/Budi) lanjut.", "Berita lanjut."),
+    ("Berita (CNN Indonesia/Abi) lanjut.", "Berita lanjut."),
+    # embeds
+    ("[Gambas:Video CNN] Konten utama.", "Konten utama."),
+    # teaser lines strip to end-of-line
+    ("Lihat Juga : Artikel lain\nParagraf kedua.", "Paragraf kedua."),
+    ("Pilihan Redaksi item satu\nIsi berita.", "Isi berita."),
+    # whitespace collapse
+    ("a\n\n\n\nb", "a b"),
+    ("kata   banyak    spasi", "kata banyak spasi"),
+    # composition
+    (
+        "Jakarta, CNN Indonesia -- ADVERTISEMENT\nSCROLL TO CONTINUE WITH CONTENT "
+        "Inti berita [Gambas:Video CNN] selesai.",
+        "Inti berita selesai.",
+    ),
+]
+
+TITLE_GOLDENS = [
+    ("  Judul\n  Berita  ", "Judul Berita"),
+    ("Satu\tDua", "Satu Dua"),
+]
+
+DATE_GOLDENS = [
+    ("2025-08-10 14:30:00", dt.datetime(2025, 8, 10, 14, 30)),
+    ("2025-08-10", dt.datetime(2025, 8, 10)),
+    ("10/08/2025 07:05:00", dt.datetime(2025, 8, 10, 7, 5)),
+    ("10/08/2025", dt.datetime(2025, 8, 10)),
+    ("10-08-2025 07:05:00", dt.datetime(2025, 8, 10, 7, 5)),
+    ("Senin, 25 Agu 2025 10:30 WIB", dt.datetime(2025, 8, 25, 10, 30)),
+    ("Jumat, 01 Des 2023 23:59 WIB", dt.datetime(2023, 12, 1, 23, 59)),
+    ("not a date", None),
+    ("", None),
+]
+
+
+def _apply(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    return [r["y"] for r in df.select(fn("x").alias("y")).collect()]
+
+
+def test_clean_content_goldens(spark):
+    got = _apply(spark, clean_content, [d for d, _ in CONTENT_GOLDENS])
+    for (dirty, want), out in zip(CONTENT_GOLDENS, got):
+        assert out == want, f"{dirty!r}: {out!r} != {want!r}"
+
+
+def test_clean_title_goldens(spark):
+    got = _apply(spark, clean_title, [d for d, _ in TITLE_GOLDENS])
+    for (dirty, want), out in zip(TITLE_GOLDENS, got):
+        assert out == want, f"{dirty!r}: {out!r} != {want!r}"
+
+
+def test_parse_date_goldens(spark):
+    got = _apply(
+        spark,
+        lambda c: parse_date(c).cast("timestamp_ntz"),
+        [d for d, _ in DATE_GOLDENS],
+    )
+    for (raw, want), out in zip(DATE_GOLDENS, got):
+        assert out == want, f"{raw!r}: {out!r} != {want!r}"
+
+
+def test_gen_id_md5(spark):
+    import hashlib
+
+    link = "https://news.example/en/42"
+    (got,) = _apply(spark, gen_id, [link])
+    assert got == hashlib.md5(link.encode()).hexdigest()

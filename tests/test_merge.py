@@ -1,0 +1,83 @@
+"""Property tests for the merge primitives (SURVEY §5 item 3):
+idempotency, latest-wins, insert-if-absent never overwrites,
+delete-then-insert replaces children.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from simple_etl_spark.operators.merge import (
+    delete_then_insert,
+    insert_if_absent,
+    upsert_latest_wins,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def base(spark):
+    return spark.createDataFrame(
+        [("a", "old-a", 1), ("b", "old-b", 1), ("c", "old-c", 3)],
+        ["link", "content", "ts"],
+    )
+
+
+@pytest.fixture()
+def batch(spark):
+    # a: newer → should win in latest-wins; c: older → should lose; d: new key
+    return spark.createDataFrame(
+        [("a", "new-a", 2), ("c", "stale-c", 2), ("d", "new-d", 2)],
+        ["link", "content", "ts"],
+    )
+
+
+def test_latest_wins(base, batch):
+    got = _rows(upsert_latest_wins(base, batch, ["link"], "ts"))
+    assert got == [
+        ("a", "new-a", 2),
+        ("b", "old-b", 1),
+        ("c", "old-c", 3),
+        ("d", "new-d", 2),
+    ]
+
+
+def test_latest_wins_incoming_beats_existing_on_tie(spark, base):
+    tie = spark.createDataFrame([("b", "tied-b", 1)], ["link", "content", "ts"])
+    got = dict((r["link"], r["content"]) for r in upsert_latest_wins(base, tie, ["link"], "ts").collect())
+    assert got["b"] == "tied-b"
+
+
+def test_latest_wins_idempotent(base, batch):
+    once = upsert_latest_wins(base, batch, ["link"], "ts")
+    twice = upsert_latest_wins(once, batch, ["link"], "ts")
+    assert _rows(once) == _rows(twice)
+
+
+def test_insert_if_absent_never_overwrites(base, batch):
+    got = _rows(insert_if_absent(base, batch, ["link"]))
+    assert got == [
+        ("a", "old-a", 1),
+        ("b", "old-b", 1),
+        ("c", "old-c", 3),
+        ("d", "new-d", 2),
+    ]
+
+
+def test_insert_if_absent_idempotent(base, batch):
+    once = insert_if_absent(base, batch, ["link"])
+    twice = insert_if_absent(once, batch, ["link"])
+    assert _rows(once) == _rows(twice)
+
+
+def test_delete_then_insert_replaces_children(spark):
+    existing = spark.createDataFrame(
+        [("art1", "e1"), ("art1", "e2"), ("art2", "e3")],
+        ["article_id", "entity"],
+    )
+    incoming = spark.createDataFrame([("art1", "e9")], ["article_id", "entity"])
+    got = _rows(delete_then_insert(existing, incoming, ["article_id"]))
+    assert got == [("art1", "e9"), ("art2", "e3")]

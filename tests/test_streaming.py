@@ -1,0 +1,108 @@
+"""Streaming medallion tests (SURVEY §5 item 4): conservation
+invariants through the foreachBatch pipeline and redelivery
+idempotency (ST6) via deterministic file-stream micro-batches.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from simple_etl_spark.streaming.medallion_stream import run_stream, windowed_counts
+
+SCHEMA = "id string, content string, created_at timestamp"
+
+
+def _clean(df):
+    return df.withColumn("content", F.trim(F.col("content")))
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_medallion_stream_conservation_and_idempotency(spark, workdir):
+    import datetime as dt
+
+    src = f"{workdir}/src"
+    t = dt.datetime(2024, 1, 1)
+    batch1 = [("a", " one ", t), ("b", "two", t)]
+    batch2 = [("b", "two-updated", t + dt.timedelta(hours=1)), ("c", "three", t)]
+    _write_batch(spark, src, batch1)
+    _write_batch(spark, src, batch2)
+
+    def start(checkpoint):
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_stream(
+            stream,
+            f"{workdir}/bronze",
+            f"{workdir}/silver",
+            f"{workdir}/{checkpoint}",
+            _clean,
+            key="id",
+            order_col="created_at",
+        )
+        q.awaitTermination(120)
+        return q
+
+    start("ckpt1")
+    bronze = spark.read.parquet(f"{workdir}/bronze")
+    silver = spark.read.parquet(f"{workdir}/silver")
+
+    # conservation: every distinct id that entered is present once per layer
+    assert sorted(r["id"] for r in bronze.select("id").collect()) == ["a", "b", "c"]
+    assert sorted(r["id"] for r in silver.select("id").collect()) == ["a", "b", "c"]
+    got = {r["id"]: r["content"] for r in silver.collect()}
+    # silver cleaned + latest-wins on redelivered key
+    assert got["a"] == "one"
+    assert got["b"] == "two-updated"
+
+    # snapshot before replay: the rewrite invalidates old file listings
+    before = sorted(tuple(r) for r in silver.collect())
+
+    # redelivery: replay everything with a fresh checkpoint → same state
+    start("ckpt2")
+    silver2 = spark.read.parquet(f"{workdir}/silver")
+    assert sorted(tuple(r) for r in silver2.collect()) == before
+
+
+def test_windowed_counts_event_time(spark, workdir):
+    import datetime as dt
+
+    src = f"{workdir}/evsrc"
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("a", "x", t0),
+        ("b", "x", t0 + dt.timedelta(minutes=10)),
+        ("c", "x", t0 + dt.timedelta(hours=1)),
+    ]
+    _write_batch(spark, src, rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = windowed_counts(stream, ts_col="created_at", window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window"]["start"]: r["cnt"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got[dt.datetime(2024, 1, 1, 0, 0)] == 2
+    assert got[dt.datetime(2024, 1, 1, 1, 0)] == 1

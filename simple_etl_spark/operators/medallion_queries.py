@@ -590,3 +590,104 @@ def m_entity_backlog(cat: Catalog) -> DataFrame:
         g.join(e, g["id"] == e["article_id"], "left_anti")
         .agg(F.count(F.lit(1)).alias("backlog"))
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON shaping, health metrics, search top-k (F17, A11, A12, T5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m_json_shaping",
+    oracle=GOLD_CTE + """
+    SELECT cast(to_json(struct_pack(topic := topic,
+                                    article_count := article_count)) as varchar)
+               AS payload
+    FROM (SELECT topic, count(*) AS article_count FROM gold GROUP BY topic) t
+    """,
+    survey="F17 A11 (row_to_json result shaping, app.py:97-101)",
+)
+def m_json_shaping(cat: Catalog) -> DataFrame:
+    """F17: `row_to_json` parity — aggregate rows re-shaped as compact
+    JSON payload strings via to_json(struct(...))."""
+    agg = _gold(cat).groupBy("topic").agg(F.count(F.lit(1)).alias("article_count"))
+    return agg.select(
+        F.to_json(F.struct("topic", "article_count")).alias("payload")
+    )
+
+
+@query(
+    "m_health_metrics",
+    oracle=GOLD_CTE + """
+    , totals AS (
+        SELECT (SELECT count(*) FROM articles) AS total_articles,
+               (SELECT count(*) FROM gold) AS gold_articles,
+               (SELECT count_if(has_good_title) FROM gold) AS good_titles,
+               (SELECT count_if(has_substantial_content) FROM gold) AS substantial
+    )
+    SELECT total_articles, gold_articles,
+           cast(gold_articles as double) * 100 / total_articles AS processing_efficiency,
+           cast(good_titles + substantial as double) * 100 / (2 * gold_articles)
+               AS quality_score,
+           CASE WHEN cast(gold_articles as double) * 100 / total_articles >= 80
+                THEN 'healthy'
+                WHEN cast(gold_articles as double) * 100 / total_articles >= 50
+                THEN 'degraded'
+                ELSE 'critical' END AS status
+    FROM totals
+    """,
+    survey="A12 (cross-layer health metrics + threshold classification, "
+    "services/pg_staging.py:436-471)",
+)
+def m_health_metrics(cat: Catalog) -> DataFrame:
+    """A12: processing_efficiency = gold/bronze, quality_score from the
+    conditional quality counts, thresholded into a status label."""
+    articles = silver_articles(cat).agg(F.count(F.lit(1)).alias("total_articles"))
+    g = _gold(cat).agg(
+        F.count(F.lit(1)).alias("gold_articles"),
+        F.count_if(F.col("has_good_title")).alias("good_titles"),
+        F.count_if(F.col("has_substantial_content")).alias("substantial"),
+    )
+    eff = F.col("gold_articles").cast("double") * 100 / F.col("total_articles")
+    return (
+        articles.crossJoin(F.broadcast(g))
+        .select(
+            "total_articles",
+            "gold_articles",
+            eff.alias("processing_efficiency"),
+            (
+                (F.col("good_titles") + F.col("substantial")).cast("double")
+                * 100
+                / (2 * F.col("gold_articles"))
+            ).alias("quality_score"),
+            F.when(eff >= 80, "healthy")
+            .when(eff >= 50, "degraded")
+            .otherwise("critical")
+            .alias("status"),
+        )
+    )
+
+
+@query(
+    "m_search_topk",
+    oracle=GOLD_CTE + """
+    SELECT id, score FROM (
+        SELECT id,
+               3 * cast((length(title) - length(replace(title, 'spark', ''))) / 5 as bigint)
+                 + cast((length(content) - length(replace(content, 'spark', ''))) / 5 as bigint)
+                   AS score
+        FROM gold
+    ) t WHERE score > 0
+    ORDER BY score DESC, id ASC LIMIT 10
+    """,
+    survey="T5 F21 (ES '_score desc' ranked search top-k, services/es.py:197-201)",
+)
+def m_search_topk(cat: Catalog) -> DataFrame:
+    """T5: ranked search results — weighted score, ORDER BY score DESC
+    with id tiebreak, LIMIT 10 (TakeOrderedAndProject at scale)."""
+    return (
+        weighted_search(_gold(cat), ["spark"])
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(10)
+        .select("id", "score")
+    )

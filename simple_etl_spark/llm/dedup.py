@@ -167,3 +167,53 @@ def near_dedup_minhash(
     return jaccard_pairs(df, cands, id_col, text_col).filter(
         F.col("jaccard") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc SimHash fingerprint (16-bit, term-frequency weighted).
+
+    Bit source: hex digit j of md5(word) — digit ≥ '8' means the
+    digit's high bit is set (+1), else -1. Summing over all word
+    occurrences and taking the sign per position gives the classic
+    SimHash; the digit trick keeps it pure string compare, identical
+    in any engine with md5.
+
+    Plan shape: explode(words) → one grouped aggregation with
+    SIMHASH_BITS conditional sums (map-side partial agg, one shuffle
+    on the doc id) → bit-string assembly."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).withColumn("wh", F.md5(F.col("word")))
+    aggs = [
+        F.sum(
+            F.when(F.substring("wh", j + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = words.groupBy(id_col).agg(*aggs)
+    bits = [
+        F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(SIMHASH_BITS)
+    ]
+    return sums.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Candidate near-dup pairs: docs with identical SimHash
+    fingerprints (the 0-Hamming-distance bucket join; banding the bit
+    string into substrings generalizes to distance ≤ k)."""
+    fp = simhash_fingerprint(df, id_col, text_col)
+    a = fp.withColumnRenamed(id_col, "id_a")
+    b = fp.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, ["simhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )

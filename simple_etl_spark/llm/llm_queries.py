@@ -381,3 +381,36 @@ def llm_binary_features(cat: Catalog) -> DataFrame:
     extraction (the stub 'decoder'); oracle checks byte lengths and
     first-byte values arrive intact through the Arrow boundary."""
     return extract_features(binary_documents(cat["documents"]), modality="text")
+
+
+_SIMHASH_SUMS = ",\n".join(
+    f"sum(CASE WHEN substring(wh, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(16)
+)
+_SIMHASH_BITS = ", ".join(
+    f"CASE WHEN b{j} >= 0 THEN '1' ELSE '0' END" for j in range(16)
+)
+
+
+@query(
+    "llm_simhash",
+    oracle=f"""
+    WITH {_NEAR_CORPUS_SQL},
+    words AS (
+        SELECT id, md5(w) AS wh
+        FROM (SELECT id, unnest(string_split(text, ' ')) AS w FROM corpus) t
+    ),
+    sums AS (SELECT id, {_SIMHASH_SUMS} FROM words GROUP BY id),
+    fp AS (SELECT id, concat({_SIMHASH_BITS}) AS simhash FROM sums)
+    SELECT a.id AS id_a, b.id AS id_b, a.simhash
+    FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.id < b.id
+    """,
+    survey="LLM dedup: SimHash fingerprint + 0-distance bucket pairs",
+)
+def llm_simhash(cat: Catalog) -> DataFrame:
+    """SimHash near-dup candidates over the injected near-dup corpus:
+    identical 16-bit fingerprints pair originals with their
+    first-word-drop copies (plus any natural collisions)."""
+    from simple_etl_spark.llm.dedup import simhash_buckets
+
+    return simhash_buckets(_near_corpus(cat), "id", "text")

@@ -691,3 +691,38 @@ def m_search_topk(cat: Catalog) -> DataFrame:
         .limit(10)
         .select("id", "score")
     )
+
+
+@query(
+    "m_sql_overview",
+    oracle=GOLD_CTE + """
+    SELECT (SELECT count(*) FROM gold) AS total_articles,
+           (SELECT count(DISTINCT topic) FROM gold) AS active_topics,
+           (SELECT cast(sum(cast(content_length as decimal(18,2))) as double)
+                   / count(*) FROM gold) AS avg_content_length,
+           (SELECT count(*) FROM gold
+            WHERE publish_date >= (SELECT max(publish_date) FROM gold)
+                                  - INTERVAL 7 DAY) AS recent_articles
+    FROM (VALUES (1)) t(x)
+    """,
+    survey="E3 A10 P5 (dashboard overview via spark.sql scalar subqueries on the "
+    "registered gold view, apx.py:64-79)",
+)
+def m_sql_overview(cat: Catalog) -> DataFrame:
+    """E3: the dashboard's SQL front door — gold registered as a temp
+    view, the overview metric block run as literal SQL text with
+    scalar subqueries (Catalyst rewrites them to joins of 1-row
+    aggregates; the recency anchor is data-derived, not NOW(), so the
+    oracle agrees)."""
+    _gold(cat).createOrReplaceTempView("gold_vw")
+    return cat.spark.sql(
+        """
+        SELECT (SELECT count(*) FROM gold_vw) AS total_articles,
+               (SELECT count(DISTINCT topic) FROM gold_vw) AS active_topics,
+               (SELECT cast(sum(cast(content_length as decimal(18,2))) as double)
+                       / count(*) FROM gold_vw) AS avg_content_length,
+               (SELECT count(*) FROM gold_vw
+                WHERE publish_date >= (SELECT max(publish_date) FROM gold_vw)
+                                      - INTERVAL 7 DAY) AS recent_articles
+        """
+    )

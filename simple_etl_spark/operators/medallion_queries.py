@@ -72,7 +72,7 @@ def m_gold_projection(cat: Catalog) -> DataFrame:
     SELECT publish_date,
            count(*) AS total_articles,
            count(DISTINCT topic) AS topics_covered,
-           cast(sum(cast(content_length as decimal(18,2))) as double) / count(*)
+           cast(sum(cast(content_length as decimal(9,2))) as double) / count(*)
                AS avg_content_length,
            count_if(content_category = 'Short') AS short_articles,
            count_if(content_category = 'Medium') AS medium_articles,
@@ -103,7 +103,7 @@ def m_daily_analytics(cat: Catalog) -> DataFrame:
     oracle=GOLD_CTE + """
     SELECT topic,
            count(*) AS total_articles,
-           cast(sum(cast(content_length as decimal(18,2))) as double) / count(*)
+           cast(sum(cast(content_length as decimal(9,2))) as double) / count(*)
                AS avg_content_length,
            min(date) AS first_published,
            max(date) AS last_published,
@@ -484,7 +484,7 @@ def _entities(cat: Catalog) -> DataFrame:
     SELECT entity_text, entity_type,
            count(*) AS mention_count,
            count(DISTINCT article_id) AS article_count,
-           cast(sum(cast(confidence_score as decimal(18,2))) as double) / count(*)
+           cast(sum(cast(confidence_score as decimal(9,2))) as double) / count(*)
                AS avg_confidence
     FROM entities
     WHERE confidence_score > 0.7
@@ -698,7 +698,7 @@ def m_search_topk(cat: Catalog) -> DataFrame:
     oracle=GOLD_CTE + """
     SELECT (SELECT count(*) FROM gold) AS total_articles,
            (SELECT count(DISTINCT topic) FROM gold) AS active_topics,
-           (SELECT cast(sum(cast(content_length as decimal(18,2))) as double)
+           (SELECT cast(sum(cast(content_length as decimal(9,2))) as double)
                    / count(*) FROM gold) AS avg_content_length,
            (SELECT count(*) FROM gold
             WHERE publish_date >= (SELECT max(publish_date) FROM gold)
@@ -719,7 +719,7 @@ def m_sql_overview(cat: Catalog) -> DataFrame:
         """
         SELECT (SELECT count(*) FROM gold_vw) AS total_articles,
                (SELECT count(DISTINCT topic) FROM gold_vw) AS active_topics,
-               (SELECT cast(sum(cast(content_length as decimal(18,2))) as double)
+               (SELECT cast(sum(cast(content_length as decimal(9,2))) as double)
                        / count(*) FROM gold_vw) AS avg_content_length,
                (SELECT count(*) FROM gold_vw
                 WHERE publish_date >= (SELECT max(publish_date) FROM gold_vw)

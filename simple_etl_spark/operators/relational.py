@@ -21,7 +21,7 @@ from simple_etl_spark.engine import Catalog
 from simple_etl_spark.exactness import davg, dsum
 from simple_etl_spark.queries import query
 
-DEC = "decimal(18,2)"
+DEC = "decimal(9,2)"
 
 
 def _dec(c: str, t: str = DEC) -> F.Column:
@@ -38,17 +38,17 @@ def _dec(c: str, t: str = DEC) -> F.Column:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS count_order,
-           cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
-           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
-           cast(sum(cast(l_extendedprice as decimal(18,2))
+           cast(sum(cast(l_quantity as decimal(9,2))) as double) AS sum_qty,
+           cast(sum(cast(l_extendedprice as decimal(9,2))) as double) AS sum_base_price,
+           cast(sum(cast(l_extendedprice as decimal(9,2))
                     * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as double)
                AS sum_disc_price,
-           cast(sum(cast(l_extendedprice as decimal(18,2))
+           cast(sum(cast(l_extendedprice as decimal(9,2))
                     * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))
                     * (cast(1 as decimal(4,2)) + cast(l_tax as decimal(4,2)))) as double)
                AS sum_charge,
-           cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) AS avg_qty,
-           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*) AS avg_price
+           cast(sum(cast(l_quantity as decimal(9,2))) as double) / count(*) AS avg_qty,
+           cast(sum(cast(l_extendedprice as decimal(9,2))) as double) / count(*) AS avg_price
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -98,7 +98,7 @@ def topic_counts(cat: Catalog) -> DataFrame:
     "doc_profile",
     oracle="""
     SELECT count(*) AS total_docs,
-           cast(sum(cast(n_chars as decimal(18,2))) as double) / count(*) AS avg_chars,
+           cast(sum(cast(n_chars as decimal(9,2))) as double) / count(*) AS avg_chars,
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars,
            count(DISTINCT lang) AS distinct_langs,
@@ -127,7 +127,7 @@ def doc_profile(cat: Catalog) -> DataFrame:
            count(*) AS total_events,
            count(DISTINCT event_type) AS distinct_types,
            count(DISTINCT user_id) AS distinct_users,
-           cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value,
+           cast(sum(cast(value as decimal(9,2))) as double) / count(*) AS avg_value,
            count_if(event_type = 'purchase') AS purchases,
            count_if(event_type = 'error') AS errors
     FROM events
@@ -188,7 +188,7 @@ def hourly_pattern_pct(cat: Catalog) -> DataFrame:
            max(cast(ts as date)) AS week_end,
            count(*) AS total_events,
            count(DISTINCT event_type) AS distinct_types,
-           cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value
+           cast(sum(cast(value as decimal(9,2))) as double) / count(*) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -218,7 +218,7 @@ def weekly_trends(cat: Catalog) -> DataFrame:
     oracle="""
     SELECT cast(ts AS date) AS event_date, event_type,
            count(*) AS daily_count,
-           cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value
+           cast(sum(cast(value as decimal(9,2))) as double) / count(*) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -239,7 +239,7 @@ def two_key_timeseries(cat: Catalog) -> DataFrame:
     oracle="""
     SELECT user_id, event_type,
            count(*) AS mention_count,
-           cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value,
+           cast(sum(cast(value as decimal(9,2))) as double) / count(*) AS avg_value,
            max(cast(ts as date)) AS last_seen
     FROM events
     WHERE value > 10.0
@@ -269,7 +269,7 @@ def user_activity_having(cat: Catalog) -> DataFrame:
     oracle="""
     SELECT (SELECT count(*) FROM orders) AS total_orders,
            (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS open_orders,
-           (SELECT cast(sum(cast(o_totalprice as decimal(18,2))) as double) FROM orders)
+           (SELECT cast(sum(cast(o_totalprice as decimal(9,2))) as double) FROM orders)
                AS total_revenue,
            (SELECT count(DISTINCT o_custkey) FROM orders) AS distinct_customers,
            (SELECT max(cast(o_orderdate as date)) FROM orders) AS latest_order,
@@ -324,7 +324,7 @@ def customers_without_orders(cat: Catalog) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            count(*) AS order_count,
-           cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) AS revenue,
+           cast(sum(cast(o.o_totalprice as decimal(9,2))) as double) AS revenue,
            count(DISTINCT o.o_custkey) AS buyers
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -376,7 +376,7 @@ def orders_without_items(cat: Catalog) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
            count(*) AS order_count,
-           cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) AS revenue
+           cast(sum(cast(o.o_totalprice as decimal(9,2))) as double) AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -513,7 +513,7 @@ def pipeline_status_union(cat: Catalog) -> DataFrame:
     "recent_events",
     oracle="""
     SELECT event_type, count(*) AS cnt,
-           cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+           cast(sum(cast(value as decimal(9,2))) as double) AS total_value
     FROM events
     WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 3 DAY
     GROUP BY event_type
@@ -538,9 +538,9 @@ def recent_events(cat: Catalog) -> DataFrame:
     "json_props_rollup",
     oracle="""
     SELECT event_type,
-           sum(cast(cast(json_extract(props, '$.k') as integer) as decimal(18,2))) != 0
+           sum(cast(cast(json_extract(props, '$.k') as integer) as decimal(9,2))) != 0
                AS has_props,
-           cast(sum(cast(cast(json_extract(props, '$.k') as integer) as decimal(18,2)))
+           cast(sum(cast(cast(json_extract(props, '$.k') as integer) as decimal(9,2)))
                as double) AS sum_k,
            max(cast(json_extract(props, '$.k') as integer)) AS max_k
     FROM events
@@ -592,8 +592,8 @@ def date_histogram(cat: Catalog) -> DataFrame:
     oracle="""
     SELECT min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price,
-           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price,
-           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / count(*)
+           cast(sum(cast(l_extendedprice as decimal(9,2))) as double) AS sum_price,
+           cast(sum(cast(l_extendedprice as decimal(9,2))) as double) / count(*)
                AS avg_price,
            count(*) AS cnt
     FROM lineitem
@@ -616,12 +616,12 @@ def stats_aggregation(cat: Catalog) -> DataFrame:
     oracle="""
     WITH order_stats AS (
         SELECT count(*) AS n_orders,
-               cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+               cast(sum(cast(o_totalprice as decimal(9,2))) as double) AS revenue
         FROM orders
     ),
     item_stats AS (
         SELECT count(*) AS n_items,
-               cast(sum(cast(l_quantity as decimal(18,2))) as double) AS total_qty
+               cast(sum(cast(l_quantity as decimal(9,2))) as double) AS total_qty
         FROM lineitem
     ),
     cust_stats AS (SELECT count(*) AS n_customers FROM customer)
@@ -640,12 +640,12 @@ def sql_cte_stats(cat: Catalog) -> DataFrame:
         """
         WITH order_stats AS (
             SELECT count(*) AS n_orders,
-                   cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+                   cast(sum(cast(o_totalprice as decimal(9,2))) as double) AS revenue
             FROM orders
         ),
         item_stats AS (
             SELECT count(*) AS n_items,
-                   cast(sum(cast(l_quantity as decimal(18,2))) as double) AS total_qty
+                   cast(sum(cast(l_quantity as decimal(9,2))) as double) AS total_qty
             FROM lineitem
         ),
         cust_stats AS (SELECT count(*) AS n_customers FROM customer)

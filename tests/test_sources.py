@@ -1,0 +1,117 @@
+"""Source-layer tests: crawl source with injected fetchers (S1/S2),
+kafka serialization transform (S3), JSON-array ingest tallies (S8),
+and the streaming heartbeat listener (ST8).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def test_crawl_source_fanout(spark):
+    from simple_etl_spark.sources.http_source import crawl_listing, fetch_contents
+
+    def _fake_listing(page: int) -> list[dict]:
+        return [
+            {
+                "title": f"Title {page}-{i}",
+                "link": f"https://x/{page}/{i}",
+                "image": None,
+                "date_raw": "2024-01-01 00:00:00",
+                "topic": "t",
+            }
+            for i in range(3)
+        ]
+
+    # closure (not module-level) so cloudpickle ships it by value to
+    # executors — the tests package isn't importable from workers
+    def _fake_content(link: str) -> str | None:
+        # one dead link per page (crawler drops null content)
+        return None if link.endswith("/1") else f"content of {link}"
+
+    listing = crawl_listing(spark, pages=2, fetcher=_fake_listing)
+    assert listing.count() == 6
+    full = fetch_contents(listing, fetcher=_fake_content, parallelism=2)
+    rows = full.collect()
+    assert len(rows) == 4  # nulls dropped
+    assert all(r["content"].startswith("content of ") for r in rows)
+
+
+def test_kafka_serialization_roundtrip(spark):
+    from simple_etl_spark.sources.kafka import to_kafka_frame
+
+    df = spark.createDataFrame([("a1", "hello")], ["id", "content"])
+    out = to_kafka_frame(df).collect()[0]
+    assert out["key"] == "a1"
+    assert json.loads(out["value"]) == {"id": "a1", "content": "hello"}
+
+
+def test_json_array_ingest_with_tallies(spark):
+    import datetime as dt
+
+    from simple_etl_spark.sources.json_source import ingest_json_batch, parse_json_array
+
+    schema = StructType(
+        [
+            StructField("link", StringType()),
+            StructField("content", StringType()),
+            StructField("n", IntegerType()),
+        ]
+    )
+    payload = json.dumps(
+        [
+            {"link": "a", "content": "new-a", "n": 2},
+            {"link": "x", "content": None, "n": 2},  # invalid: null content
+            {"link": "d", "content": "new-d", "n": 2},
+        ]
+    )
+    batch = parse_json_array(
+        spark.createDataFrame([(payload,)], ["j"]), "j", schema
+    )
+    existing = spark.createDataFrame(
+        [("a", "old-a", 1), ("b", "old-b", 1)], ["link", "content", "n"]
+    )
+    merged, stats = ingest_json_batch(
+        existing, batch, key="link", order_col="n", required=("link", "content")
+    )
+    got = {r["link"]: r["content"] for r in merged.collect()}
+    assert got == {"a": "new-a", "b": "old-b", "d": "new-d"}
+    s = stats.collect()[0]
+    assert (s["received"], s["valid"], s["errors"]) == (3, 2, 1)
+    assert (s["inserted"], s["updated"]) == (1, 1)
+
+
+def test_heartbeat_listener(spark, tmp_path):
+    from simple_etl_spark.streaming.listener import HeartbeatListener
+
+    listener = HeartbeatListener()
+    spark.streams.addListener(listener)
+    try:
+        df = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        q = (
+            df.writeStream.format("memory")
+            .queryName("hb_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener callbacks are async; progress may lag termination
+        import time
+
+        for _ in range(20):
+            if any(s["batches"] > 0 for s in listener.snapshot().values()):
+                break
+            time.sleep(0.5)
+        snap = listener.snapshot()
+        assert any(s["batches"] > 0 for s in snap.values())
+    finally:
+        spark.streams.removeListener(listener)

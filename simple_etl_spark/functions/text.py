@@ -67,3 +67,36 @@ def word_frequencies(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def build_search_index(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "search_text",
+    stopwords: tuple[str, ...] = STOPWORDS,
+    min_len: int = 3,
+) -> DataFrame:
+    """S9/S10: the engine's 'search table' — the ES index build
+    re-expressed as a posting-list relation.
+
+    The reference's custom analyzer (lowercase + stop filter,
+    services/es.py:43-101) runs as tokenize→filter; the 'index' is the
+    (token, doc) posting relation with per-doc term frequency. Persist
+    partitioned/bucketed by token for point-lookup pruning at scale;
+    doc_freq/tf feed the F21 scorer."""
+    postings = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokenize(text_col)).alias("token"))
+        .filter((F.length("token") >= min_len) & (~F.col("token").isin(*stopwords)))
+        .groupBy("token", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return postings
+
+
+def index_stats(postings: DataFrame) -> DataFrame:
+    """Per-token index statistics: document frequency + collection tf
+    (the ES terms-aggregation view of the index)."""
+    return postings.groupBy("token").agg(
+        F.countDistinct("doc").alias("doc_freq"),
+        F.sum("tf").alias("collection_tf"),
+    )

@@ -104,3 +104,40 @@ def gold_view(silver: DataFrame) -> DataFrame:
         F.size(F.split("content", " ")).cast("bigint").alias("word_count"),
         F.size(F.split("content", r"\.")).cast("bigint").alias("sentence_count"),
     )
+
+
+def silver_from_bronze(bronze: DataFrame) -> DataFrame:
+    """Bronze→silver promotion (E1 stage, services/pg_staging.py:184-265):
+    validate, clean title/content, parse the raw date, derive id and
+    content_length, stamp updated_at — one whole-stage-codegen
+    projection instead of the reference's per-row Python loop.
+
+    Rows without a link are dropped (P7 validation); the id is
+    re-derived from the link even when present (consumers defensively
+    re-derive ids, pipeline/cnn_news_kafka.py:87-93)."""
+    from simple_etl_spark.functions.clean import (
+        clean_content,
+        clean_title,
+        content_length,
+        gen_id,
+        parse_date,
+    )
+
+    cleaned_content = clean_content(F.col("content"))
+    return (
+        bronze.filter(F.col("link").isNotNull() & F.col("content").isNotNull())
+        .select(
+            gen_id(F.col("link")).alias("id"),
+            clean_title(F.col("title")).alias("title"),
+            F.col("link"),
+            F.col("image"),
+            parse_date(F.col("date_raw")).alias("date"),
+            F.col("topic"),
+            cleaned_content.alias("content"),
+            content_length(cleaned_content).alias("content_length"),
+            F.col("source"),
+            F.col("created_at"),
+            F.current_timestamp().alias("updated_at"),
+            F.lit(False).alias("processed"),
+        )
+    )

@@ -726,3 +726,36 @@ def m_sql_overview(cat: Catalog) -> DataFrame:
                                       - INTERVAL 7 DAY) AS recent_articles
         """
     )
+
+
+@query(
+    "m_search_index",
+    oracle=GOLD_CTE + f"""
+    , postings AS (
+        SELECT token, doc, count(*) AS tf FROM (
+            SELECT id AS doc,
+                   unnest(string_split_regex(
+                       regexp_replace(lower(search_text), '[^a-z ]', ' ', 'g'),
+                       '\\s+')) AS token
+            FROM gold
+        ) t
+        WHERE length(token) >= 3
+          AND token NOT IN ({", ".join(repr(w) for w in STOPWORDS)})
+        GROUP BY token, doc
+    )
+    SELECT token, count(DISTINCT doc) AS doc_freq,
+           cast(sum(tf) as bigint) AS collection_tf
+    FROM postings GROUP BY token
+    """,
+    survey="S9 S10 A13 (ES index build + analyzer + terms agg as a posting-list "
+    "relation, services/es.py:43-164,242-271)",
+)
+def m_search_index(cat: Catalog) -> DataFrame:
+    """S9/S10: build the search index over gold and report per-token
+    stats — the declarative replacement for the ES bulk-index sink."""
+    from simple_etl_spark.functions.text import build_search_index, index_stats
+
+    stats = index_stats(build_search_index(_gold(cat)))
+    return stats.select(
+        "token", "doc_freq", F.col("collection_tf").cast("bigint").alias("collection_tf")
+    )

@@ -81,3 +81,36 @@ def test_delete_then_insert_replaces_children(spark):
     incoming = spark.createDataFrame([("art1", "e9")], ["article_id", "entity"])
     got = _rows(delete_then_insert(existing, incoming, ["article_id"]))
     assert got == [("art1", "e9"), ("art2", "e3")]
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """write_merged + partitionOverwriteMode=dynamic: merging a batch
+    that touches one date partition must leave the other partitions'
+    files untouched on disk — the 100 TB incremental-load path."""
+    import datetime as dt
+    import glob
+    import os
+
+    from simple_etl_spark.operators.merge import upsert_latest_wins, write_merged
+
+    path = str(tmp_path / "silver")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    base = spark.createDataFrame(
+        [("a", "old-a", 1, d1), ("b", "old-b", 1, d2)],
+        ["link", "content", "ts", "dt"],
+    )
+    write_merged(base, path, partition_by=["dt"])
+
+    untouched = set(glob.glob(os.path.join(path, "dt=2024-01-02", "*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in untouched}
+
+    batch = spark.createDataFrame([("a", "new-a", 2, d1)], ["link", "content", "ts", "dt"])
+    existing_d1 = spark.read.parquet(path).filter("dt = '2024-01-01'")
+    merged_d1 = upsert_latest_wins(existing_d1, batch, ["link"], "ts")
+    write_merged(merged_d1, path, partition_by=["dt"])
+
+    after = set(glob.glob(os.path.join(path, "dt=2024-01-02", "*.parquet")))
+    assert after == untouched
+    assert all(os.path.getmtime(f) == mtimes[f] for f in after)
+    got = {r["link"]: r["content"] for r in spark.read.parquet(path).collect()}
+    assert got == {"a": "new-a", "b": "old-b"}

@@ -36,6 +36,40 @@ def davg(col: Column | str, alias: str) -> Column:
     return (F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
 
 
+def units(col: Column | str, scale: int = 2) -> Column:
+    """A 2-dp quantity as integer units of 10^-scale (long).
+
+    The decimal(9,2) cast fixes the rounding (HALF_UP, matching the
+    oracle's cast); the *100 and the long conversion are exact. From
+    here on, per-row arithmetic and the sum accumulator run entirely
+    in JVM longs — the same int64-with-tracked-scale strategy columnar
+    engines use internally for decimal aggregation — instead of the
+    BigDecimal slow path that Spark's sum(decimal) promotion (p+10 >
+    18) would force.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast(DEC) * F.lit(10**scale)).cast("long")
+
+
+def lsum(units_col: Column, scale: int, alias: str) -> Column:
+    """Sum of integer units → double value (exact S/10^scale).
+
+    Scale posture: the group sum S overflows int64 loudly (ANSI mode)
+    rather than silently, and stays double-exact while S < 2^53 —
+    ~9·10^15 units, i.e. ~10^11 rows of typical 2-dp values per group
+    at scale=2. Beyond that envelope use :func:`dsum` (decimal
+    accumulator, unbounded) — correctness first, speed where safe.
+    """
+    return (F.sum(units_col).cast("double") / F.lit(float(10**scale))).alias(alias)
+
+
+def lavg(units_col: Column, scale: int, alias: str) -> Column:
+    """Exact-sum average on the long fast path (see lsum)."""
+    return (
+        F.sum(units_col).cast("double") / F.lit(float(10**scale)) / F.count(F.lit(1))
+    ).alias(alias)
+
+
 def oracle_sum(expr: str, alias: str) -> str:
     return f"cast(sum(cast({expr} as decimal(9,2))) as double) as {alias}"
 

@@ -14,7 +14,12 @@ from simple_etl_spark.llm.dedup import (
     jaccard_pairs,
     near_dedup_minhash,
 )
-from simple_etl_spark.llm.multimodal import binary_documents, extract_features
+from simple_etl_spark.llm.multimodal import (
+    binary_documents,
+    extract_features,
+    resize_payload,
+    sample_frames,
+)
 from simple_etl_spark.llm.similarity import brute_force_topk, bucketed_topk
 from simple_etl_spark.llm.textstats import (
     doc_fingerprint,
@@ -255,6 +260,68 @@ def llm_ann_bucketed(cat: Catalog) -> DataFrame:
     return bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+# near-dup vector injection: every 10th vector re-appears under a new
+# id with its first coordinate nudged by +0.1 (cosine vs the original
+# ≈ 0.999; natural same-label pairs top out ≈ 0.47 in this corpus)
+_VEC_NEAR_SQL = """
+base AS (
+    SELECT vec_id, label, cast(embedding as double[]) AS e FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, label,
+           list_prepend(cast(embedding[1] as double) + 0.1,
+                        cast(embedding[2:] as double[]))
+    FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+
+@query(
+    "llm_embed_near_dup",
+    oracle=f"""
+    WITH {_VEC_NEAR_SQL},
+    v AS (
+        SELECT vec_id, label,
+               list_transform(e, x -> cast(x as decimal(12,10))) AS e
+        FROM base
+    ),
+    n AS (
+        SELECT vec_id, label, e,
+               list_sum(list_transform(generate_series(1, len(e)),
+                                       i -> e[i] * e[i])) AS n2
+        FROM v
+    ),
+    scored AS (
+        SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+               {_COSINE_SQL} AS score
+        FROM n q JOIN n c ON q.label = c.label AND q.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, cast(score as decimal(18,9)) AS score_q
+    FROM scored WHERE score >= 0.9
+    """,
+    survey="LLM dedup: embedding-cosine near-dup (bucketed pair generation + threshold)",
+)
+def llm_embed_near_dup(cat: Catalog) -> DataFrame:
+    """Embedding-cosine near-dup over a corpus with injected perturbed
+    copies: same-bucket pairs scoring cosine ≥ 0.9 (exactly the
+    injected copies plus any natural collisions)."""
+    from simple_etl_spark.llm.similarity import embedding_near_dups
+
+    emb = cat["embeddings"].select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    return embedding_near_dups(emb.unionByName(pert), threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -381,6 +448,48 @@ def llm_binary_features(cat: Catalog) -> DataFrame:
     extraction (the stub 'decoder'); oracle checks byte lengths and
     first-byte values arrive intact through the Arrow boundary."""
     return extract_features(binary_documents(cat["documents"]), modality="text")
+
+
+@query(
+    "llm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           cast(i as integer) AS frame_idx,
+           cast(least(32, octet_length(encode(text)) - i * 32) as integer)
+               AS frame_bytes,
+           md5(substring(text, i * 32 + 1, 32)) AS frame_md5
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   cast(ceil(octet_length(encode(text)) / 32.0) as bigint) - 1,
+                   2)) AS i
+        FROM documents
+    ) t
+    """,
+    survey="LLM multimodal: frame-sampling UDTF (mapInPandas fan-out, stride 2)",
+)
+def llm_frame_sample(cat: Catalog) -> DataFrame:
+    """Video-style frame sampling over binary payloads: every 2nd
+    32-byte frame as its own row. Oracle rebuilds the same frames with
+    generate_series+substring (payloads are ASCII text bytes here)."""
+    return sample_frames(binary_documents(cat["documents"]), frame_size=32, stride=2)
+
+
+@query(
+    "llm_resize",
+    oracle="""
+    SELECT doc_id,
+           cast(octet_length(encode(text)) as bigint) AS orig_bytes,
+           cast(64 as integer) AS out_bytes,
+           md5(rpad(substring(text, 1, 64), 64, ' ')) AS out_md5
+    FROM documents
+    """,
+    survey="LLM multimodal: resize-to-byte-budget stub (Arrow-batched, fixed schema)",
+)
+def llm_resize(cat: Catalog) -> DataFrame:
+    """Image-style resize plumbing: payloads normalized to a 64-byte
+    budget (truncate / pad), digest checked end-to-end through Arrow."""
+    return resize_payload(binary_documents(cat["documents"]), target_bytes=64)
 
 
 _SIMHASH_SUMS = ",\n".join(

@@ -51,6 +51,86 @@ def byte_features(payload: bytes) -> tuple[int, int]:
     return len(payload), (payload[0] if payload else -1)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("out_bytes", IntegerType()),
+        StructField("out_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame, frame_size: int = 32, stride: int = 2
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: split each
+    payload into fixed-size byte frames and emit every ``stride``-th
+    one — a table-generating transform (rows out > rows in) expressed
+    as ``mapInPandas`` so the fan-out happens inside the executor,
+    per Arrow batch, never on the driver.
+
+    A real deployment swaps the byte-chunking for a container demuxer
+    (pyav/ffmpeg on executors) with this exact signature and output
+    schema; frames travel onward as rows, so downstream decode /
+    feature-extract stages parallelize per frame, not per video."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, stride):
+                    chunk = payload[idx * frame_size : (idx + 1) * frame_size]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_payload(binary_df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize plumbing for image-like payloads: normalize every payload
+    to a fixed byte budget (truncate, or right-pad with 0x20) and
+    report the digest of the resized buffer.
+
+    STUB semantics: a real deployment replaces the truncate/pad with a
+    decoder+resampler (PIL/libvips on executors) returning the
+    re-encoded bytes — the Spark-side contract (Arrow-batched
+    mapInPandas, fixed output schema, per-payload independence) is
+    what this function locks in."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                (p[:target_bytes] if len(p) >= target_bytes else p.ljust(target_bytes, b" "))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": [len(p) for p in pdf["payload"]],
+                    "out_bytes": [len(r) for r in resized],
+                    "out_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def binary_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Model a multimodal table: payload as binary + metadata struct
     (here synthesized from text so the pipeline is testable)."""

@@ -114,6 +114,54 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) in the same
+    coarse bucket with cosine ≥ threshold.
+
+    The bucket key bounds the pairing to |bucket|² instead of |corpus|²
+    — at 100 TB the bucket is the partition key (the ANN inverted-file
+    assignment), so each shuffle partition holds one bucket's vectors
+    and the self-join never crosses partitions. Scores use the exact
+    decimal dot product (module docstring), so the threshold cut is
+    engine-independent."""
+    n = embeddings.select(
+        F.col(id_col),
+        F.col(bucket_col).alias("_bucket"),
+        F.col(vec_col).alias("_vec"),
+        norm2(F.col(vec_col)).alias("_n2"),
+    )
+    a = n.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_bucket").alias("b_a"),
+        F.col("_vec").alias("v_a"),
+        F.col("_n2").alias("n2_a"),
+    )
+    b = n.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_bucket").alias("b_b"),
+        F.col("_vec").alias("v_b"),
+        F.col("_n2").alias("n2_b"),
+    )
+    scored = a.join(
+        b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        cosine(F.col("v_a"), F.col("v_b"), F.col("n2_a"), F.col("n2_b")).alias(
+            "score"
+        ),
+    )
+    return scored.filter(F.col("score") >= F.lit(threshold)).select(
+        "id_a", "id_b", F.col("score").cast("decimal(18,9)").alias("score_q")
+    )
+
+
 def bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,

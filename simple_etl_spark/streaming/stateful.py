@@ -1,0 +1,105 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference keeps incremental state in a ``processed`` flag column
+plus heartbeat counters in the consumer loop
+(`pipeline/consumer_pipeline.py:165-235`). Here that state lives where
+Structured Streaming puts it: in the state store, keyed by group,
+checkpointed with the query. Two operators:
+
+- :func:`running_totals` — per-key event counters that survive across
+  micro-batches (the ST8 stats heartbeat as a first-class keyed
+  aggregate in update mode).
+- :func:`first_seen_dedupe` — streaming exact dedup: only the first
+  occurrence of each key ever crosses the operator. This is the
+  streaming twin of the batch insert-if-absent merge (S6) and the
+  shape a 100 TB training-data ingest uses to drop re-crawled
+  duplicates before they hit storage.
+
+Scale posture: state is partitioned by the grouping key across
+executors (the shuffle before the stateful operator is the state
+partitioning); each task touches only its own key range, and RocksDB
+state backend handles key counts beyond executor memory
+(`spark.sql.streaming.stateStore.providerClass`). Payload bytes stay
+in Arrow batches; only the declared state columns persist.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_SCHEMA = "key string, total bigint, batches int"
+_RUNNING_STATE = "total bigint, batches int"
+
+
+def running_totals(stream_df: DataFrame, key_col: str = "id") -> DataFrame:
+    """Per-key running row count across micro-batches (update mode).
+
+    Each firing emits the key's cumulative total and how many batches
+    have contributed — the reference's heartbeat counters, exactly
+    once per key per micro-batch, recoverable from the checkpoint.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = sum(len(p) for p in pdfs)
+        total, batches = state.get if state.exists else (0, 0)
+        total, batches = total + rows, batches + 1
+        state.update((total, batches))
+        yield pd.DataFrame({"key": [key[0]], "total": [total], "batches": [batches]})
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            RUNNING_SCHEMA,
+            _RUNNING_STATE,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_SEEN_STATE = "seen boolean"
+
+
+def first_seen_dedupe(stream_df: DataFrame, key_col: str = "id") -> DataFrame:
+    """Streaming exact dedup: emit each key's first-seen row, drop every
+    later occurrence (within a batch and across batches).
+
+    Unlike ``dropDuplicates`` on a stream (which needs a watermark to
+    bound state and still re-emits on some output modes), the contract
+    here is explicit: one row per key, ever, determined by arrival
+    order; state is one boolean per key. Rows keep the input schema so
+    the operator composes with the medallion sink downstream.
+    """
+    out_schema = stream_df.schema
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[:1]
+        if state.exists or first is None:
+            # consumed the iterator (required) — emit nothing
+            return
+        state.update((True,))
+        yield first
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            _SEEN_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

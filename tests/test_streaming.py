@@ -106,3 +106,64 @@ def test_windowed_counts_event_time(spark, workdir):
     }
     assert got[dt.datetime(2024, 1, 1, 0, 0)] == 2
     assert got[dt.datetime(2024, 1, 1, 1, 0)] == 1
+
+
+def test_running_totals_state_across_batches(spark, workdir):
+    import datetime as dt
+
+    from simple_etl_spark.streaming.stateful import running_totals
+
+    src = f"{workdir}/statesrc"
+    t = dt.datetime(2024, 1, 1)
+    _write_batch(spark, src, [("a", "x", t), ("a", "y", t), ("b", "z", t)])
+    _write_batch(spark, src, [("a", "w", t), ("c", "v", t)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        running_totals(stream, key_col="id")
+        .writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from running").collect()
+    # final cumulative totals: a seen in 2 batches (3 rows), b and c once
+    final = {}
+    for r in rows:
+        if r["batches"] >= final.get(r["key"], (0, 0))[1]:
+            final[r["key"]] = (r["total"], r["batches"])
+    assert final["a"] == (3, 2)
+    assert final["b"][0] == 1
+    assert final["c"][0] == 1
+
+
+def test_first_seen_dedupe_across_batches(spark, workdir):
+    import datetime as dt
+
+    from simple_etl_spark.streaming.stateful import first_seen_dedupe
+
+    src = f"{workdir}/dedupsrc"
+    t = dt.datetime(2024, 1, 1)
+    _write_batch(spark, src, [("a", "first-a", t), ("a", "dup-a", t), ("b", "first-b", t)])
+    _write_batch(spark, src, [("a", "late-dup-a", t), ("c", "first-c", t)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        first_seen_dedupe(stream, key_col="id")
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup").collect()
+    got = {r["id"]: r["content"] for r in rows}
+    assert len(rows) == 3  # one row per key, ever
+    assert got == {"a": "first-a", "b": "first-b", "c": "first-c"}

@@ -689,3 +689,55 @@ def retention_split(cat: Catalog) -> DataFrame:
             F.count_if(F.col("ts") < cutoff).alias("purged"),
         )
     )
+
+
+@query(
+    "nations_per_region_agg",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           string_agg(DISTINCT n.n_name, ', ' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    survey="F14 (STRING_AGG DISTINCT, services/pg_service.py entity rollups)",
+)
+def nations_per_region_agg(cat: Catalog) -> DataFrame:
+    """F14: STRING_AGG(DISTINCT .. ORDER BY ..) as
+    concat_ws(array_sort(collect_set())) — set semantics make the
+    aggregation order-insensitive, so the concatenation is
+    deterministic without a global sort."""
+    r = cat["region"]
+    n = cat["nation"]
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.concat_ws(", ", F.array_sort(F.collect_set("n_name"))).alias("nations")
+        )
+    )
+
+
+@query(
+    "median_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(cast(floor(o_totalprice * 100 + 0.5) as bigint), 0.5)
+               / 100.0 AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey="X3 (UDAF extension point: grouped-agg pandas UDF)",
+)
+def median_price_by_priority(cat: Catalog) -> DataFrame:
+    """X3: a genuine UDAF — exact interpolated median via an
+    Arrow-batched grouped-agg pandas UDF over integer cents (see
+    functions/udaf.py for the exactness argument)."""
+    from simple_etl_spark.functions.udaf import median_long
+
+    return (
+        cat["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            (median_long(units("o_totalprice")) / F.lit(100.0)).alias("median_price")
+        )
+    )

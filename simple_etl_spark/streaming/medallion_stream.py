@@ -109,3 +109,26 @@ def windowed_counts(
         .groupBy(F.window(ts_col, window), *group_cols)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def sessionized_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Event-time session windows: rows closer than ``gap`` merge into
+    one session per key. Watermark bounds session state — a session
+    closes (and its row becomes final) once the watermark passes its
+    end, so state size tracks the number of *open* sessions, not
+    history."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event"),
+        )
+    )

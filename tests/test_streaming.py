@@ -167,3 +167,37 @@ def test_first_seen_dedupe_across_batches(spark, workdir):
     got = {r["id"]: r["content"] for r in rows}
     assert len(rows) == 3  # one row per key, ever
     assert got == {"a": "first-a", "b": "first-b", "c": "first-c"}
+
+
+def test_sessionized_counts_merges_by_gap(spark, workdir):
+    import datetime as dt
+
+    from simple_etl_spark.streaming.medallion_stream import sessionized_counts
+
+    src = f"{workdir}/sesssrc"
+    t = dt.datetime(2024, 1, 1)
+    # id "a": two events 10 min apart (one session), one 2h later (new
+    # session); id "b": single event
+    _write_batch(
+        spark,
+        src,
+        [
+            ("a", "e1", t),
+            ("a", "e2", t + dt.timedelta(minutes=10)),
+            ("a", "e3", t + dt.timedelta(hours=2)),
+            ("b", "e4", t),
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        sessionized_counts(stream, ts_col="created_at", gap="30 minutes", group_cols=("id",))
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select id, cnt from sessions order by id, cnt").collect()
+    got = [(r["id"], r["cnt"]) for r in rows]
+    assert got == [("a", 1), ("a", 2), ("b", 1)]

@@ -64,6 +64,39 @@ def get_spark(app_name: str = "simple-etl-spark", cpus: int | None = None) -> Sp
     return spark
 
 
+# Below this total input size, adaptive execution is pure overhead:
+# every AQE stage boundary materializes the exchange and re-plans
+# (~40-100 ms wall per stage locally) to coalesce partitions that a
+# small job never needed. On real multi-GB inputs the replanning pays
+# for itself many times over — so the switch is on input *size*, not
+# on an environment flag.
+AQE_MIN_INPUT_BYTES = 1 << 30  # 1 GiB
+
+
+def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
+    """Size the session's adaptive features to the actual input.
+
+    Sums the parquet footprint under ``sf_dir``; small inputs run with
+    AQE off (fixed single-pass plans — the whole dataset fits in a
+    handful of partitions, so runtime re-planning has nothing to win),
+    large inputs keep the full adaptive posture (coalescing, skew
+    splitting). Conf changes are session-level runtime confs; call
+    once per benchmark/session against one data directory.
+    """
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return
+    if total < AQE_MIN_INPUT_BYTES:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    else:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def ensure_runtime_confs(spark: SparkSession) -> None:
     """Apply the engine's dynamic confs to an externally built session."""
     for k, v in _RUNTIME_CONFS.items():

@@ -134,3 +134,27 @@ class Catalog:
     def register_all(self) -> None:
         for name in TABLES:
             self[name]
+
+
+def refresh_statistics(spark: SparkSession, name: str, path: str) -> dict:
+    """S13: the reference's post-load ANALYZE (`services/pg_staging.py`
+    stats refresh) — register the parquet location as an external
+    table and compute table + column statistics so Spark's cost-based
+    optimizer (join reordering, broadcast decisions) has real
+    cardinalities instead of size guesses.
+
+    Returns the recorded stats (bytes, rowCount when available).
+    """
+    safe = name.replace("`", "")
+    spark.sql(f"CREATE TABLE IF NOT EXISTS `{safe}` USING parquet LOCATION '{path}'")
+    spark.sql(f"ANALYZE TABLE `{safe}` COMPUTE STATISTICS")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED `{safe}`").collect()
+    stats_line = next((r["data_type"] for r in rows if r["col_name"] == "Statistics"), "")
+    out: dict[str, int] = {}
+    for part in stats_line.split(","):
+        part = part.strip()
+        if part.endswith("bytes"):
+            out["bytes"] = int(part.split()[0])
+        elif part.endswith("rows"):
+            out["rows"] = int(part.split()[0])
+    return out

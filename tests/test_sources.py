@@ -115,3 +115,16 @@ def test_heartbeat_listener(spark, tmp_path):
         assert any(s["batches"] > 0 for s in snap.values())
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_refresh_statistics_records_rowcount(spark, tmp_path):
+    from simple_etl_spark.engine import refresh_statistics
+
+    path = str(tmp_path / "stats_tbl")
+    spark.range(123).write.parquet(path)
+    stats = refresh_statistics(spark, "stats_tbl_test", path)
+    try:
+        assert stats.get("rows") == 123
+        assert stats.get("bytes", 0) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_tbl_test")

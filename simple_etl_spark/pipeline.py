@@ -148,3 +148,58 @@ def get_statistics(spark: SparkSession, warehouse: str) -> dict:
         .collect()
     ]
     return {"total_articles": total, "recent_articles": recent, "by_topic": by_topic}
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    warehouse: str,
+    checkpoint: str,
+    trigger: str | None = None,
+    timeout_sec: int = 300,
+) -> dict:
+    """E2: the reference's streaming consumer (`mainx.py` →
+    `pipeline/consumer_pipeline.py`) — a continuous medallion ingest.
+
+    ``stream_df`` is any streaming DataFrame of bronze-shaped article
+    rows (Kafka via `sources.kafka.read_stream`, file streams in
+    tests). Micro-batches flow through the same insert-if-absent /
+    latest-wins merges as the batch path (ST1-ST6); after the stream
+    drains (availableNow when ``trigger`` is None) the gold snapshot
+    and search index are refreshed and the reference's stats dict is
+    returned. With a processing-time ``trigger`` the query runs until
+    externally stopped and the caller refreshes gold on its own
+    cadence (the reference's */15 min view refresh)."""
+    from simple_etl_spark.streaming.medallion_stream import run_stream
+
+    bronze_path = os.path.join(warehouse, "bronze")
+    silver_path = os.path.join(warehouse, "silver")
+
+    query = run_stream(
+        stream_df,
+        bronze_path,
+        silver_path,
+        checkpoint,
+        clean=silver_from_bronze,
+        key="id",
+        order_col="created_at",
+        trigger=trigger,
+    )
+    if trigger is not None:
+        return {"query": query}
+    query.awaitTermination(timeout_sec)
+
+    silver = read_table(spark, silver_path).withColumn("processed", F.lit(True))
+    write_table(silver, silver_path)
+    silver = read_table(spark, silver_path)
+
+    gold = gold_view(silver)
+    write_table(gold, os.path.join(warehouse, "gold"))
+    gold = read_table(spark, os.path.join(warehouse, "gold"))
+    write_table(build_search_index(gold), os.path.join(warehouse, "search_index"))
+
+    return {
+        "bronze_saved": read_table(spark, bronze_path).count(),
+        "silver_processed": silver.count(),
+        "gold_processed": gold.count(),
+    }

@@ -20,20 +20,19 @@ aggregation for the daily/hourly analytics in streaming mode.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_etl_spark.operators.merge import insert_if_absent, upsert_latest_wins
+from simple_etl_spark.sources.table_store import read_table, write_table
 
 
-def _read_table(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+def _read_or_empty(spark: SparkSession, base: str, like: DataFrame) -> DataFrame:
     """Existing sink contents, or an empty frame with the right schema."""
-    if os.path.exists(path):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], like.schema)
+    existing = read_table(spark, base)
+    return existing if existing is not None else spark.createDataFrame([], like.schema)
 
 
 def medallion_sink(
@@ -47,31 +46,26 @@ def medallion_sink(
     clean → silver latest-wins upsert (S7). Both merges are idempotent
     by key, so at-least-once redelivery is safe (ST6).
 
-    Note on atomicity (SURVEY §7 hard part (a)): each micro-batch
-    rewrites the merged table via a temp-path swap; per-partition
-    dynamic overwrite applies when the sink is date-partitioned."""
+    Note on atomicity (SURVEY §7 hard part (a)): sinks are versioned
+    snapshot tables (sources/table_store.py) — each micro-batch writes
+    a fresh snapshot and swaps the pointer, so a crash mid-merge
+    leaves the previous snapshot intact and readers never observe a
+    partial table."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.dropDuplicates([key])
 
-        bronze = _read_table(spark, bronze_path, batch_df)
+        bronze = _read_or_empty(spark, bronze_path, batch_df)
         merged_bronze = insert_if_absent(bronze, batch_df, [key])
-        _overwrite(merged_bronze, bronze_path)
+        write_table(merged_bronze, bronze_path)
 
         cleaned = clean(batch_df)
-        silver = _read_table(spark, silver_path, cleaned)
+        silver = _read_or_empty(spark, silver_path, cleaned)
         merged_silver = upsert_latest_wins(silver, cleaned, [key], order_col)
-        _overwrite(merged_silver, silver_path)
+        write_table(merged_silver, silver_path)
 
     return process
-
-
-def _overwrite(df: DataFrame, path: str) -> None:
-    tmp = path + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    out = df.sparkSession.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(path)
 
 
 def run_stream(
@@ -82,17 +76,20 @@ def run_stream(
     clean: Callable[[DataFrame], DataFrame],
     key: str = "id",
     order_col: str = "created_at",
+    trigger: str | None = None,
 ):
-    """Start the medallion stream and process everything available
-    (ST1). Returns the StreamingQuery; callers awaitTermination."""
-    return (
-        stream_df.writeStream.foreachBatch(
-            medallion_sink(bronze_path, silver_path, clean, key, order_col)
-        )
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    """Start the medallion stream (ST1). Default trigger drains all
+    available input and stops (availableNow); pass a processing-time
+    interval (e.g. ``"5 seconds"``, ST5) for a continuous consumer.
+    Returns the StreamingQuery; callers awaitTermination."""
+    writer = stream_df.writeStream.foreachBatch(
+        medallion_sink(bronze_path, silver_path, clean, key, order_col)
+    ).option("checkpointLocation", checkpoint)
+    if trigger is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
 
 
 def windowed_counts(

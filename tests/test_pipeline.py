@@ -104,3 +104,31 @@ def test_table_store_pointer_swap_and_vacuum(spark, tmp_path):
     removed = vacuum(base, keep=1)
     assert len(removed) == 1 and removed[0].endswith("v1")
     assert read_table(spark, base).count() == 14
+
+
+def test_streaming_pipeline_end_to_end(spark, tmp_path):
+    import datetime as dt
+
+    from simple_etl_spark.pipeline import run_streaming_pipeline
+
+    wh = str(tmp_path / "swh")
+    src = str(tmp_path / "stream_src")
+    schema = (
+        "id string, title string, link string, image string, date_raw string, "
+        "topic string, content string, source string, created_at timestamp"
+    )
+    t = dt.datetime(2024, 2, 5, 8, 0)
+    rows = [
+        ("id1", "Uji Satu", "https://x/n/1", "i1",
+         "Senin, 05 Februari 2024 08:00 WIB", "nasional", "Konten uji. " * 30,
+         "cnn", t),
+        ("id2", "Uji Dua", "https://x/n/2", "i2",
+         "Senin, 05 Februari 2024 09:00 WIB", "teknologi", "Konten lain. " * 30,
+         "cnn", t),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    tally = run_streaming_pipeline(
+        spark, stream, wh, checkpoint=str(tmp_path / "ckpt")
+    )
+    assert tally == {"bronze_saved": 2, "silver_processed": 2, "gold_processed": 2}

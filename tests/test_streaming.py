@@ -59,8 +59,10 @@ def test_medallion_stream_conservation_and_idempotency(spark, workdir):
         return q
 
     start("ckpt1")
-    bronze = spark.read.parquet(f"{workdir}/bronze")
-    silver = spark.read.parquet(f"{workdir}/silver")
+    from simple_etl_spark.sources.table_store import read_table
+
+    bronze = read_table(spark, f"{workdir}/bronze")
+    silver = read_table(spark, f"{workdir}/silver")
 
     # conservation: every distinct id that entered is present once per layer
     assert sorted(r["id"] for r in bronze.select("id").collect()) == ["a", "b", "c"]
@@ -75,7 +77,7 @@ def test_medallion_stream_conservation_and_idempotency(spark, workdir):
 
     # redelivery: replay everything with a fresh checkpoint → same state
     start("ckpt2")
-    silver2 = spark.read.parquet(f"{workdir}/silver")
+    silver2 = read_table(spark, f"{workdir}/silver")
     assert sorted(tuple(r) for r in silver2.collect()) == before
 
 

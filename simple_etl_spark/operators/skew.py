@@ -1,0 +1,80 @@
+"""Skew-mitigation primitives (SURVEY §4 scale posture).
+
+AQE's skew-join splitting (on in the engine defaults) handles most
+runtime skew, but two shapes still need explicit help at 100 TB:
+
+- a *skewed aggregation* where one key owns a double-digit percentage
+  of all rows (one reducer does all the work, no matter how many
+  partitions exist), and
+- a *skewed join* against a dimension too big to broadcast, where the
+  hot keys hash to the same few tasks.
+
+Both use the standard salting construction: spread the hot rows over
+``factor`` synthetic sub-keys, do the expensive shuffle at the salted
+granularity, then take one cheap second pass over ``keys × factor``
+rows (aggregation) or replicate the small side per salt (join). The
+salt is deterministic per row (hash-based, not random) so retries and
+speculative tasks produce identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def _salt_col(df: DataFrame, factor: int) -> Column:
+    """Deterministic per-row salt in [0, factor): hash of the whole
+    row's monotonic id is NOT stable across retries — hash the row's
+    own values instead."""
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(factor))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+    merges: list[Column],
+    factor: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` aggregate raw rows at (keys, salt) granularity; ``merges``
+    combine the ``factor`` partials per key (e.g. sum of partial sums,
+    sum of partial counts). The first shuffle spreads a hot key over
+    ``factor`` reducers; the second shuffles only |keys|·factor rows.
+
+    Spark's built-in partial aggregation already does this *within*
+    a partition; salting extends it across reducers when one key's
+    post-combine volume still swamps a single task (think: one
+    megadomain in a web corpus, one NULL-ish default key).
+    """
+    salted = df.withColumn(_SALT, _salt_col(df, factor))
+    partial = salted.groupBy(*keys, _SALT).agg(*aggs)
+    return partial.groupBy(*keys).agg(*merges)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    factor: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small
+    side ``factor`` times (explode), join on (keys, salt).
+
+    Use when the small side is too large for broadcast and the big
+    side's key distribution is heavy-tailed; the replication cost is
+    |small|·factor rows — choose ``factor`` ≈ (hot-key rows / target
+    task size). For broadcast-sized dimensions just use
+    ``F.broadcast`` — this primitive is for the middle ground.
+    """
+    salted_big = big.withColumn(_SALT, _salt_col(big, factor))
+    replicated = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    )
+    out = salted_big.join(replicated, [*on, _SALT], how)
+    return out.drop(_SALT)

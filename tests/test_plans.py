@@ -78,3 +78,51 @@ def test_left_anti_join_no_cartesian(spark, sf_dir):
 def test_events_timestamp_canonicalized(cat):
     # the NANOS fix-up must yield a usable timestamp type, not a long
     assert dict(cat["events"].dtypes)["ts"].startswith("timestamp")
+
+
+def test_salted_agg_matches_plain_agg(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.engine import Catalog
+    from simple_etl_spark.operators.skew import salted_agg
+
+    li = Catalog(spark, sf_dir)["lineitem"]
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs=[F.count(F.lit(1)).alias("n_p"), F.sum("l_quantity").alias("q_p")],
+        merges=[F.sum("n_p").alias("n"), F.sum("q_p").alias("q")],
+        factor=8,
+    )
+    a = {r["l_returnflag"]: (r["n"], round(r["q"], 2)) for r in plain.collect()}
+    b = {r["l_returnflag"]: (r["n"], round(r["q"], 2)) for r in salted.collect()}
+    assert a == b
+    # two aggregation exchanges: salted granularity then key granularity
+    plan = salted._sc._jvm.PythonSQLUtils.explainString(
+        salted._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") >= 2
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.engine import Catalog
+    from simple_etl_spark.operators.skew import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"]
+    cust = cat["customer"].withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust.hint("shuffle_hash"), ["o_custkey"]).groupBy(
+        "c_mktsegment"
+    ).count()
+    salted = salted_join(orders, cust, ["o_custkey"], factor=4).groupBy(
+        "c_mktsegment"
+    ).count()
+    a = {r["c_mktsegment"]: r["count"] for r in plain.collect()}
+    b = {r["c_mktsegment"]: r["count"] for r in salted.collect()}
+    assert a == b

@@ -217,3 +217,55 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "simhash")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    members: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate *clustering*: connected components over the
+    verified-pair graph, labeling every document with the minimum id
+    of its component (the canonical survivor — keep one row per
+    ``cluster_id`` to dedupe, or keep the mapping to trace provenance).
+
+    Min-label propagation: each round every node adopts the smallest
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds — duplicate clusters are near-cliques from LSH
+    banding, so diameter is tiny. Each round is one shuffle join; the
+    frontier is localCheckpoint'ed to keep lineage flat (swap for
+    ``checkpoint`` on a cluster with a fault-tolerant dir), and the
+    loop exits as soon as a round changes nothing.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = members.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "_chg"
+                ),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -523,3 +523,87 @@ def llm_simhash(cat: Catalog) -> DataFrame:
     from simple_etl_spark.llm.dedup import simhash_buckets
 
     return simhash_buckets(_near_corpus(cat), "id", "text")
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_CORPUS_SQL.strip().rstrip()},
+    {_SHINGLE_SQL.strip()},
+    sig AS (
+        SELECT id,
+               min(md5(concat('0|', shingle))) AS h0,
+               min(md5(concat('1|', shingle))) AS h1,
+               min(md5(concat('2|', shingle))) AS h2,
+               min(md5(concat('3|', shingle))) AS h3,
+               min(md5(concat('4|', shingle))) AS h4,
+               min(md5(concat('5|', shingle))) AS h5,
+               min(md5(concat('6|', shingle))) AS h6,
+               min(md5(concat('7|', shingle))) AS h7
+        FROM sh GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT id, 3, md5(concat(h6, '|', h7)) FROM sig
+    ),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cands c
+        JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i JOIN sizes za ON za.id = i.id_a
+                     JOIN sizes zb ON zb.id = i.id_b
+        WHERE i.n_inter / (za.n + zb.n - i.n_inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL SELECT id_b, id_a FROM verified
+    ),
+    walk(node, label) AS (
+        SELECT id, id FROM corpus
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS id, min(label) AS cluster_id FROM walk GROUP BY node
+    """,
+    survey="LLM dedup: connected-components clustering over verified LSH pairs",
+)
+def llm_dedup_clusters(cat: Catalog) -> DataFrame:
+    """Near-dup clustering: every doc labeled with its component's min
+    id over the verified minhash-pair graph (injected copies cluster
+    with their originals; everything else is a singleton)."""
+    from simple_etl_spark.llm.dedup import dedup_clusters
+
+    corpus = _near_corpus(cat)
+    pairs = near_dedup_minhash(corpus, "id", "text", threshold=0.5)
+    return dedup_clusters(pairs.select("id_a", "id_b"), corpus.select("id"))
+
+
+@query(
+    "llm_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE ('0x' || substr(md5(cast(doc_id as varchar)), 1, 6))::bigint < 1677721
+    """,
+    survey="LLM curation: deterministic hash-bucket sampling (reproducible 10% split)",
+)
+def llm_hash_sample(cat: Catalog) -> DataFrame:
+    """Reproducible 10% corpus sample via md5 bucketing — membership
+    is a pure function of doc_id, identical on any engine and stable
+    under re-runs and partition layout changes (llm/sampling.py)."""
+    from simple_etl_spark.llm.sampling import hash_sample
+
+    return hash_sample(
+        cat["documents"].select("doc_id", "lang", "n_chars"), "doc_id", 10.0
+    )

@@ -1,0 +1,38 @@
+"""Deterministic corpus sampling for training-data curation.
+
+Random `df.sample()` is non-reproducible across runs, engines, and
+partition layouts — useless for a pipeline whose sample membership
+must be auditable (and whose re-runs must not silently change the
+training set). The standard fix is content-hash bucketing: a row is in
+the p% sample iff a stable hash of its key lands in the first p% of
+hash space. Same key → same decision, on any engine, forever; the
+sample is also *consistent* across tables keyed by the same id
+(joinable samples) and monotone in p (the 1% sample is a subset of
+the 10% sample — grow the rate without resampling history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 6 hex chars = 24 bits of hash space
+_SPACE = 16**6
+
+
+def hash_bucket(col: Column | str, buckets: int = _SPACE) -> Column:
+    """Stable bucket in [0, buckets) from md5 of the key's string form
+    (md5 so the oracle can reproduce it verbatim; crypto strength is
+    irrelevant here, distribution uniformity is what matters)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10).cast("bigint")
+    return h % F.lit(buckets) if buckets != _SPACE else h
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, percent: float, id_space: int = _SPACE
+) -> DataFrame:
+    """Keep rows whose hash bucket falls in the first ``percent``% of
+    hash space — deterministic, engine-independent sampling."""
+    cutoff = int(id_space * percent / 100.0)
+    return df.filter(hash_bucket(key_col, id_space) < F.lit(cutoff))

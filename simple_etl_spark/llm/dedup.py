@@ -57,22 +57,53 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
+# Carter-Wegman hash family over one md5: two 60-bit integers from the
+# digest's hex halves, reduced mod a shared prime; h_i = (a + i·b) mod P.
+# One digest per shingle feeds the whole family (vs one digest per
+# (i, shingle)), and every op after the md5 is integer arithmetic that
+# any SQL engine reproduces exactly.
+HASH_PRIME = 2147483647  # 2^31 - 1; a + 7b < 2^34, no int64 overflow
+
+
+def _hash_family(shingle: Column, num_hashes: int) -> list[Column]:
+    digest = F.md5(shingle)
+    a = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint") % HASH_PRIME
+    b = F.conv(F.substring(digest, 16, 15), 16, 10).cast("bigint") % HASH_PRIME
+    return [((a + F.lit(i) * b) % HASH_PRIME).alias(f"g{i}") for i in range(num_hashes)]
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """Per-doc MinHash signature: h_i = min(md5(i || '|' || shingle)).
+    """Per-doc MinHash signature: h_i = min over shingles of the i-th
+    Carter-Wegman hash (see :func:`_hash_family`).
 
     explode → one grouped aggregation computing all ``num_hashes``
     mins in a single pass (partial aggregation map-side, one shuffle
-    keyed by doc id)."""
+    keyed by doc id). The heavy map side (shingle + digest per row) is
+    spread first: single-file inputs arrive as one partition, which
+    would serialize the whole hashing stage on one core, so the tiny
+    doc-level frame is rebalanced to the session's parallelism when
+    it's under it (a no-op on at-scale inputs that already have more
+    partitions than cores)."""
+    df = _spread(df)
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    fam = _hash_family(F.col("shingle"), num_hashes)
+    projected = sh.select(F.col(id_col), *fam)
+    return projected.groupBy(id_col).agg(
+        *[F.min(f"g{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance a thin frame to session parallelism before a
+    CPU-heavy projection (cheap: rows are doc-sized, pre-explode)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def lsh_candidate_pairs(
@@ -124,9 +155,16 @@ def jaccard_pairs(
     """Exact shingle-Jaccard for given candidate pairs: join each side
     to its distinct shingle set, count intersection, derive union by
     inclusion-exclusion. Intersection join shuffles on shingle."""
+    docs = _spread(docs)
     sh = docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
     )
+    return _jaccard_from_shingles(sh, pairs, id_col)
+
+
+def _jaccard_from_shingles(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Jaccard over a prebuilt (id, shingle) relation — lets callers
+    share one persisted shingle frame across the whole pipeline."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = sh.withColumnRenamed(id_col, "id_a")
     sb = sh.withColumnRenamed(id_col, "id_b")
@@ -159,12 +197,31 @@ def near_dedup_minhash(
     threshold: float = 0.5,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    persist: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands →
-    candidate pairs → exact-Jaccard verify ≥ threshold."""
-    sig = minhash_signature(df, id_col, text_col, num_hashes)
+    candidate pairs → exact-Jaccard verify ≥ threshold.
+
+    The distinct-shingle relation feeds four consumers (signature,
+    both sides of the intersection join, sizes), so it is persisted
+    once instead of recomputed per branch — MEMORY_AND_DISK, i.e.
+    spill-not-fail when the shingle relation (≈10× corpus tokens)
+    outgrows executor memory; at extreme scale pass ``persist=False``
+    to trade recompute for storage."""
+    do_persist = persist and not df.isStreaming
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
+    )
+    if do_persist:
+        sh = _spread(sh).persist()
+    fam = _hash_family(F.col("shingle"), num_hashes)
+    sig = (
+        sh.select(F.col(id_col), *fam)
+        .groupBy(id_col)
+        .agg(*[F.min(f"g{i}").alias(f"h{i}") for i in range(num_hashes)])
+    )
     cands = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
-    return jaccard_pairs(df, cands, id_col, text_col).filter(
+    return _jaccard_from_shingles(sh, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )
 

@@ -101,17 +101,23 @@ def llm_exact_dedup(cat: Catalog) -> DataFrame:
     oracle=f"""
     WITH {_NEAR_CORPUS_SQL},
     {_SHINGLE_SQL},
+    hv AS (
+        SELECT id,
+               ('0x' || substr(md5(shingle), 1, 15))::bigint % 2147483647 AS a,
+               ('0x' || substr(md5(shingle), 16, 15))::bigint % 2147483647 AS b
+        FROM sh
+    ),
     sig AS (
         SELECT id,
-               min(md5(concat('0|', shingle))) AS h0,
-               min(md5(concat('1|', shingle))) AS h1,
-               min(md5(concat('2|', shingle))) AS h2,
-               min(md5(concat('3|', shingle))) AS h3,
-               min(md5(concat('4|', shingle))) AS h4,
-               min(md5(concat('5|', shingle))) AS h5,
-               min(md5(concat('6|', shingle))) AS h6,
-               min(md5(concat('7|', shingle))) AS h7
-        FROM sh GROUP BY id
+               min((a + 0 * b) % 2147483647) AS h0,
+               min((a + 1 * b) % 2147483647) AS h1,
+               min((a + 2 * b) % 2147483647) AS h2,
+               min((a + 3 * b) % 2147483647) AS h3,
+               min((a + 4 * b) % 2147483647) AS h4,
+               min((a + 5 * b) % 2147483647) AS h5,
+               min((a + 6 * b) % 2147483647) AS h6,
+               min((a + 7 * b) % 2147483647) AS h7
+        FROM hv GROUP BY id
     ),
     bands AS (
         SELECT id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
@@ -530,17 +536,23 @@ def llm_simhash(cat: Catalog) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_NEAR_CORPUS_SQL.strip().rstrip()},
     {_SHINGLE_SQL.strip()},
+    hv AS (
+        SELECT id,
+               ('0x' || substr(md5(shingle), 1, 15))::bigint % 2147483647 AS a,
+               ('0x' || substr(md5(shingle), 16, 15))::bigint % 2147483647 AS b
+        FROM sh
+    ),
     sig AS (
         SELECT id,
-               min(md5(concat('0|', shingle))) AS h0,
-               min(md5(concat('1|', shingle))) AS h1,
-               min(md5(concat('2|', shingle))) AS h2,
-               min(md5(concat('3|', shingle))) AS h3,
-               min(md5(concat('4|', shingle))) AS h4,
-               min(md5(concat('5|', shingle))) AS h5,
-               min(md5(concat('6|', shingle))) AS h6,
-               min(md5(concat('7|', shingle))) AS h7
-        FROM sh GROUP BY id
+               min((a + 0 * b) % 2147483647) AS h0,
+               min((a + 1 * b) % 2147483647) AS h1,
+               min((a + 2 * b) % 2147483647) AS h2,
+               min((a + 3 * b) % 2147483647) AS h3,
+               min((a + 4 * b) % 2147483647) AS h4,
+               min((a + 5 * b) % 2147483647) AS h5,
+               min((a + 6 * b) % 2147483647) AS h6,
+               min((a + 7 * b) % 2147483647) AS h7
+        FROM hv GROUP BY id
     ),
     bands AS (
         SELECT id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig

@@ -105,9 +105,11 @@ def run_batch_pipeline(
     silver = read_table(spark, silver_path)
     silver_processed = silver.count()
 
-    # gold: virtual view materialized for downstream consumers
+    # gold: virtual view materialized for downstream consumers,
+    # date-partitioned so analytics prune to their date range and
+    # retention (S12) is a partition drop, not a row-level delete
     gold = gold_view(silver)
-    write_table(gold, gold_path)
+    write_table(gold, gold_path, partition_by=["publish_date"])
     gold = read_table(spark, gold_path)
     gold_processed = gold.count()
 

@@ -132,3 +132,27 @@ def test_streaming_pipeline_end_to_end(spark, tmp_path):
         spark, stream, wh, checkpoint=str(tmp_path / "ckpt")
     )
     assert tally == {"bronze_saved": 2, "silver_processed": 2, "gold_processed": 2}
+
+
+def test_gold_is_date_partitioned_and_prunes(spark, warehouse):
+    import os
+
+    from simple_etl_spark.sources.table_store import read_table, table_path
+
+    run_batch_pipeline(
+        spark, warehouse, pages=2, listing_fetcher=_listing, content_fetcher=CONTENT.get
+    )
+    snap = table_path(f"{warehouse}/gold")
+    parts = [d for d in os.listdir(snap) if d.startswith("publish_date=")]
+    assert len(parts) >= 2  # one dir per publish date
+    gold = read_table(spark, f"{warehouse}/gold")
+    plan = (
+        gold.filter(gold.publish_date == "2024-01-01")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the date predicate must reach the scan as a partition filter
+    # (pruned directory listing), not a post-scan row filter
+    pf = plan[plan.find("PartitionFilters") :].split("]", 1)[0]
+    assert "publish_date" in pf

@@ -741,3 +741,181 @@ def median_price_by_priority(cat: Catalog) -> DataFrame:
             (median_long(units("o_totalprice")) / F.lit(100.0)).alias("median_price")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics extensions: cumulative/lag windows, ntile, rollup, pivot
+# (dashboard-grade constructs beyond the reference's own SQL, each
+# expressed so the expensive window runs over a pre-aggregated tiny
+# frame — never over the raw fact table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cumulative_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT cast(o_orderdate as date) AS d,
+               sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT d, cast(cents as double) / 100.0 AS revenue,
+           cast(sum(cents) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+               / 100.0 AS cum_revenue
+    FROM daily
+    """,
+    survey="W-ext: cumulative sum over a pre-aggregated daily frame",
+)
+def cumulative_daily_revenue(cat: Catalog) -> DataFrame:
+    """Running revenue total: the unpartitioned ORDER BY window runs
+    over the post-aggregation frame (one row per day), so the
+    single-task window sees O(days), not O(orders). The running sum
+    accumulates integer cents — window-aggregation order differs
+    between engines (running vs segment tree), so only an exact
+    accumulator is engine-independent."""
+    daily = (
+        cat["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(units("o_totalprice")).alias("cents"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("cum_revenue"),
+    )
+
+
+@query(
+    "daily_revenue_delta",
+    oracle="""
+    WITH daily AS (
+        SELECT cast(o_orderdate as date) AS d,
+               cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as double)
+                   / 100.0 AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT d, revenue,
+           revenue - lag(revenue) OVER (ORDER BY d) AS delta
+    FROM daily
+    """,
+    survey="W-ext: day-over-day delta via LAG on the aggregated frame",
+)
+def daily_revenue_delta(cat: Catalog) -> DataFrame:
+    """Day-over-day revenue change (LAG over the tiny daily frame;
+    first day's delta is NULL)."""
+    daily = (
+        cat["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(lsum(units("o_totalprice"), 2, "revenue"))
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        "d", "revenue", (F.col("revenue") - F.lag("revenue").over(w)).alias("delta")
+    )
+
+
+@query(
+    "customer_revenue_quartiles",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as double)
+                   / 100.0 AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT ntile(4) OVER (ORDER BY revenue DESC, o_custkey) AS quartile,
+               revenue
+        FROM cust
+    )
+    SELECT quartile,
+           count(*) AS n_customers,
+           cast(sum(cast(revenue as decimal(18,2))) as double) AS total_revenue
+    FROM ranked
+    GROUP BY quartile
+    """,
+    survey="W-ext: ntile segmentation (RFM-style quartiles), deterministic total order",
+)
+def customer_revenue_quartiles(cat: Catalog) -> DataFrame:
+    """Revenue quartiles over per-customer totals: ntile needs a total
+    order, so ties break on the key — deterministic on any engine.
+    The ntile window is unpartitioned by construction (it ranks the
+    whole population); it runs over the aggregated per-customer frame,
+    and the final rollup is 4 rows."""
+    cust = (
+        cat["orders"]
+        .groupBy("o_custkey")
+        .agg(lsum(units("o_totalprice"), 2, "revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.col("o_custkey"))
+    return (
+        cust.select("o_custkey", "revenue", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("revenue").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as double)
+               / 100.0 AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    survey="A-ext: ROLLUP grouping sets (status, priority, grand total) in one pass",
+)
+def revenue_rollup(cat: Catalog) -> DataFrame:
+    """Hierarchical totals via rollup grouping sets — per (status,
+    priority), per status, and grand total in a single aggregation
+    (Spark expands grouping sets before the shuffle; one pass over
+    the facts)."""
+    return (
+        cat["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            lsum(units("o_totalprice"), 2, "revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "events_pivot_daily",
+    oracle="""
+    SELECT cast(ts as date) AS d,
+           count_if(event_type = 'click') AS click,
+           count_if(event_type = 'view') AS view,
+           count_if(event_type = 'purchase') AS purchase,
+           count_if(event_type = 'error') AS error
+    FROM events GROUP BY 1
+    """,
+    survey="A-ext: pivot (event types to columns) with a fixed column list",
+)
+def events_pivot_daily(cat: Catalog) -> DataFrame:
+    """Daily event-type matrix via pivot with an explicit value list —
+    the list keeps the schema static (no extra distinct-values job)
+    and the plan a single aggregation."""
+    return (
+        cat["events"]
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase", "error"])
+    )

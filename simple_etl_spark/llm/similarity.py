@@ -57,6 +57,17 @@ def cosine(a: Column, b: Column, n2a: Column, n2b: Column) -> Column:
     )
 
 
+def dot_fast(a: Column, b: Column) -> Column:
+    """float64 dot product — whole-stage-codegen arithmetic, ~100×
+    the decimal path's throughput, but reduction-order sensitive in
+    the last ulps. Use for pruning with an epsilon band; never for a
+    reported score (see :func:`dot`)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -127,37 +138,56 @@ def embedding_near_dups(
     The bucket key bounds the pairing to |bucket|² instead of |corpus|²
     — at 100 TB the bucket is the partition key (the ANN inverted-file
     assignment), so each shuffle partition holds one bucket's vectors
-    and the self-join never crosses partitions. Scores use the exact
-    decimal dot product (module docstring), so the threshold cut is
-    engine-independent."""
+    and the self-join never crosses partitions.
+
+    Scoring is two-phase: a float64 prefilter keeps pairs within an
+    epsilon band of the threshold (codegen arithmetic over every
+    candidate pair — the O(|bucket|²) part), then only the survivors
+    are rescored with the exact decimal dot product and cut at the
+    true threshold. The band (1e-6) is orders of magnitude above the
+    double path's reduction error for unit-magnitude embeddings, so
+    no true pair can be lost — the result is identical to scoring
+    everything in decimal, at a fraction of the cost."""
+    # per-vector double norms once, before the pair join — the join
+    # multiplies rows, so anything computable per vector must not be
+    # recomputed per pair
     n = embeddings.select(
         F.col(id_col),
         F.col(bucket_col).alias("_bucket"),
         F.col(vec_col).alias("_vec"),
-        norm2(F.col(vec_col)).alias("_n2"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("_nd"),
     )
     a = n.select(
         F.col(id_col).alias("id_a"),
         F.col("_bucket").alias("b_a"),
         F.col("_vec").alias("v_a"),
-        F.col("_n2").alias("n2_a"),
+        F.col("_nd").alias("nd_a"),
     )
     b = n.select(
         F.col(id_col).alias("id_b"),
         F.col("_bucket").alias("b_b"),
         F.col("_vec").alias("v_b"),
-        F.col("_n2").alias("n2_b"),
+        F.col("_nd").alias("nd_b"),
     )
-    scored = a.join(
-        b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select(
+    fast = (
+        a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "_fast",
+            dot_fast(F.col("v_a"), F.col("v_b")) / (F.col("nd_a") * F.col("nd_b")),
+        )
+        .filter(F.col("_fast") >= F.lit(threshold - 1e-6))
+    )
+    exact = fast.select(
         "id_a",
         "id_b",
-        cosine(F.col("v_a"), F.col("v_b"), F.col("n2_a"), F.col("n2_b")).alias(
-            "score"
-        ),
+        cosine(
+            F.col("v_a"),
+            F.col("v_b"),
+            norm2(F.col("v_a")),
+            norm2(F.col("v_b")),
+        ).alias("score"),
     )
-    return scored.filter(F.col("score") >= F.lit(threshold)).select(
+    return exact.filter(F.col("score") >= F.lit(threshold)).select(
         "id_a", "id_b", F.col("score").cast("decimal(18,9)").alias("score_q")
     )
 

@@ -6,11 +6,14 @@ an IVF-style inverted file, here keyed by the precomputed ``label``
 assignment; at 100 TB the bucket column is the partition key, so
 Catalyst prunes the scan to the probed buckets).
 
-Numeric strategy: element-wise products are accumulated in DECIMAL
-(exact, order-independent) and converted to double only for the final
-sqrt/divide — so distributed partial aggregation order can't change
-the score, and an external SQL oracle reproduces it bit-for-bit.
-float64 accumulation would make scores depend on reduction order.
+Numeric strategy (two-phase): candidate pairs are scored with plain
+float64 codegen arithmetic (fast, but reduction-order sensitive in
+the last ulps), and only the rows that can appear in the result —
+the per-query top-(k+margin), or the pairs inside an epsilon band of
+the near-dup threshold — are rescored with the DECIMAL-exact dot
+product (order-independent, reproduced bit-for-bit by an external
+SQL oracle). Every *reported* score comes from the exact path; the
+float64 path only prunes, with margins far above its error bound.
 """
 
 from __future__ import annotations
@@ -76,33 +79,60 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
-    corpus, score every pair, window-rank per query.
+    corpus, float64-score every pair, then exact-rescore only the
+    top-(k+margin) per query (see :func:`_two_phase_topk`).
 
     One pass over the corpus, no corpus self-join; the per-query
     ranking windows operate on |corpus| rows per query — at scale use
     per-partition top-k pre-reduction (TakeOrderedAndProject does this
     for single queries; for query batches the window after a
     `filter(score > floor)` is the practical path)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm2(F.col(vec_col)).alias("q_n2"),
-    )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm2(F.col(vec_col)).alias("c_n2"),
-    )
-    scored = (
+    q = _side(queries, id_col, vec_col, "query_id", "q")
+    c = _side(embeddings, id_col, vec_col, "neighbor_id", "c")
+    return _two_phase_topk(q, c, F.col("query_id") != F.col("neighbor_id"), k)
+
+
+def _side(df: DataFrame, id_col: str, vec_col: str, out_id: str, tag: str,
+          bucket_col: str | None = None) -> DataFrame:
+    cols = [
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(f"{tag}_vec"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias(f"{tag}_nd"),
+    ]
+    if bucket_col:
+        cols.insert(1, F.col(bucket_col).alias(f"{tag}_bucket"))
+    return df.select(*cols)
+
+
+def _two_phase_topk(q: DataFrame, c: DataFrame, cond, k: int, margin: int = 5) -> DataFrame:
+    """Double-precision scoring over all candidate pairs, exact decimal
+    rescore of the per-query top-(k+margin) only. The margin covers
+    rank flips near the cut: double vs decimal scores differ by ulps
+    (~1e-12 for unit-magnitude embeddings), so a flip requires two true
+    scores closer than that — margin 5 is overkill and cheap, since the
+    decimal path now runs on k+5 rows per query instead of |corpus|."""
+    fast = (
         F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_n2"), F.col("c_n2")
-            ).alias("score"),
+        .join(c, cond)
+        .withColumn(
+            "_fast",
+            dot_fast(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_nd") * F.col("c_nd")),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_fast"), F.asc("neighbor_id"))
+    cand = fast.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k + margin
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(
+            F.col("q_vec"),
+            F.col("c_vec"),
+            norm2(F.col("q_vec")),
+            norm2(F.col("c_vec")),
+        ).alias("score"),
     )
     return _rank_topk(scored, k)
 
@@ -201,34 +231,13 @@ def bucketed_topk(
     bucket_col: str = "label",
 ) -> DataFrame:
     """IVF-style ANN: candidates restricted to the query's coarse
-    bucket (inverted-file partition). Same scoring, but the join key
-    includes the bucket — the scan prunes to matching partitions and
-    the pairing is |bucket|-sized, not |corpus|-sized."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(bucket_col).alias("q_bucket"),
-        F.col(vec_col).alias("q_vec"),
-        norm2(F.col(vec_col)).alias("q_n2"),
+    bucket (inverted-file partition). Same two-phase scoring as
+    :func:`brute_force_topk`, but the join key includes the bucket —
+    the scan prunes to matching partitions and the pairing is
+    |bucket|-sized, not |corpus|-sized."""
+    q = _side(queries, id_col, vec_col, "query_id", "q", bucket_col)
+    c = _side(embeddings, id_col, vec_col, "neighbor_id", "c", bucket_col)
+    cond = (F.col("q_bucket") == F.col("c_bucket")) & (
+        F.col("query_id") != F.col("neighbor_id")
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(bucket_col).alias("c_bucket"),
-        F.col(vec_col).alias("c_vec"),
-        norm2(F.col(vec_col)).alias("c_n2"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(
-            c,
-            (F.col("q_bucket") == F.col("c_bucket"))
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_n2"), F.col("c_n2")
-            ).alias("score"),
-        )
-    )
-    return _rank_topk(scored, k)
+    return _two_phase_topk(q, c, cond, k)

@@ -128,3 +128,13 @@ def test_refresh_statistics_records_rowcount(spark, tmp_path):
         assert stats.get("bytes", 0) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_tbl_test")
+
+
+def test_ensure_topic_contract_without_broker():
+    from simple_etl_spark.sources.kafka import ensure_topic
+
+    out = ensure_topic("news-articles")
+    # reference layout: 3 partitions, 7-day retention
+    assert out["num_partitions"] == 3
+    assert out["config"]["retention.ms"] == str(7 * 24 * 3600 * 1000)
+    assert out["created"] is False  # no client in this environment

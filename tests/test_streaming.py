@@ -203,3 +203,55 @@ def test_sessionized_counts_merges_by_gap(spark, workdir):
     rows = spark.sql("select id, cnt from sessions order by id, cnt").collect()
     got = [(r["id"], r["cnt"]) for r in rows]
     assert got == [("a", 1), ("a", 2), ("b", 1)]
+
+
+def test_stream_stream_interval_join(spark, workdir):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.streaming.joins import interval_join
+
+    t = dt.datetime(2024, 1, 1)
+    imp_src = f"{workdir}/impressions"
+    clk_src = f"{workdir}/clicks"
+    # impressions: a@00:00, b@00:00 ; clicks: a@00:10 (in window),
+    # a@01:00 (outside 30min), c@00:05 (no impression)
+    _write_batch(spark, imp_src, [("a", "imp-a", t), ("b", "imp-b", t)])
+    _write_batch(
+        spark,
+        clk_src,
+        [
+            ("a", "clk-a-early", t + dt.timedelta(minutes=10)),
+            ("a", "clk-a-late", t + dt.timedelta(hours=1)),
+            ("c", "clk-c", t + dt.timedelta(minutes=5)),
+        ],
+    )
+    imp = (
+        spark.readStream.schema(SCHEMA).parquet(imp_src)
+        .select("id", F.col("content").alias("imp"), F.col("created_at").alias("imp_ts"))
+    )
+    clk = (
+        spark.readStream.schema(SCHEMA).parquet(clk_src)
+        .select(
+            F.col("id").alias("c_id"),
+            F.col("content").alias("clk"),
+            F.col("created_at").alias("clk_ts"),
+        )
+    )
+    joined = interval_join(
+        imp, clk.withColumnRenamed("c_id", "id"),
+        key="id", left_ts="imp_ts", right_ts="clk_ts", within="30 minutes",
+    ).select(imp["id"], "imp", "clk")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from attributed").collect()
+    got = sorted((r["id"], r["clk"]) for r in rows)
+    # only the in-window click attributes; late click and orphan click drop
+    assert got == [("a", "clk-a-early")]

@@ -255,3 +255,35 @@ def test_stream_stream_interval_join(spark, workdir):
     got = sorted((r["id"], r["clk"]) for r in rows)
     # only the in-window click attributes; late click and orphan click drop
     assert got == [("a", "clk-a-early")]
+
+
+def test_checkpoint_resume_processes_only_new_data(spark, workdir):
+    import datetime as dt
+
+    from simple_etl_spark.sources.table_store import read_table
+
+    src = f"{workdir}/ressrc"
+    ckpt = f"{workdir}/resckpt"
+    t = dt.datetime(2024, 1, 1)
+
+    # run 1: two rows
+    _write_batch(spark, src, [("a", " one ", t), ("b", "two", t)])
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = run_stream(stream, f"{workdir}/bz", f"{workdir}/sv", ckpt, clean=_clean)
+    q.awaitTermination(120)
+    v1 = read_table(spark, f"{workdir}/bz").count()
+    assert v1 == 2
+
+    # run 2: same checkpoint, one new file — only the delta flows
+    _write_batch(spark, src, [("c", "three", t)])
+    stream2 = spark.readStream.schema(SCHEMA).parquet(src)
+    q2 = run_stream(stream2, f"{workdir}/bz", f"{workdir}/sv", ckpt, clean=_clean)
+    q2.awaitTermination(120)
+    bronze = read_table(spark, f"{workdir}/bz")
+    silver = read_table(spark, f"{workdir}/sv")
+    assert bronze.count() == 3  # a, b, c — no reprocessing duplicates
+    assert sorted(r["id"] for r in silver.collect()) == ["a", "b", "c"]
+    # the second run's bronze merge only saw the new key: the "a" row
+    # kept its original cleaned content (insert-if-absent, not rewrite)
+    got = {r["id"]: r["content"] for r in silver.collect()}
+    assert got["a"] == "one"

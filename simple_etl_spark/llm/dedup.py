@@ -99,7 +99,11 @@ def minhash_signature(
 
 def _spread(df: DataFrame) -> DataFrame:
     """Rebalance a thin frame to session parallelism before a
-    CPU-heavy projection (cheap: rows are doc-sized, pre-explode)."""
+    CPU-heavy projection (cheap: rows are doc-sized, pre-explode).
+    Streaming frames pass through — micro-batch partitioning is the
+    trigger's concern, and `.rdd` is undefined on a stream."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -100,3 +100,20 @@ def index_stats(postings: DataFrame) -> DataFrame:
         F.countDistinct("doc").alias("doc_freq"),
         F.sum("tf").alias("collection_tf"),
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Training-data text normalization: lowercase, strip URLs,
+    collapse runs of whitespace, trim. The canonical pre-dedup
+    transform — near-dup detection over un-normalized text misses
+    trivially-reformatted copies.
+
+    Pure Column expressions; each regex is one vectorized pass. Kept
+    deliberately engine-portable (the oracle reproduces it with the
+    same three regexes + lower/trim).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"https?://\S+", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

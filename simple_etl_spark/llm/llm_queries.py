@@ -619,3 +619,38 @@ def llm_hash_sample(cat: Catalog) -> DataFrame:
     return hash_sample(
         cat["documents"].select("doc_id", "lang", "n_chars"), "doc_id", 10.0
     )
+
+
+@query(
+    "llm_normalize_probe",
+    oracle="""
+    WITH norm AS (
+        SELECT lang,
+               text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    'https?://\\S+', '', 'g'), '\\s+', ' ', 'g')) AS ntext
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count_if(ntext <> text) AS n_changed,
+           cast(sum(length(ntext)) as bigint) AS total_norm_chars
+    FROM norm GROUP BY lang
+    """,
+    survey="LLM curation: normalization + the reference's cleaning-diff probe (viz.py:133-160)",
+)
+def llm_normalize_probe(cat: Catalog) -> DataFrame:
+    """Normalize every document (lowercase, URL-strip, whitespace
+    collapse) and report the bronze-vs-silver-style diff probe per
+    language: how many rows the cleaning actually changed, plus the
+    normalized volume."""
+    from simple_etl_spark.functions.text import normalize_text
+
+    n = cat["documents"].select(
+        "lang", "text", normalize_text("text").alias("ntext")
+    )
+    return n.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("ntext") != F.col("text")).alias("n_changed"),
+        F.sum(F.length("ntext")).cast("bigint").alias("total_norm_chars"),
+    )

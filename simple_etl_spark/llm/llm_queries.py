@@ -633,7 +633,7 @@ def llm_hash_sample(cat: Catalog) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           count_if(ntext <> text) AS n_changed,
+           cast(count_if(ntext <> text) AS bigint) AS n_changed,
            cast(sum(length(ntext)) as bigint) AS total_norm_chars
     FROM norm GROUP BY lang
     """,

@@ -74,10 +74,10 @@ def m_gold_projection(cat: Catalog) -> DataFrame:
            count(DISTINCT topic) AS topics_covered,
            cast(sum(cast(content_length as decimal(9,2))) as double) / count(*)
                AS avg_content_length,
-           count_if(content_category = 'Short') AS short_articles,
-           count_if(content_category = 'Medium') AS medium_articles,
-           count_if(content_category IN ('Long', 'Very Long')) AS long_articles,
-           count_if(has_image) AS with_images
+           cast(count_if(content_category = 'Short') AS bigint) AS short_articles,
+           cast(count_if(content_category = 'Medium') AS bigint) AS medium_articles,
+           cast(count_if(content_category IN ('Long', 'Very Long')) AS bigint) AS long_articles,
+           cast(count_if(has_image) AS bigint) AS with_images
     FROM gold GROUP BY publish_date
     """,
     survey="A4 A2 (view_daily_analytics, init.sql:91-103)",
@@ -107,9 +107,9 @@ def m_daily_analytics(cat: Catalog) -> DataFrame:
                AS avg_content_length,
            min(date) AS first_published,
            max(date) AS last_published,
-           count_if(has_good_title) AS good_titles,
-           count_if(has_substantial_content) AS substantial,
-           count_if(has_image) AS with_images
+           cast(count_if(has_good_title) AS bigint) AS good_titles,
+           cast(count_if(has_substantial_content) AS bigint) AS substantial,
+           cast(count_if(has_image) AS bigint) AS with_images
     FROM gold GROUP BY topic
     """,
     survey="A5 A2 (view_topic_analytics, init.sql:106-119)",
@@ -148,13 +148,13 @@ def m_publishing_patterns(cat: Catalog) -> DataFrame:
     "m_content_quality",
     oracle=GOLD_CTE + """
     SELECT count(*) AS total_articles,
-           count_if(has_good_title) AS good_titles,
-           count_if(has_substantial_content) AS substantial_content,
-           count_if(has_image) AS with_images,
-           count_if(content_category = 'Short') AS short_cnt,
-           count_if(content_category = 'Medium') AS medium_cnt,
-           count_if(content_category = 'Long') AS long_cnt,
-           count_if(content_category = 'Very Long') AS very_long_cnt
+           cast(count_if(has_good_title) AS bigint) AS good_titles,
+           cast(count_if(has_substantial_content) AS bigint) AS substantial_content,
+           cast(count_if(has_image) AS bigint) AS with_images,
+           cast(count_if(content_category = 'Short') AS bigint) AS short_cnt,
+           cast(count_if(content_category = 'Medium') AS bigint) AS medium_cnt,
+           cast(count_if(content_category = 'Long') AS bigint) AS long_cnt,
+           cast(count_if(content_category = 'Very Long') AS bigint) AS very_long_cnt
     FROM gold
     """,
     survey="A2 A12 (quality/conditional counts, init.sql:91-103, viz.py:196-225)",
@@ -388,7 +388,7 @@ def m_upsert_latest_wins(cat: Catalog) -> DataFrame:
         FROM unioned
     )
     SELECT count(*) AS total_rows,
-           count_if(content LIKE '%updated v2') AS updated_rows
+           cast(count_if(content LIKE '%updated v2') AS bigint) AS updated_rows
     FROM ranked WHERE rn = 1
     """,
     survey="S6 (ON CONFLICT DO NOTHING insert-if-absent, services/pg_staging.py:140-144)",
@@ -622,8 +622,8 @@ def m_json_shaping(cat: Catalog) -> DataFrame:
     , totals AS (
         SELECT (SELECT count(*) FROM articles) AS total_articles,
                (SELECT count(*) FROM gold) AS gold_articles,
-               (SELECT count_if(has_good_title) FROM gold) AS good_titles,
-               (SELECT count_if(has_substantial_content) FROM gold) AS substantial
+               (SELECT cast(count_if(has_good_title) AS bigint) FROM gold) AS good_titles,
+               (SELECT cast(count_if(has_substantial_content) AS bigint) FROM gold) AS substantial
     )
     SELECT total_articles, gold_articles,
            cast(gold_articles as double) * 100 / total_articles AS processing_efficiency,

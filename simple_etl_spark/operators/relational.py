@@ -135,8 +135,8 @@ def doc_profile(cat: Catalog) -> DataFrame:
            count(DISTINCT event_type) AS distinct_types,
            count(DISTINCT user_id) AS distinct_users,
            cast(sum(cast(value as decimal(9,2))) as double) / count(*) AS avg_value,
-           count_if(event_type = 'purchase') AS purchases,
-           count_if(event_type = 'error') AS errors
+           cast(count_if(event_type = 'purchase') AS bigint) AS purchases,
+           cast(count_if(event_type = 'error') AS bigint) AS errors
     FROM events
     GROUP BY cast(ts AS date)
     """,
@@ -668,8 +668,8 @@ def sql_cte_stats(cat: Catalog) -> DataFrame:
 @query(
     "retention_split",
     oracle="""
-    SELECT count_if(ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY) AS kept,
-           count_if(ts < (SELECT max(ts) FROM events) - INTERVAL 7 DAY) AS purged
+    SELECT cast(count_if(ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY) AS bigint) AS kept,
+           cast(count_if(ts < (SELECT max(ts) FROM events) - INTERVAL 7 DAY) AS bigint) AS purged
     FROM events
     """,
     survey="S12 (retention delete split, services/pg_staging.py:399-434)",
@@ -900,10 +900,10 @@ def revenue_rollup(cat: Catalog) -> DataFrame:
     "events_pivot_daily",
     oracle="""
     SELECT cast(ts as date) AS d,
-           count_if(event_type = 'click') AS click,
-           count_if(event_type = 'view') AS view,
-           count_if(event_type = 'purchase') AS purchase,
-           count_if(event_type = 'error') AS error
+           cast(count_if(event_type = 'click') AS bigint) AS click,
+           cast(count_if(event_type = 'view') AS bigint) AS view,
+           cast(count_if(event_type = 'purchase') AS bigint) AS purchase,
+           cast(count_if(event_type = 'error') AS bigint) AS error
     FROM events GROUP BY 1
     """,
     survey="A-ext: pivot (event types to columns) with a fixed column list",

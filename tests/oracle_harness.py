@@ -51,12 +51,83 @@ def canonicalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def _arrow_family(t) -> str:
+    """Collapse an Arrow type into the family the driver's value-hash
+    distinguishes.  DuckDB HUGEINT surfaces as decimal128(38,0), which
+    hashes differently from Spark's int64 even when values are equal
+    (the round-1 `count_if` incident) — so decimal vs int vs float must
+    not silently coalesce here the way `fetchall()` coalesces them."""
+    import pyarrow.types as pt
+
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return "list<" + _arrow_family(t.value_type) + ">"
+    if pt.is_struct(t):
+        return "struct"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
+def _spark_family(dt_str: str) -> str:
+    """Map a Spark simpleString dtype to the same family space."""
+    if dt_str in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt_str in ("float", "double"):
+        return "float"
+    if dt_str.startswith("decimal"):
+        return "decimal"
+    if dt_str == "boolean":
+        return "bool"
+    if dt_str in ("string", "varchar"):
+        return "str"
+    if dt_str.startswith("timestamp"):
+        return "timestamp"
+    if dt_str == "date":
+        return "date"
+    if dt_str.startswith("array<"):
+        return "list<" + _spark_family(dt_str[6:-1]) + ">"
+    if dt_str.startswith("struct"):
+        return "struct"
+    if dt_str == "binary":
+        return "binary"
+    return dt_str
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     d_rel = con.sql(sql)
     d_cols = list(d_rel.columns)
-    d_rows = d_rel.fetchall()
+    # Arrow-level fetch: fetchall() converts HUGEINT->int and masks the
+    # type skew the driver's hash sees.  Check type families explicitly.
+    d_tbl = d_rel.arrow()
+    d_rows = [tuple(r.values()) for r in d_tbl.to_pylist()]
+    s_types = {f.name: _spark_family(f.dataType.simpleString()) for f in spark_df.schema.fields}
+    d_types = {
+        n.lower(): _arrow_family(d_tbl.schema.field(i).type)
+        for i, n in enumerate(d_cols)
+    }
+    for name, fam in s_types.items():
+        dfam = d_types.get(name, d_types.get(name.lower()))
+        if dfam is not None and dfam != fam:
+            return False, (
+                f"type-family mismatch on '{name}': spark={fam} duck={dfam} "
+                "(driver hashes these differently even when values match)"
+            )
 
     if sorted(s_cols) != sorted(c.lower() for c in d_cols) and sorted(
         s_cols

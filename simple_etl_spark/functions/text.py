@@ -14,9 +14,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Compact stopword list (the reference carries ~120 Indonesian words
-# at app.py:19-31; the mechanism, not the lexicon, is the operator).
-STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+# The reference's Indonesian stopword lexicon, carried verbatim from
+# app.py:19-31 (INDONESIAN_STOPWORDS; duplicates 'nanti'/'pun' deduped,
+# declaration order preserved so oracle-SQL interpolation is stable).
+STOPWORDS = (
+    "yang", "dan", "di", "ke", "dari", "dalam", "untuk", "pada", "dengan",
+    "ini", "itu", "adalah", "akan", "telah", "sudah", "dapat", "bisa",
+    "juga", "tidak", "atau", "serta", "oleh", "sebagai", "karena", "saat",
+    "ketika", "sebelum", "sesudah", "antara", "namun", "tetapi", "jika",
+    "maka", "bila", "kita", "kami", "mereka", "dia", "ia", "nya", "mu",
+    "ku", "anda", "saya", "kamu", "beliau", "para", "semua", "setiap",
+    "masing", "beberapa", "banyak", "sedikit", "lebih", "kurang", "paling",
+    "sangat", "amat", "begitu", "sekali", "lagi", "masih", "sedang",
+    "tengah", "baru", "lama", "dulu", "nanti", "sekarang", "hari", "waktu",
+    "tahun", "bulan", "minggu", "jam", "menit", "detik", "pagi", "siang",
+    "sore", "malam", "kemarin", "besok", "lusa", "tadi", "sebentar",
+    "lalu", "kemudian", "akhirnya", "ada", "tak", "pun", "lah", "kah",
+    "tah", "pula", "saja", "hanya", "cuma", "dong", "kok", "sih", "deh",
+    "yah", "nih", "tuh", "wah", "aduh", "astaga", "alamak", "ayo", "mari",
+    "silakan", "kata", "ucap", "tutur", "sebut", "bilang", "ungkap",
+    "jelas", "terang", "nyata",
+)
 
 
 def term_count(col: Column | str, term: str) -> Column:

@@ -36,7 +36,20 @@ WITH articles AS (
             + (doc_id % 90) * INTERVAL 1 DAY
             + (doc_id % 24) * INTERVAL 1 HOUR
             + (doc_id % 60) * INTERVAL 1 MINUTE AS date,
-        lang AS topic,
+        CASE doc_id % 12
+            WHEN 0 THEN 'politik'
+            WHEN 1 THEN 'pemerintahan daerah'
+            WHEN 2 THEN 'ekonomi makro'
+            WHEN 3 THEN 'bisnis startup'
+            WHEN 4 THEN 'olahraga'
+            WHEN 5 THEN 'teknologi'
+            WHEN 6 THEN 'kesehatan masyarakat'
+            WHEN 7 THEN 'pendidikan tinggi'
+            WHEN 8 THEN 'hukum'
+            WHEN 9 THEN 'berita internasional'
+            WHEN 10 THEN 'lifestyle'
+            ELSE NULL
+        END AS topic,
         text AS content,
         length(text) AS content_length,
         source AS source,
@@ -72,7 +85,22 @@ def silver_articles(cat: Catalog) -> DataFrame:
         .otherwise(F.concat(F.lit("https://img.example/"), F.col("doc_id").cast("string")))
         .alias("image"),
         ts.alias("date"),
-        F.col("lang").alias("topic"),
+        F.expr(
+            """CASE doc_id % 12
+                   WHEN 0 THEN 'politik'
+                   WHEN 1 THEN 'pemerintahan daerah'
+                   WHEN 2 THEN 'ekonomi makro'
+                   WHEN 3 THEN 'bisnis startup'
+                   WHEN 4 THEN 'olahraga'
+                   WHEN 5 THEN 'teknologi'
+                   WHEN 6 THEN 'kesehatan masyarakat'
+                   WHEN 7 THEN 'pendidikan tinggi'
+                   WHEN 8 THEN 'hukum'
+                   WHEN 9 THEN 'berita internasional'
+                   WHEN 10 THEN 'lifestyle'
+                   ELSE NULL
+               END"""
+        ).alias("topic"),
         F.col("text").alias("content"),
         F.length("text").alias("content_length"),
         F.col("source").alias("source"),

@@ -32,10 +32,14 @@ GOLD_CTE = ARTICLES_CTE + """
                 WHEN content_length < 1500 THEN 'Medium'
                 WHEN content_length < 3000 THEN 'Long'
                 ELSE 'Very Long' END AS content_category,
-           CASE WHEN lower(topic) LIKE 'en%' THEN 'English'
-                WHEN lower(topic) LIKE 'de%' OR lower(topic) LIKE 'fr%'
-                     OR lower(topic) LIKE 'es%' THEN 'European'
-                WHEN lower(topic) LIKE 'zh%' OR lower(topic) LIKE 'ja%' THEN 'Asian'
+           CASE WHEN lower(topic) LIKE '%politik%' OR lower(topic) LIKE '%pemerintah%' THEN 'Politik'
+                WHEN lower(topic) LIKE '%ekonom%' OR lower(topic) LIKE '%bisnis%' THEN 'Ekonomi'
+                WHEN lower(topic) LIKE '%olahraga%' OR lower(topic) LIKE '%sport%' THEN 'Olahraga'
+                WHEN lower(topic) LIKE '%teknolog%' OR lower(topic) LIKE '%digital%' THEN 'Teknologi'
+                WHEN lower(topic) LIKE '%kesehatan%' OR lower(topic) LIKE '%medis%' THEN 'Kesehatan'
+                WHEN lower(topic) LIKE '%pendidikan%' OR lower(topic) LIKE '%sekolah%' THEN 'Pendidikan'
+                WHEN lower(topic) LIKE '%hukum%' OR lower(topic) LIKE '%kriminal%' THEN 'Hukum'
+                WHEN lower(topic) LIKE '%internasional%' OR lower(topic) LIKE '%dunia%' THEN 'Internasional'
                 ELSE coalesce(topic, 'Umum') END AS topic_category,
            extract(hour FROM date) AS publish_hour,
            cast(dayofweek(date) as bigint) AS publish_dow,
@@ -83,9 +87,16 @@ def gold_view(silver: DataFrame) -> DataFrame:
         .when(F.col("content_length") < 3000, "Long")
         .otherwise("Very Long")
         .alias("content_category"),
-        F.when(topic_l.like("en%"), "English")
-        .when(topic_l.like("de%") | topic_l.like("fr%") | topic_l.like("es%"), "European")
-        .when(topic_l.like("zh%") | topic_l.like("ja%"), "Asian")
+        # P3: the reference's 8 canonical Indonesian categories with the
+        # COALESCE(topic,'Umum') fallback (process_silver_to_gold.sql:43-53).
+        F.when(topic_l.like("%politik%") | topic_l.like("%pemerintah%"), "Politik")
+        .when(topic_l.like("%ekonom%") | topic_l.like("%bisnis%"), "Ekonomi")
+        .when(topic_l.like("%olahraga%") | topic_l.like("%sport%"), "Olahraga")
+        .when(topic_l.like("%teknolog%") | topic_l.like("%digital%"), "Teknologi")
+        .when(topic_l.like("%kesehatan%") | topic_l.like("%medis%"), "Kesehatan")
+        .when(topic_l.like("%pendidikan%") | topic_l.like("%sekolah%"), "Pendidikan")
+        .when(topic_l.like("%hukum%") | topic_l.like("%kriminal%"), "Hukum")
+        .when(topic_l.like("%internasional%") | topic_l.like("%dunia%"), "Internasional")
         .otherwise(F.coalesce(F.col("topic"), F.lit("Umum")))
         .alias("topic_category"),
         F.hour("date").cast("bigint").alias("publish_hour"),

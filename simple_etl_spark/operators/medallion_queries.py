@@ -609,10 +609,16 @@ def m_entity_backlog(cat: Catalog) -> DataFrame:
 )
 def m_json_shaping(cat: Catalog) -> DataFrame:
     """F17: `row_to_json` parity — aggregate rows re-shaped as compact
-    JSON payload strings via to_json(struct(...))."""
+    JSON payload strings via to_json(struct(...)).
+
+    ignoreNullFields=false: PG row_to_json (and DuckDB to_json) keep
+    null fields; Spark's default silently drops them."""
     agg = _gold(cat).groupBy("topic").agg(F.count(F.lit(1)).alias("article_count"))
     return agg.select(
-        F.to_json(F.struct("topic", "article_count")).alias("payload")
+        F.to_json(
+            F.struct("topic", "article_count"),
+            {"ignoreNullFields": "false"},
+        ).alias("payload")
     )
 
 

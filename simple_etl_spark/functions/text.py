@@ -120,6 +120,108 @@ def index_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def auto_fuzziness(term: Column) -> Column:
+    """ES `fuzziness: AUTO` edit-distance budget (services/es.py:181):
+    0 for terms of length 0-2, 1 for 3-5, 2 for 6+."""
+    return (
+        F.when(F.length(term) < 3, 0)
+        .when(F.length(term) <= 5, 1)
+        .otherwise(2)
+    )
+
+
+def fuzzy_weighted_search(
+    df: DataFrame,
+    terms: list[str],
+    fields: dict[str, int] | None = None,
+    id_col: str = "id",
+    highlight_field: str = "content",
+) -> DataFrame:
+    """F21 full parity with the reference's ES search
+    (services/es.py:166-240): multi_match over weighted fields with
+    `fuzziness: AUTO` plus highlight snippets.
+
+    Scale shape: tokens are aggregated to per-(doc, field, token) tf
+    first (one shuffle, map-side partial agg), the *distinct vocabulary*
+    — tiny relative to the corpus — is matched against the broadcast
+    term list with `levenshtein`, and the matched-token set (tiny)
+    broadcasts back onto the tf relation, so no per-token-instance edit
+    distance is ever computed and the corpus never joins itself.
+
+    A token matching any term counts once (matched tokens are deduped),
+    so scores stay deterministic when terms overlap.
+
+    Highlights: title hits return the whole (short) field like ES's
+    default; the content snippet is a 150-char window centred on the
+    first occurrence of the lexicographically-first matched token —
+    deterministic, oracle-reproducible stand-ins for ES fragments.
+    """
+    fields = fields or {"title": 3, "content": 1}
+    spark = df.sparkSession
+    terms_df = spark.createDataFrame(
+        [(t.lower(),) for t in terms], "term string"
+    )
+
+    posts = None
+    for field in fields:
+        p = df.select(
+            F.col(id_col).alias("__doc"),
+            F.lit(field).alias("__field"),
+            F.explode(tokenize(field)).alias("token"),
+        ).filter(F.length("token") >= 1)
+        posts = p if posts is None else posts.unionByName(p)
+    tf = posts.groupBy("__doc", "__field", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    vocab = tf.select("token").distinct()
+    matched = (
+        vocab.join(
+            F.broadcast(terms_df),
+            F.levenshtein(F.col("token"), F.col("term"))
+            <= auto_fuzziness(F.col("term")),
+        )
+        .select("token")
+        .distinct()
+    )
+
+    weight = F.lit(None)
+    for field, w in fields.items():
+        weight = F.when(F.col("__field") == field, F.lit(int(w))).otherwise(weight)
+    scored = (
+        tf.join(F.broadcast(matched), "token")
+        .groupBy("__doc")
+        .agg(
+            F.sum(weight * F.col("tf")).cast("bigint").alias("score"),
+            F.min(
+                F.when(F.col("__field") == highlight_field, F.col("token"))
+            ).alias("__hl_token"),
+            F.max((F.col("__field") == "title").cast("int")).alias("__title_hit"),
+        )
+    )
+
+    pos = F.expr(f"instr(lower({highlight_field}), __hl_token)")
+    return (
+        df.join(scored, df[id_col] == scored["__doc"])
+        .select(
+            df[id_col],
+            "title",
+            "score",
+            F.when(F.col("__title_hit") == 1, F.col("title")).alias(
+                "highlight_title"
+            ),
+            F.when(
+                F.col("__hl_token").isNotNull() & (pos > 0),
+                F.expr(
+                    f"substring({highlight_field},"
+                    f" greatest(1, instr(lower({highlight_field}), __hl_token) - 60),"
+                    " 150)"
+                ),
+            ).alias("highlight_content"),
+        )
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Training-data text normalization: lowercase, strip URLs,
     collapse runs of whitespace, trim. The canonical pre-dedup

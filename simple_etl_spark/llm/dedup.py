@@ -231,52 +231,163 @@ def near_dedup_minhash(
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# SimHash (64-bit, banded Hamming-distance joins)
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16 → band values fit int64 easily
+
+# The 4 bits of one lowercase hex digit as character classes — a pure
+# string IN-test any md5-bearing engine reproduces exactly (no conv()
+# dialect drift). Index = bit position within the digit, high to low.
+_HEX_BIT_CHARS = (
+    "89abcdef",  # bit 3: value >= 8
+    "4567cdef",  # bit 2: value % 8 >= 4
+    "2367abef",  # bit 1: value % 4 >= 2
+    "13579bdf",  # bit 0: value % 2 == 1
+)
+
+
+def _digit_bit(wh: Column, j: int) -> Column:
+    """±1 contribution of fingerprint bit ``j``: bit ``j % 4`` of md5
+    hex digit ``j // 4`` (64 bits consume digits 1-16 of the digest)."""
+    d = F.substring(wh, j // 4 + 1, 1)
+    return F.when(d.isin(*list(_HEX_BIT_CHARS[j % 4])), 1).otherwise(-1)
 
 
 def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc SimHash fingerprint (16-bit, term-frequency weighted).
+    """Per-doc 64-bit SimHash, term-frequency weighted.
 
-    Bit source: hex digit j of md5(word) — digit ≥ '8' means the
-    digit's high bit is set (+1), else -1. Summing over all word
-    occurrences and taking the sign per position gives the classic
-    SimHash; the digit trick keeps it pure string compare, identical
-    in any engine with md5.
+    Round-1 shipped 16 bits, which is a scale anti-pattern: 65,536
+    buckets means billions of docs pile ~10^5 into each bucket and the
+    within-bucket pairing goes quadratic. 64 bits gives 2^64 distinct
+    fingerprints; near-dup candidates come from the *banded* join in
+    :func:`simhash_hamming_pairs`, not whole-fingerprint equality.
 
-    Plan shape: explode(words) → one grouped aggregation with
-    SIMHASH_BITS conditional sums (map-side partial agg, one shuffle
-    on the doc id) → bit-string assembly."""
+    Output: one row per doc with the packed 16-bit band values
+    ``p0..p3`` (ints — xor/bit_count-able) plus the full fingerprint as
+    a 64-char bit string (``simhash``) for equality bucketing/debug.
+
+    Plan shape: explode(words) → one grouped aggregation with 64
+    conditional ±1 sums (map-side partial agg, one shuffle keyed by doc
+    id) → sign per position, packed arithmetically."""
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).withColumn("wh", F.md5(F.col("word")))
     aggs = [
-        F.sum(
-            F.when(F.substring("wh", j + 1, 1) >= "8", 1).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(_digit_bit(F.col("wh"), j)).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
     sums = words.groupBy(id_col).agg(*aggs)
-    bits = [
-        F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for j in range(SIMHASH_BITS)
-    ]
-    return sums.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+    def bit(j: int) -> Column:
+        return F.when(F.col(f"s{j}") >= 0, 1).otherwise(0)
+
+    band_cols = []
+    for b in range(SIMHASH_BANDS):
+        expr = F.lit(0)
+        for r in range(_BAND_BITS):
+            expr = expr + bit(b * _BAND_BITS + r) * F.lit(
+                1 << (_BAND_BITS - 1 - r)
+            )
+        band_cols.append(expr.cast("bigint").alias(f"p{b}"))
+    bits_str = F.concat(
+        *[
+            F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    return sums.select(F.col(id_col), *band_cols, bits_str.alias("simhash"))
 
 
 def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Candidate near-dup pairs: docs with identical SimHash
-    fingerprints (the 0-Hamming-distance bucket join; banding the bit
-    string into substrings generalizes to distance ≤ k)."""
+    """Exact-fingerprint (Hamming-0) buckets over the 64-bit SimHash —
+    the degenerate case of the banded join; use
+    :func:`simhash_hamming_pairs` for distance > 0."""
     fp = simhash_fingerprint(df, id_col, text_col)
-    a = fp.withColumnRenamed(id_col, "id_a")
-    b = fp.withColumnRenamed(id_col, "id_b")
+    a = fp.select(F.col(id_col).alias("id_a"), "simhash")
+    b = fp.select(F.col(id_col).alias("id_b"), "simhash")
     return (
         a.join(b, ["simhash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "simhash")
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ ``max_distance`` over the
+    64-bit SimHash, without an all-pairs join.
+
+    Pigeonhole banding: with 4 bands of 16 bits, any pair within
+    distance 3 agrees exactly on ≥ 1 band, so candidates are the union
+    of 4 per-band equality self-joins — shuffles keyed on (band,
+    band-value), cost driven by collision groups, not corpus². Each
+    candidate is then verified with the exact distance
+    Σ bit_count(xor(p_a, p_b)) over the packed band words.
+
+    ``max_distance`` must stay < SIMHASH_BANDS for the banding to be
+    lossless (raise bands for larger budgets)."""
+    if max_distance >= SIMHASH_BANDS:
+        raise ValueError(
+            f"max_distance={max_distance} needs > {SIMHASH_BANDS} bands "
+            "for lossless banding; raise SIMHASH_BANDS"
+        )
+    fp = simhash_fingerprint(df, id_col, text_col).drop("simhash")
+    if persist and not df.isStreaming:
+        fp = fp.persist()
+    banded = fp.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"p{b}").alias("val")
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    fa = fp.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"p{b}").alias(f"a{b}") for b in range(SIMHASH_BANDS)]
+    )
+    fb = fp.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"p{b}").alias(f"b{b}") for b in range(SIMHASH_BANDS)]
+    )
+    hamming = F.lit(0)
+    for b in range(SIMHASH_BANDS):
+        hamming = hamming + F.bit_count(
+            F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}"))
+        )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a", "id_b", hamming.cast("bigint").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_distance)
     )
 
 

@@ -498,12 +498,54 @@ def llm_resize(cat: Catalog) -> DataFrame:
     return resize_payload(binary_documents(cat["documents"]), target_bytes=64)
 
 
-_SIMHASH_SUMS = ",\n".join(
-    f"sum(CASE WHEN substring(wh, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{j}"
-    for j in range(16)
+# 64-bit SimHash oracle, generated in lockstep with llm.dedup: bit j
+# is bit (j % 4) of md5 hex digit (j // 4), tested as a character
+# class (see dedup._HEX_BIT_CHARS); bands pack 16 bits each.
+from simple_etl_spark.llm.dedup import (  # noqa: E402
+    _HEX_BIT_CHARS,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
 )
-_SIMHASH_BITS = ", ".join(
-    f"CASE WHEN b{j} >= 0 THEN '1' ELSE '0' END" for j in range(16)
+
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def _sql_in_chars(chars: str) -> str:
+    return ", ".join(f"'{c}'" for c in chars)
+
+
+_SIMHASH_SUMS = ",\n".join(
+    f"sum(CASE WHEN substring(wh, {j // 4 + 1}, 1)"
+    f" IN ({_sql_in_chars(_HEX_BIT_CHARS[j % 4])}) THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_BITSTR = ", ".join(
+    f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+)
+_SIMHASH_BANDS_SQL = ",\n".join(
+    "cast("
+    + " + ".join(
+        f"(CASE WHEN s{b * _BAND_BITS + r} >= 0 THEN 1 ELSE 0 END)"
+        f" * {1 << (_BAND_BITS - 1 - r)}"
+        for r in range(_BAND_BITS)
+    )
+    + f" as bigint) AS p{b}"
+    for b in range(SIMHASH_BANDS)
+)
+_SIMHASH_CORE = f"""
+    words AS (
+        SELECT id, md5(w) AS wh
+        FROM (SELECT id, unnest(string_split(text, ' ')) AS w FROM corpus) t
+    ),
+    sums AS (SELECT id, {_SIMHASH_SUMS} FROM words GROUP BY id),
+    fp AS (SELECT id, {_SIMHASH_BANDS_SQL}, concat({_SIMHASH_BITSTR}) AS simhash
+           FROM sums)
+"""
+_SIMHASH_BANDED = " UNION ALL ".join(
+    f"SELECT id, {b} AS band, p{b} AS val FROM fp" for b in range(SIMHASH_BANDS)
+)
+_SIMHASH_HAMMING = " + ".join(
+    f"bit_count(xor(fa.p{b}, fb.p{b}))" for b in range(SIMHASH_BANDS)
 )
 
 
@@ -511,24 +553,47 @@ _SIMHASH_BITS = ", ".join(
     "llm_simhash",
     oracle=f"""
     WITH {_NEAR_CORPUS_SQL},
-    words AS (
-        SELECT id, md5(w) AS wh
-        FROM (SELECT id, unnest(string_split(text, ' ')) AS w FROM corpus) t
-    ),
-    sums AS (SELECT id, {_SIMHASH_SUMS} FROM words GROUP BY id),
-    fp AS (SELECT id, concat({_SIMHASH_BITS}) AS simhash FROM sums)
+    {_SIMHASH_CORE}
     SELECT a.id AS id_a, b.id AS id_b, a.simhash
     FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.id < b.id
     """,
-    survey="LLM dedup: SimHash fingerprint + 0-distance bucket pairs",
+    survey="LLM dedup: 64-bit SimHash fingerprint + 0-distance bucket pairs",
 )
 def llm_simhash(cat: Catalog) -> DataFrame:
-    """SimHash near-dup candidates over the injected near-dup corpus:
-    identical 16-bit fingerprints pair originals with their
-    first-word-drop copies (plus any natural collisions)."""
+    """SimHash Hamming-0 candidates over the injected near-dup corpus:
+    identical 64-bit fingerprints (the degenerate band case)."""
     from simple_etl_spark.llm.dedup import simhash_buckets
 
     return simhash_buckets(_near_corpus(cat), "id", "text")
+
+
+@query(
+    "llm_simhash_hamming",
+    oracle=f"""
+    WITH {_NEAR_CORPUS_SQL},
+    {_SIMHASH_CORE},
+    banded AS ({_SIMHASH_BANDED}),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.val = b.val AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b, cast({_SIMHASH_HAMMING} as bigint) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.id = c.id_a
+    JOIN fp fb ON fb.id = c.id_b
+    WHERE {_SIMHASH_HAMMING} <= 3
+    """,
+    survey="LLM dedup: banded Hamming<=3 SimHash join (pigeonhole over 4x16-bit bands)",
+)
+def llm_simhash_hamming(cat: Catalog) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ 3 over the 64-bit SimHash:
+    4×16-bit banded candidate joins (pigeonhole-lossless for k=3) with
+    exact bit_count(xor) verification — the at-scale replacement for
+    round-1's 16-bit whole-fingerprint equality bucket."""
+    from simple_etl_spark.llm.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_near_corpus(cat), "id", "text", max_distance=3)
 
 
 @query(

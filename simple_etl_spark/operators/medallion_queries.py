@@ -22,7 +22,12 @@ from simple_etl_spark.functions.clean import (
     clean_title,
     parse_date,
 )
-from simple_etl_spark.functions.text import STOPWORDS, weighted_search, word_frequencies
+from simple_etl_spark.functions.text import (
+    STOPWORDS,
+    fuzzy_weighted_search,
+    weighted_search,
+    word_frequencies,
+)
 from simple_etl_spark.operators.articles import ARTICLES_CTE, silver_articles
 from simple_etl_spark.operators.entities import (
     ENTITIES_CTE,
@@ -467,6 +472,59 @@ def m_weighted_search(cat: Catalog) -> DataFrame:
     """F21: weighted multi-field term-frequency scoring — the engine's
     replacement for the ES search route, pure Column arithmetic."""
     return weighted_search(_gold(cat), ["spark", "merge"]).select("id", "score")
+
+
+@query(
+    "m_search_fuzzy",
+    oracle=GOLD_CTE + r"""
+    , terms(term) AS (SELECT * FROM (VALUES ('qery'), ('vektor')) v(term))
+    , posts AS (
+        SELECT id, 'title' AS field, unnest(string_split_regex(
+                   regexp_replace(lower(title), '[^a-z ]', ' ', 'g'), '\s+')) AS token
+        FROM gold
+        UNION ALL
+        SELECT id, 'content' AS field, unnest(string_split_regex(
+                   regexp_replace(lower(content), '[^a-z ]', ' ', 'g'), '\s+')) AS token
+        FROM gold
+    )
+    , tf AS (
+        SELECT id, field, token, count(*) AS tf
+        FROM posts WHERE length(token) >= 1
+        GROUP BY id, field, token
+    )
+    , matched AS (
+        SELECT DISTINCT v.token
+        FROM (SELECT DISTINCT token FROM tf) v
+        JOIN terms t ON levenshtein(v.token, t.term) <=
+             CASE WHEN length(t.term) < 3 THEN 0
+                  WHEN length(t.term) <= 5 THEN 1 ELSE 2 END
+    )
+    , scored AS (
+        SELECT tf.id,
+               cast(sum(CASE WHEN field = 'title' THEN 3 * tf ELSE tf END) as bigint) AS score,
+               min(CASE WHEN field = 'content' THEN tf.token END) AS hl_token,
+               max(CASE WHEN field = 'title' THEN 1 ELSE 0 END) AS title_hit
+        FROM tf JOIN matched m ON tf.token = m.token
+        GROUP BY tf.id
+    )
+    SELECT g.id, g.title, s.score,
+           CASE WHEN s.title_hit = 1 THEN g.title END AS highlight_title,
+           CASE WHEN s.hl_token IS NOT NULL
+                 AND strpos(lower(g.content), s.hl_token) > 0
+                THEN substr(g.content,
+                            greatest(1, strpos(lower(g.content), s.hl_token) - 60),
+                            150)
+           END AS highlight_content
+    FROM gold g JOIN scored s ON g.id = s.id
+    """,
+    survey="F21 (ES fuzziness:AUTO + highlight fragments, services/es.py:166-240)",
+)
+def m_search_fuzzy(cat: Catalog) -> DataFrame:
+    """F21 (full): fuzzy multi_match with ES AUTO edit-distance budget
+    and highlight snippets. 'qery'→query (distance 1, budget 1 at len
+    4) and 'vektor'→vector (distance 1, budget 2 at len 6) exercise the
+    fuzzy path; exact hits score through the same pipeline."""
+    return fuzzy_weighted_search(_gold(cat), ["qery", "vektor"])
 
 
 # ---------------------------------------------------------------------------

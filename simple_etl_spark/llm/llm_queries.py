@@ -687,6 +687,122 @@ def llm_hash_sample(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "llm_doc_features",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN greatest(
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['der','die','und','das'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['the','and','of','a'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['el','la','de','que'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['le','la','et','les'], w)))) = 0 THEN 'und'
+                WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['der','die','und','das'], w))) = greatest(
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['der','die','und','das'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['the','and','of','a'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['el','la','de','que'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['le','la','et','les'], w)))) THEN 'de'
+                WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['the','and','of','a'], w))) = greatest(
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['der','die','und','das'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['the','and','of','a'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['el','la','de','que'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['le','la','et','les'], w)))) THEN 'en'
+                WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['el','la','de','que'], w))) = greatest(
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['der','die','und','das'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['the','and','of','a'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['el','la','de','que'], w))),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> list_contains(['le','la','et','les'], w)))) THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           cast(length(text) as bigint) AS n_chars,
+           cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS n_tokens,
+           cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                as bigint) AS bpe_tokens,
+           cast(cast(len(regexp_extract_all(text, '[^\w\s]')) as bigint) as double)
+             / cast(length(text) as bigint) AS punct_ratio,
+           cast(cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                    w -> list_contains(['the','and','of','a'], w))) as bigint) as double)
+             / cast(len(string_split_regex(trim(text), '\s+')) as bigint)
+               AS stopword_ratio,
+           (len(string_split_regex(trim(text), '\s+')) >= 10
+            AND length(text) >= 50) AS is_quality,
+           ('0x' || substr(md5(cast(doc_id as varchar)), 1, 6))::bigint < 1677721
+               AS in_sample_10,
+           trim(regexp_replace(regexp_replace(lower(text),
+                'https?://\S+', '', 'g'), '\s+', ' ', 'g')) <> text AS norm_changed
+    FROM documents
+    """,
+    survey="LLM text analysis suite: lang-ID + fingerprint + tokens + quality + "
+    "hash-sample + normalize flags in one projection pass",
+)
+def llm_doc_features(cat: Catalog) -> DataFrame:
+    """The per-document feature matrix a curation pipeline materializes
+    before filtering: language guess, normalization-stable fingerprint,
+    token counts, quality ratios/flag, deterministic 10% sample
+    membership, and whether normalization would change the text — ONE
+    whole-stage-codegen projection (each constituent also exists as its
+    own query; this suite is how they'd actually ship at 100 TB)."""
+    from simple_etl_spark.functions.text import normalize_text
+    from simple_etl_spark.llm.sampling import _SPACE, hash_bucket
+
+    scored = language_scores(quality_features(cat["documents"], "text"), "text")
+    return scored.select(
+        "doc_id",
+        "predicted_lang",
+        doc_fingerprint("text").alias("fingerprint"),
+        "n_chars",
+        "n_tokens",
+        "bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "is_quality",
+        (hash_bucket("doc_id") < F.lit(int(_SPACE * 10 / 100))).alias("in_sample_10"),
+        (normalize_text("text") != F.col("text")).alias("norm_changed"),
+    )
+
+
+@query(
+    "llm_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           cast(octet_length(encode(text)) as bigint) AS n_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           'text' AS modality,
+           cast(64 as integer) AS out_bytes,
+           md5(rpad(substring(text, 1, 64), 64, ' ')) AS out_md5
+    FROM documents
+    """,
+    survey="LLM multimodal suite: feature-extract + resize in one Arrow pass",
+)
+def llm_multimodal_features(cat: Catalog) -> DataFrame:
+    """Fused multimodal pipeline: binary payload → (feature extraction
+    + resize-to-budget) in a single Arrow-batched mapInPandas pass —
+    the production shape (llm_binary_features / llm_resize each
+    demonstrate one stage; fusing avoids a second payload scan and a
+    doc_id shuffle join)."""
+    from simple_etl_spark.llm.multimodal import multimodal_features
+
+    return multimodal_features(binary_documents(cat["documents"]))
+
+
+@query(
     "llm_normalize_probe",
     oracle="""
     WITH norm AS (

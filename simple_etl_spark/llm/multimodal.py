@@ -144,6 +144,51 @@ def binary_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+SUITE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("modality", StringType()),
+        StructField("out_bytes", IntegerType()),
+        StructField("out_md5", StringType()),
+    ]
+)
+
+
+def multimodal_features(
+    binary_df: DataFrame,
+    extractor: Callable[[bytes], tuple[int, int]] = byte_features,
+    modality: str = "text",
+    target_bytes: int = 64,
+) -> DataFrame:
+    """Feature-extract + resize in ONE Arrow pass over the payloads —
+    the fused form of :func:`extract_features` ∘ :func:`resize_payload`
+    (joining their outputs would scan the binary column twice and add
+    a shuffle join on doc_id for no reason)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [extractor(p) for p in pdf["payload"]]
+            resized = [
+                (p[:target_bytes] if len(p) >= target_bytes else p.ljust(target_bytes, b" "))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [f[0] for f in feats],
+                    "first_byte": [f[1] for f in feats],
+                    "modality": modality,
+                    "out_bytes": [len(r) for r in resized],
+                    "out_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, SUITE_SCHEMA)
+
+
 def extract_features(
     binary_df: DataFrame,
     extractor: Callable[[bytes], tuple[int, int]] = byte_features,

@@ -68,23 +68,54 @@ def units_signed(col: Column | str, scale: int = 2) -> Column:
     return F.when(c < 0, -m).otherwise(m).cast("long")
 
 
+def _exact_value(sum_col: Column, scale: int) -> Column:
+    """Exact long sum S → double value of S/10^scale with ONE correct
+    rounding: route through decimal so S itself is never rounded (a
+    bare cast-to-double rounds S first when S ≥ 2^53, then divides —
+    double-rounding that can differ from the oracle's single rounding
+    of the exact decimal sum in the last ulp)."""
+    return (sum_col.cast("decimal(38,0)") / F.lit(10**scale)).cast("double")
+
+
 def lsum(units_col: Column, scale: int, alias: str) -> Column:
     """Sum of integer units → double value (exact S/10^scale).
 
-    Scale posture: the group sum S overflows int64 loudly (ANSI mode)
-    rather than silently, and stays double-exact while S < 2^53 —
-    ~9·10^15 units, i.e. ~10^11 rows of typical 2-dp values per group
-    at scale=2. Beyond that envelope use :func:`dsum` (decimal
-    accumulator, unbounded) — correctness first, speed where safe.
+    Per-row accumulation stays on the JVM long fast path; only the
+    per-GROUP finish is decimal, so exactness holds to int64's 2^63
+    (~9.2·10^18 units), not double's 2^53 — the round-1 envelope,
+    which scale-6 unit sums crossed at ~2× the benchmarked scale.
+    Overflow past 2^63 fails loudly (ANSI); groups that can reach it
+    (10^-6-unit products at 10^11+ rows/group) use :func:`lsum_split`.
     """
-    return (F.sum(units_col).cast("double") / F.lit(float(10**scale))).alias(alias)
+    return _exact_value(F.sum(units_col), scale).alias(alias)
+
+
+def lsum_split(
+    units_col: Column, scale: int, alias: str, split_bits: int = 20
+) -> Column:
+    """Split-accumulator exact sum for wide units (scale ≥ 4 products).
+
+    units = hi·2^split_bits + lo, with hi and lo each summed as plain
+    longs (still whole-stage-codegen; two columns instead of one) and
+    recombined exactly in decimal at the finish. Envelope per group:
+    sum(lo) < 2^63 needs rows < 2^(63-split_bits) (~8.8·10^12 at 20
+    bits); sum(hi) < 2^63 needs rows·max(units)/2^20 < 2^63 — for
+    10^-6-unit money products (~3·10^10 units/row) that is ~2.8·10^14
+    rows per group, comfortably past a 100 TB fact table, where the
+    single-accumulator envelope (~3·10^8 rows/group) is not.
+    """
+    hi = F.sum(F.shiftright(units_col.cast("long"), split_bits)).cast("decimal(38,0)")
+    lo = F.sum(
+        units_col.cast("long").bitwiseAND(F.lit((1 << split_bits) - 1))
+    ).cast("decimal(38,0)")
+    exact = hi * F.lit(1 << split_bits) + lo
+    return (exact / F.lit(10**scale)).cast("double").alias(alias)
 
 
 def lavg(units_col: Column, scale: int, alias: str) -> Column:
-    """Exact-sum average on the long fast path (see lsum)."""
-    return (
-        F.sum(units_col).cast("double") / F.lit(float(10**scale)) / F.count(F.lit(1))
-    ).alias(alias)
+    """Exact-sum average: exact double of the sum (see lsum), then one
+    double division by the group count (same two ops in the oracle)."""
+    return (_exact_value(F.sum(units_col), scale) / F.count(F.lit(1))).alias(alias)
 
 
 def oracle_sum(expr: str, alias: str) -> str:

@@ -418,6 +418,7 @@ def dedup_clusters(
     labels = members.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -439,5 +440,14 @@ def dedup_clusters(
         changed = updated.filter(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a chain of diameter > max_iter would return partially
+        # propagated labels — wrong clusters, silently; fail loudly
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            "(duplicate-pair graph has a component of larger diameter); "
+            "raise max_iter"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

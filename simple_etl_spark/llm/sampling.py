@@ -29,10 +29,15 @@ def hash_bucket(col: Column | str, buckets: int = _SPACE) -> Column:
     return h % F.lit(buckets) if buckets != _SPACE else h
 
 
-def hash_sample(
-    df: DataFrame, key_col: str, percent: float, id_space: int = _SPACE
-) -> DataFrame:
+def hash_sample(df: DataFrame, key_col: str, percent: float) -> DataFrame:
     """Keep rows whose hash bucket falls in the first ``percent``% of
-    hash space — deterministic, engine-independent sampling."""
-    cutoff = int(id_space * percent / 100.0)
-    return df.filter(hash_bucket(key_col, id_space) < F.lit(cutoff))
+    the 24-bit hash space — deterministic, engine-independent sampling.
+
+    (Round 1 exposed an ``id_space`` knob, but the bucket range is
+    fixed by the 6-hex-char prefix: any other space either exceeds the
+    attainable range — silently sampling up to 100% — or introduces
+    modulo bias. Removed rather than documented around.)"""
+    if not 0.0 <= percent <= 100.0:
+        raise ValueError(f"percent must be in [0, 100], got {percent}")
+    cutoff = int(_SPACE * percent / 100.0)
+    return df.filter(hash_bucket(key_col) < F.lit(cutoff))

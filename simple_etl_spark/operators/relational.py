@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from simple_etl_spark.engine import Catalog
-from simple_etl_spark.exactness import davg, dsum, lavg, lsum, units
+from simple_etl_spark.exactness import davg, dsum, lavg, lsum, lsum_split, units
 from simple_etl_spark.queries import query
 
 DEC = "decimal(9,2)"
@@ -77,8 +77,10 @@ def pricing_summary(cat: Catalog) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
             lsum(qty_u, 2, "sum_qty"),
             lsum(ext_u, 2, "sum_base_price"),
-            lsum(disc_price_u, 4, "sum_disc_price"),
-            lsum(charge_u, 6, "sum_charge"),
+            # scale-4/6 products: split accumulators — the single long
+            # sum's exact envelope is ~3e8 rows/group for 10^-6 units
+            lsum_split(disc_price_u, 4, "sum_disc_price"),
+            lsum_split(charge_u, 6, "sum_charge"),
             lavg(qty_u, 2, "avg_qty"),
             lavg(ext_u, 2, "avg_price"),
         )

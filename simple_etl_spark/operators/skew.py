@@ -71,7 +71,19 @@ def salted_join(
     |small|·factor rows — choose ``factor`` ≈ (hot-key rows / target
     task size). For broadcast-sized dimensions just use
     ``F.broadcast`` — this primitive is for the middle ground.
+
+    Only ``inner`` and ``left`` are sound: the small side is
+    replicated ``factor`` times, so any join that can emit unmatched
+    small-side rows (right/full/right_anti/…) would emit each of them
+    ``factor`` times. Guarded with ValueError rather than silently
+    deduping — outer-join skew needs a different construction.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            f"{factor}x under outer variants"
+        )
     salted_big = big.withColumn(_SALT, _salt_col(big, factor))
     replicated = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(factor)]))

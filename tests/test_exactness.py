@@ -1,0 +1,39 @@
+"""Exactness envelope regression: the round-1 lsum finished with a
+bare cast-to-double, which double-rounds once the long unit sum passes
+2^53 — real at ~2x the benchmarked scale for 10^-6-unit products. The
+decimal finish (lsum) and split accumulators (lsum_split) must match
+Python's single correct rounding of the exact rational."""
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from simple_etl_spark.exactness import lsum, lsum_split, units
+
+
+def test_lsum_exact_past_2_53(spark):
+    # 3 odd longs summing to 13,500,000,000,000,003 units (> 2^53):
+    # the old cast-to-double finish rounds the sum before dividing.
+    u = 4_500_000_000_000_001
+    df = spark.range(3).select(F.lit(u).cast("long").alias("u"))
+    got = df.agg(lsum(F.col("u"), 2, "v")).collect()[0]["v"]
+    expected = float(Decimal(3 * u) / 100)  # one correct rounding
+    assert got == expected
+
+
+def test_lsum_split_matches_decimal_oracle_past_2_53(spark):
+    # 20k rows of 987654.321 at scale 6: unit sum ~2e16 > 2^53.
+    rows, val = 20_000, "987654.321"
+    df = spark.range(rows).select(F.lit(float(val)).alias("x"))
+    got = df.agg(lsum_split(units("x", 6), 6, "v")).collect()[0]["v"]
+    expected = float(Decimal(val) * rows)
+    assert got == expected
+
+
+def test_lsum_split_equals_lsum_inside_envelope(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    u = units("l_extendedprice") * (F.lit(100) - units("l_discount"))
+    both = li.groupBy("l_returnflag").agg(
+        lsum(u, 4, "a"), lsum_split(u, 4, "b")
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0

@@ -67,11 +67,13 @@ def parse_date(col: Column | str) -> Column:
 
     Mirrors the SQL twin's regex-dispatched fallback chain
     (process_bronze_to_silver.sql:37-47): ISO timestamp, `DD/MM/YYYY`,
-    `DD-MM-YYYY`, and Indonesian `"Senin, 25 Agu 2025 10:30 WIB"`
-    (month map applied via chained replace). NULL when nothing matches
-    — the caller decides the fallback (the reference defaults to
-    NOW(), which is non-deterministic; the engine keeps NULL and
-    filters at gold, documented divergence)."""
+    `DD-MM-YYYY`, Indonesian `"Senin, 25 Agu 2025 10:30 WIB"` — the
+    month map's `\\bAgu[a-z]*\\b` form also catches the long names
+    ("Agustus", "Januari", …) — and English `dd MMM yyyy [HH:mm]`
+    ("25 Aug 2025"). NULL when nothing matches — the caller decides
+    the fallback (the reference defaults to NOW(), which is
+    non-deterministic; the engine keeps NULL and filters at gold,
+    documented divergence)."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.trim(c)
     # strip weekday prefix + WIB/WITA/WIT suffix for the Indonesian form
@@ -90,6 +92,8 @@ def parse_date(col: Column | str) -> Column:
         F.try_to_timestamp(indo, F.lit("dd MM yyyy HH:mm")),
         F.try_to_timestamp(indo, F.lit("dd MM yyyy HH:mm:ss")),
         F.try_to_timestamp(indo, F.lit("dd MM yyyy")),
+        F.try_to_timestamp(c, F.lit("dd MMM yyyy HH:mm")),
+        F.try_to_timestamp(c, F.lit("dd MMM yyyy")),
     )
 
 

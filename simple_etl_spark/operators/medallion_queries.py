@@ -269,35 +269,46 @@ _MONTH_ID_SQL = """CASE extract(month FROM date)
     WHEN 5 THEN 'Mei' WHEN 6 THEN 'Jun' WHEN 7 THEN 'Jul' WHEN 8 THEN 'Agu'
     WHEN 9 THEN 'Sep' WHEN 10 THEN 'Okt' WHEN 11 THEN 'Nov' ELSE 'Des' END"""
 
+_MONTH_ID_LONG_SQL = """CASE extract(month FROM date)
+    WHEN 1 THEN 'Januari' WHEN 2 THEN 'Februari' WHEN 3 THEN 'Maret'
+    WHEN 4 THEN 'April' WHEN 5 THEN 'Mei' WHEN 6 THEN 'Juni'
+    WHEN 7 THEN 'Juli' WHEN 8 THEN 'Agustus' WHEN 9 THEN 'September'
+    WHEN 10 THEN 'Oktober' WHEN 11 THEN 'November' ELSE 'Desember' END"""
+
 
 @query(
     "m_date_parse_chain",
     oracle=ARTICLES_CTE + f"""
     , formatted AS (
         SELECT doc_id, date,
-               CASE doc_id % 4
+               CASE doc_id % 6
                    WHEN 0 THEN strftime(date, '%Y-%m-%d %H:%M:%S')
                    WHEN 1 THEN strftime(date, '%d/%m/%Y %H:%M:%S')
                    WHEN 2 THEN strftime(date, '%d-%m-%Y %H:%M:%S')
-                   ELSE concat('Senin, ', strftime(date, '%d'), ' ',
+                   WHEN 3 THEN concat('Senin, ', strftime(date, '%d'), ' ',
                                {_MONTH_ID_SQL}, ' ', strftime(date, '%Y %H:%M'),
                                ' WIB')
+                   WHEN 4 THEN concat('Kamis, ', strftime(date, '%d'), ' ',
+                               {_MONTH_ID_LONG_SQL}, ' ', strftime(date, '%Y %H:%M'),
+                               ' WIB')
+                   ELSE strftime(date, '%d %b %Y %H:%M')
                END AS date_raw
         FROM articles
     )
     SELECT doc_id, date_raw,
-           CASE WHEN doc_id % 4 = 3 THEN date_trunc('minute', date) ELSE date END
+           CASE WHEN doc_id % 6 >= 3 THEN date_trunc('minute', date) ELSE date END
                AS parsed
     FROM formatted
     """,
-    survey="F3 (tolerant date-parse chain incl. Indonesian months, "
+    survey="F3 (tolerant date-parse chain incl. Indonesian long months + English, "
     "processor/cleaner.py:56-68 ↔ process_bronze_to_silver.sql:37-47)",
 )
 def m_date_parse_chain(cat: Catalog) -> DataFrame:
-    """Round-trip: format article timestamps into the reference's four
-    observed raw-date shapes (ISO, dd/MM/yyyy, dd-MM-yyyy, Indonesian
-    `"Senin, 25 Agu 2025 10:30 WIB"`), then recover them with the
-    no-UDF parse chain."""
+    """Round-trip: format article timestamps into six raw-date shapes —
+    the reference's four (ISO, dd/MM/yyyy, dd-MM-yyyy, Indonesian
+    `"Senin, 25 Agu 2025 10:30 WIB"`) plus long-form Indonesian months
+    (`"Kamis, 25 Agustus 2025 10:30 WIB"`) and English `dd MMM yyyy` —
+    then recover them with the no-UDF parse chain."""
     a = silver_articles(cat)
     month_id = (
         F.when(F.month("date") == 1, "Jan").when(F.month("date") == 2, "Feb")
@@ -307,18 +318,36 @@ def m_date_parse_chain(cat: Catalog) -> DataFrame:
         .when(F.month("date") == 9, "Sep").when(F.month("date") == 10, "Okt")
         .when(F.month("date") == 11, "Nov").otherwise("Des")
     )
-    did = F.col("doc_id") % 4
+    month_id_long = (
+        F.when(F.month("date") == 1, "Januari").when(F.month("date") == 2, "Februari")
+        .when(F.month("date") == 3, "Maret").when(F.month("date") == 4, "April")
+        .when(F.month("date") == 5, "Mei").when(F.month("date") == 6, "Juni")
+        .when(F.month("date") == 7, "Juli").when(F.month("date") == 8, "Agustus")
+        .when(F.month("date") == 9, "September").when(F.month("date") == 10, "Oktober")
+        .when(F.month("date") == 11, "November").otherwise("Desember")
+    )
+    did = F.col("doc_id") % 6
     date_raw = (
         F.when(did == 0, F.date_format("date", "yyyy-MM-dd HH:mm:ss"))
         .when(did == 1, F.date_format("date", "dd/MM/yyyy HH:mm:ss"))
         .when(did == 2, F.date_format("date", "dd-MM-yyyy HH:mm:ss"))
-        .otherwise(
+        .when(
+            did == 3,
             F.concat(
                 F.lit("Senin, "), F.date_format("date", "dd"), F.lit(" "),
                 month_id, F.lit(" "), F.date_format("date", "yyyy HH:mm"),
                 F.lit(" WIB"),
-            )
+            ),
         )
+        .when(
+            did == 4,
+            F.concat(
+                F.lit("Kamis, "), F.date_format("date", "dd"), F.lit(" "),
+                month_id_long, F.lit(" "), F.date_format("date", "yyyy HH:mm"),
+                F.lit(" WIB"),
+            ),
+        )
+        .otherwise(F.date_format("date", "dd MMM yyyy HH:mm"))
     )
     return a.select(
         "doc_id",

@@ -61,6 +61,14 @@ DATE_GOLDENS = [
     ("10-08-2025 07:05:00", dt.datetime(2025, 8, 10, 7, 5)),
     ("Senin, 25 Agu 2025 10:30 WIB", dt.datetime(2025, 8, 25, 10, 30)),
     ("Jumat, 01 Des 2023 23:59 WIB", dt.datetime(2023, 12, 1, 23, 59)),
+    # long-form Indonesian month names (dateparser territory in the
+    # reference; the \bAgu[a-z]*\b month map covers them)
+    ("Kamis, 07 Agustus 2025 09:15 WIB", dt.datetime(2025, 8, 7, 9, 15)),
+    ("Selasa, 17 Januari 2024 06:00 WIB", dt.datetime(2024, 1, 17, 6, 0)),
+    ("12 Desember 2022", dt.datetime(2022, 12, 12)),
+    # English dd MMM yyyy forms
+    ("25 Aug 2025 14:30", dt.datetime(2025, 8, 25, 14, 30)),
+    ("03 Oct 2024", dt.datetime(2024, 10, 3)),
     ("not a date", None),
     ("", None),
 ]
@@ -91,6 +99,37 @@ def test_parse_date_goldens(spark):
     )
     for (raw, want), out in zip(DATE_GOLDENS, got):
         assert out == want, f"{raw!r}: {out!r} != {want!r}"
+
+
+def test_iso_week_boundary_goldens(spark):
+    """weekofyear (Spark) vs extract(week) (DuckDB) vs Python
+    isocalendar around Dec-29..Jan-4 — the only dates where ISO-week
+    conventions can silently diverge. weekly_trends depends on the
+    engines agreeing here; sf0.01 data happens not to straddle a year
+    boundary, so pin it explicitly."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    dates = [
+        dt.date(y, m, d)
+        for y in (2023, 2024, 2025, 2026)
+        for (m, d) in [(12, 29), (12, 30), (12, 31), (1, 1), (1, 2), (1, 3), (1, 4)]
+    ]
+    df = spark.createDataFrame([(d,) for d in dates], ["d"])
+    got = {
+        r["d"]: r["w"]
+        for r in df.select("d", F.weekofyear("d").alias("w")).collect()
+    }
+    duck = dict(
+        duckdb.sql(
+            "SELECT d, extract(week FROM d) FROM (SELECT unnest($dates::date[]) d)",
+            params={"dates": [d.isoformat() for d in dates]},
+        ).fetchall()
+    )
+    for d in dates:
+        iso = d.isocalendar()[1]
+        assert got[d] == iso, f"spark weekofyear({d}) = {got[d]} != ISO {iso}"
+        assert duck[d] == iso, f"duckdb week({d}) = {duck[d]} != ISO {iso}"
 
 
 def test_gen_id_md5(spark):

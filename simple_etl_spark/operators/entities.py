@@ -70,6 +70,68 @@ def deterministic_extractor(text: str) -> list[tuple[str, str, float, int, int]]
     return out
 
 
+# Per-executor-process pipeline cache: mapInPandas workers unpickle the
+# extractor closure once per python worker; the first call loads the
+# model and every subsequent batch in that process reuses it
+# (broadcast-by-initialization, processor/ner.py:51-70).
+_PIPELINE_CACHE: dict[tuple, object] = {}
+
+
+def model_extractor_factory(
+    model_name: str = "cahya/NusaBert-ner-v1.3",
+    device: int = -1,
+    max_chars: int = 5000,
+    loader: Callable[[], object] | None = None,
+) -> Extractor:
+    """The deployable X2 path: an :data:`Extractor` backed by a
+    transformers NER pipeline (the reference's NusaBert,
+    processor/ner.py:57-64), loaded lazily ONCE PER EXECUTOR PROCESS —
+    never per row, never on the driver.
+
+    Knobs mirror the reference: ``device=-1`` CPU inference
+    (ner.py:63), ``max_chars=5000`` input truncation (ner.py:89-91).
+    ``loader`` is injectable so the lazy-init contract is testable
+    without the model (tests assert loads ≤ worker processes, not
+    rows); by default it imports transformers — import-gated with a
+    clear error, since the library is not in this environment."""
+
+    def _default_loader() -> object:
+        try:
+            from transformers import pipeline  # noqa: PLC0415
+        except ImportError as exc:  # pragma: no cover - env-gated
+            raise NotImplementedError(
+                "model-backed NER needs the transformers library on "
+                "executors; inject deterministic_extractor (tests) or "
+                "install the model dependencies"
+            ) from exc
+        return pipeline(
+            "ner", model=model_name, grouped_entities=True, device=device
+        )
+
+    load = loader or _default_loader
+    cache_key = (model_name, device, id(loader))
+
+    def extract(text: str) -> list[tuple[str, str, float, int, int]]:
+        pipe = _PIPELINE_CACHE.get(cache_key)
+        if pipe is None:
+            pipe = _PIPELINE_CACHE[cache_key] = load()
+        truncated = text[:max_chars]
+        out = []
+        for ent in pipe(truncated):
+            out.append(
+                (
+                    str(ent.get("word", "")),
+                    str(ent.get("entity_group", "MISC")),
+                    float(ent.get("score", 0.0)),
+                    int(ent.get("start", -1)),
+                    int(ent.get("end", -1)),
+                )
+            )
+        return out
+
+    return extract
+
+
 def extract_entities(
     articles: DataFrame,
     extractor: Extractor = deterministic_extractor,

@@ -67,6 +67,107 @@ def write_table(
     return path
 
 
+def purge_older_than(
+    spark: SparkSession,
+    base: str,
+    col: str,
+    days: int,
+    anchor: "object | None" = None,
+) -> dict:
+    """S12 as a real mutation: drop rows older than ``days`` before
+    ``anchor`` by committing a new snapshot WITHOUT them — the
+    reference's retention DELETE (services/pg_staging.py:399-434)
+    re-expressed for immutable storage.
+
+    Fast path: when the current snapshot is Hive-partitioned on
+    ``col`` (``col=YYYY-MM-DD`` directories — the layout a
+    retention-managed table should use), kept partitions are
+    *hardlinked* into the new snapshot directory: O(partitions)
+    metadata work, zero data copied, and the drop is exact because
+    the predicate is on the partition key. Readers keep resolving the
+    old snapshot until the pointer swap; :func:`vacuum` reclaims it.
+
+    Fallback: an unpartitioned snapshot is rewritten through a filter
+    (full copy — unavoidable without row-level storage; at 100 TB,
+    partition your retention tables by date).
+
+    ``anchor`` defaults to the max of ``col`` in the data (the
+    engine's deterministic stand-in for the reference's NOW()).
+    Rows with NULL ``col`` are kept, matching DELETE's semantics.
+
+    Returns {"version", "path", "dropped_partitions", "mode"}.
+    """
+    import datetime as dt
+    import shutil
+
+    cur_path = table_path(base)
+    if cur_path is None:
+        raise FileNotFoundError(f"no committed snapshot under {base}")
+
+    part_prefix = f"{col}="
+    part_dirs = [
+        e
+        for e in os.scandir(cur_path)
+        if e.is_dir() and e.name.startswith(part_prefix)
+    ]
+
+    df = spark.read.parquet(cur_path)
+    if anchor is None:
+        from pyspark.sql import functions as F
+
+        anchor = df.agg(F.max(col)).collect()[0][0]
+        if anchor is None:
+            raise ValueError(f"cannot anchor retention: {col} is all NULL")
+    if isinstance(anchor, dt.datetime):
+        anchor = anchor.date()
+    cutoff = anchor - dt.timedelta(days=days)
+
+    v = (current_version(base) or 0) + 1
+    new_path = os.path.join(base, f"v{v}")
+
+    if part_dirs:
+        dropped = []
+        os.makedirs(new_path, exist_ok=True)
+        for entry in part_dirs:
+            raw = entry.name[len(part_prefix):]
+            keep_it = True
+            if raw != "__HIVE_DEFAULT_PARTITION__":  # NULLs are kept
+                try:
+                    keep_it = dt.date.fromisoformat(raw) >= cutoff
+                except ValueError:
+                    pass  # unparseable partition value: keep, don't drop
+            if not keep_it:
+                dropped.append(entry.name)
+                continue
+            dst_dir = os.path.join(new_path, entry.name)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in os.scandir(entry.path):
+                if f.is_file():
+                    try:
+                        os.link(f.path, os.path.join(dst_dir, f.name))
+                    except OSError:
+                        shutil.copy2(f.path, os.path.join(dst_dir, f.name))
+        mode = "partition-drop"
+    else:
+        from pyspark.sql import functions as F
+
+        kept = df.filter(F.col(col).isNull() | (F.col(col) >= F.lit(cutoff)))
+        kept.write.mode("overwrite").parquet(new_path)
+        dropped = []
+        mode = "filter-rewrite"
+
+    tmp = _pointer_file(base) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, _pointer_file(base))
+    return {
+        "version": v,
+        "path": new_path,
+        "dropped_partitions": dropped,
+        "mode": mode,
+    }
+
+
 def vacuum(base: str, keep: int = 1) -> list[str]:
     """Drop snapshots older than the newest ``keep`` (the retention
     delete S12 for the store itself). Returns removed paths."""

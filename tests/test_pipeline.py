@@ -11,6 +11,7 @@ import pytest
 from simple_etl_spark.pipeline import get_statistics, run_batch_pipeline
 from simple_etl_spark.sources.table_store import (
     current_version,
+    purge_older_than,
     read_table,
     vacuum,
     write_table,
@@ -104,6 +105,59 @@ def test_table_store_pointer_swap_and_vacuum(spark, tmp_path):
     removed = vacuum(base, keep=1)
     assert len(removed) == 1 and removed[0].endswith("v1")
     assert read_table(spark, base).count() == 14
+
+
+def test_purge_older_than_partition_drop(spark, tmp_path):
+    """S12 retention purge as a mutation: date-partition drop through
+    a new snapshot — old partitions gone from the committed view, old
+    snapshot intact until vacuum, commit atomic (pointer swap last)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "events")
+    days = [(dt.date(2024, 1, 1) + dt.timedelta(days=i)) for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(days) for _ in range(3)], ["n", "d"]
+    ).withColumn("d", F.col("d").cast("date"))
+    write_table(df, base, partition_by=["d"])
+    assert read_table(spark, base).count() == 30
+
+    out = purge_older_than(
+        spark, base, "d", days=3, anchor=dt.date(2024, 1, 10)
+    )
+    # cutoff 2024-01-07: days 01..06 dropped, 07..10 kept
+    assert out["mode"] == "partition-drop"
+    assert len(out["dropped_partitions"]) == 6
+    assert current_version(base) == 2
+
+    kept = read_table(spark, base)
+    assert kept.count() == 12  # 4 days x 3 rows
+    assert kept.agg(F.min("d")).collect()[0][0] == dt.date(2024, 1, 7)
+
+    # old snapshot still on disk (readers mid-scan unaffected)...
+    assert os.path.isdir(os.path.join(base, "v1"))
+    removed = vacuum(base, keep=1)
+    # ...until vacuum reclaims it
+    assert [p for p in removed if p.endswith("v1")]
+    assert read_table(spark, base).count() == 12
+
+
+def test_purge_older_than_filter_rewrite_fallback(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "flat")
+    days = [(dt.date(2024, 1, 1) + dt.timedelta(days=i)) for i in range(10)]
+    df = spark.createDataFrame([(d,) for d in days], ["d"]).withColumn(
+        "d", F.col("d").cast("date")
+    )
+    write_table(df, base)  # unpartitioned
+    out = purge_older_than(spark, base, "d", days=3, anchor=dt.date(2024, 1, 10))
+    assert out["mode"] == "filter-rewrite"
+    assert read_table(spark, base).count() == 4
 
 
 def test_streaming_pipeline_end_to_end(spark, tmp_path):

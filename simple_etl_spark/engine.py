@@ -64,24 +64,24 @@ def get_spark(app_name: str = "simple-etl-spark", cpus: int | None = None) -> Sp
     return spark
 
 
-# Below this total input size, adaptive execution is pure overhead:
-# every AQE stage boundary materializes the exchange and re-plans
-# (~40-100 ms wall per stage locally) to coalesce partitions that a
-# small job never needed. On real multi-GB inputs the replanning pays
-# for itself many times over — so the switch is on input *size*, not
-# on an environment flag.
-AQE_MIN_INPUT_BYTES = 1 << 30  # 1 GiB
+# Below this total input size the session is re-tuned for latency:
+# task-count overhead dominates, so fewer shuffle partitions + AQE
+# partition coalescing (which collapses tiny exchanges to one task)
+# beat the at-scale defaults. Above it the full posture stands.
+SMALL_INPUT_BYTES = 1 << 30  # 1 GiB
 
 
 def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
-    """Size the session's adaptive features to the actual input.
+    """Size the session's shuffle/scan granularity to the actual input.
 
-    Sums the parquet footprint under ``sf_dir``; small inputs run with
-    AQE off (fixed single-pass plans — the whole dataset fits in a
-    handful of partitions, so runtime re-planning has nothing to win),
-    large inputs keep the full adaptive posture (coalescing, skew
-    splitting). Conf changes are session-level runtime confs; call
-    once per benchmark/session against one data directory.
+    Small inputs (< 1 GiB): 4 shuffle partitions, AQE coalescing with
+    an 8 MiB floor (measured on the r2 bench grid: serial total 2.44s
+    → ~1.4s at sf0.1 vs the 32-partition defaults, concurrent suite
+    ~0.3-0.5s), and scan bins sized (1 MiB open cost / 4 MiB bins) so
+    multi-file tables fan out instead of packing into one 128 MiB bin.
+    Large inputs keep the cluster defaults — these knobs are latency
+    tuning, not throughput tuning. Runtime confs only; call once per
+    benchmark/session against one data directory.
     """
     try:
         total = sum(
@@ -91,8 +91,14 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
         )
     except OSError:
         return
-    if total < AQE_MIN_INPUT_BYTES:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if total < SMALL_INPUT_BYTES:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "8MB"
+        )
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
     else:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 

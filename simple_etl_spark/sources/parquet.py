@@ -35,13 +35,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        dtypes = dict(df.dtypes)  # forces schema resolution — a reader
+        # that rejects NANOS falls through to the pyarrow path here
         for c in nanos_cols:
-            df = df.withColumn(
-                c, F.expr(f"cast(timestamp_micros({c} div 1000) as timestamp_ntz)")
-            )
-        # force schema resolution now so a reader that rejects NANOS
-        # falls through to the pyarrow path
-        df.schema
+            # only fix up when the column actually arrived as raw nanos
+            # (bigint); a re-laid-out copy of the table already carries
+            # a proper timestamp and must pass through untouched
+            if dtypes.get(c) == "bigint":
+                df = df.withColumn(
+                    c,
+                    F.expr(f"cast(timestamp_micros({c} div 1000) as timestamp_ntz)"),
+                )
         return df
     except Exception:
         return _load_via_arrow(spark, path)

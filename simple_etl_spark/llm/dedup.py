@@ -410,14 +410,30 @@ def dedup_clusters(
     ``checkpoint`` on a cluster with a fault-tolerant dir), and the
     loop exits as soon as a round changes nothing.
     """
-    sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # The frontier re-materializes every round (localCheckpoint), so
+    # its partition count is paid per iteration: cap it at the
+    # session's parallelism rather than inheriting a wide shuffle conf
+    # (a vanilla 200-partition session spent ~20s/round on scheduling
+    # for a few-hundred-row frontier at sf0.01). coalesce() narrows
+    # without an extra shuffle; at scale the cap is the core count,
+    # which is what an iterative frontier wants anyway.
+    ncap = max(pairs.sparkSession.sparkContext.defaultParallelism, 4)
+    # the edge relation is re-joined every round — materialize it once
+    # or the whole upstream pair pipeline (minhash/LSH/verify) re-runs
+    # per iteration
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .coalesce(ncap)
+        .localCheckpoint()
     )
-    labels = members.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    labels = (
+        members.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        .coalesce(ncap)
+        .localCheckpoint()
+    )
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -436,6 +452,7 @@ def dedup_clusters(
                     "_chg"
                 ),
             )
+            .coalesce(ncap)
         ).localCheckpoint()
         changed = updated.filter(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")

@@ -101,11 +101,22 @@ def _spread(df: DataFrame) -> DataFrame:
     """Rebalance a thin frame to session parallelism before a
     CPU-heavy projection (cheap: rows are doc-sized, pre-explode).
     Streaming frames pass through — micro-batch partitioning is the
-    trigger's concern, and `.rdd` is undefined on a stream."""
+    trigger's concern.
+
+    Partition count comes from the physical plan's RDD lineage via
+    ``queryExecution`` (no ``df.rdd`` conversion, which would add a
+    deserialization boundary and re-trigger analysis per call); if the
+    plan can't say, repartitioning is skipped — at-scale inputs always
+    have enough partitions, the rebalance only matters for
+    single-file local reads."""
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        nparts = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+    except Exception:
+        return df
+    if nparts < target:
         return df.repartition(target)
     return df
 

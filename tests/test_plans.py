@@ -80,6 +80,41 @@ def test_events_timestamp_canonicalized(cat):
     assert dict(cat["events"].dtypes)["ts"].startswith("timestamp")
 
 
+def test_fuzzy_search_broadcasts_matched_vocab(spark, sf_dir):
+    """The fuzzy matcher must broadcast the (tiny) term list and the
+    matched-token set back onto the tf relation — a SortMergeJoin on
+    token would shuffle the whole posting relation for a handful of
+    query terms."""
+    from simple_etl_spark.queries import queries
+
+    df = queries()["m_search_fuzzy"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_simhash_hamming_no_cartesian_and_partial_agg(spark, sf_dir):
+    """Banded candidate generation must stay an equi-join on
+    (band, value) — never a cartesian/all-pairs — and the 64
+    conditional sums must partial-aggregate map-side."""
+    from simple_etl_spark.queries import queries
+
+    df = queries()["llm_simhash_hamming"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Cartesian" not in plan
+    assert "partial_sum" in plan
+
+
+def test_doc_features_is_single_scan_projection(spark, sf_dir):
+    """The per-doc feature matrix must stay one pass: no Exchange
+    (shuffle) anywhere — it's a pure projection over documents."""
+    from simple_etl_spark.queries import queries
+
+    df = queries()["llm_doc_features"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # projection runs inside codegen
+
+
 def test_salted_agg_matches_plain_agg(spark, sf_dir):
     from pyspark.sql import functions as F
 

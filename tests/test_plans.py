@@ -115,6 +115,35 @@ def test_doc_features_is_single_scan_projection(spark, sf_dir):
     assert "codegen id" in plan  # projection runs inside codegen
 
 
+def test_bucketed_join_elides_both_exchanges(spark, sf_dir):
+    """Write orders and lineitem bucketed on orderkey; the equi-join
+    must read co-located buckets — SortMergeJoin with no Exchange on
+    either side (the write-time shuffle amortized away)."""
+    from simple_etl_spark.sources.bucketed import colocated_join, write_bucketed
+
+    cat = Catalog(spark, sf_dir)
+    write_bucketed(
+        cat["orders"].withColumnRenamed("o_orderkey", "k"),
+        "b_orders", "k", buckets=8,
+    )
+    write_bucketed(
+        cat["lineitem"].withColumnRenamed("l_orderkey", "k"),
+        "b_lineitem", "k", buckets=8,
+    )
+    joined = colocated_join(spark, "b_orders", "b_lineitem", "k")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # and it actually computes the right thing
+    expected = (
+        cat["orders"].join(
+            cat["lineitem"],
+            cat["orders"]["o_orderkey"] == cat["lineitem"]["l_orderkey"],
+        ).count()
+    )
+    assert joined.count() == expected
+
+
 def test_salted_agg_matches_plain_agg(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -150,7 +150,10 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.col("score").cast("decimal(18,9)").alias("score_q"),
-            "rnk",
+            # Spark row_number() is int32 but SQL engines (DuckDB/PG)
+            # produce int64 — widen so the exposed schema matches the
+            # ANSI oracle byte-for-byte.
+            F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
 

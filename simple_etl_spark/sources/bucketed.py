@@ -26,6 +26,7 @@ def write_bucketed(
     key: str | list[str],
     buckets: int = 64,
     sort: bool = True,
+    overwrite: bool = False,
 ) -> None:
     """Write ``df`` as a bucketed (and in-bucket sorted) catalog table.
 
@@ -36,12 +37,23 @@ def write_bucketed(
 
     In-bucket sorting makes the downstream SortMergeJoin skip its sort
     as well (plan shows neither Exchange nor Sort).
+
+    Raises ``ValueError`` if ``table`` already exists and ``overwrite``
+    is False — a name collision must never silently destroy a catalog
+    table (dropping a 100 TB bucketed fact to re-create it costs the
+    full write-time shuffle again, on top of the data loss).
     """
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS `{table.replace('`', '')}`")
-    # a crashed/previous run can leave an orphaned managed location that
-    # saveAsTable refuses to adopt — clear it
+    if spark.catalog.tableExists(table):
+        if not overwrite:
+            raise ValueError(
+                f"table '{table}' already exists; pass overwrite=True to replace it"
+            )
+        spark.sql(f"DROP TABLE IF EXISTS `{table.replace('`', '')}`")
+    # a crashed/previous run can leave an orphaned managed location
+    # (no catalog entry) that saveAsTable refuses to adopt — clear it;
+    # safe because any *live* table was handled above
     import shutil
 
     warehouse = spark.conf.get(

@@ -60,9 +60,13 @@ def _arrow_family(t) -> str:
     import pyarrow.types as pt
 
     if pt.is_integer(t):
-        return "int"
+        # widths matter: the driver's value-hash distinguishes int32
+        # from int64 (the round-2 `row_number` incident) — Spark
+        # row_number() is int32, DuckDB's is int64, values identical,
+        # hash different. Never collapse integer widths here.
+        return f"int{t.bit_width}"
     if pt.is_floating(t):
-        return "float"
+        return f"float{t.bit_width}"
     if pt.is_decimal(t):
         return "decimal"
     if pt.is_boolean(t):
@@ -84,10 +88,18 @@ def _arrow_family(t) -> str:
 
 def _spark_family(dt_str: str) -> str:
     """Map a Spark simpleString dtype to the same family space."""
-    if dt_str in ("tinyint", "smallint", "int", "bigint"):
-        return "int"
-    if dt_str in ("float", "double"):
-        return "float"
+    if dt_str == "tinyint":
+        return "int8"
+    if dt_str == "smallint":
+        return "int16"
+    if dt_str == "int":
+        return "int32"
+    if dt_str == "bigint":
+        return "int64"
+    if dt_str == "float":
+        return "float32"
+    if dt_str == "double":
+        return "float64"
     if dt_str.startswith("decimal"):
         return "decimal"
     if dt_str == "boolean":

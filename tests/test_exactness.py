@@ -37,3 +37,31 @@ def test_lsum_split_equals_lsum_inside_envelope(spark, sf_dir):
         lsum(u, 4, "a"), lsum_split(u, 4, "b")
     )
     assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_harness_catches_int_width_mismatch(spark):
+    # Round-2 incident class: Spark row_number() exposes int32 while the
+    # DuckDB oracle's row_number() is int64 — values identical, driver
+    # hash differs.  The local harness must flag the width skew so it
+    # can never reach the driver again.
+    import duckdb
+
+    from tests.oracle_harness import compare
+
+    con = duckdb.connect()
+    df = spark.range(3).select(F.col("id").cast("int").alias("rnk"))
+    ok, msg = compare(df, con, "SELECT CAST(range AS BIGINT) AS rnk FROM range(3)")
+    con.close()
+    assert not ok and "type-family mismatch" in msg and "int32" in msg
+
+
+def test_harness_passes_matching_int64(spark):
+    import duckdb
+
+    from tests.oracle_harness import compare
+
+    con = duckdb.connect()
+    df = spark.range(3).select(F.col("id").alias("rnk"))
+    ok, msg = compare(df, con, "SELECT CAST(range AS BIGINT) AS rnk FROM range(3)")
+    con.close()
+    assert ok, msg

@@ -9,6 +9,8 @@ stay right.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -115,33 +117,76 @@ def test_doc_features_is_single_scan_projection(spark, sf_dir):
     assert "codegen id" in plan  # projection runs inside codegen
 
 
+@contextmanager
+def _pinned_confs(spark, confs: dict[str, str]):
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_elides_both_exchanges(spark, sf_dir):
     """Write orders and lineitem bucketed on orderkey; the equi-join
     must read co-located buckets — SortMergeJoin with no Exchange on
-    either side (the write-time shuffle amortized away)."""
+    either side (the write-time shuffle amortized away).
+
+    At test scale AQE would broadcast-plan these tiny tables and never
+    exercise the contract, so broadcast is pinned off for the
+    assertion — at 100 TB neither fact side is broadcastable and
+    SortMergeJoin-over-buckets is the only no-shuffle plan.
+    """
     from simple_etl_spark.sources.bucketed import colocated_join, write_bucketed
 
     cat = Catalog(spark, sf_dir)
     write_bucketed(
         cat["orders"].withColumnRenamed("o_orderkey", "k"),
-        "b_orders", "k", buckets=8,
+        "b_orders", "k", buckets=8, overwrite=True,
     )
     write_bucketed(
         cat["lineitem"].withColumnRenamed("l_orderkey", "k"),
-        "b_lineitem", "k", buckets=8,
+        "b_lineitem", "k", buckets=8, overwrite=True,
     )
-    joined = colocated_join(spark, "b_orders", "b_lineitem", "k")
-    plan = _plan(joined)
-    assert "SortMergeJoin" in plan
-    assert "Exchange" not in plan
-    # and it actually computes the right thing
-    expected = (
-        cat["orders"].join(
-            cat["lineitem"],
-            cat["orders"]["o_orderkey"] == cat["lineitem"]["l_orderkey"],
-        ).count()
-    )
-    assert joined.count() == expected
+    with _pinned_confs(spark, {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }):
+        joined = colocated_join(spark, "b_orders", "b_lineitem", "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it actually computes the right thing
+        expected = (
+            cat["orders"].join(
+                cat["lineitem"],
+                cat["orders"]["o_orderkey"] == cat["lineitem"]["l_orderkey"],
+            ).count()
+        )
+        assert joined.count() == expected
+
+
+def test_write_bucketed_refuses_to_clobber(spark):
+    """A name collision must raise, not silently drop the existing
+    table (VERDICT r2 #3: overwrite guard)."""
+    from simple_etl_spark.sources.bucketed import write_bucketed
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    write_bucketed(df, "b_guard", "k", buckets=2, overwrite=True)
+    with pytest.raises(ValueError, match="already exists"):
+        write_bucketed(df, "b_guard", "k", buckets=2)
+    # the original table survived the refused write
+    assert spark.table("b_guard").count() == 10
+    spark.sql("DROP TABLE b_guard")
 
 
 def test_salted_agg_matches_plain_agg(spark, sf_dir):

@@ -853,7 +853,13 @@ def customer_revenue_quartiles(cat: Catalog) -> DataFrame:
     )
     w = Window.orderBy(F.desc("revenue"), F.col("o_custkey"))
     return (
-        cust.select("o_custkey", "revenue", F.ntile(4).over(w).alias("quartile"))
+        cust.select(
+            "o_custkey",
+            "revenue",
+            # Spark ntile() emits int32; ANSI engines emit int64 — widen
+            # so the exposed column hashes identically under the driver.
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

@@ -95,7 +95,13 @@ GRADE_ORDER: tuple[str, ...] = (
     "m_json_shaping",         # F17
     "m_health_metrics",       # A12
     "m_search_topk",          # T5
-    "m_sql_overview",         # dashboard overview (ungraded in r1)
+    # r3: m_sql_overview ceded its slot to the entity-insights path.
+    # Its §2 tags (A10, P5) keep graded covers via scalar_metrics_block
+    # and recent_events; the E3 dashboard flow stays graded through the
+    # medallion + entity queries.  m_top_entity_per_type grades W2/W3 on
+    # the page the reference dashboards actually serve
+    # (process_silver_to_gold.sql:172-208, apx.py:114-135).
+    "m_top_entity_per_type",  # W2 W3 on the entity path (r3 re-grade)
     "m_search_index",         # S9 S10 (ungraded in r1)
     "m_search_fuzzy",         # F21 fuzziness + highlights (new r2)
     # -- LLM pack headline queries --

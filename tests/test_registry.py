@@ -21,10 +21,14 @@ def test_musts_inside_driver_window():
         "llm_cosine_topk",
         "llm_ann_bucketed",
         "llm_text_quality",
-        "m_sql_overview",
         "m_search_index",
         "retention_split",
         "m_gold_projection",
+        # r3: the entity-insights path must hold a graded slot (it took
+        # m_sql_overview's — that query's §2 tags keep other covers).
+        "m_top_entity_per_type",
+        # F17's sole graded cover — must never fall out of the window.
+        "m_json_shaping",
     ]
     out = [n for n in musts if n not in window]
     assert not out, f"must-grade queries outside the 50-query window: {out}"

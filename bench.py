@@ -17,7 +17,7 @@ computation, no driver collect):
   concurrent submission measures. The serial total is also reported.
 
 The session is sized to the input via ``tune_for_input`` (small
-inputs: 8 shuffle partitions + AQE partition coalescing + small scan
+inputs: 4 shuffle partitions + AQE partition coalescing + small scan
 bins; at-scale inputs keep cluster defaults), and the single-row-group
 test parquet is re-laid as multi-file tables once (unmeasured) so scan
 parallelism reflects how real tables are written — see
@@ -53,8 +53,26 @@ def _layout_cache(spark, sf_dir: str, cpus: int) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     cache = os.path.join("/tmp", "spark_graft_layout", tag)
     marker = os.path.join(cache, "_READY")
+
+    def _fingerprint() -> str:
+        # Source-content identity: if the testdata at this path is ever
+        # regenerated (new sizes/mtimes), a stale cache from a previous
+        # run must not be silently measured.
+        parts = []
+        for name in sorted(TABLES):
+            src = os.path.join(sf_dir, f"{name}.parquet")
+            st = os.stat(src)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        return ";".join(parts)
+
+    try:
+        fp = _fingerprint()
+    except OSError:
+        return sf_dir
     if os.path.exists(marker):
-        return cache
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return cache
     try:
         os.makedirs(cache, exist_ok=True)
         for name in TABLES:
@@ -65,7 +83,7 @@ def _layout_cache(spark, sf_dir: str, cpus: int) -> str:
                 os.path.join(cache, f"{name}.parquet")
             )
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(fp)
         return cache
     except Exception:
         return sf_dir

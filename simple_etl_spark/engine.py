@@ -91,6 +91,20 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
         )
     except OSError:
         return
+    tuned = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "spark.sql.files.openCostInBytes",
+        "spark.sql.files.maxPartitionBytes",
+    )
+    # Stash the session's pre-tune posture once, so a later re-tune
+    # against at-scale data restores it. conf.unset would NOT do this:
+    # it falls back to Spark's hard defaults (200 partitions), not the
+    # values the session was built with.
+    if not hasattr(spark, "_sg_pretune"):
+        spark._sg_pretune = {
+            k: spark.conf.get(k, None) for k in tuned
+        }
     if total < SMALL_INPUT_BYTES:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -100,7 +114,16 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
         spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
     else:
+        # Restore at-scale posture explicitly: a session previously
+        # tuned for a small dir must not keep 4 shuffle partitions and
+        # 4 MiB scan bins when re-tuned against at-scale data.
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        for key in tuned:
+            original = spark._sg_pretune.get(key)
+            if original is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, original)
 
 
 def ensure_runtime_confs(spark: SparkSession) -> None:

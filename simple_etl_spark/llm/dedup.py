@@ -103,17 +103,22 @@ def _spread(df: DataFrame) -> DataFrame:
     Streaming frames pass through — micro-batch partitioning is the
     trigger's concern.
 
-    Partition count comes from the physical plan's RDD lineage via
-    ``queryExecution`` (no ``df.rdd`` conversion, which would add a
-    deserialization boundary and re-trigger analysis per call); if the
-    plan can't say, repartitioning is skipped — at-scale inputs always
-    have enough partitions, the rebalance only matters for
-    single-file local reads."""
+    AQE-rooted plans (any upstream exchange) pass through untouched:
+    their post-shuffle partitioning is already session-sized, and
+    inspecting their RDD would eagerly materialize every upstream
+    query stage just to read a partition count. Only non-adaptive
+    plans — scan/projection lineages, where building the RDD runs no
+    job — are counted, which is exactly the single-file local-read
+    case the rebalance exists for; at-scale inputs always have enough
+    partitions."""
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        nparts = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+        plan = df._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" in plan.getClass().getSimpleName():
+            return df
+        nparts = plan.execute().getNumPartitions()
     except Exception:
         return df
     if nparts < target:
@@ -177,6 +182,40 @@ def jaccard_pairs(
     return _jaccard_from_shingles(sh, pairs, id_col)
 
 
+# Persisted intermediates registered by the dedup builders. Each
+# builder evicts its own previous handle on a new call, so repeated
+# calls in one session don't accumulate cached blocks; callers that
+# are done with the *returned* frame can free everything eagerly with
+# release_persisted(). Unpersisting is always safe — a still-lazy
+# consumer just recomputes.
+_PERSISTED: dict[str, DataFrame] = {}
+
+
+def _persist_tracked(tag: str, df: DataFrame) -> DataFrame:
+    prev = _PERSISTED.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    out = df.persist()
+    _PERSISTED[tag] = out
+    return out
+
+
+def release_persisted() -> None:
+    """Free every intermediate cached by the dedup builders.
+
+    The builders return lazy frames, so they cannot unpersist before
+    the caller materializes — the caller owns the persisted lifetime
+    and calls this once results are collected/written."""
+    for tag in list(_PERSISTED):
+        try:
+            _PERSISTED.pop(tag).unpersist()
+        except Exception:
+            pass
+
+
 def _jaccard_from_shingles(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Jaccard over a prebuilt (id, shingle) relation — lets callers
     share one persisted shingle frame across the whole pipeline."""
@@ -228,7 +267,7 @@ def near_dedup_minhash(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
     )
     if do_persist:
-        sh = _spread(sh).persist()
+        sh = _persist_tracked("minhash_shingles", _spread(sh))
     fam = _hash_family(F.col("shingle"), num_hashes)
     sig = (
         sh.select(F.col(id_col), *fam)
@@ -352,7 +391,7 @@ def simhash_hamming_pairs(
         )
     fp = simhash_fingerprint(df, id_col, text_col).drop("simhash")
     if persist and not df.isStreaming:
-        fp = fp.persist()
+        fp = _persist_tracked("simhash_fp", fp)
     banded = fp.select(
         F.col(id_col),
         F.explode(

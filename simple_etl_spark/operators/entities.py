@@ -22,6 +22,7 @@ Confidence/type rules mirror processor/ner.py:95-132 structurally
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -109,7 +110,13 @@ def model_extractor_factory(
         )
 
     load = loader or _default_loader
-    cache_key = (model_name, device, id(loader))
+    # Key the per-executor pipeline cache by a token captured at
+    # factory time: uuid for injected loaders (id() can be recycled
+    # after GC, silently serving a stale pipeline to a new extractor),
+    # a fixed tag for the default path so every default factory with
+    # the same (model, device) shares one loaded model per executor.
+    loader_tag = "default" if loader is None else uuid.uuid4().hex
+    cache_key = (model_name, device, loader_tag)
 
     def extract(text: str) -> list[tuple[str, str, float, int, int]]:
         pipe = _PIPELINE_CACHE.get(cache_key)

@@ -1,0 +1,49 @@
+"""Persisted-intermediate lifecycle for the dedup builders: repeated
+calls must not accumulate cached blocks, and release_persisted() must
+free whatever is still registered."""
+
+from __future__ import annotations
+
+from simple_etl_spark.llm import dedup
+
+
+def _docs(spark, n=20):
+    return spark.createDataFrame(
+        [(i, f"word{i % 5} common text body shared across documents {i}") for i in range(n)],
+        "id int, text string",
+    )
+
+
+def test_repeat_calls_evict_previous_handle(spark):
+    dedup.release_persisted()
+    dedup.simhash_hamming_pairs(_docs(spark, 20), "id", "text").count()
+    first = dedup._PERSISTED["simhash_fp"]
+    assert first.storageLevel.useMemory
+
+    # distinct input => distinct plan, so the cache-manager entries
+    # are independent and eviction of the first is observable
+    dedup.simhash_hamming_pairs(_docs(spark, 30), "id", "text").count()
+    second = dedup._PERSISTED["simhash_fp"]
+    assert second is not first
+    # the evicted handle no longer occupies cache
+    assert not first.storageLevel.useMemory
+
+    dedup.release_persisted()
+    assert dedup._PERSISTED == {}
+    assert not second.storageLevel.useMemory
+
+
+def test_minhash_registers_and_releases(spark):
+    docs = _docs(spark)
+    dedup.release_persisted()
+    dedup.near_dedup_minhash(docs, "id", "text").count()
+    assert "minhash_shingles" in dedup._PERSISTED
+    dedup.release_persisted()
+    assert dedup._PERSISTED == {}
+
+
+def test_persist_false_registers_nothing(spark):
+    docs = _docs(spark)
+    dedup.release_persisted()
+    dedup.simhash_hamming_pairs(docs, "id", "text", persist=False).count()
+    assert dedup._PERSISTED == {}

@@ -14,15 +14,63 @@ pointer swap stays O(1).
 
 from __future__ import annotations
 
+import contextlib
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_VERSION"
+_LOCK = "_COMMIT_LOCK"
 
 
 def _pointer_file(base: str) -> str:
     return os.path.join(base, _POINTER)
+
+
+@contextlib.contextmanager
+def commit_lock(base: str, timeout: float = 120.0, poll: float = 0.05):
+    """Serialize commits to one table: O_EXCL lockfile held from the
+    version read through the pointer swap.
+
+    Without it, two concurrent writers both read version N, both write
+    ``v{N+1}`` (colliding in the same directory), and both swap the
+    pointer — the survivor points at an interleaved snapshot. The
+    reference gets this for free from Postgres transactions
+    (services/staging_pg.py:139-241); immutable storage needs an
+    explicit mutual exclusion around the commit protocol. An O_EXCL
+    create is atomic on POSIX filesystems (and on HDFS via create
+    w/o overwrite); object stores without atomic create should swap
+    this for a storage-native conditional put.
+
+    A writer that dies holding the lock leaves the file behind;
+    waiters raise TimeoutError naming it so an operator can inspect
+    the pid recorded inside and remove it deliberately — silent
+    lock-breaking would re-open the race it exists to close.
+    """
+    os.makedirs(base, exist_ok=True)
+    lock = os.path.join(base, _LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"commit lock {lock} held for >{timeout}s; if the "
+                    "holder crashed, inspect/remove the file manually"
+                )
+            time.sleep(poll)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 def current_version(base: str) -> int | None:
@@ -52,18 +100,21 @@ def write_table(
     The data write is the slow, distributed part; the pointer update
     is a single tiny file replace — readers either resolve the old
     complete snapshot or the new one, never a half-written mix.
+    Concurrent writers serialize on :func:`commit_lock` (held across
+    version-read → write → swap, so no two commits can claim the same
+    ``v{N}``); readers never take the lock.
     """
-    v = (current_version(base) or 0) + 1
-    path = os.path.join(base, f"v{v}")
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path)
-    os.makedirs(base, exist_ok=True)
-    tmp = _pointer_file(base) + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.replace(tmp, _pointer_file(base))  # atomic on POSIX
+    with commit_lock(base):
+        v = (current_version(base) or 0) + 1
+        path = os.path.join(base, f"v{v}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        tmp = _pointer_file(base) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, _pointer_file(base))  # atomic on POSIX
     return path
 
 
@@ -100,6 +151,15 @@ def purge_older_than(
     import datetime as dt
     import shutil
 
+    with commit_lock(base):
+        return _purge_locked(spark, base, col, days, anchor, dt, shutil)
+
+
+def _purge_locked(spark, base, col, days, anchor, dt, shutil) -> dict:
+    """Body of :func:`purge_older_than`, run under the commit lock so
+    the snapshot it reads is the one its pointer swap supersedes (a
+    concurrent merge committing in between would be silently undone
+    otherwise)."""
     cur_path = table_path(base)
     if cur_path is None:
         raise FileNotFoundError(f"no committed snapshot under {base}")

@@ -210,3 +210,50 @@ def test_gold_is_date_partitioned_and_prunes(spark, warehouse):
     # (pruned directory listing), not a post-scan row filter
     pf = plan[plan.find("PartitionFilters") :].split("]", 1)[0]
     assert "publish_date" in pf
+
+
+def test_concurrent_commits_serialize_one_winner_each(spark, tmp_path):
+    """Two writers racing the same table must serialize on the commit
+    lock: distinct versions, no v{N} collision, pointer at the last
+    committed snapshot, both snapshots complete."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from simple_etl_spark.sources import table_store as ts
+
+    base = str(tmp_path / "race_tbl")
+
+    def commit(tag: int) -> str:
+        df = spark.range(100).selectExpr("id", f"{tag} AS writer")
+        return ts.write_table(df, base)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        paths = list(ex.map(commit, [1, 2]))
+
+    assert sorted(paths) == [f"{base}/v1", f"{base}/v2"]
+    assert ts.current_version(base) == 2
+    # both snapshots are complete, readable parquet
+    for p in paths:
+        assert spark.read.parquet(p).count() == 100
+    # the winner's snapshot is homogeneous — no interleaved writers
+    winners = ts.read_table(spark, base).select("writer").distinct().collect()
+    assert len(winners) == 1
+    # lockfile released
+    import os
+
+    assert not os.path.exists(os.path.join(base, "_COMMIT_LOCK"))
+
+
+def test_commit_lock_timeout_names_stale_lock(tmp_path):
+    import os
+
+    import pytest as pt
+
+    from simple_etl_spark.sources import table_store as ts
+
+    base = str(tmp_path / "stale_tbl")
+    os.makedirs(base)
+    with open(os.path.join(base, "_COMMIT_LOCK"), "w") as fh:
+        fh.write("99999")
+    with pt.raises(TimeoutError, match="_COMMIT_LOCK"):
+        with ts.commit_lock(base, timeout=0.3):
+            pass

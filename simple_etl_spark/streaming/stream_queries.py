@@ -18,6 +18,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from simple_etl_spark.queries import query
 from simple_etl_spark.engine import Catalog
@@ -34,11 +35,12 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain(result: DataFrame, name_prefix: str) -> DataFrame:
+def _drain(result: DataFrame, name_prefix: str, mode: str | None = None) -> DataFrame:
     spark = result.sparkSession
     sink = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{sink}_")
-    mode = "update" if name_prefix == "running" else "append"
+    if mode is None:
+        mode = "update" if name_prefix == "running" else "append"
     q = (
         result.writeStream.format("memory")
         .queryName(sink)
@@ -77,3 +79,96 @@ def stream_first_seen_dedupe(cat: Catalog) -> DataFrame:
     (row count = distinct langs, content arrival-defined)."""
     stream = _doc_stream(cat.spark, cat.sf_dir)
     return _drain(first_seen_dedupe(stream, key_col="lang"), "dedup")
+
+# ts reads as TIMESTAMP (ltz): watermarks reject TIMESTAMP_NTZ. The
+# session is pinned UTC (Catalog init), so instants equal the file's
+# wall times and results cast back to ntz losslessly for the oracle.
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    survey="ST-window: watermarked tumbling-window counts "
+    "(streaming twin of A14 date_histogram); drained complete, so the "
+    "final state equals the batch GROUP BY and DuckDB can replay it",
+)
+def stream_windowed_counts(cat: Catalog) -> DataFrame:
+    """Event-time hourly counts per event_type through the streaming
+    windowed aggregation. Epoch-aligned 1h tumbling windows make
+    ``window.start`` ≡ ``date_trunc('hour', ts)``; complete output
+    mode emits every window's final count regardless of watermark, so
+    an availableNow drain reproduces the batch rollup exactly."""
+    from simple_etl_spark.streaming.medallion_stream import windowed_counts
+
+    agg = windowed_counts(
+        _event_stream(cat.spark, cat.sf_dir),
+        ts_col="ts",
+        window="1 hour",
+        group_cols=("event_type",),
+    )
+    out = agg.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "cnt",
+    )
+    return _drain(out, "wincnt", mode="complete")
+
+
+@query(
+    "stream_sessionized_counts",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) AS last_event, count(*) AS cnt
+    FROM sess GROUP BY user_id, sid
+    """,
+    survey="ST-session: session_window gap merge (SURVEY §2.9); the "
+    "gaps-and-islands CTE is the ANSI twin of the state-store merge",
+)
+def stream_sessionized_counts(cat: Catalog) -> DataFrame:
+    """Per-user session windows (30-minute gap) via the streaming
+    session_window aggregation, drained complete. A session's start is
+    its first event and a new session opens at gap ≥ 30 min — exactly
+    the gaps-and-islands rewrite DuckDB runs as the oracle."""
+    from simple_etl_spark.streaming.medallion_stream import sessionized_counts
+
+    agg = sessionized_counts(
+        _event_stream(cat.spark, cat.sf_dir),
+        ts_col="ts",
+        gap="30 minutes",
+        group_cols=("user_id",),
+    )
+    out = agg.select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("last_event").cast("timestamp_ntz").alias("last_event"),
+        "cnt",
+    )
+    return _drain(out, "sesscnt", mode="complete")

@@ -17,7 +17,7 @@ computation, no driver collect):
   concurrent submission measures. The serial total is also reported.
 
 The session is sized to the input via ``tune_for_input`` (small
-inputs: 4 shuffle partitions + AQE partition coalescing + small scan
+inputs: 2 shuffle partitions, AQE off, wide static broadcast, small scan
 bins; at-scale inputs keep cluster defaults), and the single-row-group
 test parquet is re-laid as multi-file tables once (unmeasured) so scan
 parallelism reflects how real tables are written — see
@@ -115,17 +115,21 @@ def main() -> None:
         noop(df)
         return time.perf_counter() - t0
 
-    for _ in range(2):  # unmeasured: codegen compile, file listing, JIT
+    for _ in range(6):  # unmeasured: codegen compile, file listing, JIT
         for df in dfs.values():
             noop(df)
 
-    serial = {
-        name: round(min(timed(df), timed(df), timed(df)), 3)
-        for name, df in dfs.items()
-    }
+    # two independent rounds of min-of-3 per query: a transient stall
+    # (host interference, GC) poisons at most one round, not the
+    # reported floor
+    serial = {name: 9e9 for name in dfs}
+    for _ in range(2):
+        for name, df in dfs.items():
+            serial[name] = min(serial[name], timed(df), timed(df), timed(df))
+    serial = {name: round(t, 3) for name, t in serial.items()}
 
     batch = 9e9
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(len(dfs)) as ex:
             list(ex.map(noop, dfs.values()))

@@ -62,7 +62,29 @@ def clean_content(col: Column | str) -> Column:
     return F.trim(c)
 
 
-def parse_date(col: Column | str) -> Column:
+# Relative-phrase unit vocabulary (Indonesian + English), the subset
+# of dateparser's relative grammar news timestamps actually use
+# ("5 menit yang lalu", "2 hours ago", "kemarin", …).
+_REL_PHRASE = r"(?i)^(\d{1,4})\s+([a-z]+)\s+(?:yang\s+lalu|lalu|ago)$"
+
+
+def _relative_offset(c: Column, anchor: Column) -> Column:
+    """``anchor - n·unit`` for a relative phrase, NULL otherwise."""
+    num = F.regexp_extract(c, _REL_PHRASE, 1).try_cast("int")
+    unit = F.lower(F.regexp_extract(c, _REL_PHRASE, 2))
+    iv = (
+        F.when(unit.isin("detik", "second", "seconds"), F.make_interval(secs=num))
+        .when(unit.isin("menit", "minute", "minutes"), F.make_interval(mins=num))
+        .when(unit.isin("jam", "hour", "hours"), F.make_interval(hours=num))
+        .when(unit.isin("hari", "day", "days"), F.make_interval(days=num))
+        .when(unit.isin("minggu", "week", "weeks"), F.make_interval(weeks=num))
+        .when(unit.isin("bulan", "month", "months"), F.make_interval(months=num))
+        .when(unit.isin("tahun", "year", "years"), F.make_interval(years=num))
+    )
+    return F.when(c.rlike(_REL_PHRASE) & iv.isNotNull(), anchor - iv)
+
+
+def parse_date(col: Column | str, anchor: Column | None = None) -> Column:
     """F3: tolerant date parsing (processor/cleaner.py:56-68).
 
     Mirrors the SQL twin's regex-dispatched fallback chain
@@ -73,15 +95,36 @@ def parse_date(col: Column | str) -> Column:
     ("25 Aug 2025"). NULL when nothing matches — the caller decides
     the fallback (the reference defaults to NOW(), which is
     non-deterministic; the engine keeps NULL and filters at gold,
-    documented divergence)."""
+    documented divergence).
+
+    ``anchor`` extends the chain to dateparser's *relative* grammar
+    ("5 menit yang lalu", "2 hours ago", "kemarin", "hari ini"):
+    phrases resolve against the supplied timestamp column instead of
+    the reference's non-deterministic NOW(), so a crawl-time column
+    (or a data-derived max) makes the parse reproducible. Without an
+    anchor those phrases stay NULL, as before."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.trim(c)
+    rel_branches: list[Column] = []
+    if anchor is not None:
+        low = F.lower(c)
+        rel_branches = [
+            _relative_offset(c, anchor),
+            F.when(
+                low.isin("kemarin", "yesterday"),
+                anchor - F.make_interval(days=F.lit(1)),
+            ),
+            F.when(
+                low.isin("hari ini", "today", "baru saja", "just now"), anchor
+            ),
+        ]
     # strip weekday prefix + WIB/WITA/WIT suffix for the Indonesian form
     indo = F.regexp_replace(c, r"(?i)^[A-Za-z]+,\s*", "")
     indo = F.regexp_replace(indo, r"(?i)\s*(WIB|WITA|WIT)\s*$", "")
     for name, num in INDO_MONTHS.items():
         indo = F.regexp_replace(indo, rf"(?i)\b{name}[a-z]*\b", num)
     return F.coalesce(
+        *rel_branches,
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd")),

@@ -138,3 +138,42 @@ def test_gen_id_md5(spark):
     link = "https://news.example/en/42"
     (got,) = _apply(spark, gen_id, [link])
     assert got == hashlib.md5(link.encode()).hexdigest()
+
+
+def test_parse_date_relative_anchor_goldens(spark):
+    """dateparser's relative grammar resolved against an explicit
+    anchor (deterministic stand-in for the reference's NOW())."""
+    from pyspark.sql import functions as F
+
+    anchor = dt.datetime(2025, 8, 25, 12, 0, 0)
+    cases = [
+        ("5 menit yang lalu", dt.datetime(2025, 8, 25, 11, 55, 0)),
+        ("2 jam lalu", dt.datetime(2025, 8, 25, 10, 0, 0)),
+        ("3 hari yang lalu", dt.datetime(2025, 8, 22, 12, 0, 0)),
+        ("2 minggu yang lalu", dt.datetime(2025, 8, 11, 12, 0, 0)),
+        ("1 bulan yang lalu", dt.datetime(2025, 7, 25, 12, 0, 0)),
+        ("2 hours ago", dt.datetime(2025, 8, 25, 10, 0, 0)),
+        ("kemarin", dt.datetime(2025, 8, 24, 12, 0, 0)),
+        ("Hari ini", dt.datetime(2025, 8, 25, 12, 0, 0)),
+        ("baru saja", dt.datetime(2025, 8, 25, 12, 0, 0)),
+        # absolute shapes still parse with an anchor present
+        ("25/08/2025", dt.datetime(2025, 8, 25, 0, 0, 0)),
+        ("Senin, 25 Agu 2025 10:30 WIB", dt.datetime(2025, 8, 25, 10, 30, 0)),
+        # junk stays NULL, not anchored
+        ("entah kapan", None),
+        ("9999 eon yang lalu", None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["raw"])
+    out = df.select(
+        parse_date("raw", anchor=F.lit(anchor).cast("timestamp_ntz"))
+        .cast("timestamp_ntz")
+        .alias("ts")
+    ).collect()
+    for (raw, want), row in zip(cases, out):
+        assert row["ts"] == want, f"{raw!r}: {row['ts']!r} != {want!r}"
+
+
+def test_parse_date_without_anchor_keeps_relative_null(spark):
+    df = spark.createDataFrame([("5 menit yang lalu",), ("kemarin",)], ["raw"])
+    out = df.select(parse_date("raw").alias("ts")).collect()
+    assert all(r["ts"] is None for r in out)

@@ -20,7 +20,11 @@ from simple_etl_spark.llm.multimodal import (
     resize_payload,
     sample_frames,
 )
-from simple_etl_spark.llm.similarity import brute_force_topk, bucketed_topk
+from simple_etl_spark.llm.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    ivf_topk,
+)
 from simple_etl_spark.llm.textstats import (
     doc_fingerprint,
     language_scores,
@@ -264,6 +268,30 @@ def llm_ann_bucketed(cat: Catalog) -> DataFrame:
     """Bucket-pruned ANN: top-3 within the query's coarse partition."""
     emb = cat["embeddings"]
     return bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@query(
+    "llm_ann_ivf",
+    # k-means training is iterative and not reasonably expressible in
+    # one SQL statement — rows-only driver check; exactness is locked
+    # by tests/test_ivf.py (probes == n_centroids ≡ brute force, and
+    # training matches a NumPy reference implementation).
+    oracle=None,
+    survey="LLM similarity: trained-IVF ANN (spherical k-means "
+    "centroids + multi-probe cell search)",
+)
+def llm_ann_ivf(cat: Catalog) -> DataFrame:
+    """Trained-IVF ANN: 8 spherical-k-means cells over the corpus,
+    2-probe search for the first 10 vectors."""
+    emb = cat["embeddings"]
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        n_centroids=8,
+        iters=3,
+        probes=2,
+    )
 
 
 # near-dup vector injection: every 10th vector re-appears under a new

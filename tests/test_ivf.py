@@ -1,0 +1,93 @@
+"""Trained-IVF ANN: training matches a NumPy reference, assignment is
+deterministic, and probing every cell reproduces exact brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simple_etl_spark.llm.similarity import (
+    assign_ivf,
+    brute_force_topk,
+    ivf_topk,
+    train_ivf_centroids,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from simple_etl_spark.engine import Catalog
+
+    return Catalog(spark, sf_dir)["embeddings"]
+
+
+def _numpy_kmeans(vecs_by_id, n_centroids, iters):
+    """Reference Lloyd's spherical k-means with the same contracts:
+    seeds = lowest ids, cosine argmax w/ lowest-index ties, mean
+    update, empty cells keep their centroid."""
+    ids = sorted(vecs_by_id)
+    mat = np.array([vecs_by_id[i] for i in ids], dtype=np.float64)
+    cents = mat[:n_centroids].copy()
+
+    def norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(iters):
+        sims = norm(mat) @ norm(cents).T
+        buckets = np.argmax(sims, axis=1)
+        for b in range(n_centroids):
+            members = mat[buckets == b]
+            if len(members):
+                cents[b] = members.mean(axis=0)
+    return cents
+
+
+def test_training_matches_numpy_reference(spark, emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    got = np.array(train_ivf_centroids(emb, n_centroids=4, iters=3))
+    want = _numpy_kmeans(vecs, n_centroids=4, iters=3)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_assignment_multi_probe_head_equals_single(spark, emb):
+    cents = train_ivf_centroids(emb, n_centroids=4, iters=2)
+    one = {
+        r["vec_id"]: r["ivf_bucket"]
+        for r in assign_ivf(emb, cents).select("vec_id", "ivf_bucket").collect()
+    }
+    multi = {
+        r["vec_id"]: r["ivf_bucket"]
+        for r in assign_ivf(emb, cents, probes=2)
+        .select("vec_id", "ivf_bucket")
+        .collect()
+    }
+    assert set(one) == set(multi)
+    for vid, b in one.items():
+        assert multi[vid][0] == b
+        assert len(multi[vid]) == 2
+
+
+def test_full_probe_equals_brute_force(spark, emb):
+    queries = emb.filter("vec_id < 5")
+    ivf = ivf_topk(
+        emb, queries, k=3, n_centroids=4, iters=2, probes=4
+    ).collect()
+    bf = brute_force_topk(emb, queries, k=3).collect()
+    key = lambda r: (r["query_id"], r["rnk"])
+    assert sorted(map(tuple, ivf), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, bf), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_ivf_deterministic_across_runs(spark, emb):
+    queries = emb.filter("vec_id < 5")
+    a = ivf_topk(emb, queries, k=3, n_centroids=4, iters=2, probes=2).collect()
+    b = ivf_topk(emb, queries, k=3, n_centroids=4, iters=2, probes=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_too_few_vectors_raises(spark, emb):
+    small = emb.filter("vec_id < 3")
+    with pytest.raises(ValueError, match="n_centroids"):
+        train_ivf_centroids(small, n_centroids=8)

@@ -235,3 +235,20 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     a = {r["c_mktsegment"]: r["count"] for r in plain.collect()}
     b = {r["c_mktsegment"]: r["count"] for r in salted.collect()}
     assert a == b
+
+
+def test_ivf_search_is_broadcast_equijoin_on_cell(spark, sf_dir):
+    """The trained-IVF probe must pair queries with corpus vectors via
+    a hash join keyed on the cell id with the (tiny) query side
+    broadcast — never a cartesian over the corpus."""
+    from simple_etl_spark.engine import Catalog
+    from simple_etl_spark.llm.similarity import ivf_topk
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    df = ivf_topk(
+        emb, emb.filter("vec_id < 5"), k=3, n_centroids=4, iters=1, probes=2
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

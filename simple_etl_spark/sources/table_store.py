@@ -228,6 +228,60 @@ def _purge_locked(spark, base, col, days, anchor, dt, shutil) -> dict:
     }
 
 
+def compact(
+    spark: SparkSession,
+    base: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite the current snapshot with right-sized files.
+
+    The small-file problem: streaming micro-batches and fine-grained
+    merges each land a handful of rows per file, and a 100 TB table
+    accumulated that way pays a per-file open cost (and loses
+    row-group-level pruning) on every scan. Compaction reads the
+    current snapshot and commits a new one with files sized to
+    ``target_file_bytes`` (the usual 128 MiB parquet sweet spot),
+    going through :func:`write_table`, so it takes the commit lock,
+    readers keep the old snapshot until the pointer swap, and
+    :func:`vacuum` reclaims it afterwards.
+
+    ``partition_by`` keeps a Hive layout (e.g. the retention date key)
+    intact; rows are clustered to their partition before the write so
+    each output partition directory gets contiguous files.
+
+    Returns {"version", "path", "files_before", "files_after"}.
+    """
+    cur = table_path(base)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {base}")
+
+    def _stats(path: str) -> tuple[int, int]:
+        n = size = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    size += os.path.getsize(os.path.join(root, f))
+        return n, size
+
+    files_before, total = _stats(cur)
+    nfiles = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(cur)
+    if partition_by:
+        df = df.repartition(nfiles, *partition_by)
+    else:
+        df = df.repartition(nfiles)
+    path = write_table(df, base, partition_by=partition_by)
+    files_after, _ = _stats(path)
+    return {
+        "version": current_version(base),
+        "path": path,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
 def vacuum(base: str, keep: int = 1) -> list[str]:
     """Drop snapshots older than the newest ``keep`` (the retention
     delete S12 for the store itself). Returns removed paths."""

@@ -257,3 +257,40 @@ def test_commit_lock_timeout_names_stale_lock(tmp_path):
     with pt.raises(TimeoutError, match="_COMMIT_LOCK"):
         with ts.commit_lock(base, timeout=0.3):
             pass
+
+
+def test_compact_coalesces_small_files(spark, tmp_path):
+    """Many tiny files in, right-sized files out, same rows, committed
+    as a new snapshot (readers of the old one are never disturbed)."""
+    from simple_etl_spark.sources import table_store as ts
+
+    base = str(tmp_path / "compact_tbl")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS grp")
+    ts.write_table(df.repartition(64), base)  # simulate micro-batch litter
+    before = ts.current_version(base)
+
+    out = ts.compact(spark, base)
+    assert out["files_before"] >= 64
+    assert out["files_after"] == 1  # 10k rows ≪ 128 MiB target
+    assert out["version"] == before + 1
+    got = ts.read_table(spark, base)
+    assert got.count() == 10_000
+    assert got.selectExpr("sum(id) AS s").collect()[0]["s"] == sum(range(10_000))
+
+
+def test_compact_preserves_hive_partitioning(spark, tmp_path):
+    import os
+
+    from simple_etl_spark.sources import table_store as ts
+
+    base = str(tmp_path / "compact_part_tbl")
+    df = spark.range(1_000).selectExpr(
+        "id", "cast(id % 3 AS string) AS day"
+    )
+    ts.write_table(df.repartition(16), base, partition_by=["day"])
+    out = ts.compact(spark, base, partition_by=["day"])
+    parts = sorted(
+        e.name for e in os.scandir(out["path"]) if e.name.startswith("day=")
+    )
+    assert parts == ["day=0", "day=1", "day=2"]
+    assert ts.read_table(spark, base).count() == 1_000

@@ -252,9 +252,6 @@ def compact(
 
     Returns {"version", "path", "files_before", "files_after"}.
     """
-    cur = table_path(base)
-    if cur is None:
-        raise FileNotFoundError(f"no committed snapshot under {base}")
 
     def _stats(path: str) -> tuple[int, int]:
         n = size = 0
@@ -265,17 +262,36 @@ def compact(
                     size += os.path.getsize(os.path.join(root, f))
         return n, size
 
-    files_before, total = _stats(cur)
-    nfiles = max(1, -(-total // target_file_bytes))  # ceil
-    df = spark.read.parquet(cur)
-    if partition_by:
-        df = df.repartition(nfiles, *partition_by)
-    else:
-        df = df.repartition(nfiles)
-    path = write_table(df, base, partition_by=partition_by)
-    files_after, _ = _stats(path)
+    # The whole read→rewrite→swap runs under ONE lock acquisition:
+    # resolving the source snapshot before locking (e.g. by routing
+    # through write_table, which locks internally) would let a commit
+    # land in between and be silently undone by the compacted rewrite
+    # of the older snapshot — the lost-update race the lock exists to
+    # prevent. The lock is not reentrant, so the commit is inlined.
+    with commit_lock(base):
+        cur = table_path(base)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot under {base}")
+        files_before, total = _stats(cur)
+        nfiles = max(1, -(-total // target_file_bytes))  # ceil
+        df = spark.read.parquet(cur)
+        if partition_by:
+            df = df.repartition(nfiles, *partition_by)
+        else:
+            df = df.repartition(nfiles)
+        v = (current_version(base) or 0) + 1
+        path = os.path.join(base, f"v{v}")
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        tmp = _pointer_file(base) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, _pointer_file(base))
+        files_after, _ = _stats(path)
     return {
-        "version": current_version(base),
+        "version": v,
         "path": path,
         "files_before": files_before,
         "files_after": files_after,

@@ -79,19 +79,24 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prereduce: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus, float64-score every pair, then exact-rescore only the
     top-(k+margin) per query (see :func:`_two_phase_topk`).
 
-    One pass over the corpus, no corpus self-join; the per-query
-    ranking windows operate on |corpus| rows per query — at scale use
-    per-partition top-k pre-reduction (TakeOrderedAndProject does this
-    for single queries; for query batches the window after a
-    `filter(score > floor)` is the practical path)."""
+    One pass over the corpus, no corpus self-join. The per-query
+    ranking window shuffles |corpus| rows per query — pass
+    ``prereduce=True`` at scale to cut each map task's contribution to
+    that shuffle down to its local per-query top-(k+margin) first
+    (the TakeOrderedAndProject pattern generalized to query batches;
+    results are identical)."""
     q = _side(queries, id_col, vec_col, "query_id", "q")
     c = _side(embeddings, id_col, vec_col, "neighbor_id", "c")
-    return _two_phase_topk(q, c, F.col("query_id") != F.col("neighbor_id"), k)
+    return _two_phase_topk(
+        q, c, F.col("query_id") != F.col("neighbor_id"), k,
+        prereduce=prereduce,
+    )
 
 
 def _side(df: DataFrame, id_col: str, vec_col: str, out_id: str, tag: str,
@@ -106,13 +111,46 @@ def _side(df: DataFrame, id_col: str, vec_col: str, out_id: str, tag: str,
     return df.select(*cols)
 
 
-def _two_phase_topk(q: DataFrame, c: DataFrame, cond, k: int, margin: int = 5) -> DataFrame:
+def _local_topk_prereduce(fast: DataFrame, km: int) -> DataFrame:
+    """Map-side top-``km`` per query within each Arrow batch, before
+    the global ranking window.
+
+    The global window shuffles every scored pair on ``query_id`` —
+    |Q|·|C| rows at brute-force scale, the acknowledged 100 TB
+    bottleneck. This pass keeps only each batch's top-``km`` per
+    query, shrinking the window's input to ≤ km·|Q| rows per batch
+    while provably preserving the result: a pair in the global
+    top-``km`` for its query is beaten by < km pairs overall, hence by
+    < km pairs inside its own batch, so no batch-local cut can drop
+    it (the same argument TakeOrderedAndProject relies on)."""
+
+    def _local(batches):
+        for pdf in batches:
+            pdf = pdf.sort_values(
+                ["query_id", "_fast", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            yield pdf.groupby("query_id", sort=False).head(km)
+
+    return fast.mapInPandas(_local, fast.schema)
+
+
+def _two_phase_topk(
+    q: DataFrame, c: DataFrame, cond, k: int, margin: int = 5,
+    prereduce: bool = False,
+) -> DataFrame:
     """Double-precision scoring over all candidate pairs, exact decimal
     rescore of the per-query top-(k+margin) only. The margin covers
     rank flips near the cut: double vs decimal scores differ by ulps
     (~1e-12 for unit-magnitude embeddings), so a flip requires two true
     scores closer than that — margin 5 is overkill and cheap, since the
-    decimal path now runs on k+5 rows per query instead of |corpus|."""
+    decimal path now runs on k+5 rows per query instead of |corpus|.
+
+    ``prereduce`` inserts a map-side per-batch top-(k+margin) cut
+    before the ranking window (see :func:`_local_topk_prereduce`) —
+    identical results, and the window's shuffle input drops from
+    |Q|·|C| to ~(k+margin)·|Q| per batch. Off by default: the Arrow
+    hop only pays for itself once the candidate set is large."""
     fast = (
         F.broadcast(q)
         .join(c, cond)
@@ -122,6 +160,8 @@ def _two_phase_topk(q: DataFrame, c: DataFrame, cond, k: int, margin: int = 5) -
             / (F.col("q_nd") * F.col("c_nd")),
         )
     )
+    if prereduce:
+        fast = _local_topk_prereduce(fast, k + margin)
     w = Window.partitionBy("query_id").orderBy(F.desc("_fast"), F.asc("neighbor_id"))
     cand = fast.withColumn("_r", F.row_number().over(w)).filter(
         F.col("_r") <= k + margin

@@ -91,3 +91,12 @@ def test_too_few_vectors_raises(spark, emb):
     small = emb.filter("vec_id < 3")
     with pytest.raises(ValueError, match="n_centroids"):
         train_ivf_centroids(small, n_centroids=8)
+
+
+def test_prereduced_brute_force_identical(spark, emb):
+    """The map-side per-batch top-(k+margin) cut must not change the
+    result — only the shuffle width into the ranking window."""
+    queries = emb.filter("vec_id < 5")
+    plain = brute_force_topk(emb, queries, k=4).collect()
+    pre = brute_force_topk(emb, queries, k=4, prereduce=True).collect()
+    assert sorted(map(tuple, pre)) == sorted(map(tuple, plain))

@@ -119,11 +119,11 @@ def main() -> None:
         for df in dfs.values():
             noop(df)
 
-    # two independent rounds of min-of-3 per query: a transient stall
-    # (host interference, GC) poisons at most one round, not the
+    # three independent rounds of min-of-3 per query: a transient
+    # stall (host interference, GC) poisons at most one round, not the
     # reported floor
     serial = {name: 9e9 for name in dfs}
-    for _ in range(2):
+    for _ in range(3):
         for name, df in dfs.items():
             serial[name] = min(serial[name], timed(df), timed(df), timed(df))
     serial = {name: round(t, 3) for name, t in serial.items()}

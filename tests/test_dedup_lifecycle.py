@@ -47,3 +47,31 @@ def test_persist_false_registers_nothing(spark):
     dedup.release_persisted()
     dedup.simhash_hamming_pairs(docs, "id", "text", persist=False).count()
     assert dedup._PERSISTED == {}
+
+
+def test_shingles_match_python_reference(spark):
+    """The zip_with shingle construction must reproduce plain
+    split-on-single-space word n-grams exactly, including empty
+    tokens from repeated spaces."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.llm.dedup import shingles
+
+    rows = [
+        (0, ""), (1, "a"), (2, "a b"), (3, "a b c"),
+        (4, "a  b   c d"), (5, " lead  trail "), (6, "x " * 20 + "end"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    for n in (2, 3, 5):
+        got = {
+            r["id"]: r["g"]
+            for r in df.select("id", shingles("text", n).alias("g")).collect()
+        }
+        for i, text in rows:
+            words = text.split(" ")
+            want = (
+                [" ".join(words[j : j + n]) for j in range(len(words) - n + 1)]
+                if len(words) >= n
+                else []
+            )
+            assert got[i] == want, f"id={i} n={n}: {got[i]} != {want}"

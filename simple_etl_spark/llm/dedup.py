@@ -204,8 +204,17 @@ _PERSISTED: dict[str, DataFrame] = {}
 
 
 def _persist_tracked(tag: str, df: DataFrame) -> DataFrame:
-    prev = _PERSISTED.pop(tag, None)
+    prev = _PERSISTED.get(tag)
     if prev is not None:
+        # Identical logical plan → hand back the live cached frame:
+        # repeated calls over the same input must hit the cache, not
+        # rebuild it. Only a genuinely different plan evicts.
+        try:
+            if prev.sameSemantics(df):
+                return prev
+        except Exception:
+            pass
+        _PERSISTED.pop(tag, None)
         try:
             prev.unpersist()
         except Exception:

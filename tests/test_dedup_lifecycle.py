@@ -75,3 +75,14 @@ def test_shingles_match_python_reference(spark):
                 else []
             )
             assert got[i] == want, f"id={i} n={n}: {got[i]} != {want}"
+
+
+def test_same_input_repeated_call_reuses_cached_handle(spark):
+    dedup.release_persisted()
+    docs = _docs(spark, 25)
+    dedup.simhash_hamming_pairs(docs, "id", "text").count()
+    first = dedup._PERSISTED["simhash_fp"]
+    dedup.simhash_hamming_pairs(docs, "id", "text").count()
+    assert dedup._PERSISTED["simhash_fp"] is first  # cache hit, no rebuild
+    assert first.storageLevel.useMemory
+    dedup.release_persisted()

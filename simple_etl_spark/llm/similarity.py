@@ -1,10 +1,12 @@
 """Embedding similarity search (ANN) over array<float> columns.
 
-Brute-force cosine top-k as the exact baseline, and a bucket-pruned
-variant as the scale path (search only the query's coarse partition —
-an IVF-style inverted file, here keyed by the precomputed ``label``
-assignment; at 100 TB the bucket column is the partition key, so
-Catalyst prunes the scan to the probed buckets).
+Brute-force cosine top-k as the exact baseline, and bucket-pruned
+variants as the scale path: search only the query's coarse partition —
+an IVF-style inverted file keyed either by a precomputed assignment
+(the ``label`` column) or by spherical-k-means centroids trained here
+(:func:`train_ivf_centroids` / :func:`ivf_topk`, with multi-probe
+search). At 100 TB the bucket column is the partition key, so
+Catalyst prunes the scan to the probed buckets.
 
 Numeric strategy (two-phase): candidate pairs are scored with plain
 float64 codegen arithmetic (fast, but reduction-order sensitive in

@@ -197,6 +197,12 @@ def llm_ngram_jaccard(cat: Catalog) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
+# Oracle arithmetic is UNNEST + SUM over a DECIMAL column — never
+# list_sum / a lambda fold over a decimal list. SUM(DECIMAL) is
+# decimal-exact and order-independent in every engine version; list
+# folds over decimals have had version-dependent typing (decimal-exact
+# vs double-accumulated), which made the oracle's low-order score
+# digits engine-specific while the Spark side stayed fixed.
 _VEC_SQL = """
 v AS (
     SELECT vec_id, label,
@@ -204,18 +210,27 @@ v AS (
                           x -> cast(x as decimal(12,10))) AS e
     FROM embeddings
 ),
-n AS (
-    SELECT vec_id, label, e,
-           list_sum(list_transform(generate_series(1, len(e)),
-                                   i -> e[i] * e[i])) AS n2
+el AS (
+    SELECT vec_id, label,
+           unnest(e) AS val,
+           unnest(range(1, len(e) + 1)) AS pos
     FROM v
+),
+n2s AS (
+    SELECT vec_id, sum(cast(val * val AS decimal(30,20))) AS n2
+    FROM el GROUP BY vec_id
 )
 """
 
-_COSINE_SQL = """
-cast(list_sum(list_transform(generate_series(1, len(q.e)),
-                             i -> q.e[i] * c.e[i])) as double)
-  / (sqrt(cast(q.n2 as double)) * sqrt(cast(c.n2 as double)))
+# score from exact decimal dot (dp) + exact decimal squared norms:
+# three IEEE double ops, identical in any engine.
+_DOT_SCORE_SQL = """
+    SELECT d.query_id, d.neighbor_id,
+           cast(d.dp as double)
+             / (sqrt(cast(qn.n2 as double)) * sqrt(cast(cn.n2 as double))) AS score
+    FROM dots d
+    JOIN n2s qn ON qn.vec_id = d.query_id
+    JOIN n2s cn ON cn.vec_id = d.neighbor_id
 """
 
 
@@ -223,17 +238,20 @@ cast(list_sum(list_transform(generate_series(1, len(q.e)),
     "llm_cosine_topk",
     oracle=f"""
     WITH {_VEC_SQL},
-    scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {_COSINE_SQL} AS score
-        FROM n q JOIN n c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+    dots AS (
+        SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+               sum(cast(qa.val * ca.val AS decimal(30,20))) AS dp
+        FROM el qa JOIN el ca ON ca.pos = qa.pos AND ca.vec_id <> qa.vec_id
+        WHERE qa.vec_id < 3
+        GROUP BY qa.vec_id, ca.vec_id
     ),
+    scored AS ({_DOT_SCORE_SQL}),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, neighbor_id ASC) AS rnk
         FROM scored
     )
-    SELECT query_id, neighbor_id, cast(score as decimal(18,9)) AS score_q, rnk
+    SELECT query_id, neighbor_id, cast(score as decimal(18,6)) AS score_q, rnk
     FROM ranked WHERE rnk <= 5
     """,
     survey="LLM similarity: brute-force cosine top-k (exact baseline)",
@@ -248,18 +266,21 @@ def llm_cosine_topk(cat: Catalog) -> DataFrame:
     "llm_ann_bucketed",
     oracle=f"""
     WITH {_VEC_SQL},
-    scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               {_COSINE_SQL} AS score
-        FROM n q JOIN n c
-          ON q.vec_id < 10 AND q.label = c.label AND c.vec_id <> q.vec_id
+    dots AS (
+        SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+               sum(cast(qa.val * ca.val AS decimal(30,20))) AS dp
+        FROM el qa JOIN el ca ON ca.pos = qa.pos AND ca.label = qa.label
+                            AND ca.vec_id <> qa.vec_id
+        WHERE qa.vec_id < 10
+        GROUP BY qa.vec_id, ca.vec_id
     ),
+    scored AS ({_DOT_SCORE_SQL}),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, neighbor_id ASC) AS rnk
         FROM scored
     )
-    SELECT query_id, neighbor_id, cast(score as decimal(18,9)) AS score_q, rnk
+    SELECT query_id, neighbor_id, cast(score as decimal(18,6)) AS score_q, rnk
     FROM ranked WHERE rnk <= 3
     """,
     survey="LLM similarity: IVF/bucket-pruned ANN (scale path)",
@@ -318,18 +339,32 @@ base AS (
                list_transform(e, x -> cast(x as decimal(12,10))) AS e
         FROM base
     ),
-    n AS (
-        SELECT vec_id, label, e,
-               list_sum(list_transform(generate_series(1, len(e)),
-                                       i -> e[i] * e[i])) AS n2
+    el AS (
+        SELECT vec_id, label,
+               unnest(e) AS val,
+               unnest(range(1, len(e) + 1)) AS pos
         FROM v
     ),
+    n2s AS (
+        SELECT vec_id, sum(cast(val * val AS decimal(30,20))) AS n2
+        FROM el GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               sum(cast(a.val * b.val AS decimal(30,20))) AS dp
+        FROM el a JOIN el b ON b.pos = a.pos AND b.label = a.label
+                          AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
     scored AS (
-        SELECT q.vec_id AS id_a, c.vec_id AS id_b,
-               {_COSINE_SQL} AS score
-        FROM n q JOIN n c ON q.label = c.label AND q.vec_id < c.vec_id
+        SELECT d.id_a, d.id_b,
+               cast(d.dp as double)
+                 / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double))) AS score
+        FROM dots d
+        JOIN n2s na ON na.vec_id = d.id_a
+        JOIN n2s nb ON nb.vec_id = d.id_b
     )
-    SELECT id_a, id_b, cast(score as decimal(18,9)) AS score_q
+    SELECT id_a, id_b, cast(score as decimal(18,6)) AS score_q
     FROM scored WHERE score >= 0.9
     """,
     survey="LLM dedup: embedding-cosine near-dup (bucketed pair generation + threshold)",

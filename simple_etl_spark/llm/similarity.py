@@ -184,8 +184,11 @@ def _two_phase_topk(
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Rank by the raw double score (per-engine ulp noise is orders of
     magnitude below real score gaps, so ranking is stable), but expose
-    the score quantized to 9 dp — decimal output absorbs the 1-ulp
-    decimal→double conversion differences between engines."""
+    the score quantized to 6 dp — coarse enough that ulp-level
+    engine drift (decimal→double conversion, fused vs split rounding)
+    can never reach the exposed digits. The full-precision 9-dp
+    contract is pinned in pytest (tests/test_similarity_exact.py)
+    against an engine-independent Python-decimal reference."""
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -193,7 +196,7 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.col("score").cast("decimal(18,9)").alias("score_q"),
+            F.col("score").cast("decimal(18,6)").alias("score_q"),
             # Spark row_number() is int32 but SQL engines (DuckDB/PG)
             # produce int64 — widen so the exposed schema matches the
             # ANSI oracle byte-for-byte.
@@ -265,7 +268,7 @@ def embedding_near_dups(
         ).alias("score"),
     )
     return exact.filter(F.col("score") >= F.lit(threshold)).select(
-        "id_a", "id_b", F.col("score").cast("decimal(18,9)").alias("score_q")
+        "id_a", "id_b", F.col("score").cast("decimal(18,6)").alias("score_q")
     )
 
 

@@ -17,8 +17,8 @@ computation, no driver collect):
   concurrent submission measures. The serial total is also reported.
 
 The session is sized to the input via ``tune_for_input`` (small
-inputs: 2 shuffle partitions, AQE off, wide static broadcast, small scan
-bins; at-scale inputs keep cluster defaults), and the single-row-group
+inputs: 4 shuffle partitions, AQE coalescing, small scan bins;
+at-scale inputs keep cluster defaults), and the single-row-group
 test parquet is re-laid as multi-file tables once (unmeasured) so scan
 parallelism reflects how real tables are written — see
 ``_layout_cache``.

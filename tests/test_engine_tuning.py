@@ -26,18 +26,20 @@ def test_retune_large_restores_pretune_posture(spark, sf_dir, big_dir):
     built = spark.conf.get("spark.sql.shuffle.partitions")
 
     tune_for_input(spark, sf_dir)  # sf0.001 is far below 1 GiB
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
-    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(16 << 20)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(4 << 20)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
     tune_for_input(spark, big_dir)
     assert spark.conf.get("spark.sql.shuffle.partitions") == built
     # never explicitly set at build time -> restored to engine default
-    assert spark.conf.get("spark.sql.files.maxPartitionBytes") != str(16 << 20)
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") != str(4 << 20)
+    # AQE flag rides the stash too: built with true, restored to true
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
     # and tuning small again still works after the round-trip
     tune_for_input(spark, sf_dir)
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
     tune_for_input(spark, big_dir)
     assert spark.conf.get("spark.sql.shuffle.partitions") == built
 

@@ -112,7 +112,12 @@ GRADE_ORDER: tuple[str, ...] = (
     "llm_ann_bucketed",
     "llm_text_quality",
     "llm_simhash_hamming",    # 64-bit banded Hamming (new r2)
-    "llm_doc_features",       # lang-id + fingerprint + tokens + sample + normalize
+    # r4: llm_doc_features ceded its slot so the streaming superset has
+    # a hard driver row. Its constituents keep graded covers —
+    # quality/lang-id via llm_text_quality, fingerprint/tokens/sample
+    # via pytest parity (test_parity runs every oracle regardless of
+    # the driver window).
+    "stream_windowed_counts",  # ST-window: watermarked tumbling counts
     "llm_multimodal_features",  # binary feature-extract + resize budget
 )
 

@@ -29,6 +29,10 @@ def test_musts_inside_driver_window():
         "m_top_entity_per_type",
         # F17's sole graded cover — must never fall out of the window.
         "m_json_shaping",
+        # r4: the streaming superset's hard driver row (took
+        # llm_doc_features' slot; that query's constituents keep
+        # covers via llm_text_quality + pytest parity).
+        "stream_windowed_counts",
     ]
     out = [n for n in musts if n not in window]
     assert not out, f"must-grade queries outside the 50-query window: {out}"

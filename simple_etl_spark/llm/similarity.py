@@ -81,18 +81,20 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    prereduce: bool = False,
+    prereduce: bool | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus, float64-score every pair, then exact-rescore only the
     top-(k+margin) per query (see :func:`_two_phase_topk`).
 
     One pass over the corpus, no corpus self-join. The per-query
-    ranking window shuffles |corpus| rows per query — pass
-    ``prereduce=True`` at scale to cut each map task's contribution to
-    that shuffle down to its local per-query top-(k+margin) first
-    (the TakeOrderedAndProject pattern generalized to query batches;
-    results are identical)."""
+    ranking window shuffles |corpus| rows per query — ``prereduce``
+    cuts each map task's contribution to that shuffle down to its
+    local per-query top-(k+margin) first (the TakeOrderedAndProject
+    pattern generalized to query batches; results are identical).
+    Default ``None`` auto-enables it once the corpus scan is wide
+    enough that the shuffle saving beats the Arrow hop (see
+    :data:`PREREDUCE_MIN_PARTITIONS`); pass True/False to force."""
     q = _side(queries, id_col, vec_col, "query_id", "q")
     c = _side(embeddings, id_col, vec_col, "neighbor_id", "c")
     return _two_phase_topk(
@@ -113,6 +115,16 @@ def _side(df: DataFrame, id_col: str, vec_col: str, out_id: str, tag: str,
     return df.select(*cols)
 
 
+# Auto-enable the map-side prereduce once the candidate scan is at
+# least this many partitions wide. The window's shuffle input is
+# |C|·|Q| rows; the prereduce caps it at partitions·(k+margin)·|Q|,
+# but costs one Arrow hop over the scored pairs. At ≥8 scan partitions
+# (≈ a GiB of parquet at default bin sizing, or any at-scale table)
+# the shuffle saving dominates; below that the hop is pure overhead on
+# a shuffle that already fits one exchange.
+PREREDUCE_MIN_PARTITIONS = 8
+
+
 def _local_topk_prereduce(fast: DataFrame, km: int) -> DataFrame:
     """Map-side top-``km`` per query within each Arrow batch, before
     the global ranking window.
@@ -124,7 +136,10 @@ def _local_topk_prereduce(fast: DataFrame, km: int) -> DataFrame:
     while provably preserving the result: a pair in the global
     top-``km`` for its query is beaten by < km pairs overall, hence by
     < km pairs inside its own batch, so no batch-local cut can drop
-    it (the same argument TakeOrderedAndProject relies on)."""
+    it (the same argument TakeOrderedAndProject relies on). NaN
+    scores are filtered out of the pair stream upstream
+    (:func:`_two_phase_topk`), so pandas' NaN-last sort order and the
+    window's NaN-first order can never disagree here."""
 
     def _local(batches):
         for pdf in batches:
@@ -139,7 +154,7 @@ def _local_topk_prereduce(fast: DataFrame, km: int) -> DataFrame:
 
 def _two_phase_topk(
     q: DataFrame, c: DataFrame, cond, k: int, margin: int = 5,
-    prereduce: bool = False,
+    prereduce: bool | None = None,
 ) -> DataFrame:
     """Double-precision scoring over all candidate pairs, exact decimal
     rescore of the per-query top-(k+margin) only. The margin covers
@@ -151,8 +166,18 @@ def _two_phase_topk(
     ``prereduce`` inserts a map-side per-batch top-(k+margin) cut
     before the ranking window (see :func:`_local_topk_prereduce`) —
     identical results, and the window's shuffle input drops from
-    |Q|·|C| to ~(k+margin)·|Q| per batch. Off by default: the Arrow
-    hop only pays for itself once the candidate set is large."""
+    |Q|·|C| to ~(k+margin)·|Q| per batch. ``None`` auto-enables it
+    when the candidate side scans ≥ :data:`PREREDUCE_MIN_PARTITIONS`
+    partitions (the supported-API width probe — no job runs); the
+    Arrow hop only pays for itself once the candidate set is large.
+
+    Zero-norm vectors score NaN (0/0) and are excluded from results:
+    Spark's descending window would rank NaN *first* (NaN is greatest
+    in Spark's total order) while pandas sorts it last, so NaN rows
+    are dropped before any ranking — a zero-norm vector has no
+    defined cosine to anything and must not shadow real neighbors."""
+    if prereduce is None:
+        prereduce = c.rdd.getNumPartitions() >= PREREDUCE_MIN_PARTITIONS
     fast = (
         F.broadcast(q)
         .join(c, cond)
@@ -161,6 +186,7 @@ def _two_phase_topk(
             dot_fast(F.col("q_vec"), F.col("c_vec"))
             / (F.col("q_nd") * F.col("c_nd")),
         )
+        .filter(~F.isnan(F.col("_fast")))
     )
     if prereduce:
         fast = _local_topk_prereduce(fast, k + margin)

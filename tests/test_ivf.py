@@ -97,6 +97,19 @@ def test_prereduced_brute_force_identical(spark, emb):
     """The map-side per-batch top-(k+margin) cut must not change the
     result — only the shuffle width into the ranking window."""
     queries = emb.filter("vec_id < 5")
-    plain = brute_force_topk(emb, queries, k=4).collect()
+    plain = brute_force_topk(emb, queries, k=4, prereduce=False).collect()
     pre = brute_force_topk(emb, queries, k=4, prereduce=True).collect()
     assert sorted(map(tuple, pre)) == sorted(map(tuple, plain))
+
+
+def test_prereduce_identical_on_wide_corpus(spark, emb):
+    """Same identity when the corpus is spread over many scan
+    partitions (each batch cuts independently) — the configuration
+    the auto-enable threshold targets."""
+    from simple_etl_spark.llm.similarity import PREREDUCE_MIN_PARTITIONS
+
+    wide = emb.repartition(PREREDUCE_MIN_PARTITIONS)
+    queries = emb.filter("vec_id < 5")
+    plain = brute_force_topk(emb, queries, k=4, prereduce=False).collect()
+    auto = brute_force_topk(wide, queries, k=4).collect()  # auto-engaged
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, plain))

@@ -252,3 +252,27 @@ def test_ivf_search_is_broadcast_equijoin_on_cell(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prereduce_auto_engages_by_scan_width(spark, sf_dir):
+    """brute_force_topk's map-side prereduce must turn itself on once
+    the corpus scan is >= PREREDUCE_MIN_PARTITIONS wide (the window's
+    shuffle input then shrinks from |Q|*|C| to km*|Q| per batch), and
+    stay out of the plan on a narrow scan where the Arrow hop is pure
+    overhead."""
+    from simple_etl_spark.engine import Catalog
+    from simple_etl_spark.llm.similarity import (
+        PREREDUCE_MIN_PARTITIONS,
+        brute_force_topk,
+    )
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    queries = emb.filter("vec_id < 3")
+
+    wide = emb.repartition(PREREDUCE_MIN_PARTITIONS)
+    engaged = _plan(brute_force_topk(wide, queries, k=5))
+    assert "MapInPandas" in engaged
+
+    narrow = emb.coalesce(1)
+    off = _plan(brute_force_topk(narrow, queries, k=5))
+    assert "MapInPandas" not in off

@@ -18,6 +18,10 @@ engine reproduces signatures bit-for-bit.
 
 from __future__ import annotations
 
+import contextlib
+import io
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -109,30 +113,40 @@ def minhash_signature(
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, nparts: int | None = None) -> DataFrame:
     """Rebalance a thin frame to session parallelism before a
     CPU-heavy projection (cheap: rows are doc-sized, pre-explode).
     Streaming frames pass through — micro-batch partitioning is the
-    trigger's concern.
+    trigger's concern. ``nparts`` is an explicit caller hint for the
+    input's partition count; when given, no plan probe runs at all.
 
-    AQE-rooted plans (any upstream exchange) pass through untouched:
+    Exchange-rooted plans (anything AQE wraps) pass through untouched:
     their post-shuffle partitioning is already session-sized, and
-    inspecting their RDD would eagerly materialize every upstream
-    query stage just to read a partition count. Only non-adaptive
-    plans — scan/projection lineages, where building the RDD runs no
-    job — are counted, which is exactly the single-file local-read
-    case the rebalance exists for; at-scale inputs always have enough
-    partitions."""
+    counting their RDD's partitions would eagerly run every upstream
+    query stage just to read a number. Only scan/projection lineages
+    — where building the RDD runs no job — are counted, which is
+    exactly the single-file local-read case the rebalance exists for;
+    at-scale inputs always have enough partitions. Both probes are
+    public API: the plan text comes from ``explain()`` and the count
+    from ``df.rdd.getNumPartitions()`` (no private JVM handles, so a
+    PySpark upgrade degrades loudly, not silently)."""
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        plan = df._jdf.queryExecution().executedPlan()
-        if "AdaptiveSparkPlan" in plan.getClass().getSimpleName():
+    if nparts is None:
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                df.explain("simple")
+        except Exception:
             return df
-        nparts = plan.execute().getNumPartitions()
-    except Exception:
-        return df
+        text = buf.getvalue()
+        if "Exchange" in text or "AdaptiveSparkPlan" in text:
+            return df
+        try:
+            nparts = df.rdd.getNumPartitions()
+        except Exception:
+            return df
     if nparts < target:
         return df.repartition(target)
     return df
@@ -199,29 +213,35 @@ def jaccard_pairs(
 # calls in one session don't accumulate cached blocks; callers that
 # are done with the *returned* frame can free everything eagerly with
 # release_persisted(). Unpersisting is always safe — a still-lazy
-# consumer just recomputes.
+# consumer just recomputes. Builders are routinely called from
+# concurrent query threads (the bench suite submits through a thread
+# pool), so registry mutation is serialized by a lock — the critical
+# sections are dict bookkeeping plus persist/unpersist registration,
+# tiny next to any Spark job.
 _PERSISTED: dict[str, DataFrame] = {}
+_PERSISTED_LOCK = threading.Lock()
 
 
 def _persist_tracked(tag: str, df: DataFrame) -> DataFrame:
-    prev = _PERSISTED.get(tag)
-    if prev is not None:
-        # Identical logical plan → hand back the live cached frame:
-        # repeated calls over the same input must hit the cache, not
-        # rebuild it. Only a genuinely different plan evicts.
-        try:
-            if prev.sameSemantics(df):
-                return prev
-        except Exception:
-            pass
-        _PERSISTED.pop(tag, None)
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-    out = df.persist()
-    _PERSISTED[tag] = out
-    return out
+    with _PERSISTED_LOCK:
+        prev = _PERSISTED.get(tag)
+        if prev is not None:
+            # Identical logical plan → hand back the live cached frame:
+            # repeated calls over the same input must hit the cache, not
+            # rebuild it. Only a genuinely different plan evicts.
+            try:
+                if prev.sameSemantics(df):
+                    return prev
+            except Exception:
+                pass
+            _PERSISTED.pop(tag, None)
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+        out = df.persist()
+        _PERSISTED[tag] = out
+        return out
 
 
 def release_persisted() -> None:
@@ -230,11 +250,12 @@ def release_persisted() -> None:
     The builders return lazy frames, so they cannot unpersist before
     the caller materializes — the caller owns the persisted lifetime
     and calls this once results are collected/written."""
-    for tag in list(_PERSISTED):
-        try:
-            _PERSISTED.pop(tag).unpersist()
-        except Exception:
-            pass
+    with _PERSISTED_LOCK:
+        for tag in list(_PERSISTED):
+            try:
+                _PERSISTED.pop(tag).unpersist()
+            except Exception:
+                pass
 
 
 def _jaccard_from_shingles(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:

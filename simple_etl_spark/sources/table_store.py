@@ -45,8 +45,17 @@ def commit_lock(base: str, timeout: float = 120.0, poll: float = 0.05):
 
     A writer that dies holding the lock leaves the file behind;
     waiters raise TimeoutError naming it so an operator can inspect
-    the pid recorded inside and remove it deliberately — silent
-    lock-breaking would re-open the race it exists to close.
+    the holder recorded inside — ``pid=N acquired=<ISO-8601 UTC>``,
+    so a stale lock (holder long dead / acquired hours ago) is
+    distinguishable from a slow live commit — and remove it
+    deliberately; silent lock-breaking would re-open the race it
+    exists to close.
+
+    ``timeout`` is caller-configurable end-to-end (write_table /
+    purge_older_than / compact forward their own): the 120 s default
+    suits small commits, but a waiter queued behind a large
+    distributed write should be given that write's expected duration
+    rather than hit a liveness cliff at scale.
     """
     os.makedirs(base, exist_ok=True)
     lock = os.path.join(base, _LOCK)
@@ -57,13 +66,20 @@ def commit_lock(base: str, timeout: float = 120.0, poll: float = 0.05):
             break
         except FileExistsError:
             if time.monotonic() >= deadline:
+                try:
+                    with open(lock) as fh:
+                        holder = fh.read().strip() or "<empty>"
+                except OSError:
+                    holder = "<gone>"
                 raise TimeoutError(
-                    f"commit lock {lock} held for >{timeout}s; if the "
-                    "holder crashed, inspect/remove the file manually"
+                    f"commit lock {lock} held for >{timeout}s by "
+                    f"[{holder}]; if the holder crashed, inspect/remove "
+                    "the file manually"
                 )
             time.sleep(poll)
     try:
-        os.write(fd, str(os.getpid()).encode())
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        os.write(fd, f"pid={os.getpid()} acquired={stamp}".encode())
         os.close(fd)
         yield
     finally:
@@ -93,7 +109,10 @@ def read_table(spark: SparkSession, base: str) -> DataFrame | None:
 
 
 def write_table(
-    df: DataFrame, base: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    base: str,
+    partition_by: list[str] | None = None,
+    lock_timeout: float = 120.0,
 ) -> str:
     """Write a new snapshot and swap the pointer (commit point).
 
@@ -104,7 +123,7 @@ def write_table(
     version-read → write → swap, so no two commits can claim the same
     ``v{N}``); readers never take the lock.
     """
-    with commit_lock(base):
+    with commit_lock(base, timeout=lock_timeout):
         v = (current_version(base) or 0) + 1
         path = os.path.join(base, f"v{v}")
         w = df.write.mode("overwrite")
@@ -124,6 +143,7 @@ def purge_older_than(
     col: str,
     days: int,
     anchor: "object | None" = None,
+    lock_timeout: float = 120.0,
 ) -> dict:
     """S12 as a real mutation: drop rows older than ``days`` before
     ``anchor`` by committing a new snapshot WITHOUT them — the
@@ -151,7 +171,7 @@ def purge_older_than(
     import datetime as dt
     import shutil
 
-    with commit_lock(base):
+    with commit_lock(base, timeout=lock_timeout):
         return _purge_locked(spark, base, col, days, anchor, dt, shutil)
 
 
@@ -233,6 +253,7 @@ def compact(
     base: str,
     target_file_bytes: int = 128 << 20,
     partition_by: list[str] | None = None,
+    lock_timeout: float = 120.0,
 ) -> dict:
     """Rewrite the current snapshot with right-sized files.
 
@@ -268,7 +289,7 @@ def compact(
     # land in between and be silently undone by the compacted rewrite
     # of the older snapshot — the lost-update race the lock exists to
     # prevent. The lock is not reentrant, so the commit is inlined.
-    with commit_lock(base):
+    with commit_lock(base, timeout=lock_timeout):
         cur = table_path(base)
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot under {base}")

@@ -253,10 +253,26 @@ def test_commit_lock_timeout_names_stale_lock(tmp_path):
     base = str(tmp_path / "stale_tbl")
     os.makedirs(base)
     with open(os.path.join(base, "_COMMIT_LOCK"), "w") as fh:
-        fh.write("99999")
-    with pt.raises(TimeoutError, match="_COMMIT_LOCK"):
+        fh.write("pid=99999 acquired=2026-01-01T00:00:00Z")
+    # the error surfaces the recorded holder so operators can tell a
+    # stale lock (dead pid / old acquire stamp) from a slow live commit
+    with pt.raises(TimeoutError, match=r"pid=99999 acquired=2026"):
         with ts.commit_lock(base, timeout=0.3):
             pass
+
+
+def test_commit_lock_records_holder_metadata(tmp_path):
+    import os
+
+    from simple_etl_spark.sources import table_store as ts
+
+    base = str(tmp_path / "meta_tbl")
+    with ts.commit_lock(base):
+        with open(os.path.join(base, "_COMMIT_LOCK")) as fh:
+            content = fh.read()
+        assert f"pid={os.getpid()}" in content
+        assert "acquired=" in content
+    assert not os.path.exists(os.path.join(base, "_COMMIT_LOCK"))
 
 
 def test_compact_coalesces_small_files(spark, tmp_path):

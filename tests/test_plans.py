@@ -276,3 +276,39 @@ def test_prereduce_auto_engages_by_scan_width(spark, sf_dir):
     narrow = emb.coalesce(1)
     off = _plan(brute_force_topk(narrow, queries, k=5))
     assert "MapInPandas" not in off
+
+
+def _simple_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["cumulative_daily_revenue", "daily_revenue_delta", "customer_revenue_quartiles"],
+)
+def test_unpartitioned_window_runs_on_post_agg_frame(spark, sf_dir, name):
+    """The engine's unpartitioned windows (running totals, LAG deltas,
+    ntile) funnel into one task by construction — that is only safe
+    because their input is the *aggregated* frame (days / customers),
+    never the fact table. Pin the contract in the plan: below the
+    Window sits the single-partition exchange, and below THAT the
+    aggregation that reduced the scan — so the O(rows) work happened
+    before anything serialized."""
+    from simple_etl_spark.queries import queries
+
+    plan = _simple_plan(queries()[name](spark, sf_dir))
+    wpos = plan.find("Window ")
+    assert wpos != -1, f"no Window operator in {name}'s plan"
+    # root-first simple-mode text: child operators print after parents
+    xpos = plan.find("Exchange SinglePartition", wpos)
+    assert xpos != -1, f"{name}: window input is not a single-partition exchange"
+    apos = plan.find("HashAggregate", xpos)
+    spos = plan.find("Scan ", xpos)
+    assert apos != -1 and (spos == -1 or apos < spos), (
+        f"{name}: the single-partition window reads the raw scan — the "
+        "aggregation must run before the funnel"
+    )

@@ -18,9 +18,8 @@ engine reproduces signatures bit-for-bit.
 
 from __future__ import annotations
 
-import contextlib
-import io
 import threading
+import uuid
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -45,6 +44,41 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.min(id_col).alias("survivor_id"),
             F.count(F.lit(1)).alias("copies"),
         )
+    )
+
+
+def fingerprint_store(df: DataFrame, text_col: str) -> DataFrame:
+    """The corpus's fingerprint relation: one row per distinct text
+    hash. At scale this is the persisted side of incremental dedup —
+    a bucketed table keyed on ``fingerprint`` that each new crawl
+    batch anti-joins against, then appends its survivors to."""
+    return df.select(fingerprint(text_col).alias("fingerprint")).distinct()
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Production dedup shape: dedupe a new batch *against the corpus
+    already ingested*, not just within itself.
+
+    Two steps, both single hash-shuffles on the md5 fingerprint:
+    in-batch exact dedup (keep the min-id copy, count the rest), then
+    a left-anti join against the store's fingerprints drops everything
+    the corpus has already seen. At 100 TB the store is a bucketed
+    fingerprint table on the same key, so the anti-join co-locates
+    without a second shuffle of the store; the new batch — typically
+    orders of magnitude smaller than the corpus — is the only side
+    that moves. Survivors are what gets appended to both the corpus
+    and the store, keeping the next batch's run incremental."""
+    batch = new_batch.groupBy(fingerprint(text_col).alias("fingerprint")).agg(
+        F.min(id_col).alias("survivor_id"),
+        F.count(F.lit(1)).alias("copies"),
+    )
+    return batch.join(
+        store.select("fingerprint"), "fingerprint", "left_anti"
     )
 
 
@@ -127,20 +161,26 @@ def _spread(df: DataFrame, nparts: int | None = None) -> DataFrame:
     — where building the RDD runs no job — are counted, which is
     exactly the single-file local-read case the rebalance exists for;
     at-scale inputs always have enough partitions. Both probes are
-    public API: the plan text comes from ``explain()`` and the count
-    from ``df.rdd.getNumPartitions()`` (no private JVM handles, so a
+    public API: the plan text comes from the SQL ``EXPLAIN`` statement
+    (returned as rows — thread-safe, unlike capturing ``explain()``'s
+    stdout from concurrent builder threads) and the count from
+    ``df.rdd.getNumPartitions()`` (no private JVM handles, so a
     PySpark upgrade degrades loudly, not silently)."""
     if df.isStreaming:
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     if nparts is None:
-        buf = io.StringIO()
+        view = f"_sg_spread_probe_{uuid.uuid4().hex}"
         try:
-            with contextlib.redirect_stdout(buf):
-                df.explain("simple")
+            df.createOrReplaceTempView(view)
+            try:
+                rows = spark.sql(f"EXPLAIN SELECT * FROM `{view}`").collect()
+            finally:
+                spark.catalog.dropTempView(view)
+            text = "\n".join(str(r[0]) for r in rows)
         except Exception:
             return df
-        text = buf.getvalue()
         if "Exchange" in text or "AdaptiveSparkPlan" in text:
             return df
         try:

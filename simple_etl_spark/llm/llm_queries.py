@@ -898,3 +898,125 @@ def llm_normalize_probe(cat: Catalog) -> DataFrame:
         F.count_if(F.col("ntext") != F.col("text")).alias("n_changed"),
         F.sum(F.length("ntext")).cast("bigint").alias("total_norm_chars"),
     )
+
+
+@query(
+    "llm_incremental_dedup",
+    oracle="""
+    WITH store AS (
+        SELECT DISTINCT md5(text) AS fingerprint
+        FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+        SELECT md5(text) AS fingerprint,
+               min(doc_id) AS survivor_id,
+               count(*) AS copies
+        FROM documents WHERE doc_id >= 250
+        GROUP BY 1
+    )
+    SELECT b.fingerprint, b.survivor_id, b.copies
+    FROM batch b LEFT JOIN store s ON s.fingerprint = b.fingerprint
+    WHERE s.fingerprint IS NULL
+    """,
+    survey="LLM dedup: incremental batch-vs-store dedup (the production "
+    "crawl shape — in-batch min-id survivor, anti-join on the corpus "
+    "fingerprint store)",
+)
+def llm_incremental_dedup(cat: Catalog) -> DataFrame:
+    """Dedupe the 'new crawl' half of the corpus (doc_id >= 250)
+    against the fingerprint store of the already-ingested half:
+    in-batch exact dedup, then a left-anti join drops texts the
+    corpus has already seen."""
+    from simple_etl_spark.llm.dedup import fingerprint_store, incremental_dedup
+
+    docs = cat["documents"]
+    store = fingerprint_store(docs.filter(F.col("doc_id") < 250), "text")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") >= 250), store, "text", "doc_id"
+    )
+
+
+@query(
+    "llm_repetition_quality",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ) t WHERE w <> ''
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+    ws AS (
+        SELECT doc_id,
+               cast(sum(c) as bigint) AS n_words,
+               cast(count(*) as bigint) AS distinct_words,
+               cast(max(c) as bigint) AS top_word_count
+        FROM wc GROUP BY 1
+    ),
+    wp AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS w,
+               unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT a.doc_id, a.w || ' ' || b.w AS g
+        FROM wp a JOIN wp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    gs AS (SELECT doc_id, cast(max(c) as bigint) AS top_bigram_count
+           FROM gc GROUP BY 1),
+    feat AS (
+        SELECT ws.doc_id, ws.n_words, ws.distinct_words,
+               cast(1.0 as double)
+                 - (cast(ws.distinct_words as double)
+                    / cast(ws.n_words as double)) AS dup_word_frac,
+               cast(ws.top_word_count as double)
+                 / cast(ws.n_words as double) AS top_word_frac,
+               cast(gs.top_bigram_count as double)
+                 / (cast(ws.n_words as double) - cast(1.0 as double))
+                   AS top_bigram_frac
+        FROM ws LEFT JOIN gs ON gs.doc_id = ws.doc_id
+    )
+    SELECT doc_id, n_words, distinct_words, dup_word_frac, top_word_frac,
+           top_bigram_frac,
+           (top_word_frac > 0.12 OR dup_word_frac > 0.5) AS is_repetitive
+    FROM feat
+    """,
+    survey="LLM curation: repetition-based quality filters (Gopher/C4 "
+    "family — dup-word, top-word, top-bigram fractions as a relational "
+    "explode→aggregate plan, no per-row quadratic expressions)",
+)
+def llm_repetition_quality(cat: Catalog) -> DataFrame:
+    """Repetition signals per document over the full corpus."""
+    from simple_etl_spark.llm.textstats import repetition_features
+
+    return repetition_features(cat["documents"])
+
+
+@query(
+    "llm_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(cast(doc_id as varchar)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT lang, doc_id, sample_rank
+    FROM ranked WHERE sample_rank <= 20
+    """,
+    survey="LLM curation: deterministic stratified quota sample "
+    "(balanced per-language training mix, content-hash-ranked so "
+    "membership is engine- and layout-independent)",
+)
+def llm_stratified_sample(cat: Catalog) -> DataFrame:
+    """20 documents per language, hash-ranked: the balanced-mix
+    sampling primitive, reproducible on any engine."""
+    from simple_etl_spark.llm.sampling import stratified_sample
+
+    return stratified_sample(
+        cat["documents"], "lang", 20, "doc_id"
+    ).select("lang", "doc_id", "sample_rank")

@@ -29,6 +29,38 @@ def hash_bucket(col: Column | str, buckets: int = _SPACE) -> Column:
     return h % F.lit(buckets) if buckets != _SPACE else h
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: within each stratum,
+    rank rows by the md5 of their key (ties broken by the key itself)
+    and keep the first ``n_per_stratum`` — the balanced-mix primitive
+    for training-data curation (equal documents per language/domain,
+    reproducible forever).
+
+    The ranking window partitions by the stratum: one shuffle on the
+    stratum key, per-stratum sort — the canonical distributed quota
+    plan. Because membership is content-hash-ranked (not `LIMIT` over
+    an arbitrary order), the sample is engine-independent and stable
+    under repartitioning; growing the quota only ever adds rows
+    (monotone, like :func:`hash_sample`). Adds ``sample_rank``
+    (1-based within the stratum)."""
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, percent: float) -> DataFrame:
     """Keep rows whose hash bucket falls in the first ``percent``% of
     the 24-bit hash space — deterministic, engine-independent sampling.

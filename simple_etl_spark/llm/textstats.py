@@ -91,3 +91,70 @@ def doc_fingerprint(col: Column | str) -> Column:
     oracle-reproducible)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 filter family):
+    duplicate-word fraction, most-frequent-word fraction,
+    most-frequent-bigram fraction, and the resulting flag.
+
+    Unlike the single-projection ops above, repetition needs per-token
+    frequencies, so it is expressed *relationally* — explode →
+    two-level aggregation — rather than as per-row array expressions:
+    counting each token against the whole document inside a transform()
+    would be O(len²) codegen per row, while the explode plan is two
+    map-side-combined shuffles keyed (id, token) then (id), linear in
+    corpus size and exactly the shape that survives 100 TB.
+
+    Every exposed fraction is a single IEEE double division (or one
+    division plus one subtraction) of exact bigint counts —
+    deterministic on any engine; no accumulation in floating point.
+    Documents with a single word have no bigram; their bigram fraction
+    is NULL (and cannot set the flag)."""
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    wstats = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.max("c").alias("top_word_count"),
+    )
+
+    from simple_etl_spark.llm.dedup import shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.lower(F.col(text_col)), 2)).alias("g"),
+    )
+    gc = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    gstats = gc.groupBy(id_col).agg(F.max("c").alias("top_bigram_count"))
+
+    n = F.col("n_words").cast("double")
+    top_word_frac = F.col("top_word_count").cast("double") / n
+    dup_word_frac = F.lit(1.0).cast("double") - (
+        F.col("distinct_words").cast("double") / n
+    )
+    top_bigram_frac = F.col("top_bigram_count").cast("double") / (
+        n - F.lit(1.0).cast("double")
+    )
+    return (
+        wstats.join(gstats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.col("distinct_words"),
+            dup_word_frac.alias("dup_word_frac"),
+            top_word_frac.alias("top_word_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            (
+                (top_word_frac > F.lit(0.12)) | (dup_word_frac > F.lit(0.5))
+            ).alias("is_repetitive"),
+        )
+    )

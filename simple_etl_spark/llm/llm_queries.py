@@ -980,7 +980,8 @@ def llm_incremental_dedup(cat: Catalog) -> DataFrame:
     )
     SELECT doc_id, n_words, distinct_words, dup_word_frac, top_word_frac,
            top_bigram_frac,
-           (top_word_frac > 0.12 OR dup_word_frac > 0.5) AS is_repetitive
+           ((n_words >= 20 AND top_word_frac > 0.12)
+            OR dup_word_frac > 0.5) AS is_repetitive
     FROM feat
     """,
     survey="LLM curation: repetition-based quality filters (Gopher/C4 "

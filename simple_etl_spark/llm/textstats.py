@@ -112,7 +112,14 @@ def repetition_features(
     division plus one subtraction) of exact bigint counts —
     deterministic on any engine; no accumulation in floating point.
     Documents with a single word have no bigram; their bigram fraction
-    is NULL (and cannot set the flag)."""
+    is NULL (and cannot set the flag).
+
+    The top-word rule only applies from 20 words up: a frequency
+    threshold is meaningless on short documents (an all-distinct
+    5-word doc already sits at 0.2), which is why the Gopher-family
+    filters pair repetition signals with a minimum length. The
+    duplicate-word rule applies at any length — half the tokens
+    repeating is degenerate no matter how short the text."""
     words = (
         df.select(
             F.col(id_col),
@@ -154,7 +161,8 @@ def repetition_features(
             top_word_frac.alias("top_word_frac"),
             top_bigram_frac.alias("top_bigram_frac"),
             (
-                (top_word_frac > F.lit(0.12)) | (dup_word_frac > F.lit(0.5))
+                ((F.col("n_words") >= F.lit(20)) & (top_word_frac > F.lit(0.12)))
+                | (dup_word_frac > F.lit(0.5))
             ).alias("is_repetitive"),
         )
     )

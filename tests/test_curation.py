@@ -1,0 +1,95 @@
+"""Edge-case behavior of the round-4 curation operators (incremental
+dedup, repetition features, stratified sampling). Oracle parity is in
+test_parity; these pin the corners an oracle query can't reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_etl_spark.llm.dedup import fingerprint_store, incremental_dedup
+from simple_etl_spark.llm.sampling import stratified_sample
+from simple_etl_spark.llm.textstats import repetition_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a", "the quick brown fox"),
+        (2, "a", "the quick brown fox"),          # exact dup of 1
+        (3, "a", "spark spark spark spark"),      # maximally repetitive
+        (4, "b", "one"),                          # single word: no bigram
+        (5, "b", "all distinct words here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_incremental_dedup_drops_already_ingested(spark, docs):
+    store = fingerprint_store(docs.filter("doc_id <= 2"), "text")
+    out = incremental_dedup(
+        docs.filter("doc_id >= 2"), store, "text", "doc_id"
+    ).collect()
+    # doc 2's text is in the store -> dropped; 3, 4, 5 survive
+    assert sorted(r["survivor_id"] for r in out) == [3, 4, 5]
+
+
+def test_incremental_dedup_empty_batch(spark, docs):
+    store = fingerprint_store(docs, "text")
+    out = incremental_dedup(docs.filter("doc_id < 0"), store, "text", "doc_id")
+    assert out.count() == 0
+
+
+def test_incremental_dedup_empty_store_reduces_to_exact_dedup(spark, docs):
+    store = fingerprint_store(docs.filter("doc_id < 0"), "text")
+    out = incremental_dedup(docs, store, "text", "doc_id").collect()
+    # 5 docs, one duplicated text -> 4 survivors, dup keeps min id with 2 copies
+    assert len(out) == 4
+    dup = next(r for r in out if r["copies"] == 2)
+    assert dup["survivor_id"] == 1
+
+
+def test_repetition_features_extremes(spark, docs):
+    feats = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    r3 = feats[3]  # one word repeated 4x
+    assert r3["n_words"] == 4 and r3["distinct_words"] == 1
+    assert r3["top_word_frac"] == 1.0
+    assert r3["dup_word_frac"] == 0.75
+    assert r3["is_repetitive"]  # via the any-length dup-word rule
+    r5 = feats[5]  # all distinct, but short: top-word rule must not fire
+    assert r5["dup_word_frac"] == 0.0
+    assert r5["top_word_frac"] == 0.2  # > threshold, yet n_words < 20
+    assert not r5["is_repetitive"]
+
+
+def test_repetition_single_word_doc_has_null_bigram_frac(spark, docs):
+    row = repetition_features(docs).filter("doc_id = 4").collect()[0]
+    assert row["n_words"] == 1
+    assert row["top_bigram_frac"] is None
+    assert not row["is_repetitive"]
+
+
+def test_stratified_sample_quota_and_determinism(spark, docs):
+    out = stratified_sample(docs, "lang", 2, "doc_id")
+    rows = out.collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert all(len(v) <= 2 for v in by_lang.values())
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_lang.values())
+    # repartitioning must not change membership (hash-ranked, not layout-ranked)
+    again = stratified_sample(docs.repartition(7), "lang", 2, "doc_id").collect()
+    key = lambda r: (r["lang"], r["doc_id"], r["sample_rank"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_stratified_sample_quota_is_monotone(spark, docs):
+    small = stratified_sample(docs, "lang", 1, "doc_id").collect()
+    big = stratified_sample(docs, "lang", 3, "doc_id").collect()
+    small_ids = {(r["lang"], r["doc_id"]) for r in small}
+    big_ids = {(r["lang"], r["doc_id"]) for r in big}
+    assert small_ids <= big_ids
+
+
+def test_stratified_sample_rejects_bad_quota(spark, docs):
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        stratified_sample(docs, "lang", 0, "doc_id")

@@ -312,3 +312,29 @@ def test_unpartitioned_window_runs_on_post_agg_frame(spark, sf_dir, name):
         f"{name}: the single-partition window reads the raw scan — the "
         "aggregation must run before the funnel"
     )
+
+
+def test_incremental_dedup_is_single_key_anti_join(spark, sf_dir):
+    """Incremental dedup must stay one md5 key end-to-end: a hash
+    anti-join against the store (broadcast here; shuffled-on-key at
+    scale), never a cartesian, with the split predicates pushed to the
+    scans and the in-batch aggregation map-side partial."""
+    from simple_etl_spark.queries import queries
+
+    plan = _plan(queries()["llm_incremental_dedup"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual(doc_id,250)" in plan
+    assert "partial_min" in plan
+
+
+def test_repetition_features_aggregates_partially(spark, sf_dir):
+    """Both explode branches must combine map-side before their
+    shuffle — the (id, token) partial count is what keeps the plan
+    linear in corpus size at 100 TB."""
+    from simple_etl_spark.queries import queries
+
+    plan = _plan(queries()["llm_repetition_quality"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,98 @@
+"""Property tests (hypothesis) for the as-of and range joins: the
+Spark implementations must agree with an obvious sequential reference
+on arbitrary keyed timelines — duplicate timestamps, cross-key
+isolation, empty sides, boundary instants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from simple_etl_spark.operators.asof import asof_join
+from simple_etl_spark.operators.rangejoin import range_join_bucketed
+
+KEYS = st.sampled_from(["k1", "k2"])
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _t(hours: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(hours=hours)
+
+
+LEFT_ROW = st.tuples(KEYS, st.integers(0, 60))
+RIGHT_ROW = st.tuples(KEYS, st.integers(0, 60), st.integers(0, 3))
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    left=st.lists(LEFT_ROW, min_size=1, max_size=7),
+    right=st.lists(RIGHT_ROW, max_size=7),
+    exact=st.booleans(),
+)
+@SET
+def test_asof_matches_sequential_reference(spark, left, right, exact):
+    ldf = spark.createDataFrame(
+        [(i, k, _t(h)) for i, (k, h) in enumerate(left)],
+        "lid long, key string, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, k, _t(h), float(v)) for i, (k, h, v) in enumerate(right)],
+        "rid long, key string, ts timestamp, value double",
+    )
+    got = {
+        r["lid"]: (r["rid_asof"], r["value_asof"])
+        for r in asof_join(
+            ldf, rdf, "key", "ts", ["rid", "value"],
+            allow_exact_matches=exact,
+        ).collect()
+    }
+    assert len(got) == len(left)
+    rrows = [(100 + i, k, _t(h), float(v)) for i, (k, h, v) in enumerate(right)]
+    for i, (k, h) in enumerate(left):
+        lts = _t(h)
+        cands = [
+            (ts, rid, v)
+            for rid, rk, ts, v in rrows
+            if rk == k and (ts <= lts if exact else ts < lts)
+        ]
+        want = max(cands) if cands else None  # (ts, rid, value) lexicographic
+        if want is None:
+            assert got[i] == (None, None), f"left {i}: expected no match"
+        else:
+            assert got[i] == (want[1], want[2]), f"left {i}"
+
+
+@given(
+    points=st.lists(LEFT_ROW, min_size=1, max_size=6),
+    ivs=st.lists(st.tuples(KEYS, st.integers(0, 60), st.integers(0, 30)), max_size=5),
+)
+@SET
+def test_range_join_matches_sequential_reference(spark, points, ivs):
+    pdf = spark.createDataFrame(
+        [(i, k, _t(h)) for i, (k, h) in enumerate(points)],
+        "pid long, key string, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [(100 + i, k, _t(h), _t(h + w)) for i, (k, h, w) in enumerate(ivs)],
+        "ivid long, key string, start timestamp, stop timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["ivid"])
+        for r in range_join_bucketed(
+            pdf, idf, "key", "ts", "start", "stop", bucket="1 day", how="inner"
+        ).collect()
+    )
+    want = sorted(
+        (pi, 100 + ii)
+        for pi, (pk, ph) in enumerate(points)
+        for ii, (ik, ih, iw) in enumerate(ivs)
+        if pk == ik and ih <= ph <= ih + iw
+    )
+    assert got == want

@@ -1021,3 +1021,101 @@ def llm_stratified_sample(cat: Catalog) -> DataFrame:
     return stratified_sample(
         cat["documents"], "lang", 20, "doc_id"
     ).select("lang", "doc_id", "sample_rank")
+
+
+@query(
+    "llm_chunk_documents",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, words,
+               unnest(range(1, greatest(1, len(words) - 8) + 1, 24)) AS s
+        FROM w
+    ),
+    ch AS (
+        SELECT doc_id, cast(s as bigint) AS start_word,
+               array_to_string(words[s : s + 31], ' ') AS chunk_text
+        FROM starts
+    )
+    SELECT doc_id, start_word,
+           cast(len(string_split(chunk_text, ' ')) as bigint) AS n_tokens,
+           chunk_text, md5(chunk_text) AS chunk_md5
+    FROM ch
+    """,
+    survey="LLM curation: fixed-size chunking with overlap (sequence "
+    "packing — single projection + generate, shuffle-free; chunk md5 "
+    "feeds the dedup operators downstream)",
+)
+def llm_chunk_documents(cat: Catalog) -> DataFrame:
+    """32-token chunks with 8-token overlap over the corpus."""
+    from simple_etl_spark.llm.textstats import chunk_documents
+
+    return chunk_documents(cat["documents"], chunk_tokens=32, overlap=8)
+
+
+@query(
+    "llm_pii_redaction",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id
+                    || '@example.com or 555-123-4567 at 10.0.0.'
+                    || (doc_id % 256) AS text
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, text,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IPV4>', 'g') AS redacted
+        FROM seeded
+    )
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint)
+               AS n_email,
+           cast(len(regexp_extract_all(text,
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) as bigint) AS n_phone,
+           cast(len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) as bigint)
+               AS n_ipv4,
+           md5(redacted) AS redacted_md5,
+           cast(length(redacted) as bigint) AS redacted_len
+    FROM red
+    """,
+    survey="LLM curation: pattern-tier PII redaction (email/phone/ipv4 "
+    "counts + scrubbed text; regex subset with identical Java/RE2 "
+    "semantics so the redaction is engine-reproducible)",
+)
+def llm_pii_redaction(cat: Catalog) -> DataFrame:
+    """Redact synthetic PII seeded into every document (the corpus
+    itself is clean, so the injection makes the scrubber measurable):
+    per-type counts plus the md5/length of the scrubbed text."""
+    from simple_etl_spark.llm.textstats import redact_pii
+
+    seeded = cat["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(seeded)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+        F.length(F.col("redacted")).cast("bigint").alias("redacted_len"),
+    )

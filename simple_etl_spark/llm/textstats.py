@@ -93,6 +93,97 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
 
 
+# PII surface patterns, deliberately restricted to syntax whose
+# semantics are identical in Java regex (Spark) and RE2 (most SQL
+# engines): character classes, bounded quantifiers, \b — no
+# lookaround, no backreferences. Replacement order is fixed
+# (email → phone → ipv4); with these shapes no pattern can match
+# inside another's replacement token.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub surface-level PII (emails, NANP-style phone numbers,
+    IPv4 addresses) from a text column before it can enter a training
+    set, and count what was removed per type.
+
+    Adds ``n_email`` / ``n_phone`` / ``n_ipv4`` (counts over the
+    original text) and ``redacted`` (the text with each match replaced
+    by its ``<TYPE>`` token). Pure Column expressions — one codegen
+    projection over the scan, shuffle-free at any corpus size. This is
+    the pattern-matching tier of PII removal; entity-model-based
+    scrubbing rides the same mapInPandas lane as the NER operator."""
+    c = F.col(text_col)
+    out = df
+    red = c
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("bigint"),
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn("redacted", red)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into fixed-size training chunks of
+    ``chunk_tokens`` whitespace tokens with ``overlap`` tokens shared
+    between consecutive chunks — the sequence-packing step every LLM
+    data pipeline runs before tokenization.
+
+    Chunk starts are the arithmetic ladder 1, 1+stride, … (stride =
+    chunk − overlap) up to ``max(1, n − overlap)``, so every token is
+    covered, the final chunk simply runs short, and a document shorter
+    than one chunk still yields exactly one chunk. Everything is
+    array-expression codegen — ``split`` once, ``sequence`` +
+    ``explode`` for the starts, ``slice`` per chunk — so the operator
+    is a single projection + generate over the corpus scan: no
+    shuffle at all; at 100 TB it streams.
+
+    Output: one row per chunk with ``start_word`` (1-based),
+    ``n_tokens``, the chunk text, and its md5 (the id used when
+    chunks feed the dedup operators downstream)."""
+    if overlap < 0 or chunk_tokens <= overlap:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), n - F.lit(overlap)), F.lit(stride)
+    )
+    chunked = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(starts).alias("start_word"),
+    ).select(
+        F.col(id_col),
+        F.col("start_word").cast("bigint").alias("start_word"),
+        F.array_join(
+            F.slice(F.split(F.col(text_col), " "), F.col("start_word"), chunk_tokens),
+            " ",
+        ).alias("chunk_text"),
+    )
+    return chunked.select(
+        id_col,
+        "start_word",
+        F.size(F.split(F.col("chunk_text"), " ")).cast("bigint").alias("n_tokens"),
+        "chunk_text",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

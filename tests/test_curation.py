@@ -93,3 +93,61 @@ def test_stratified_sample_quota_is_monotone(spark, docs):
 def test_stratified_sample_rejects_bad_quota(spark, docs):
     with pytest.raises(ValueError, match="n_per_stratum"):
         stratified_sample(docs, "lang", 0, "doc_id")
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark):
+    from simple_etl_spark.llm.textstats import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(1, 41))  # 40 words
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_documents(df, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: r["start_word"],
+    )
+    assert [r["start_word"] for r in chunks] == [1, 25]
+    assert chunks[0]["n_tokens"] == 32
+    assert chunks[1]["n_tokens"] == 16  # tail runs short
+    # overlap: chunk 2 starts at word 25, chunk 1 ends at word 32
+    assert chunks[0]["chunk_text"].split()[24:] == chunks[1]["chunk_text"].split()[:8]
+    # full coverage
+    covered = set(chunks[0]["chunk_text"].split()) | set(chunks[1]["chunk_text"].split())
+    assert covered == set(text.split())
+
+
+def test_chunking_short_doc_yields_one_chunk(spark):
+    from simple_etl_spark.llm.textstats import chunk_documents
+
+    df = spark.createDataFrame([(1, "just three words")], "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    assert len(out) == 1
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["chunk_text"] == "just three words"
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    from simple_etl_spark.llm.textstats import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_redact_pii_counts_and_tokens(spark):
+    from simple_etl_spark.llm.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org call 555-123-4567 ip 10.0.0.1"),
+            (2, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (2, 1, 1)
+    assert "<EMAIL>" in r1["redacted"] and "<PHONE>" in r1["redacted"]
+    assert "<IPV4>" in r1["redacted"]
+    assert "a@b.co" not in r1["redacted"] and "10.0.0.1" not in r1["redacted"]
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0)
+    assert r2["redacted"] == r2["text"]

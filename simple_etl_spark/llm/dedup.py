@@ -47,6 +47,55 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training-set decontamination: flag documents sharing at least
+    ``min_hits`` distinct word ``n``-gram shingles with a benchmark /
+    eval corpus — the overlap check run before training so eval
+    questions don't leak into the training set.
+
+    Scale shape: benchmarks are tiny next to a 100 TB corpus, so the
+    benchmark's distinct shingle set broadcasts and the corpus is
+    scanned once — explode its shingles, broadcast-semi-join, count
+    hits per document. Nothing is quadratic and the only shuffle is
+    the per-document hit count (map-side combined). Documents with no
+    overlap report 0 via the left join — every input row gets a row.
+    """
+    bsh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(bench_text_col, n))).alias("shingle")
+        )
+        .distinct()
+    )
+    dsh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    hits = (
+        dsh.join(F.broadcast(bsh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_hits).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
 def fingerprint_store(df: DataFrame, text_col: str) -> DataFrame:
     """The corpus's fingerprint relation: one row per distinct text
     hash. At scale this is the persisted side of incremental dedup —

@@ -1119,3 +1119,77 @@ def llm_pii_redaction(cat: Catalog) -> DataFrame:
         F.md5(F.col("redacted")).alias("redacted_md5"),
         F.length(F.col("redacted")).cast("bigint").alias("redacted_len"),
     )
+
+
+@query(
+    "llm_decontamination",
+    oracle="""
+    WITH bw AS (
+        SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0
+    ),
+    bsh AS (
+        SELECT DISTINCT concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i FROM bw) t
+        WHERE len(w) >= 3
+    ),
+    dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dsh AS (
+        SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+              FROM dw) t
+        WHERE len(w) >= 3
+    ),
+    hits AS (
+        SELECT d.doc_id, cast(count(*) as bigint) AS n_overlap
+        FROM dsh d JOIN bsh b ON b.shingle = d.shingle
+        GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           coalesce(h.n_overlap, 0) >= 1 AS is_contaminated
+    FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id
+    """,
+    survey="LLM curation: benchmark decontamination (distinct n-gram "
+    "overlap vs a broadcast eval shingle set — one corpus scan, no "
+    "quadratic pairing)",
+)
+def llm_decontamination(cat: Catalog) -> DataFrame:
+    """Flag corpus documents sharing any 3-gram shingle with the
+    deterministic 'eval slice' (every 50th document) — the
+    decontamination gate run before training."""
+    from simple_etl_spark.llm.dedup import contamination_check
+
+    docs = cat["documents"]
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return contamination_check(docs, bench, "doc_id", "text")
+
+
+@query(
+    "llm_domain_mix",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(cast(doc_id as varchar)), doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    SELECT lang, doc_id, sample_rank
+    FROM ranked
+    WHERE sample_rank <= CASE lang
+        WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'zh' THEN 15 ELSE 5 END
+    """,
+    survey="LLM curation: weighted domain mixing (per-stratum quota "
+    "dict riding the plan as a CASE literal — prescribed training-mix "
+    "ratios, no quota table join)",
+)
+def llm_domain_mix(cat: Catalog) -> DataFrame:
+    """A prescribed training mix: 40 en / 15 de / 15 zh / 5 each for
+    the rest, content-hash-ranked so the mix is reproducible."""
+    from simple_etl_spark.llm.sampling import stratified_sample
+
+    return stratified_sample(
+        cat["documents"], "lang", {"en": 40, "de": 15, "zh": 15},
+        "doc_id", default_quota=5,
+    ).select("lang", "doc_id", "sample_rank")

@@ -32,24 +32,43 @@ def hash_bucket(col: Column | str, buckets: int = _SPACE) -> Column:
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
-    n_per_stratum: int,
+    n_per_stratum: int | dict,
     key_col: str,
+    default_quota: int = 0,
 ) -> DataFrame:
     """Deterministic per-stratum quota sample: within each stratum,
     rank rows by the md5 of their key (ties broken by the key itself)
     and keep the first ``n_per_stratum`` — the balanced-mix primitive
-    for training-data curation (equal documents per language/domain,
-    reproducible forever).
+    for training-data curation (documents per language/domain in a
+    prescribed ratio, reproducible forever).
+
+    ``n_per_stratum`` is either one quota for every stratum or a
+    ``{stratum_value: quota}`` mix (the domain-weighting shape:
+    "218 en, 70 de, 10 of everything else"); strata absent from the
+    dict get ``default_quota`` (0 = excluded entirely). The mix rides
+    the plan as a literal CASE expression — no quota table, no join.
 
     The ranking window partitions by the stratum: one shuffle on the
     stratum key, per-stratum sort — the canonical distributed quota
     plan. Because membership is content-hash-ranked (not `LIMIT` over
     an arbitrary order), the sample is engine-independent and stable
-    under repartitioning; growing the quota only ever adds rows
+    under repartitioning; growing a quota only ever adds rows
     (monotone, like :func:`hash_sample`). Adds ``sample_rank``
     (1-based within the stratum)."""
-    if n_per_stratum < 1:
-        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    if isinstance(n_per_stratum, dict):
+        if not n_per_stratum:
+            raise ValueError("quota dict must not be empty")
+        if any(q < 0 for q in n_per_stratum.values()) or default_quota < 0:
+            raise ValueError("quotas must be >= 0")
+        quota = F.lit(default_quota)
+        for value, q in sorted(n_per_stratum.items()):
+            quota = F.when(F.col(strata_col) == F.lit(value), F.lit(q)).otherwise(
+                quota
+            )
+    else:
+        if n_per_stratum < 1:
+            raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+        quota = F.lit(n_per_stratum)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(strata_col).orderBy(
@@ -57,7 +76,7 @@ def stratified_sample(
     )
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("sample_rank") <= n_per_stratum)
+        .filter(F.col("sample_rank") <= quota)
     )
 
 

@@ -151,3 +151,30 @@ def test_redact_pii_counts_and_tokens(spark):
     r2 = out[2]
     assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0)
     assert r2["redacted"] == r2["text"]
+
+
+def test_quota_dict_mix_and_exclusion(spark, docs):
+    out = stratified_sample(
+        docs, "lang", {"a": 2}, "doc_id", default_quota=0
+    ).collect()
+    # lang b excluded entirely by default_quota=0
+    assert {r["lang"] for r in out} == {"a"}
+    assert len(out) == 2
+    with pytest.raises(ValueError, match="quotas"):
+        stratified_sample(docs, "lang", {"a": -1}, "doc_id")
+    with pytest.raises(ValueError, match="empty"):
+        stratified_sample(docs, "lang", {}, "doc_id")
+
+
+def test_contamination_flags_eval_slice_and_reports_all_rows(spark, docs):
+    from simple_etl_spark.llm.dedup import contamination_check
+
+    bench = docs.filter("doc_id = 1").select("text")
+    out = {r["doc_id"]: r for r in
+           contamination_check(docs, bench, "doc_id", "text").collect()}
+    assert len(out) == 5  # every input row reports
+    # docs 1 and 2 share doc 1's exact text -> contaminated
+    assert out[1]["is_contaminated"] and out[2]["is_contaminated"]
+    assert out[1]["n_overlap"] == 2  # 4-word text -> two 3-gram shingles
+    # unrelated docs report zero
+    assert out[5]["n_overlap"] == 0 and not out[5]["is_contaminated"]

@@ -338,3 +338,24 @@ def test_repetition_features_aggregates_partially(spark, sf_dir):
     plan = _plan(queries()["llm_repetition_quality"](spark, sf_dir))
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontamination_broadcasts_eval_shingles(spark, sf_dir):
+    """The benchmark shingle set must broadcast (evals are tiny next
+    to the corpus); the corpus side is scanned once with no quadratic
+    pairing."""
+    from simple_etl_spark.queries import queries
+
+    plan = _plan(queries()["llm_decontamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Sequence packing is a projection + generate over the scan —
+    at 100 TB it must stream with no exchange at all."""
+    from simple_etl_spark.queries import queries
+
+    plan = _plan(queries()["llm_chunk_documents"](spark, sf_dir))
+    assert "Generate" in plan  # the explode over chunk starts
+    assert "Exchange" not in plan

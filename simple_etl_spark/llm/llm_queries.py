@@ -1193,3 +1193,36 @@ def llm_domain_mix(cat: Catalog) -> DataFrame:
         cat["documents"], "lang", {"en": 40, "de": 15, "zh": 15},
         "doc_id", default_quota=5,
     ).select("lang", "doc_id", "sample_rank")
+
+
+@query(
+    "llm_vocabulary",
+    oracle="""
+    WITH words AS (
+        SELECT w FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ) t WHERE w <> ''
+    ),
+    wc AS (SELECT w, cast(count(*) as bigint) AS cnt FROM words GROUP BY w),
+    tot AS (SELECT cast(sum(cnt) as bigint) AS total FROM wc),
+    top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 50),
+    r AS (
+        SELECT w, cnt,
+               cast(row_number() OVER (ORDER BY cnt DESC, w) as bigint) AS rank,
+               cast(sum(cnt) OVER (ORDER BY cnt DESC, w
+                    ROWS UNBOUNDED PRECEDING) as bigint) AS cum
+        FROM top
+    )
+    SELECT r.w AS word, r.cnt, r.rank,
+           cast(r.cum as double) / cast(t.total as double) AS coverage
+    FROM r, tot t
+    """,
+    survey="LLM curation: vocabulary head with cumulative coverage "
+    "(tokenizer-sizing pass; TakeOrderedAndProject top-N, window on "
+    "the post-agg frame only)",
+)
+def llm_vocabulary(cat: Catalog) -> DataFrame:
+    """Top-50 corpus words with rank and cumulative coverage."""
+    from simple_etl_spark.llm.textstats import vocabulary
+
+    return vocabulary(cat["documents"], top_n=50)

@@ -93,6 +93,46 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
 
 
+def vocabulary(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_n`` most frequent words with
+    rank and cumulative coverage fraction — the sizing pass run before
+    tokenizer/vocab training ("how many tokens cover 95% of the
+    corpus?").
+
+    Scale shape: explode → one map-side-combined count shuffle on the
+    word, then ``orderBy().limit(top_n)`` (TakeOrderedAndProject — no
+    global sort materializes) and the ranking/cumulative window runs
+    over the *top-N aggregated rows only*, honoring the engine's
+    post-agg contract for unpartitioned windows. The corpus total
+    rides in as a broadcast 1-row aggregate. Coverage is one IEEE
+    division of exact bigint counts per row — engine-deterministic."""
+    words = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = wc.agg(F.sum("cnt").alias("total"))
+    top = wc.orderBy(F.desc("cnt"), F.asc("w")).limit(top_n)
+    from pyspark.sql.window import Window
+
+    rank_w = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.col("w").alias("word"),
+            F.col("cnt"),
+            F.row_number().over(rank_w).cast("bigint").alias("rank"),
+            (
+                F.sum("cnt").over(cum_w).cast("double")
+                / F.col("total").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
 # PII surface patterns, deliberately restricted to syntax whose
 # semantics are identical in Java regex (Spark) and RE2 (most SQL
 # engines): character classes, bounded quantifiers, \b — no

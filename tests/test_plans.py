@@ -359,3 +359,14 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     plan = _plan(queries()["llm_chunk_documents"](spark, sf_dir))
     assert "Generate" in plan  # the explode over chunk starts
     assert "Exchange" not in plan
+
+
+def test_vocabulary_topn_avoids_global_sort(spark, sf_dir):
+    """The vocab head must cut to top-N via TakeOrderedAndProject
+    (never a full sort of the word counts), and its unpartitioned
+    coverage window runs on the 50-row limited frame only."""
+    from simple_etl_spark.queries import queries
+
+    plan = _plan(queries()["llm_vocabulary"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # word counts combine map-side

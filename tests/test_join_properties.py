@@ -96,3 +96,35 @@ def test_range_join_matches_sequential_reference(spark, points, ivs):
         if pk == ik and ih <= ph <= ih + iw
     )
     assert got == want
+
+
+@given(
+    n_words=st.integers(1, 60),
+    chunk=st.integers(2, 12),
+    overlap_frac=st.integers(0, 99),
+)
+@SET
+def test_chunking_reconstructs_document(spark, n_words, chunk, overlap_frac):
+    """Invariant: chunks on the start ladder 1, 1+stride, … cover the
+    document exactly — dropping the first `overlap` words of every
+    non-first chunk and concatenating reconstructs the original token
+    sequence (no token lost, none duplicated). The tail chunk is
+    always longer than the overlap by ladder construction."""
+    from simple_etl_spark.llm.textstats import chunk_documents
+
+    overlap = (chunk - 1) * overlap_frac // 100  # 0 <= overlap < chunk
+    text = " ".join(f"t{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["start_word"],
+    )
+    stride = chunk - overlap
+    assert [c["start_word"] for c in chunks] == list(
+        range(1, max(1, n_words - overlap) + 1, stride)
+    )
+    rebuilt = chunks[0]["chunk_text"].split()
+    for c in chunks[1:]:
+        assert c["n_tokens"] > overlap  # tail longer than the overlap
+        rebuilt.extend(c["chunk_text"].split()[overlap:])
+    assert rebuilt == text.split()

@@ -1226,3 +1226,43 @@ def llm_vocabulary(cat: Catalog) -> DataFrame:
     from simple_etl_spark.llm.textstats import vocabulary
 
     return vocabulary(cat["documents"], top_n=50)
+
+
+@query(
+    "llm_distinctive_terms",
+    oracle="""
+    WITH words AS (
+        SELECT lang, w FROM (
+            SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ) t WHERE w <> ''
+    ),
+    tf AS (
+        SELECT lang, w, cast(count(*) as bigint) AS tf
+        FROM words GROUP BY lang, w
+    ),
+    dfx AS (SELECT w, cast(count(*) as bigint) AS df FROM tf GROUP BY w),
+    ng AS (SELECT cast(count(distinct lang) as bigint) AS n FROM tf),
+    r AS (
+        SELECT t.lang, t.w, t.tf, d.df,
+               cast(row_number() OVER (
+                   PARTITION BY t.lang
+                   ORDER BY t.tf DESC, d.df ASC, t.w
+               ) as bigint) AS rnk
+        FROM tf t JOIN dfx d ON d.w = t.w
+    )
+    SELECT lang, w AS word, tf, df, rnk,
+           cast(cast(tf as double)
+                * ln(cast(n.n as double) / cast(df as double))
+                as decimal(18,6)) AS tfidf_q
+    FROM r, ng n WHERE rnk <= 10
+    """,
+    survey="LLM curation: per-group distinctive terms (TF-IDF family; "
+    "integer-key ranking for engine-independent row sets, score "
+    "exposed at the 6-dp double-derived-decimal discipline)",
+)
+def llm_distinctive_terms(cat: Catalog) -> DataFrame:
+    """Top-10 distinctive words per language (tf desc, rarity asc)."""
+    from simple_etl_spark.llm.textstats import distinctive_terms
+
+    return distinctive_terms(cat["documents"], "lang", top_n=10)

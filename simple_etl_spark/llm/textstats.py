@@ -133,6 +133,64 @@ def vocabulary(
     )
 
 
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_n: int = 10,
+) -> DataFrame:
+    """Per-group distinctive vocabulary (TF-IDF family): for each
+    group (language, domain, source) the ``top_n`` terms by term
+    frequency, rarest-across-groups first — the corpus-profiling pass
+    behind domain classification and mixture diagnostics.
+
+    Numeric discipline on display: the *ranking* uses only exact
+    integer keys (tf desc, group-df asc, term) so the selected row
+    set is identical on any engine — a rank over the float TF-IDF
+    score could flip on cross-engine ulps. The score itself is
+    exposed quantized to decimal(18,6) per the engine's
+    double-derived-exposure rule (ln() is IEEE arithmetic;
+    tests/test_float_lineage.py would fail this query at a finer
+    scale). Plan: one (group, term) count shuffle, a term-keyed df
+    count over the *aggregated* tf relation (not the corpus), and the
+    ranking window per group."""
+    words = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    tf = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("tf"))
+    gdf = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ngroups = tf.select("grp").distinct().agg(F.count(F.lit(1)).alias("n_groups"))
+
+    from pyspark.sql.window import Window
+
+    w_rank = Window.partitionBy("grp").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("w")
+    )
+    return (
+        tf.join(gdf, "w")
+        .crossJoin(F.broadcast(ngroups))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("w").alias("word"),
+            "tf",
+            "df",
+            "rnk",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_groups").cast("double") / F.col("df").cast("double"))
+            )
+            .cast("decimal(18,6)")
+            .alias("tfidf_q"),
+        )
+    )
+
+
 # PII surface patterns, deliberately restricted to syntax whose
 # semantics are identical in Java regex (Spark) and RE2 (most SQL
 # engines): character classes, bounded quantifiers, \b — no

@@ -58,9 +58,14 @@ def norm2(a: Column) -> Column:
 
 def cosine(a: Column, b: Column, n2a: Column, n2b: Column) -> Column:
     """cosine(a,b) given precomputed squared norms — three IEEE double
-    ops on exact decimal inputs (deterministic across engines)."""
-    return dot(a, b).cast("double") / (
-        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    ops on exact decimal inputs (deterministic across engines).
+    ``try_divide`` so a zero-norm vector yields NULL instead of an
+    ANSI DIVIDE_BY_ZERO error (Spark 4 raises even for doubles);
+    zero-norm rows are filtered before any ranking upstream, so the
+    NULL is a belt-and-braces terminal state, never a ranked value."""
+    return F.try_divide(
+        dot(a, b).cast("double"),
+        F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")),
     )
 
 
@@ -171,11 +176,13 @@ def _two_phase_topk(
     partitions (the supported-API width probe — no job runs); the
     Arrow hop only pays for itself once the candidate set is large.
 
-    Zero-norm vectors score NaN (0/0) and are excluded from results:
-    Spark's descending window would rank NaN *first* (NaN is greatest
-    in Spark's total order) while pandas sorts it last, so NaN rows
-    are dropped before any ranking — a zero-norm vector has no
-    defined cosine to anything and must not shadow real neighbors."""
+    Zero-norm vectors have no defined cosine and are excluded from
+    results: their 0/0 score is NULL via ``try_divide`` (in ANSI mode
+    a plain division would *error*; in non-ANSI it would be NaN,
+    which Spark's descending window ranks first while pandas sorts
+    last). Dropping NULL/NaN scores before any ranking keeps the
+    window and the map-side prereduce in exact agreement and stops a
+    zero-norm vector shadowing real neighbors."""
     if prereduce is None:
         prereduce = c.rdd.getNumPartitions() >= PREREDUCE_MIN_PARTITIONS
     fast = (
@@ -183,10 +190,12 @@ def _two_phase_topk(
         .join(c, cond)
         .withColumn(
             "_fast",
-            dot_fast(F.col("q_vec"), F.col("c_vec"))
-            / (F.col("q_nd") * F.col("c_nd")),
+            F.try_divide(
+                dot_fast(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_nd") * F.col("c_nd"),
+            ),
         )
-        .filter(~F.isnan(F.col("_fast")))
+        .filter(F.col("_fast").isNotNull() & ~F.isnan(F.col("_fast")))
     )
     if prereduce:
         fast = _local_topk_prereduce(fast, k + margin)
@@ -275,11 +284,20 @@ def embedding_near_dups(
         F.col("_vec").alias("v_b"),
         F.col("_nd").alias("nd_b"),
     )
+    # Zero-norm guard: try_divide makes a 0/0 score NULL (a plain
+    # division would raise DIVIDE_BY_ZERO under ANSI, and a NaN under
+    # non-ANSI would PASS `>= threshold` since Spark orders NaN
+    # greater than every number). NULL fails the band predicate, so a
+    # vector with no defined cosine can never emit a pair — matching
+    # the top-k path's exclusion.
     fast = (
         a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b")))
         .withColumn(
             "_fast",
-            dot_fast(F.col("v_a"), F.col("v_b")) / (F.col("nd_a") * F.col("nd_b")),
+            F.try_divide(
+                dot_fast(F.col("v_a"), F.col("v_b")),
+                F.col("nd_a") * F.col("nd_b"),
+            ),
         )
         .filter(F.col("_fast") >= F.lit(threshold - 1e-6))
     )

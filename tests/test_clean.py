@@ -69,6 +69,14 @@ DATE_GOLDENS = [
     # English dd MMM yyyy forms
     ("25 Aug 2025 14:30", dt.datetime(2025, 8, 25, 14, 30)),
     ("03 Oct 2024", dt.datetime(2024, 10, 3)),
+    # r4 widening: US month-first, year-first slashes, epoch strings
+    ("Aug 25, 2025 14:30", dt.datetime(2025, 8, 25, 14, 30)),
+    ("Oct 03, 2024", dt.datetime(2024, 10, 3)),
+    ("2025/08/10 14:30:00", dt.datetime(2025, 8, 10, 14, 30)),
+    ("2025/08/10", dt.datetime(2025, 8, 10)),
+    ("1723300200", dt.datetime(2024, 8, 10, 14, 30)),      # epoch seconds (UTC)
+    ("1723300200000", dt.datetime(2024, 8, 10, 14, 30)),   # epoch millis (UTC)
+    ("12345", None),     # neither 10 nor 13 digits: not an epoch
     ("not a date", None),
     ("", None),
 ]

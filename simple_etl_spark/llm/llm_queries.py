@@ -1266,3 +1266,52 @@ def llm_distinctive_terms(cat: Catalog) -> DataFrame:
     from simple_etl_spark.llm.textstats import distinctive_terms
 
     return distinctive_terms(cat["documents"], "lang", top_n=10)
+
+
+def _srp_oracle() -> str:
+    from simple_etl_spark.llm.similarity import srp_planes
+
+    rows = ", ".join(
+        f"({j}, [{', '.join(str(s) for s in plane)}])"
+        for j, plane in enumerate(srp_planes(8, 64))
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(cast(embedding as double[]),
+                              x -> cast(x as decimal(12,10))) AS e
+        FROM embeddings
+    ),
+    el AS (
+        SELECT vec_id, unnest(e) AS val,
+               unnest(range(1, len(e) + 1)) AS pos
+        FROM v
+    ),
+    pl(j, s) AS (VALUES {rows}),
+    sums AS (
+        SELECT el.vec_id, pl.j,
+               sum(cast(el.val * pl.s[el.pos] AS decimal(30,20))) AS dp
+        FROM el, pl
+        GROUP BY el.vec_id, pl.j
+    )
+    SELECT vec_id,
+           cast(sum(CASE WHEN dp >= 0 THEN 1 << j ELSE 0 END) as bigint)
+               AS bucket
+    FROM sums GROUP BY vec_id
+    """
+
+
+@query(
+    "llm_srp_lsh",
+    oracle=_srp_oracle(),
+    survey="LLM similarity: sign-random-projection LSH buckets (the "
+    "training-free ANN bucketing; ±1 planes from md5 parity, "
+    "decimal-exact projections so bucket signs never flip on "
+    "reduction order)",
+)
+def llm_srp_lsh(cat: Catalog) -> DataFrame:
+    """8-bit SRP-LSH code per embedding — the hash-bucket partition
+    key for training-free ANN."""
+    from simple_etl_spark.llm.similarity import srp_lsh_buckets
+
+    return srp_lsh_buckets(cat["embeddings"], n_planes=8, dim=64)

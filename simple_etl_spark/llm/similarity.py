@@ -485,3 +485,64 @@ def ivf_topk(
         F.col("query_id") != F.col("neighbor_id")
     )
     return _two_phase_topk(q, c, cond, k)
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH (SRP): the hash-bucket ANN alternative to
+# IVF — no training pass at all. Each vector hashes to an n-bit code,
+# one bit per ±1 hyperplane (the sign of the projection); vectors with
+# high cosine land in the same bucket with high probability, so the
+# bucket is a join/partition key exactly like the IVF cell.
+# ---------------------------------------------------------------------------
+
+
+def srp_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: the sign of plane j at
+    dimension d is the parity of md5(f"{j}|{d}") — fixed forever, no
+    RNG state, and reproducible by any engine or language, so the
+    bucketing is portable (the matrix rides into plans and SQL oracles
+    as literals)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}|{d}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def srp_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its ``n_planes``-bit SRP code (``bucket``).
+
+    Sign safety: each plane's projection accumulates in exact decimal
+    (elements quantized to decimal(12,10), ±1 weights), so the sign —
+    and therefore the bucket — is bit-identical on any engine; a
+    float64 sum could flip a near-zero projection's sign on reduction
+    order alone and silently split a bucket between engines. One
+    projection pass over the scan, no shuffle; at 100 TB the bucket
+    is the partition key for the candidate join, exactly as with the
+    trained-IVF cell."""
+    planes = srp_planes(n_planes, dim)
+    dec = _dec_arr(F.col(vec_col))
+    bucket = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        signs = F.array(*[F.lit(s) for s in plane])
+        dp = F.aggregate(
+            F.zip_with(dec, signs, lambda x, s: (x * s).cast(_ACC_DEC)),
+            F.lit(0).cast(_ACC_DEC),
+            lambda acc, x: (acc + x).cast(_ACC_DEC),
+        )
+        bucket = bucket + F.when(dp >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
+            "bigint"
+        )
+    return embeddings.select(F.col(id_col), bucket.alias("bucket"))

@@ -533,7 +533,18 @@ def srp_lsh_buckets(
     is the partition key for the candidate join, exactly as with the
     trained-IVF cell."""
     planes = srp_planes(n_planes, dim)
-    dec = _dec_arr(F.col(vec_col))
+    # loud dim guard: a wrong ``dim`` would zip_with null-padded
+    # planes and silently collapse every bucket — fail the job instead
+    checked = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("srp_lsh_buckets: vector length "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" != dim={dim}"),
+            )
+        )
+    )
+    dec = _dec_arr(checked)
     bucket = F.lit(0).cast("bigint")
     for j, plane in enumerate(planes):
         signs = F.array(*[F.lit(s) for s in plane])
@@ -546,3 +557,29 @@ def srp_lsh_buckets(
             "bigint"
         )
     return embeddings.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def srp_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over SRP-LSH buckets: candidates restricted to the
+    query's hash bucket, then the standard two-phase exact-rescore.
+    Training-free sibling of :func:`ivf_topk` — recall follows the
+    SRP collision probability (1 - theta/pi per plane), dialed by
+    ``n_planes``; fewer planes → bigger buckets → higher recall and
+    cost. Same 100 TB shape as every bucketed path here: the code is
+    the partition key, the pairing is |bucket|-sized."""
+    eb = embeddings.join(
+        srp_lsh_buckets(embeddings, n_planes, dim, id_col, vec_col), id_col
+    )
+    qb = queries.join(
+        srp_lsh_buckets(queries, n_planes, dim, id_col, vec_col), id_col
+    )
+    return bucketed_topk(eb, qb, k=k, id_col=id_col, vec_col=vec_col,
+                         bucket_col="bucket")

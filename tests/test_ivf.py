@@ -113,3 +113,47 @@ def test_prereduce_identical_on_wide_corpus(spark, emb):
     plain = brute_force_topk(emb, queries, k=4, prereduce=False).collect()
     auto = brute_force_topk(wide, queries, k=4).collect()  # auto-engaged
     assert sorted(map(tuple, auto)) == sorted(map(tuple, plain))
+
+
+def test_srp_topk_equals_bucket_restricted_brute_force(spark, emb):
+    """SRP search must return exactly what exact scoring returns when
+    restricted to same-bucket pairs (the bucketing prunes candidates;
+    it must never change scores or ranking within a bucket)."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.llm.similarity import (
+        bucketed_topk,
+        srp_lsh_buckets,
+        srp_topk,
+    )
+
+    queries = emb.filter("vec_id < 5")
+    got = srp_topk(emb, queries, k=3, n_planes=4, dim=64)
+
+    buckets = srp_lsh_buckets(emb, n_planes=4, dim=64)
+    eb = emb.join(buckets, "vec_id")
+    qb = queries.join(buckets, "vec_id")
+    want = bucketed_topk(eb, qb, k=3, bucket_col="bucket")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_srp_buckets_group_duplicates_together(spark, emb):
+    """Identical vectors must always share a bucket (cosine 1 ⇒ same
+    side of every hyperplane)."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.llm.similarity import srp_lsh_buckets
+
+    dup = emb.filter("vec_id = 0").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    b = srp_lsh_buckets(emb.unionByName(dup), n_planes=8, dim=64)
+    pair = {r["vec_id"]: r["bucket"] for r in b.filter("vec_id in (0, 1000)").collect()}
+    assert pair[0] == pair[1000]
+
+
+def test_srp_buckets_reject_wrong_dim(spark, emb):
+    from simple_etl_spark.llm.similarity import srp_lsh_buckets
+
+    with pytest.raises(Exception, match="vector length"):
+        srp_lsh_buckets(emb, n_planes=4, dim=16).collect()

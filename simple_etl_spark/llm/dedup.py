@@ -96,6 +96,24 @@ def contamination_check(
     )
 
 
+def apply_dedup(
+    clusters: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The endpoint of the near-dup pipeline: collapse a
+    (id, cluster_id) labeling (see :func:`dedup_clusters`) to one
+    representative per cluster — the min-label convention makes the
+    representative the cluster id itself — with the member count as
+    provenance. One aggregation on the cluster key; joining the
+    survivors back to the corpus relation for full rows is a plain
+    keyed join the caller controls (and at 100 TB would bucket on
+    the id)."""
+    return clusters.groupBy(F.col(cluster_col).alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
 def fingerprint_store(df: DataFrame, text_col: str) -> DataFrame:
     """The corpus's fingerprint relation: one row per distinct text
     hash. At scale this is the persisted side of incremental dedup —

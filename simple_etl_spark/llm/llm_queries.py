@@ -659,11 +659,9 @@ def llm_simhash_hamming(cat: Catalog) -> DataFrame:
     return simhash_hamming_pairs(_near_corpus(cat), "id", "text", max_distance=3)
 
 
-@query(
-    "llm_dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_NEAR_CORPUS_SQL.strip().rstrip()},
-    {_SHINGLE_SQL.strip()},
+# the full minhash→LSH→verify→connected-components CTE chain, shared
+# by the clustering query and the apply-dedup endpoint below
+_CLUSTER_CTES = """
     hv AS (
         SELECT id,
                ('0x' || substr(md5(shingle), 1, 15))::bigint % 2147483647 AS a,
@@ -715,6 +713,15 @@ def llm_simhash_hamming(cat: Catalog) -> DataFrame:
         UNION
         SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
     )
+"""
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_CORPUS_SQL.strip().rstrip()},
+    {_SHINGLE_SQL.strip()},
+    {_CLUSTER_CTES.strip()}
     SELECT node AS id, min(label) AS cluster_id FROM walk GROUP BY node
     """,
     survey="LLM dedup: connected-components clustering over verified LSH pairs",
@@ -728,6 +735,35 @@ def llm_dedup_clusters(cat: Catalog) -> DataFrame:
     corpus = _near_corpus(cat)
     pairs = near_dedup_minhash(corpus, "id", "text", threshold=0.5)
     return dedup_clusters(pairs.select("id_a", "id_b"), corpus.select("id"))
+
+
+@query(
+    "llm_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_CORPUS_SQL.strip().rstrip()},
+    {_SHINGLE_SQL.strip()},
+    {_CLUSTER_CTES.strip()},
+    clusters AS (
+        SELECT node AS id, min(label) AS cluster_id FROM walk GROUP BY node
+    )
+    SELECT cluster_id AS id, cast(count(*) as bigint) AS n_members
+    FROM clusters GROUP BY cluster_id
+    """,
+    survey="LLM dedup: apply-dedup endpoint (rewrite the corpus to one "
+    "representative per near-dup cluster, with provenance counts — the "
+    "step that actually shrinks the training set)",
+)
+def llm_dedup_apply(cat: Catalog) -> DataFrame:
+    """The production endpoint of the near-dup pipeline: keep each
+    cluster's min-id representative and report how many members it
+    absorbed (singletons report 1). Downstream training reads exactly
+    these ids."""
+    from simple_etl_spark.llm.dedup import apply_dedup, dedup_clusters
+
+    corpus = _near_corpus(cat)
+    pairs = near_dedup_minhash(corpus, "id", "text", threshold=0.5)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"), corpus.select("id"))
+    return apply_dedup(clusters)
 
 
 @query(

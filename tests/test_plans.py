@@ -370,3 +370,12 @@ def test_vocabulary_topn_avoids_global_sort(spark, sf_dir):
     plan = _plan(queries()["llm_vocabulary"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan  # word counts combine map-side
+
+
+def test_srp_bucketing_is_shuffle_free(spark, sf_dir):
+    """SRP codes are a pure projection over the scan — at 100 TB the
+    bucketing pass must stream with no exchange."""
+    from simple_etl_spark.queries import queries
+
+    plan = _plan(queries()["llm_srp_lsh"](spark, sf_dir))
+    assert "Exchange" not in plan

@@ -1351,3 +1351,123 @@ def llm_srp_lsh(cat: Catalog) -> DataFrame:
     from simple_etl_spark.llm.similarity import srp_lsh_buckets
 
     return srp_lsh_buckets(cat["embeddings"], n_planes=8, dim=64)
+
+
+@query(
+    "llm_curation_funnel",
+    oracle=r"""
+    WITH quality AS (
+        SELECT doc_id,
+               (len(string_split_regex(trim(text), '\s+')) >= 10
+                AND length(text) >= 50) AS is_quality
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ) t WHERE w <> ''
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+    rep AS (
+        SELECT doc_id,
+               ((sum(c) >= 20
+                 AND cast(max(c) as double) / cast(sum(c) as double) > 0.12)
+                OR cast(1.0 as double)
+                   - (cast(count(*) as double) / cast(sum(c) as double)) > 0.5)
+                   AS is_repetitive
+        FROM wc GROUP BY doc_id
+    ),
+    bw AS (
+        SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0
+    ),
+    bsh AS (
+        SELECT DISTINCT concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i FROM bw) t
+        WHERE len(w) >= 3
+    ),
+    dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dsh AS (
+        SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+              FROM dw) t
+        WHERE len(w) >= 3
+    ),
+    cont AS (
+        SELECT DISTINCT d.doc_id FROM dsh d JOIN bsh b ON b.shingle = d.shingle
+    ),
+    survivors AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    flags AS (
+        SELECT d.doc_id,
+               q.is_quality,
+               r.is_repetitive,
+               (c.doc_id IS NOT NULL) AS is_contaminated,
+               (s.doc_id IS NOT NULL) AS is_survivor
+        FROM documents d
+        JOIN quality q ON q.doc_id = d.doc_id
+        JOIN rep r ON r.doc_id = d.doc_id
+        LEFT JOIN cont c ON c.doc_id = d.doc_id
+        LEFT JOIN survivors s ON s.doc_id = d.doc_id
+    )
+    SELECT cast(count(*) as bigint) AS total,
+           cast(count_if(is_quality) as bigint) AS n_quality,
+           cast(count_if(is_quality AND NOT is_repetitive) as bigint)
+               AS n_nonrepetitive,
+           cast(count_if(is_quality AND NOT is_repetitive
+                         AND NOT is_contaminated) as bigint) AS n_clean,
+           cast(count_if(is_quality AND NOT is_repetitive
+                         AND NOT is_contaminated AND is_survivor) as bigint)
+               AS n_final
+    FROM flags
+    """,
+    survey="LLM curation: the end-to-end gate funnel (quality -> "
+    "repetition -> decontamination -> exact-dedup survivor) — the "
+    "composed pipeline a training set actually runs, as one graded "
+    "statement",
+)
+def llm_curation_funnel(cat: Catalog) -> DataFrame:
+    """Corpus counts through the curation gates, composed from the
+    same operators graded individually: how many documents survive
+    quality, then repetition, then benchmark decontamination, then
+    exact dedup. At 100 TB every gate is a flag column or keyed
+    join computed by the operators' own scale plans; the funnel adds
+    one final single-row aggregation."""
+    from simple_etl_spark.llm.dedup import contamination_check, exact_dedup
+    from simple_etl_spark.llm.textstats import quality_features, repetition_features
+
+    docs = cat["documents"]
+    q = quality_features(docs).select("doc_id", "is_quality")
+    rep = repetition_features(docs).select("doc_id", "is_repetitive")
+    cont = contamination_check(
+        docs, docs.filter(F.col("doc_id") % 50 == 0).select("text"),
+        "doc_id", "text",
+    ).select("doc_id", "is_contaminated")
+    surv = exact_dedup(docs, "text", "doc_id").select(
+        F.col("survivor_id").alias("doc_id"), F.lit(True).alias("is_survivor")
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(cont, "doc_id")
+        .join(surv, "doc_id", "left")
+        .select(
+            "is_quality",
+            "is_repetitive",
+            "is_contaminated",
+            F.coalesce(F.col("is_survivor"), F.lit(False)).alias("is_survivor"),
+        )
+    )
+    keep1 = F.col("is_quality")
+    keep2 = keep1 & ~F.col("is_repetitive")
+    keep3 = keep2 & ~F.col("is_contaminated")
+    keep4 = keep3 & F.col("is_survivor")
+    return flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(keep1).alias("n_quality"),
+        F.count_if(keep2).alias("n_nonrepetitive"),
+        F.count_if(keep3).alias("n_clean"),
+        F.count_if(keep4).alias("n_final"),
+    )

@@ -1,0 +1,519 @@
+"""Sketch operators — constant-size summaries for 100 TB analytics.
+
+At cluster scale the expensive aggregations are the *distinct*-shaped
+ones: COUNT(DISTINCT) shuffles every key, per-item frequency tables
+shuffle every item, and a semi-join prune shuffles the full fact table
+before dropping most of it. The classical fixes are sketches: a
+HyperLogLog register file (distinct counts in O(m) memory, one
+map-side-combinable shuffle of ≤ m rows per group), a count-min cell
+grid (frequency estimates in O(d·w) cells), and a Bloom bitmap
+(pre-shuffle semi-join pruning). Each is implemented here as a pure
+DataFrame program whose hash family is md5-derived — deterministic and
+engine-independent, so every sketch has an exact DuckDB oracle twin
+and the driver can hash-compare results (unlike Spark's built-in
+``approx_count_distinct``/``bloom_filter_agg``, whose xxhash64/register
+layouts are engine-private and unverifiable cross-engine).
+
+The fourth operator is the exact counterpart: a distributed
+discrete-quantile profile (rank-selection over one keyed sort) — the
+honest baseline the sketches are traded against.
+
+Reference parity: the reference's stats blocks are exact Postgres
+aggregates (init.sql:91-103, services/staging_pg.py:323-372); these
+operators are the scale substitutes a 100 TB deployment would need.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simple_etl_spark.engine import Catalog
+from simple_etl_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Shared md5 hash family (matches llm/sampling.py's hash_bucket idiom:
+# DuckDB twin is ('0x' || substr(md5(x), ...))::bigint).
+# ---------------------------------------------------------------------------
+
+
+def _hash_pos(col: F.Column, salt: F.Column | int, mod: int) -> F.Column:
+    """Stable position in [0, mod) from md5('<salt>:<value>') — the
+    k-member hash family for count-min rows and Bloom probes. DuckDB
+    twin: ('0x' || substr(md5(cast(salt as varchar) || ':' ||
+    cast(value as varchar)), 1, 6))::bigint % mod."""
+    s = salt.cast("string") if isinstance(salt, F.Column) else F.lit(str(salt))
+    h = F.md5(F.concat(s, F.lit(":"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % F.lit(mod)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count (deterministic md5 register file)
+# ---------------------------------------------------------------------------
+
+# Register max is derived from a 60-bit hash tail: rho in [1, 61].
+_HLL_TAIL_BITS = 60
+_POW2_61 = 2305843009213693952  # 2^61, the rho=0 sentinel weight
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Phase 1 of HLL: per group, the m = 2**p register maxima.
+
+    bucket = first p bits of md5(key); rho = 1 + leading-zero count of
+    the next 60 bits. The rho derivation is pure string arithmetic —
+    ``length(conv(tail, 16, 2))`` is the tail's bit length (conv never
+    emits leading zeros) — so no floating log2 whose rounding could
+    flip a register cross-engine.
+
+    Plan shape: ONE shuffle on (group, bucket) with map-side partial
+    max — at most m rows per group regardless of input size. This is
+    the entire cost of distinct-counting 100 TB: the full
+    COUNT(DISTINCT) alternative shuffles every distinct key.
+    """
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be a multiple of 4 in [4,16], got {p}")
+    hexp = p // 4
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, hexp), 16, 10).cast("bigint")
+    tail_bin = F.conv(F.substring(h, hexp + 1, 15), 16, 2)
+    rho = F.when(tail_bin == "0", F.lit(_HLL_TAIL_BITS + 1)).otherwise(
+        F.lit(_HLL_TAIL_BITS + 1) - F.length(tail_bin)
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Phase 2 of HLL: fold the register file into a cardinality
+    estimate (Flajolet et al. 2007 bias-corrected harmonic mean, with
+    the small-range linear-counting correction).
+
+    Exactness discipline: the harmonic sum is accumulated as
+    SUM(2^(61 - m_j)) in DECIMAL(38,0) — every term is an exact power
+    of two, and decimal addition is order-independent, so the
+    accumulator is bit-identical on any engine (a double accumulator
+    would be summation-order-dependent). Only the final one-shot
+    division and the ln() of the linear-counting branch are IEEE
+    doubles; the exposed estimate is decimal(18,6) per the engine's
+    float-lineage rule (COVERAGE.md), where ulp-level ln() drift
+    cannot reach.
+    """
+    m = 2**p
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    term = F.pow(F.lit(2.0), F.lit(_HLL_TAIL_BITS + 1) - F.col("m_j")).cast(
+        "decimal(38,0)"
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("nz"), F.sum(term).alias("z_ne")
+    )
+    v = F.lit(m) - F.col("nz")
+    z_scaled = F.col("z_ne") + v * F.lit(_POW2_61).cast("decimal(38,0)")
+    e_raw = (
+        alpha
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.pow(F.lit(2.0), F.lit(_HLL_TAIL_BITS + 1))
+        / z_scaled.cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5) * F.lit(float(m))) & (v > F.lit(0)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols, est.cast("decimal(18,6)").alias("approx_distinct")
+    )
+
+
+def _hll_oracle_sql(key_sql: str, group_sql: str, table: str, p: int = 8) -> str:
+    """The DuckDB twin of hll_registers + hll_estimate, same hash
+    family and the same decimal accumulator (parity by construction)."""
+    m = 2**p
+    hexp = p // 4
+    tail = f"('0x' || substr(md5(cast({key_sql} as varchar)), {hexp + 1}, 15))::bigint"
+    return f"""
+    WITH regs AS (
+        SELECT {group_sql} AS grp,
+               ('0x' || substr(md5(cast({key_sql} as varchar)), 1, {hexp}))::bigint
+                   AS bucket,
+               max(CASE WHEN {tail} = 0 THEN 61
+                        ELSE 61 - length(bin({tail})) END) AS m_j
+        FROM {table}
+        GROUP BY 1, 2
+    ), folded AS (
+        SELECT grp, count(*) AS nz,
+               sum(power(2.0, 61 - m_j)::decimal(38,0)) AS z_ne
+        FROM regs GROUP BY grp
+    ), scored AS (
+        SELECT grp, {m} - nz AS v,
+               (0.7213 / (1.0 + 1.079 / {float(m)})) * {float(m)} * {float(m)}
+                   * power(2.0, 61)
+                   / cast(z_ne + ({m} - nz) * 2305843009213693952::decimal(38,0)
+                          as double) AS e_raw
+        FROM folded
+    )
+    SELECT grp, cast(CASE WHEN e_raw <= 2.5 * {float(m)} AND v > 0
+                          THEN {float(m)} * ln({float(m)} / v)
+                          ELSE e_raw END AS decimal(18,6)) AS approx_distinct
+    FROM scored
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch
+# ---------------------------------------------------------------------------
+
+
+def count_min_build(
+    counts: DataFrame,
+    item_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Fold an (item, count) frame into a d×w count-min grid — at most
+    depth·width cells regardless of vocabulary size. Each item lands
+    in one cell per hash row; a cell total over-counts by whatever
+    collides into it, never under-counts.
+
+    Plan: explode ×depth on the *aggregated* frame (vocabulary-sized,
+    not corpus-sized), then one grouped sum with map-side partials.
+    """
+    rows = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    cells = counts.select(F.col(item_col), F.col(count_col), rows).withColumn(
+        "cell", _hash_pos(F.col(item_col), F.col("j"), width)
+    )
+    return cells.groupBy("j", "cell").agg(F.sum(count_col).alias("total"))
+
+
+def count_min_lookup(
+    cells: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate each item's frequency: min over the d cells it
+    hashes to. Probes are |items|·depth rows joined against the ≤ d·w
+    cell grid — broadcast-sized by construction."""
+    rows = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    probes = items.select(F.col(item_col), rows).withColumn(
+        "cell", _hash_pos(F.col(item_col), F.col("j"), width)
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy(item_col)
+        .agg(F.min("total").alias("cm_estimate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prune
+# ---------------------------------------------------------------------------
+
+
+def bloom_bits(
+    small: DataFrame, key_col: str, k: int = 3, m_bits: int = 16384
+) -> DataFrame:
+    """The set-bit positions of a k-hash Bloom filter over the small
+    side's keys (≤ k·|small| rows, deduped ≤ m_bits)."""
+    probes = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j")
+    return (
+        small.select(F.col(key_col), probes)
+        .select(_hash_pos(F.col(key_col), F.col("j"), m_bits).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_prune(
+    big: DataFrame, key_col: str, bits: DataFrame, k: int = 3, m_bits: int = 16384
+) -> DataFrame:
+    """Keep big-side rows whose key sets ALL k Bloom bits — a superset
+    of the exact semi-join (no false negatives; false-positive rate
+    ≈ (1 - e^(-k·n/m))^k).
+
+    The bit set is folded into a literal bitmap (m_bits/32 words, 32
+    used bits per long so every word stays positive) and the membership
+    test rides the row as a pure Column expression: the prune is a
+    MAP-SIDE FILTER — no shuffle, no join, no aggregation touches the
+    fact table. That is the whole point of a Bloom prune at 100 TB:
+    every dropped row is a row that never enters the exchange. The one
+    driver-side collect is the sketch itself, bounded by m_bits
+    (16384 bits = 512 words) regardless of either table's size —
+    the same contract as Spark's own runtime bloom-filter pushdown,
+    but with an engine-independent hash family the oracle can verify.
+    """
+    words = [0] * ((m_bits + 31) // 32)
+    for (pos,) in bits.collect():
+        words[pos // 32] |= 1 << (pos % 32)
+    bitmap = F.array(*[F.lit(w) for w in words])
+    probe = F.lit(True)
+    for j in range(k):
+        pos = _hash_pos(F.col(key_col), j, m_bits)
+        word = F.element_at(bitmap, (pos / 32).cast("int") + 1)
+        shifted = F.call_function("shiftright", word, (pos % 32).cast("int"))
+        probe = probe & (shifted.bitwiseAND(F.lit(1)) == 1)
+    return big.filter(probe)
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed discrete quantiles (the honest baseline)
+# ---------------------------------------------------------------------------
+
+
+def quantile_disc(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact discrete quantiles per group by rank selection: the
+    q-quantile is the value at sorted position ceil(q·n) (nearest-rank
+    definition — always an actual data value, no interpolation, so the
+    result is a pure passthrough with zero float arithmetic).
+
+    Plan: one shuffle on the group key; row_number + per-group count
+    in a single window pass; target ranks come from a broadcast-sized
+    (groups × quantiles) frame joined back on (group, rank) — the
+    fact-scale frame is never multiplied by |qs|. Quantile literals
+    are decimals so ceil(q·n) is exact arithmetic on every engine.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
+    ranked = df.select(
+        *group_cols,
+        value_col,
+        tiebreak_col,
+        F.row_number().over(w).alias("rn"),
+    )
+    n = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    q_arr = F.explode(
+        F.array(*[F.lit(Decimal(q)).cast("decimal(3,2)") for q in qs])
+    ).alias("q")
+    targets = n.select(*group_cols, "n", q_arr).withColumn(
+        "rn", F.ceil(F.col("q") * F.col("n")).cast("int")
+    )
+    return (
+        ranked.join(F.broadcast(targets), [*group_cols, "rn"])
+        .select(*group_cols, "q", F.col(value_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hll_daily_users",
+    oracle=f"""
+    WITH est AS ({_hll_oracle_sql("user_id", "cast(ts as date)", "events", p=8)}),
+    exact AS (
+        SELECT cast(ts as date) AS day, count(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY 1
+    )
+    SELECT exact.day, exact.exact_users, est.approx_distinct AS approx_users
+    FROM exact JOIN est ON est.grp = exact.day
+    ORDER BY day
+    """,
+    survey="scale substitute for A4's COUNT(DISTINCT) at 100 TB "
+    "(init.sql:91-103 view_daily_analytics)",
+)
+def events_hll_daily_users(cat: Catalog) -> DataFrame:
+    """Deterministic-HLL daily distinct users next to the exact count.
+    The register shuffle is ≤ 256 rows/day independent of event volume
+    — the COUNT(DISTINCT) twin shuffles every (day, user) pair."""
+    ev = cat["events"].select(F.col("ts").cast("date").alias("day"), "user_id")
+    regs = hll_registers(ev, "user_id", ["day"], p=8)
+    est = hll_estimate(regs, ["day"], p=8).withColumnRenamed(
+        "approx_distinct", "approx_users"
+    )
+    exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(est, "day").select(
+        "day", "exact_users", "approx_users"
+    ).orderBy("day")
+
+
+_TOKS_SQL = r"""
+    toks AS (
+        SELECT unnest(string_split_regex(
+            regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), '\s+')) AS word
+        FROM documents
+    ),
+    wc AS (
+        SELECT word, count(*) AS cnt FROM toks
+        WHERE length(word) >= 3 GROUP BY word
+    )
+"""
+
+
+@query(
+    "llm_cm_heavy_hitters",
+    oracle=f"""
+    WITH {_TOKS_SQL},
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+        SELECT j,
+               ('0x' || substr(md5(cast(j as varchar) || ':' || word), 1, 6))::bigint
+                   % 1024 AS cell,
+               sum(cnt) AS total
+        FROM wc, js GROUP BY 1, 2
+    ),
+    cands AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 10),
+    probes AS (
+        SELECT word, cnt, j,
+               ('0x' || substr(md5(cast(j as varchar) || ':' || word), 1, 6))::bigint
+                   % 1024 AS cell
+        FROM cands, js
+    )
+    SELECT p.word, p.cnt AS exact_count, cast(min(c.total) as bigint) AS cm_estimate
+    FROM probes p JOIN cells c USING (j, cell)
+    GROUP BY 1, 2
+    ORDER BY word
+    """,
+    survey="scale substitute for A16's full frequency table "
+    "(app.py:123-153 wordcloud counts) — constant-size cell grid",
+)
+def llm_cm_heavy_hitters(cat: Catalog) -> DataFrame:
+    """Count-min estimates for the top-10 corpus words, next to their
+    exact counts. CM never under-counts (estimate >= exact by
+    construction; tests assert it), and the 4x1024 grid is the same
+    size whether the corpus is 60k rows or 100 TB."""
+    toks = (
+        cat["documents"]
+        .select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " "),
+                    r"\s+",
+                )
+            ).alias("word")
+        )
+        .filter(F.length("word") >= 3)
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = count_min_build(wc, "word", "cnt", depth=4, width=1024)
+    cands = wc.orderBy(F.col("cnt").desc(), "word").limit(10)
+    est = count_min_lookup(cells, cands, "word", depth=4, width=1024)
+    return (
+        cands.join(est, "word")
+        .select("word", F.col("cnt").alias("exact_count"), "cm_estimate")
+        .orderBy("word")
+    )
+
+
+@query(
+    "orders_bloom_prune",
+    oracle="""
+    WITH small AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    js AS (SELECT unnest([0, 1, 2]) AS j),
+    bits AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(cast(j as varchar) || ':'
+                    || cast(c_custkey as varchar)), 1, 6))::bigint % 16384 AS pos
+        FROM small, js
+    ),
+    probes AS (
+        SELECT o_orderkey,
+               ('0x' || substr(md5(cast(j as varchar) || ':'
+                    || cast(o_custkey as varchar)), 1, 6))::bigint % 16384 AS pos
+        FROM orders, js
+    ),
+    passed AS (
+        SELECT o_orderkey FROM probes JOIN bits USING (pos)
+        GROUP BY o_orderkey HAVING count(*) = 3
+    ),
+    exact AS (
+        SELECT count(*) AS exact_matches FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM small)
+    )
+    SELECT (SELECT count(*) FROM passed) AS bloom_pass,
+           exact_matches,
+           (SELECT count(*) FROM passed) - exact_matches AS false_positives
+    FROM exact
+    """,
+    survey="scale infrastructure: pre-shuffle semi-join pruning for J1-J3 "
+    "class joins (never in the reference; required at 100 TB)",
+)
+def orders_bloom_prune(cat: Catalog) -> DataFrame:
+    """Bloom-prune orders against BUILDING-segment customers and report
+    the pruning quality: rows passing the filter, exact semi-join
+    matches, and the false-positive overhead. No false negatives by
+    construction (pytest asserts the pass-set is a superset)."""
+    small = cat["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    bits = bloom_bits(small, "c_custkey", k=3, m_bits=16384)
+    passed = bloom_prune(
+        cat["orders"].select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        bits,
+        k=3,
+        m_bits=16384,
+    )
+    n_pass = passed.agg(F.count(F.lit(1)).alias("bloom_pass"))
+    n_exact = (
+        cat["orders"]
+        .join(F.broadcast(small), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_matches"))
+    )
+    return (
+        n_pass.crossJoin(F.broadcast(n_exact))
+        .select(
+            "bloom_pass",
+            "exact_matches",
+            (F.col("bloom_pass") - F.col("exact_matches")).alias("false_positives"),
+        )
+    )
+
+
+@query(
+    "orders_quantile_profile",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn
+        FROM orders
+    ),
+    n AS (
+        SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1
+    ),
+    targets AS (
+        SELECT o_orderpriority, q, ceil(q * n) AS rn
+        FROM n, (SELECT unnest([0.25, 0.50, 0.75, 0.95]) AS q) qs
+    )
+    SELECT r.o_orderpriority, t.q, r.o_totalprice AS price
+    FROM ranked r JOIN targets t
+      ON r.o_orderpriority = t.o_orderpriority AND r.rn = t.rn
+    ORDER BY r.o_orderpriority, q
+    """,
+    survey="exact distributed quantiles (nearest-rank) — the exact "
+    "baseline the sketches trade against; A3/X3 family "
+    "(services/staging_pg.py:323-372)",
+)
+def orders_quantile_profile(cat: Catalog) -> DataFrame:
+    """Exact p25/p50/p75/p95 of order value per priority via rank
+    selection — values are passthroughs (no interpolation), so the
+    profile is engine-exact. One shuffle on the group key."""
+    prof = quantile_disc(
+        cat["orders"],
+        "o_totalprice",
+        ["o_orderpriority"],
+        ["0.25", "0.50", "0.75", "0.95"],
+        "o_orderkey",
+    )
+    return prof.select(
+        "o_orderpriority", "q", F.col("o_totalprice").alias("price")
+    ).orderBy("o_orderpriority", "q")

@@ -1,0 +1,182 @@
+"""Sketch operators: probabilistic guarantees + plan-shape contracts.
+
+Parity with the DuckDB twins is covered by tests/test_parity.py; these
+tests pin the *sketch* guarantees (HLL error bound, CM one-sided
+error, Bloom no-false-negatives, quantile nearest-rank definition)
+and the plans that make them scale (register-file shuffle bound,
+map-side-only Bloom filter).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_etl_spark.engine import Catalog
+from simple_etl_spark.operators.sketches import (
+    bloom_bits,
+    bloom_prune,
+    count_min_build,
+    count_min_lookup,
+    hll_estimate,
+    hll_registers,
+    quantile_disc,
+)
+
+
+@pytest.fixture(scope="module")
+def cat(spark, sf_dir):
+    return Catalog(spark, sf_dir)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_error_within_three_sigma(cat):
+    """Global distinct-user estimate within 3·(1.04/sqrt(m)) of exact
+    — the standard HLL standard-error bound (m=256 → sigma 6.5%)."""
+    ev = cat["events"].select("user_id")
+    regs = hll_registers(ev, "user_id", [], p=8)
+    est = float(hll_estimate(regs, [], p=8).collect()[0]["approx_distinct"])
+    exact = ev.distinct().count()
+    assert abs(est - exact) / exact <= 3 * 1.04 / math.sqrt(256)
+
+
+def test_hll_register_file_is_bounded(cat):
+    """The shuffled relation is at most m rows per group no matter the
+    input size — that bound IS the 100 TB story."""
+    ev = cat["events"].select(F.col("ts").cast("date").alias("day"), "user_id")
+    regs = hll_registers(ev, "user_id", ["day"], p=8)
+    per_day = regs.groupBy("day").count().agg(F.max("count")).collect()[0][0]
+    assert per_day <= 256
+
+
+def test_hll_small_range_linear_counting(spark):
+    """With n << m the linear-counting branch is near-exact: 5 keys
+    through 256 registers must estimate 5 to the nearest integer."""
+    df = spark.range(5).select(F.col("id").alias("k"))
+    regs = hll_registers(df, "k", [], p=8)
+    est = float(hll_estimate(regs, [], p=8).collect()[0]["approx_distinct"])
+    assert round(est) == 5
+
+
+def test_hll_rejects_bad_precision(spark):
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        hll_registers(df, "k", [], p=7)
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+# ---------------------------------------------------------------------------
+
+
+def test_cm_is_one_sided_and_grid_bounded(cat):
+    """CM never under-counts (min over d cells each >= the true count)
+    — asserted for the ENTIRE vocabulary, not just heavy hitters —
+    and the grid is at most d·w cells."""
+    toks = (
+        cat["documents"]
+        .select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " "), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.length("word") >= 3)
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = count_min_build(wc, "word", "cnt", depth=4, width=1024)
+    assert cells.count() <= 4 * 1024
+    est = count_min_lookup(cells, wc.select("word"), "word", depth=4, width=1024)
+    bad = (
+        wc.join(est, "word")
+        .filter(F.col("cm_estimate") < F.col("cnt"))
+        .count()
+    )
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom prune
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(cat):
+    """Every true semi-join match survives the prune (the Bloom
+    contract); false positives exist but are dropped by the exact
+    join that follows in a real pipeline."""
+    small = (
+        cat["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    bits = bloom_bits(small, "c_custkey", k=3, m_bits=16384)
+    orders = cat["orders"].select("o_orderkey", "o_custkey")
+    pruned_keys = {
+        r["o_orderkey"]
+        for r in bloom_prune(orders, "o_custkey", bits, k=3, m_bits=16384).collect()
+    }
+    exact_keys = {
+        r["o_orderkey"]
+        for r in orders.join(
+            small, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+        ).collect()
+    }
+    assert exact_keys <= pruned_keys
+
+
+def test_bloom_prune_is_map_side_only(cat):
+    """The prune's plan must contain NO Exchange: the bitmap rides the
+    expression and every dropped row never enters a shuffle."""
+    small = (
+        cat["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    bits = bloom_bits(small, "c_custkey", k=3, m_bits=16384)
+    pruned = bloom_prune(
+        cat["orders"].select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        bits,
+        k=3,
+        m_bits=16384,
+    )
+    assert "Exchange" not in _plan(pruned)
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_matches_nearest_rank_model(cat):
+    """Cross-check every (group, q) against a sequential nearest-rank
+    model: value at index ceil(q·n) of the sorted list."""
+    rows = cat["orders"].select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).collect()
+    by_group: dict[str, list[tuple[float, int]]] = {}
+    for r in rows:
+        by_group.setdefault(r["o_orderpriority"], []).append(
+            (r["o_totalprice"], r["o_orderkey"])
+        )
+    got = quantile_disc(
+        cat["orders"],
+        "o_totalprice",
+        ["o_orderpriority"],
+        ["0.25", "0.50", "0.75", "0.95"],
+        "o_orderkey",
+    ).collect()
+    assert len(got) == 4 * len(by_group)
+    for r in got:
+        vals = sorted(by_group[r["o_orderpriority"]])
+        target = math.ceil(float(r["q"]) * len(vals))
+        assert r["o_totalprice"] == vals[target - 1][0]

@@ -927,3 +927,80 @@ def events_pivot_daily(cat: Catalog) -> DataFrame:
         .count()
         .na.fill(0, ["click", "view", "purchase", "error"])
     )
+
+
+@query(
+    "events_gap_sessions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 14400000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM seq
+    ),
+    numbered AS (
+        SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_idx
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_idx, count(*) AS n_events,
+               max(us) - min(us) AS dur_us
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           cast(sum(n_events) as bigint) AS total_events,
+           max(n_events) AS max_session_events,
+           max(dur_us) AS longest_session_us
+    FROM per_session GROUP BY user_id
+    ORDER BY user_id
+    """,
+    survey="W-ext: gap-based sessionization (lag + cumulative flag sum) — "
+    "the batch twin of the streaming session windows (ST-sessionized)",
+)
+def events_gap_sessions(cat: Catalog) -> DataFrame:
+    """Per-user activity sessions split at >4 h inactivity gaps: lag to
+    flag session starts, a running sum to number them, two grouped
+    rollups for the profile. All windows partition on user_id — the
+    work distributes across the key, never a global sort. Timestamps
+    compare as integer microseconds (unix_micros/epoch_us), so the gap
+    predicate and durations are exact on every engine."""
+    gap_us = 4 * 3600 * 1_000_000
+    # ts is TIMESTAMP_NTZ; the engine pins the session timezone to UTC,
+    # so the cast makes unix_micros the exact twin of DuckDB's
+    # epoch_us over the same naive values.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(us).over(w)
+    sess = (
+        cat["events"]
+        .select("user_id", "event_id", "ts", us.alias("us"))
+        .withColumn(
+            "new_s",
+            F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("new_s").over(run))
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("dur_us").alias("longest_session_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -168,6 +168,84 @@ def _hll_oracle_sql(key_sql: str, group_sql: str, table: str, p: int = 8) -> str
     """
 
 
+def hll_merge(*register_frames: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union register files and keep the per-bucket max — the HLL merge
+    operation. Mergeability is WHY sketches win at 100 TB: per-day /
+    per-partition register files are tiny, persistable, and any
+    subset's union answers a distinct-count question without rescanning
+    the data (merge(daily registers) ≡ registers(all data), exactly —
+    tested in tests/test_sketches.py)."""
+    if not register_frames:
+        raise ValueError("need at least one register frame")
+    u = register_frames[0]
+    for f in register_frames[1:]:
+        u = u.unionByName(f)
+    return u.groupBy(*group_cols, "bucket").agg(F.max("m_j").alias("m_j"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) sketch — distinct-set intersection cardinality
+# ---------------------------------------------------------------------------
+
+_KMV_SPACE = float(2**48)  # 12 hex chars of md5
+
+
+def kmv_intersection(
+    a: DataFrame, b: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """Estimate |distinct(A) ∩ distinct(B)| with a KMV sketch: the k
+    smallest 48-bit md5 hashes of the union are a uniform sample of the
+    union's distinct keys, so |A∩B| ≈ (c/k)·|A∪B|_est with c the
+    sample's in-both count and |A∪B|_est = (k-1)/u_k (u_k the k-th
+    smallest normalized hash). When the union holds fewer than k
+    distinct keys the sketch is the whole set and the estimate is
+    exact — both branches are deterministic, so the DuckDB twin
+    reproduces them bit-for-bit.
+
+    Plan: ONE shuffle — membership-tagged union grouped by key with
+    map-side partial max — then TakeOrderedAndProject(k) (per-partition
+    partial top-k, no global sort) and single-row aggregates. Returns
+    (exact_intersection, kmv_estimate) side by side.
+    """
+    tagged = (
+        a.select(F.col(key_col).alias("k"))
+        .withColumn("in_a", F.lit(1))
+        .withColumn("in_b", F.lit(0))
+        .unionByName(
+            b.select(F.col(key_col).alias("k"))
+            .withColumn("in_a", F.lit(0))
+            .withColumn("in_b", F.lit(1))
+        )
+    )
+    u = tagged.groupBy("k").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    h = F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    topk = u.withColumn("h", h).orderBy("h", "k").limit(k)
+    stats = topk.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.max("h").alias("h_k"),
+        F.count_if((F.col("in_a") == 1) & (F.col("in_b") == 1)).alias("c"),
+    )
+    exact = u.filter((F.col("in_a") == 1) & (F.col("in_b") == 1)).agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    est = F.when(F.col("n_top") < k, F.col("c").cast("double")).otherwise(
+        F.col("c").cast("double")
+        / F.lit(float(k))
+        * (
+            F.lit(float(k - 1))
+            * F.lit(_KMV_SPACE)
+            / F.col("h_k").cast("double")
+        )
+    )
+    return stats.crossJoin(F.broadcast(exact)).select(
+        "exact_intersection", est.cast("decimal(18,6)").alias("kmv_estimate")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min frequency sketch
 # ---------------------------------------------------------------------------
@@ -475,6 +553,59 @@ def orders_bloom_prune(cat: Catalog) -> DataFrame:
             "exact_matches",
             (F.col("bloom_pass") - F.col("exact_matches")).alias("false_positives"),
         )
+    )
+
+
+@query(
+    "events_kmv_overlap",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id AS k, 1 AS in_a, 0 AS in_b FROM events
+        WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id AS k, 0 AS in_a, 1 AS in_b FROM events
+        WHERE event_type = 'error'
+    ),
+    u AS (
+        SELECT k, max(in_a) AS in_a, max(in_b) AS in_b FROM tagged GROUP BY k
+    ),
+    hs AS (
+        SELECT k, in_a, in_b,
+               ('0x' || substr(md5(cast(k as varchar)), 1, 12))::bigint AS h
+        FROM u
+    ),
+    topk AS (SELECT * FROM hs ORDER BY h, k LIMIT 64),
+    stats AS (
+        SELECT count(*) AS n_top, max(h) AS h_k,
+               count_if(in_a = 1 AND in_b = 1) AS c
+        FROM topk
+    ),
+    exact AS (
+        SELECT count(*) AS exact_intersection FROM u
+        WHERE in_a = 1 AND in_b = 1
+    )
+    SELECT exact_intersection,
+           cast(CASE WHEN n_top < 64 THEN cast(c as double)
+                     ELSE cast(c as double) / cast(64.0 as double)
+                          * (cast(63.0 as double) * cast(281474976710656.0 as double)
+                             / cast(h_k as double))
+                END AS decimal(18,6)) AS kmv_estimate
+    FROM stats, exact
+    """,
+    survey="scale substitute for distinct-set overlap (A4's COUNT(DISTINCT) "
+    "family intersected across segments) — KMV set-algebra sketch",
+)
+def events_kmv_overlap(cat: Catalog) -> DataFrame:
+    """How many distinct users both purchased AND errored — estimated
+    from a 64-hash KMV sketch next to the exact answer. The sketch
+    needs one keyed shuffle + a 64-row top-k; the exact twin's cost
+    grows with the distinct-user count forever."""
+    ev = cat["events"]
+    return kmv_intersection(
+        ev.filter(F.col("event_type") == "purchase").select("user_id"),
+        ev.filter(F.col("event_type") == "error").select("user_id"),
+        "user_id",
+        k=64,
     )
 
 

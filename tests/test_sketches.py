@@ -21,7 +21,9 @@ from simple_etl_spark.operators.sketches import (
     count_min_build,
     count_min_lookup,
     hll_estimate,
+    hll_merge,
     hll_registers,
+    kmv_intersection,
     quantile_disc,
 )
 
@@ -70,6 +72,42 @@ def test_hll_small_range_linear_counting(spark):
     regs = hll_registers(df, "k", [], p=8)
     est = float(hll_estimate(regs, [], p=8).collect()[0]["approx_distinct"])
     assert round(est) == 5
+
+
+def test_hll_merge_equals_direct(cat):
+    """Merging per-day register files must reproduce the registers of
+    the whole dataset EXACTLY (max is associative) — the property that
+    lets 100 TB keep per-partition sketches and union them on demand."""
+    ev = cat["events"].select(F.col("ts").cast("date").alias("day"), "user_id")
+    daily = hll_registers(ev, "user_id", ["day"], p=8).drop("day")
+    merged = hll_merge(daily, group_cols=[])
+    direct = hll_registers(ev.select("user_id"), "user_id", [], p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_exact_when_union_fits(cat):
+    """With fewer distinct keys than k, the KMV sketch holds the whole
+    union and the estimate must equal the exact intersection."""
+    ev = cat["events"]
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    n_union = a.union(b).distinct().count()
+    row = kmv_intersection(a, b, "user_id", k=max(64, n_union + 1)).collect()[0]
+    assert float(row["kmv_estimate"]) == float(row["exact_intersection"])
+
+
+def test_kmv_estimator_branch_is_sane(spark):
+    """Force the estimator branch (union >> k) on synthetic overlapping
+    ranges; the estimate must land within a loose 3-sigma-ish band
+    (sigma ~ 1/sqrt(k))."""
+    a = spark.range(0, 2000).select(F.col("id").alias("user_id"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("user_id"))
+    row = kmv_intersection(a, b, "user_id", k=256).collect()[0]
+    est = float(row["kmv_estimate"])
+    assert row["exact_intersection"] == 1000
+    assert abs(est - 1000) <= 3 * 3000 / (256**0.5)
 
 
 def test_hll_rejects_bad_precision(spark):

@@ -1,0 +1,161 @@
+"""Incremental materialized rollup — combinable state, never rescan history.
+
+At 100 TB the daily analytics rollup (A4 family, reference
+init.sql:91-103) cannot be recomputed from raw events on every load;
+the production pattern is a materialized per-day state of COMBINABLE
+aggregates that each new batch merges into:
+
+- counts and integer-cent sums merge by addition (exact),
+- distinct counts merge as HLL register maps by per-bucket max
+  (exact merge of the sketch: merge(partial(A), partial(B)) ≡
+  partial(A ∪ B) bit-for-bit — the mergeability property tested in
+  tests/test_sketches.py and relied on here).
+
+Non-combinable aggregates (exact medians, exact distincts) are
+precisely the ones this pattern CANNOT maintain — which is why the
+sketch columns exist.
+
+State schema: (day, total_events, value_units, user_regs
+map<bucket, m_j>). The map stays JVM-side (map_from_entries /
+map_zip_with — no Python in the path), and the estimate is derived by
+exploding the registers through the same
+:func:`~simple_etl_spark.operators.sketches.hll_estimate` fold the
+one-shot queries use, so incremental and direct answers agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_etl_spark.engine import Catalog
+from simple_etl_spark.exactness import units
+from simple_etl_spark.operators.sketches import (
+    _hll_oracle_sql,
+    hll_estimate,
+    hll_registers,
+)
+from simple_etl_spark.queries import query
+
+
+def partial_rollup(events: DataFrame, p: int = 8) -> DataFrame:
+    """Fold a batch of events into per-day combinable state. Two
+    grouped aggregations (scalars; registers) joined on day — the
+    register side is ≤ 2**p rows per day before the map fold."""
+    day = F.col("ts").cast("date").alias("day")
+    scal = events.groupBy(day).agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.sum(units("value")).alias("value_units"),
+    )
+    regs = hll_registers(
+        events.select(day, "user_id"), "user_id", ["day"], p=p
+    )
+    reg_map = regs.groupBy("day").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("m_j")))
+        ).alias("user_regs")
+    )
+    return scal.join(reg_map, "day")
+
+
+def merge_rollup(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two rollup states: full-outer on day, add the scalars,
+    per-bucket max of the register maps. Associative and commutative,
+    so batches can arrive in any order and partial states can be
+    merged tree-wise across a cluster."""
+    zero = F.lit(0).cast("long")
+    la, lb = a.alias("l"), b.alias("r")
+    joined = la.join(lb, "day", "full_outer")
+    lc = lambda c: F.col(f"l.{c}")  # noqa: E731
+    rc = lambda c: F.col(f"r.{c}")  # noqa: E731
+    both = F.map_zip_with(
+        lc("user_regs"),
+        rc("user_regs"),
+        lambda k, v1, v2: F.greatest(F.coalesce(v1, F.lit(0)), F.coalesce(v2, F.lit(0))),
+    )
+    regs = (
+        F.when(lc("user_regs").isNull(), rc("user_regs"))
+        .when(rc("user_regs").isNull(), lc("user_regs"))
+        .otherwise(both)
+    )
+    return joined.select(
+        F.col("day"),
+        (F.coalesce(lc("total_events"), zero) + F.coalesce(rc("total_events"), zero)).alias(
+            "total_events"
+        ),
+        (F.coalesce(lc("value_units"), zero) + F.coalesce(rc("value_units"), zero)).alias(
+            "value_units"
+        ),
+        regs.alias("user_regs"),
+    )
+
+
+def finish_rollup(state: DataFrame, p: int = 8) -> DataFrame:
+    """Serve the rollup: cents → value (the single-division idiom the
+    direct queries use), register maps → HLL estimates via the same
+    fold as the one-shot path."""
+    regs = state.select(
+        "day", F.explode("user_regs").alias("bucket", "m_j")
+    )
+    est = hll_estimate(regs, ["day"], p=p).withColumnRenamed(
+        "approx_distinct", "approx_users"
+    )
+    return (
+        state.join(est, "day")
+        .select(
+            "day",
+            "total_events",
+            (F.col("value_units").cast("double") / F.lit(100.0)).alias("value_sum"),
+            "approx_users",
+        )
+    )
+
+
+def upsert_rollup(
+    spark: SparkSession, base: str, delta_events: DataFrame, p: int = 8
+) -> DataFrame:
+    """Merge a delta batch into the persisted rollup snapshot at
+    ``base`` (versioned table_store commit) and return the new state.
+    Only day-level state is rewritten — the raw history is never
+    rescanned. (The write currently rewrites the full state relation;
+    day-partitioned writes would restrict the rewrite to touched days
+    once state outgrows one snapshot file.)"""
+    from simple_etl_spark.sources import table_store as ts
+
+    prev = ts.read_table(spark, base)
+    delta = partial_rollup(delta_events, p=p)
+    state = delta if prev is None else merge_rollup(prev, delta)
+    ts.write_table(state, base)
+    return ts.read_table(spark, base)
+
+
+@query(
+    "events_rollup_merge",
+    oracle=f"""
+    WITH est AS ({_hll_oracle_sql("user_id", "cast(ts as date)", "events", p=8)}),
+    scal AS (
+        SELECT cast(ts as date) AS day, count(*) AS total_events,
+               sum(cast(floor(value * 100 + 0.5) as bigint)) AS cents
+        FROM events GROUP BY 1
+    )
+    SELECT scal.day, scal.total_events,
+           cast(cents as double) / 100.0 AS value_sum,
+           est.approx_distinct AS approx_users
+    FROM scal JOIN est ON est.grp = scal.day
+    ORDER BY day
+    """,
+    survey="A4 at scale: incremental materialized rollup "
+    "(merge of combinable partials ≡ direct rollup, incl. HLL registers)",
+)
+def events_rollup_merge(cat: Catalog) -> DataFrame:
+    """Split events at Jan 15, fold each half into combinable state,
+    merge, serve. The oracle computes the rollup DIRECTLY from the full
+    table — a hash match is a proof that the incremental path loses
+    nothing (exact scalars; bit-exact register merge)."""
+    ev = cat["events"]
+    d = F.col("ts").cast("date")
+    cut = F.lit("2024-01-15").cast("date")
+    state = merge_rollup(
+        partial_rollup(ev.filter(d <= cut)), partial_rollup(ev.filter(d > cut))
+    )
+    return finish_rollup(state).orderBy("day")

@@ -1004,3 +1004,57 @@ def events_gap_sessions(cat: Catalog) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM seq
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL) AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from, event_id
+    """,
+    survey="J4-ext: CDC change-stream collapse to SCD2 validity intervals "
+    "(the warehouse twin of the reference's upsert-latest-wins merge)",
+)
+def events_scd2_intervals(cat: Catalog) -> DataFrame:
+    """Collapse each user's event stream into slowly-changing-dimension
+    intervals: keep only rows where the tracked attribute changed, then
+    lead() the next change into valid_to (NULL = current). Both windows
+    partition on user_id — keyed shuffles, no global sort; the second
+    window reuses the first's partitioning (no extra exchange)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changes = (
+        cat["events"]
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", prev)
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    nxt = F.lead("ts").over(w)
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            "event_id",
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+        .drop("event_id")
+    )

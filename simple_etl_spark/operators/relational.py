@@ -1058,3 +1058,70 @@ def events_scd2_intervals(cat: Catalog) -> DataFrame:
         .orderBy("user_id", "valid_from", "event_id")
         .drop("event_id")
     )
+
+
+@query(
+    "events_type_drift",
+    oracle="""
+    WITH per AS (
+        SELECT cast(ts as date) AS day, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (SELECT event_type, count(*) AS gcnt FROM events GROUP BY 1),
+    nd AS (SELECT day, sum(c) AS n_day FROM per GROUP BY day),
+    tot AS (SELECT count(*) AS n_total FROM events),
+    grid AS (
+        SELECT nd.day, g.event_type, nd.n_day, g.gcnt, tot.n_total,
+               coalesce(per.c, 0) AS c
+        FROM nd CROSS JOIN g CROSS JOIN tot
+        LEFT JOIN per ON per.day = nd.day AND per.event_type = g.event_type
+    )
+    SELECT day, cast(max(n_day) as bigint) AS total_events,
+           cast(sum(abs(cast(c as decimal(38,0)) * n_total
+                         - cast(gcnt as decimal(38,0)) * n_day)) as double)
+               / cast(max(cast(n_day as decimal(38,0)) * n_total) * 2 as double)
+               AS tv_drift
+    FROM grid GROUP BY day
+    ORDER BY day
+    """,
+    survey="A-ext: distribution-drift monitor — per-day total-variation "
+    "distance of the event-type mix vs the corpus-global mix "
+    "(data-quality guardrail for a continuously ingested pipeline)",
+)
+def events_type_drift(cat: Catalog) -> DataFrame:
+    """Per-day drift score: TV(day, global) = Σ|c_i/n − g_i/N| / 2,
+    computed as the exact integer form Σ|c_i·N − g_i·n| / (2·n·N) —
+    decimal(38,0) products so nothing overflows or rounds until the
+    single final division (engine-exact by the davg discipline). Days
+    missing a type still contribute that type's full global mass via
+    the day×type grid. Plan: one (day,type) count, two broadcast-sized
+    side aggregates, no fact-table rescan per side."""
+    ev = cat["events"]
+    d38 = "decimal(38,0)"
+    per = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("gcnt"))
+    nd = per.groupBy("day").agg(F.sum("c").alias("n_day"))
+    tot = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = (
+        nd.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .join(per, ["day", "event_type"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    num = F.sum(
+        F.abs(
+            F.col("c").cast(d38) * F.col("n_total")
+            - F.col("gcnt").cast(d38) * F.col("n_day")
+        )
+    )
+    den = F.max(F.col("n_day").cast(d38) * F.col("n_total")) * F.lit(2)
+    return (
+        grid.groupBy("day")
+        .agg(
+            F.max("n_day").cast("bigint").alias("total_events"),
+            (num.cast("double") / den.cast("double")).alias("tv_drift"),
+        )
+        .orderBy("day")
+    )

@@ -159,3 +159,63 @@ def events_rollup_merge(cat: Catalog) -> DataFrame:
         partial_rollup(ev.filter(d <= cut)), partial_rollup(ev.filter(d > cut))
     )
     return finish_rollup(state).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance (foreachBatch)
+# ---------------------------------------------------------------------------
+
+_BATCH_COL = "_last_batch_id"
+
+
+def rollup_sink(base: str, p: int = 8):
+    """foreachBatch body that maintains the rollup from a stream.
+
+    Additive state is NOT naturally idempotent (a replayed micro-batch
+    would double-count — unlike the medallion's keyed merges), so the
+    last applied batch_id rides every state row as a constant column
+    inside the SAME snapshot commit: replayed batch_ids are skipped
+    before merging. One atomic pointer-swap per micro-batch carries
+    both the state and its watermark — crash-safe exactly-once for the
+    additive aggregates (the streaming twin of ST6/ST7 bookkeeping).
+    """
+    from simple_etl_spark.sources import table_store as ts
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = ts.read_table(spark, base)
+        if prev is not None:
+            last = prev.agg(F.max(_BATCH_COL)).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed micro-batch: already folded in
+            prev = prev.drop(_BATCH_COL)
+        delta = partial_rollup(batch_df, p=p)
+        state = delta if prev is None else merge_rollup(prev, delta)
+        ts.write_table(state.withColumn(_BATCH_COL, F.lit(batch_id)), base)
+
+    return process
+
+
+def run_streaming_rollup(
+    stream_df: DataFrame, base: str, checkpoint: str, p: int = 8
+):
+    """Continuously maintain the rollup from a streaming events frame
+    (availableNow drain — tests and batch-catchup mode)."""
+    return (
+        stream_df.writeStream.foreachBatch(rollup_sink(base, p=p))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark: SparkSession, base: str, p: int = 8) -> DataFrame:
+    """Serve the persisted rollup (drops the bookkeeping column)."""
+    from simple_etl_spark.sources import table_store as ts
+
+    state = ts.read_table(spark, base)
+    if state is None:
+        raise FileNotFoundError(f"no rollup snapshot at {base}")
+    if _BATCH_COL in state.columns:
+        state = state.drop(_BATCH_COL)
+    return finish_rollup(state, p=p)

@@ -9,6 +9,9 @@ from simple_etl_spark.operators.rollup_store import (
     finish_rollup,
     merge_rollup,
     partial_rollup,
+    read_rollup,
+    rollup_sink,
+    run_streaming_rollup,
     upsert_rollup,
 )
 
@@ -43,6 +46,36 @@ def test_merge_is_commutative(spark, sf_dir):
     cut = F.lit("2024-01-15").cast("date")
     a, b = partial_rollup(ev.filter(d <= cut)), partial_rollup(ev.filter(d > cut))
     assert _state_rows(merge_rollup(a, b)) == _state_rows(merge_rollup(b, a))
+
+
+def test_streaming_rollup_matches_direct(spark, sf_dir, tmp_path):
+    """Drain the events table through the streaming sink (one file per
+    micro-batch) and serve — must equal the one-shot rollup."""
+    ev = Catalog(spark, sf_dir)["events"]
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+    base, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_streaming_rollup(stream, base, ckpt).awaitTermination(120)
+    got = sorted(map(tuple, read_rollup(spark, base).collect()))
+    want = sorted(map(tuple, finish_rollup(partial_rollup(ev)).collect()))
+    assert got == want
+
+
+def test_streaming_rollup_skips_replayed_batch(spark, sf_dir, tmp_path):
+    """Additive state must not double-count an at-least-once redelivery:
+    re-applying the same batch_id is a no-op."""
+    ev = Catalog(spark, sf_dir)["events"]
+    base = str(tmp_path / "state")
+    sink = rollup_sink(base)
+    sink(ev, 0)
+    once = sorted(map(tuple, read_rollup(spark, base).collect()))
+    sink(ev, 0)  # redelivery
+    assert sorted(map(tuple, read_rollup(spark, base).collect())) == once
 
 
 def test_upsert_cycle_matches_direct_serve(spark, sf_dir, tmp_path):

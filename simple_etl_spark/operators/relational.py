@@ -1125,3 +1125,39 @@ def events_type_drift(cat: Catalog) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT cast(floor(value / 50) as bigint) AS bin,
+           cast(floor(value / 50) as bigint) * cast(50.0 as double) AS bin_lo,
+           count(*) AS n,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           cast(sum(cast(floor(value * 100 + 0.5) as bigint)) as double) / 100.0
+               AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bin
+    """,
+    survey="A-ext: equi-width numeric histogram (single grouped agg; "
+    "bin ids are floor arithmetic on the raw double, identical on any "
+    "IEEE engine; sums ride the integer-cent exact path)",
+)
+def events_value_histogram(cat: Catalog) -> DataFrame:
+    """Width-50 histogram of event values: one aggregation, map-side
+    partials, bounded output (range/50 bins). min/max are passthrough
+    doubles; the per-bin sum uses the integer-cent accumulator."""
+    bin_col = F.floor(F.col("value") / F.lit(50)).cast("bigint")
+    return (
+        cat["events"]
+        .groupBy(bin_col.alias("bin"), (bin_col * F.lit(50.0)).alias("bin_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            lsum(units("value"), 2, "value_sum"),
+        )
+        .orderBy("bin")
+    )

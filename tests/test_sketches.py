@@ -110,6 +110,36 @@ def test_kmv_estimator_branch_is_sane(spark):
     assert abs(est - 1000) <= 3 * 3000 / (256**0.5)
 
 
+def test_hll_register_agg_is_partial(cat):
+    """The register max must combine map-side: a partial_max
+    HashAggregate below the exchange, so the shuffle moves at most
+    m rows per group per map task, not the raw keys."""
+    ev = cat["events"].select(F.col("ts").cast("date").alias("day"), "user_id")
+    plan = _plan(hll_registers(ev, "user_id", ["day"], p=8))
+    assert "partial_max" in plan
+    assert plan.index("partial_max") > plan.index("Exchange")  # formatted: partials listed below
+
+
+def test_quantile_targets_join_broadcasts(spark, sf_dir):
+    """The (group × quantile) target frame must broadcast — the ranked
+    fact-side frame is never shuffled again for the rank selection."""
+    from simple_etl_spark.queries import queries
+
+    plan = _plan(queries()["orders_quantile_profile"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_drift_sides_broadcast(spark, sf_dir):
+    """events_type_drift's global-mix and total side aggregates are
+    broadcast-sized; the fact table is scanned once per aggregate and
+    never enters a SortMergeJoin."""
+    from simple_etl_spark.queries import queries
+
+    plan = _plan(queries()["events_type_drift"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+
+
 def test_hll_rejects_bad_precision(spark):
     df = spark.range(5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):

@@ -90,14 +90,18 @@ def shard_packing(
         ),
     )
     cum = distributed_cumsum(laid, tokens_col, "_b", ["_h", id_col], "cum_tokens")
-    return cum.select(
-        id_col,
-        tokens_col,
-        "cum_tokens",
-        F.floor((F.col("cum_tokens") - F.col(tokens_col)) / F.lit(budget))
-        .cast("bigint")
-        .alias("shard"),
-    )
+    # Exact integer floor division (the repo's exactness discipline:
+    # never route exact longs through doubles — long/int promotes to
+    # double and start offsets past 2^53 tokens could floor across a
+    # budget boundary). Subtracting the remainder first makes the
+    # numerator an exact multiple, and the decimal division of exact
+    # integers has a zero fractional part — no rounding anywhere.
+    start = F.col("cum_tokens") - F.col(tokens_col)
+    shard = (
+        (start - F.pmod(start, F.lit(budget))).cast("decimal(38,0)")
+        / F.lit(budget)
+    ).cast("bigint")
+    return cum.select(id_col, tokens_col, "cum_tokens", shard.alias("shard"))
 
 
 @query(
@@ -120,7 +124,7 @@ def shard_packing(
         FROM t
     )
     SELECT doc_id, n_tokens, cum_tokens,
-           cast(floor((cum_tokens - n_tokens) / 4096) as bigint) AS shard
+           cast((cum_tokens - n_tokens) // 4096 as bigint) AS shard
     FROM c
     ORDER BY doc_id
     """,

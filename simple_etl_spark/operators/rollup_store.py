@@ -111,22 +111,61 @@ def finish_rollup(state: DataFrame, p: int = 8) -> DataFrame:
     )
 
 
+# Watermark column: the last applied micro-batch id rides every state
+# row inside the same snapshot commit (see rollup_sink). Optional on
+# read, always written, so batch and streaming maintenance can share
+# one base.
+_BATCH_COL = "_last_batch_id"
+
+
+def _load_state(spark: SparkSession, base: str):
+    """Persisted (state, last_batch_id) with the bookkeeping column
+    split off — both maintenance paths read through here, so a base
+    written by either path loads in either (the watermark column is
+    optional on read, always written back)."""
+    from simple_etl_spark.sources import table_store as ts
+
+    raw = ts.read_table(spark, base)
+    if raw is None:
+        return None, None
+    last = None
+    if _BATCH_COL in raw.columns:
+        last = raw.agg(F.max(_BATCH_COL)).collect()[0][0]
+        raw = raw.drop(_BATCH_COL)
+    return raw, last
+
+
+def _commit_state(state: DataFrame, base: str, last_batch_id) -> None:
+    """Stamp the watermark column and commit (caller holds the lock)."""
+    from simple_etl_spark.sources import table_store as ts
+
+    ts.commit_snapshot(
+        state.withColumn(_BATCH_COL, F.lit(last_batch_id).cast("long")), base
+    )
+
+
 def upsert_rollup(
     spark: SparkSession, base: str, delta_events: DataFrame, p: int = 8
 ) -> DataFrame:
     """Merge a delta batch into the persisted rollup snapshot at
-    ``base`` (versioned table_store commit) and return the new state.
-    Only day-level state is rewritten — the raw history is never
-    rescanned. (The write currently rewrites the full state relation;
-    day-partitioned writes would restrict the rewrite to touched days
-    once state outgrows one snapshot file.)"""
+    ``base`` and return the new state. Only day-level state is
+    rewritten — the raw history is never rescanned. The whole
+    read → merge → commit cycle runs under ONE commit_lock
+    acquisition: resolving the previous snapshot outside the lock
+    would let a concurrent upsert land in between and be silently
+    undone (the lost-update race compact() documents). The streaming
+    watermark, if present, is preserved untouched. (The write rewrites
+    the full state relation; day-partitioned writes would restrict the
+    rewrite to touched days once state outgrows one snapshot file.)"""
     from simple_etl_spark.sources import table_store as ts
 
-    prev = ts.read_table(spark, base)
-    delta = partial_rollup(delta_events, p=p)
-    state = delta if prev is None else merge_rollup(prev, delta)
-    ts.write_table(state, base)
-    return ts.read_table(spark, base)
+    with ts.commit_lock(base):
+        prev, last = _load_state(spark, base)
+        delta = partial_rollup(delta_events, p=p)
+        state = delta if prev is None else merge_rollup(prev, delta)
+        _commit_state(state, base, last)
+    out, _ = _load_state(spark, base)
+    return out
 
 
 @query(
@@ -165,8 +204,6 @@ def events_rollup_merge(cat: Catalog) -> DataFrame:
 # Streaming maintenance (foreachBatch)
 # ---------------------------------------------------------------------------
 
-_BATCH_COL = "_last_batch_id"
-
 
 def rollup_sink(base: str, p: int = 8):
     """foreachBatch body that maintains the rollup from a stream.
@@ -183,15 +220,13 @@ def rollup_sink(base: str, p: int = 8):
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prev = ts.read_table(spark, base)
-        if prev is not None:
-            last = prev.agg(F.max(_BATCH_COL)).collect()[0][0]
+        with ts.commit_lock(base):
+            prev, last = _load_state(spark, base)
             if last is not None and batch_id <= last:
                 return  # replayed micro-batch: already folded in
-            prev = prev.drop(_BATCH_COL)
-        delta = partial_rollup(batch_df, p=p)
-        state = delta if prev is None else merge_rollup(prev, delta)
-        ts.write_table(state.withColumn(_BATCH_COL, F.lit(batch_id)), base)
+            delta = partial_rollup(batch_df, p=p)
+            state = delta if prev is None else merge_rollup(prev, delta)
+            _commit_state(state, base, batch_id)
 
     return process
 

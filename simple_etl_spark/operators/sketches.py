@@ -78,6 +78,10 @@ def hll_registers(
     if p % 4 != 0 or not 4 <= p <= 16:
         raise ValueError(f"p must be a multiple of 4 in [4,16], got {p}")
     hexp = p // 4
+    # NULL keys are ignored, matching the COUNT(DISTINCT) semantics
+    # this sketch substitutes (and map-shaped consumers cannot hold a
+    # NULL bucket anyway).
+    df = df.filter(F.col(key_col).isNotNull())
     h = F.md5(F.col(key_col).cast("string"))
     bucket = F.conv(F.substring(h, 1, hexp), 16, 10).cast("bigint")
     tail_bin = F.conv(F.substring(h, hexp + 1, 15), 16, 2)
@@ -148,6 +152,7 @@ def _hll_oracle_sql(key_sql: str, group_sql: str, table: str, p: int = 8) -> str
                max(CASE WHEN {tail} = 0 THEN 61
                         ELSE 61 - length(bin({tail})) END) AS m_j
         FROM {table}
+        WHERE {key_sql} IS NOT NULL
         GROUP BY 1, 2
     ), folded AS (
         SELECT grp, count(*) AS nz,
@@ -282,15 +287,17 @@ def count_min_lookup(
 ) -> DataFrame:
     """Point-estimate each item's frequency: min over the d cells it
     hashes to. Probes are |items|·depth rows joined against the ≤ d·w
-    cell grid — broadcast-sized by construction."""
+    cell grid — broadcast-sized by construction. A cell nothing hashed
+    into is a counter at 0 (left join + coalesce), so items absent
+    from the build set correctly estimate 0 instead of vanishing."""
     rows = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
     probes = items.select(F.col(item_col), rows).withColumn(
         "cell", _hash_pos(F.col(item_col), F.col("j"), width)
     )
     return (
-        probes.join(F.broadcast(cells), ["j", "cell"])
+        probes.join(F.broadcast(cells), ["j", "cell"], "left")
         .groupBy(item_col)
-        .agg(F.min("total").alias("cm_estimate"))
+        .agg(F.min(F.coalesce(F.col("total"), F.lit(0))).alias("cm_estimate"))
     )
 
 
@@ -306,7 +313,11 @@ def bloom_bits(
     side's keys (≤ k·|small| rows, deduped ≤ m_bits)."""
     probes = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j")
     return (
-        small.select(F.col(key_col), probes)
+        # NULL keys set no bits (an equi-join never matches NULL, so
+        # dropping them preserves exact semi-join semantics — and a
+        # NULL position would crash the bitmap fold).
+        small.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col), probes)
         .select(_hash_pos(F.col(key_col), F.col("j"), m_bits).alias("pos"))
         .distinct()
     )
@@ -364,8 +375,15 @@ def quantile_disc(
     in a single window pass; target ranks come from a broadcast-sized
     (groups × quantiles) frame joined back on (group, rank) — the
     fact-scale frame is never multiplied by |qs|. Quantile literals
-    are decimals so ceil(q·n) is exact arithmetic on every engine.
+    are decimals SIZED TO THE REQUESTED PRECISION (a fixed scale would
+    silently round 0.999 → 1.00 and return the max), so ceil(q·n) is
+    exact arithmetic on every engine.
     """
+    decs = [Decimal(q) for q in qs]
+    if any(not (0 < d <= 1) for d in decs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    scale = max(1, *(-d.as_tuple().exponent for d in decs))
+    dtype = f"decimal({scale + 1},{scale})"
     w = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
     ranked = df.select(
         *group_cols,
@@ -375,7 +393,7 @@ def quantile_disc(
     )
     n = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
     q_arr = F.explode(
-        F.array(*[F.lit(Decimal(q)).cast("decimal(3,2)") for q in qs])
+        F.array(*[F.lit(d).cast(dtype) for d in decs])
     ).alias("q")
     targets = n.select(*group_cols, "n", q_arr).withColumn(
         "rn", F.ceil(F.col("q") * F.col("n")).cast("int")
@@ -466,16 +484,11 @@ def llm_cm_heavy_hitters(cat: Catalog) -> DataFrame:
     exact counts. CM never under-counts (estimate >= exact by
     construction; tests assert it), and the 4x1024 grid is the same
     size whether the corpus is 60k rows or 100 TB."""
+    from simple_etl_spark.functions.text import tokenize
+
     toks = (
         cat["documents"]
-        .select(
-            F.explode(
-                F.split(
-                    F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " "),
-                    r"\s+",
-                )
-            ).alias("word")
-        )
+        .select(F.explode(tokenize(F.col("text"))).alias("word"))
         .filter(F.length("word") >= 3)
     )
     wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))

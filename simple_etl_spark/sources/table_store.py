@@ -124,16 +124,31 @@ def write_table(
     ``v{N}``); readers never take the lock.
     """
     with commit_lock(base, timeout=lock_timeout):
-        v = (current_version(base) or 0) + 1
-        path = os.path.join(base, f"v{v}")
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
-        tmp = _pointer_file(base) + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, _pointer_file(base))  # atomic on POSIX
+        return commit_snapshot(df, base, partition_by)
+
+
+def commit_snapshot(
+    df: DataFrame, base: str, partition_by: list[str] | None = None
+) -> str:
+    """The unlocked commit body: write snapshot v{N+1}, swap pointer.
+
+    CALLER MUST HOLD :func:`commit_lock` on ``base``. Exists so
+    read-modify-write cycles (compaction, rollup upserts) can hold ONE
+    lock across read → transform → commit — routing through
+    :func:`write_table` would re-acquire the non-reentrant lock, and
+    resolving the source snapshot before locking opens the lost-update
+    race the lock prevents.
+    """
+    v = (current_version(base) or 0) + 1
+    path = os.path.join(base, f"v{v}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    tmp = _pointer_file(base) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, _pointer_file(base))  # atomic on POSIX
     return path
 
 

@@ -78,6 +78,36 @@ def test_streaming_rollup_skips_replayed_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, read_rollup(spark, base).collect())) == once
 
 
+def test_batch_and_streaming_paths_share_one_base(spark, sf_dir, tmp_path):
+    """upsert_rollup and rollup_sink must interoperate on the same
+    base in either order: the batch path preserves the streaming
+    watermark, the streaming path loads watermark-less state, and the
+    served rollup equals the one-shot computation."""
+    ev = Catalog(spark, sf_dir)["events"]
+    d = F.col("ts").cast("date")
+    c1, c2 = F.lit("2024-01-10").cast("date"), F.lit("2024-01-20").cast("date")
+    base = str(tmp_path / "state")
+    upsert_rollup(spark, base, ev.filter(d <= c1))  # batch first (no watermark)
+    sink = rollup_sink(base)
+    sink(ev.filter((d > c1) & (d <= c2)), 0)  # then streaming
+    upsert_rollup(spark, base, ev.filter(d > c2))  # batch again
+    sink(ev.limit(10), 0)  # replay of batch 0 must still be a no-op
+    got = sorted(map(tuple, read_rollup(spark, base).collect()))
+    want = sorted(map(tuple, finish_rollup(partial_rollup(ev)).collect()))
+    assert got == want
+
+
+def test_partial_rollup_ignores_null_user_ids(spark, sf_dir):
+    """A NULL user_id must not poison the register map (COUNT DISTINCT
+    ignores NULL; so does the sketch)."""
+    ev = Catalog(spark, sf_dir)["events"].withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(F.col("user_id")),
+    )
+    state = partial_rollup(ev)
+    assert state.count() > 0  # map_from_entries would throw on a null key
+
+
 def test_upsert_cycle_matches_direct_serve(spark, sf_dir, tmp_path):
     """Feeding batches through the persisted store must serve the same
     rollup as a one-shot computation over all events."""

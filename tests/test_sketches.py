@@ -155,13 +155,11 @@ def test_cm_is_one_sided_and_grid_bounded(cat):
     """CM never under-counts (min over d cells each >= the true count)
     — asserted for the ENTIRE vocabulary, not just heavy hitters —
     and the grid is at most d·w cells."""
+    from simple_etl_spark.functions.text import tokenize
+
     toks = (
         cat["documents"]
-        .select(
-            F.explode(
-                F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " "), r"\s+")
-            ).alias("word")
-        )
+        .select(F.explode(tokenize(F.col("text"))).alias("word"))
         .filter(F.length("word") >= 3)
     )
     wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -174,6 +172,51 @@ def test_cm_is_one_sided_and_grid_bounded(cat):
         .count()
     )
     assert bad == 0
+
+
+def test_cm_unseen_item_estimates_from_empty_cells(spark):
+    """An item absent from the build set must still get an estimate
+    (0 when any of its cells is empty), not vanish from the output."""
+    wc = spark.createDataFrame(
+        [("apple", 5), ("banana", 3)], ["word", "cnt"]
+    )
+    cells = count_min_build(wc, "word", "cnt", depth=4, width=1024)
+    items = spark.createDataFrame(
+        [("apple",), ("zzz_unseen",)], ["word"]
+    )
+    est = {
+        r["word"]: r["cm_estimate"]
+        for r in count_min_lookup(cells, items, "word", depth=4, width=1024).collect()
+    }
+    assert est["apple"] >= 5
+    assert est["zzz_unseen"] == 0  # 2 items × 4 cells in 1024 → an empty cell
+
+
+def test_quantile_precision_not_silently_rounded(spark):
+    """q=0.999 must hit the p99.9 row, not round to 1.00 and return
+    the max; out-of-range quantiles are rejected."""
+    df = spark.range(1, 1001).select(
+        F.lit("g").alias("grp"), F.col("id").alias("v"), F.col("id").alias("tb")
+    )
+    row = quantile_disc(df, "v", ["grp"], ["0.999"], "tb").collect()[0]
+    assert row["v"] == 999
+    with pytest.raises(ValueError):
+        quantile_disc(df, "v", ["grp"], ["1.5"], "tb")
+
+
+def test_bloom_and_hll_ignore_null_keys(spark):
+    """A NULL key must not crash the bitmap fold or poison a register
+    map — both sketches skip it (matching join/COUNT(DISTINCT)
+    semantics)."""
+    small = spark.createDataFrame([(1,), (None,)], "k: bigint")
+    bits = bloom_bits(small, "k", k=3, m_bits=1024)
+    big = spark.createDataFrame([(1, 10), (2, 20), (None, 30)], ["k", "x"])
+    kept = {r["k"] for r in bloom_prune(big, "k", bits, k=3, m_bits=1024).collect()}
+    assert 1 in kept and None not in kept
+    regs = hll_registers(small, "k", [], p=8)
+    assert regs.filter(F.col("bucket").isNull()).count() == 0
+    est = float(hll_estimate(regs, [], p=8).collect()[0]["approx_distinct"])
+    assert round(est) == 1
 
 
 # ---------------------------------------------------------------------------

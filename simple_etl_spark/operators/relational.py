@@ -929,6 +929,35 @@ def events_pivot_daily(cat: Catalog) -> DataFrame:
     )
 
 
+def gap_sessionize(
+    df: DataFrame, key_col: str, ts_col: str, id_col: str, gap_us: int
+) -> DataFrame:
+    """Per-key sessions split where the inactivity gap exceeds
+    ``gap_us``: lag to flag session starts, a running sum to number
+    them, one grouped rollup per session. Both windows partition on
+    the key — the work distributes, never a global sort. Timestamps
+    compare as integer microseconds (unix_micros; the TIMESTAMP_NTZ
+    cast is exact under the engine's pinned UTC session timezone), so
+    the gap predicate and durations are engine-exact. Returns
+    (key, session_idx, n_events, dur_us)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(us).over(w)
+    sess = (
+        df.select(key_col, id_col, ts_col, us.alias("us"))
+        .withColumn(
+            "new_s",
+            F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("new_s").over(run))
+    )
+    return sess.groupBy(key_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+
+
 @query(
     "events_gap_sessions",
     oracle="""
@@ -967,32 +996,11 @@ def events_pivot_daily(cat: Catalog) -> DataFrame:
     "the batch twin of the streaming session windows (ST-sessionized)",
 )
 def events_gap_sessions(cat: Catalog) -> DataFrame:
-    """Per-user activity sessions split at >4 h inactivity gaps: lag to
-    flag session starts, a running sum to number them, two grouped
-    rollups for the profile. All windows partition on user_id — the
-    work distributes across the key, never a global sort. Timestamps
-    compare as integer microseconds (unix_micros/epoch_us), so the gap
-    predicate and durations are exact on every engine."""
-    gap_us = 4 * 3600 * 1_000_000
-    # ts is TIMESTAMP_NTZ; the engine pins the session timezone to UTC,
-    # so the cast makes unix_micros the exact twin of DuckDB's
-    # epoch_us over the same naive values.
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag(us).over(w)
-    sess = (
-        cat["events"]
-        .select("user_id", "event_id", "ts", us.alias("us"))
-        .withColumn(
-            "new_s",
-            F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0),
-        )
-        .withColumn("session_idx", F.sum("new_s").over(run))
-    )
-    per_session = sess.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max("us") - F.min("us")).alias("dur_us"),
+    """Per-user session profile at a 4 h gap via
+    :func:`gap_sessionize` (property-tested against a sequential
+    model in tests/test_join_properties.py)."""
+    per_session = gap_sessionize(
+        cat["events"], "user_id", "ts", "event_id", 4 * 3600 * 1_000_000
     )
     return (
         per_session.groupBy("user_id")

@@ -108,6 +108,36 @@ def read_table(spark: SparkSession, base: str) -> DataFrame | None:
     return spark.read.parquet(path) if path else None
 
 
+def list_versions(base: str) -> list[int]:
+    """Snapshot versions still on disk (ascending) — the time-travel
+    horizon is bounded by :func:`vacuum`'s ``keep``."""
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return []
+    return sorted(
+        int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()
+    )
+
+
+def read_table_at(spark: SparkSession, base: str, version: int) -> DataFrame:
+    """Time-travel read: the table exactly as committed at ``version``.
+
+    Snapshots are immutable once the pointer moves past them (writers
+    only ever create v{N+1}), so any un-vacuumed version reads
+    consistently with zero coordination — the same contract lakehouse
+    formats sell, carried here by the pointer-swap scheme alone.
+    Raises FileNotFoundError for vacuumed or never-committed versions.
+    """
+    path = os.path.join(base, f"v{version}")
+    if version not in list_versions(base) or not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"version {version} not on disk under {base} "
+            f"(available: {list_versions(base)})"
+        )
+    return spark.read.parquet(path)
+
+
 def write_table(
     df: DataFrame,
     base: str,

@@ -128,3 +128,40 @@ def test_chunking_reconstructs_document(spark, n_words, chunk, overlap_frac):
         assert c["n_tokens"] > overlap  # tail longer than the overlap
         rebuilt.extend(c["chunk_text"].split()[overlap:])
     assert rebuilt == text.split()
+
+
+SESS_ROW = st.tuples(KEYS, st.integers(0, 200))
+
+
+@given(rows=st.lists(SESS_ROW, min_size=1, max_size=12), gap_h=st.integers(1, 5))
+@SET
+def test_gap_sessionize_matches_sequential_reference(spark, rows, gap_h):
+    """Session splits, per-session counts and durations must agree
+    with the obvious sequential scan — duplicate instants, single-row
+    sessions, and boundary gaps (== gap is NOT a split) included."""
+    from simple_etl_spark.operators.relational import gap_sessionize
+
+    df = spark.createDataFrame(
+        [(i, k, _t(h)) for i, (k, h) in enumerate(rows)],
+        "eid long, key string, ts timestamp",
+    )
+    gap_us = gap_h * 3600 * 1_000_000
+    got = sorted(
+        (r["key"], r["n_events"], r["dur_us"])
+        for r in gap_sessionize(df, "key", "ts", "eid", gap_us).collect()
+    )
+    want = []
+    for key in {k for k, _ in rows}:
+        mine = sorted(
+            (h, i) for i, (k, h) in enumerate(rows) if k == key
+        )
+        sessions: list[list[int]] = []
+        prev_h = None
+        for h, _i in mine:
+            if prev_h is None or (h - prev_h) * 3600 * 1_000_000 > gap_us:
+                sessions.append([])
+            sessions[-1].append(h)
+            prev_h = h
+        for s in sessions:
+            want.append((key, len(s), (s[-1] - s[0]) * 3600 * 1_000_000))
+    assert got == sorted(want)

@@ -310,3 +310,23 @@ def test_compact_preserves_hive_partitioning(spark, tmp_path):
     )
     assert parts == ["day=0", "day=1", "day=2"]
     assert ts.read_table(spark, base).count() == 1_000
+
+
+def test_time_travel_reads_old_snapshots(spark, tmp_path):
+    """Every un-vacuumed version reads exactly as committed; vacuumed
+    versions fail loudly with the surviving horizon listed."""
+    import pytest
+
+    from simple_etl_spark.sources import table_store as ts
+
+    base = str(tmp_path / "tt")
+    for n in (1, 2, 3):
+        ts.write_table(spark.range(n * 10).toDF("id"), base)
+    assert ts.list_versions(base) == [1, 2, 3]
+    assert ts.read_table_at(spark, base, 1).count() == 10
+    assert ts.read_table_at(spark, base, 2).count() == 20
+    assert ts.read_table(spark, base).count() == 30
+    ts.vacuum(base, keep=2)
+    assert ts.list_versions(base) == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        ts.read_table_at(spark, base, 1)

@@ -1169,3 +1169,105 @@ def events_value_histogram(cat: Catalog) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS viewed,
+           (SELECT count(*) FROM c) AS clicked_after_view,
+           (SELECT count(*) FROM p) AS purchased_after_click
+    """,
+    survey="A-ext: ordered funnel (view -> click -> purchase) — per-stage "
+    "first-instant joins, the product-analytics staple",
+)
+def events_funnel(cat: Catalog) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked at or
+    after their first view, then purchased at or after that first
+    click. Each stage is a keyed min-aggregate joined to the previous
+    stage's anchor — per-stage shuffles on user_id, no window over the
+    raw stream, no self-join explosion."""
+    ev = cat["events"]
+
+    def stage(etype: str, anchor: DataFrame | None, anchor_col: str, out: str):
+        e = ev.filter(F.col("event_type") == etype)
+        if anchor is not None:
+            e = e.join(anchor, "user_id").filter(F.col("ts") >= F.col(anchor_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = stage("view", None, "", "t_view")
+    c = stage("click", v, "t_view", "t_click")
+    p = stage("purchase", c, "t_click", "t_purchase")
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("viewed")),
+        c.agg(F.count(F.lit(1)).alias("clicked_after_view")),
+        p.agg(F.count(F.lit(1)).alias("purchased_after_click")),
+    ]
+    out = counts[0]
+    for d in counts[1:]:
+        out = out.crossJoin(F.broadcast(d))
+    return out
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, min(cast(ts as date)) AS cohort_day FROM events
+        GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, cast(e.ts as date)) AS day_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, count(*) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY 1, 2
+    ORDER BY cohort_day, day_offset
+    """,
+    survey="A-ext: cohort retention matrix (first-seen day x day offset) — "
+    "the second product-analytics staple; one broadcastable first-seen "
+    "dimension, no fact-fact self-join",
+)
+def events_cohort_retention(cat: Catalog) -> DataFrame:
+    """Week-one retention: users grouped by first-seen day, counted as
+    active at each day offset 0-7. first_seen is user-cardinality
+    (broadcastable at dimension scale); the activity dedup and the
+    matrix count are keyed aggregations."""
+    ev = cat["events"].select("user_id", F.col("ts").cast("date").alias("d"))
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("bigint").alias(
+                "day_offset"
+            ),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -55,7 +55,16 @@ def partial_rollup(events: DataFrame, p: int = 8) -> DataFrame:
             F.collect_list(F.struct(F.col("bucket"), F.col("m_j")))
         ).alias("user_regs")
     )
-    return scal.join(reg_map, "day")
+    # LEFT join: a day whose user_ids are all NULL has counts and sums
+    # but no registers (hll_registers skips NULL keys, as COUNT
+    # DISTINCT would) — it must keep its scalars with an empty
+    # register map, not vanish from the state.
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<bigint>"), F.array().cast("array<int>")
+    )
+    return scal.join(reg_map, "day", "left").withColumn(
+        "user_regs", F.coalesce(F.col("user_regs"), empty_map)
+    )
 
 
 def merge_rollup(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -100,13 +109,17 @@ def finish_rollup(state: DataFrame, p: int = 8) -> DataFrame:
     est = hll_estimate(regs, ["day"], p=p).withColumnRenamed(
         "approx_distinct", "approx_users"
     )
+    # LEFT join + 0: a day with an empty register map (all user_ids
+    # NULL) has no est row; its true distinct count is 0.
     return (
-        state.join(est, "day")
+        state.join(est, "day", "left")
         .select(
             "day",
             "total_events",
             (F.col("value_units").cast("double") / F.lit(100.0)).alias("value_sum"),
-            "approx_users",
+            F.coalesce(
+                F.col("approx_users"), F.lit(0).cast("decimal(18,6)")
+            ).alias("approx_users"),
         )
     )
 
@@ -145,7 +158,11 @@ def _commit_state(state: DataFrame, base: str, last_batch_id) -> None:
 
 
 def upsert_rollup(
-    spark: SparkSession, base: str, delta_events: DataFrame, p: int = 8
+    spark: SparkSession,
+    base: str,
+    delta_events: DataFrame,
+    p: int = 8,
+    lock_timeout: float = 120.0,
 ) -> DataFrame:
     """Merge a delta batch into the persisted rollup snapshot at
     ``base`` and return the new state. Only day-level state is
@@ -159,13 +176,17 @@ def upsert_rollup(
     rewrite to touched days once state outgrows one snapshot file.)"""
     from simple_etl_spark.sources import table_store as ts
 
-    with ts.commit_lock(base):
+    with ts.commit_lock(base, timeout=lock_timeout):
         prev, last = _load_state(spark, base)
         delta = partial_rollup(delta_events, p=p)
         state = delta if prev is None else merge_rollup(prev, delta)
-        _commit_state(state, base, last)
-    out, _ = _load_state(spark, base)
-    return out
+        path = ts.commit_snapshot(
+            state.withColumn(_BATCH_COL, F.lit(last).cast("long")), base
+        )
+    # Read back the exact snapshot this call committed (not whatever
+    # the pointer says after the lock is released — a concurrent
+    # writer may already have moved it).
+    return spark.read.parquet(path).drop(_BATCH_COL)
 
 
 @query(
@@ -205,7 +226,7 @@ def events_rollup_merge(cat: Catalog) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def rollup_sink(base: str, p: int = 8):
+def rollup_sink(base: str, p: int = 8, lock_timeout: float = 120.0):
     """foreachBatch body that maintains the rollup from a stream.
 
     Additive state is NOT naturally idempotent (a replayed micro-batch
@@ -220,7 +241,7 @@ def rollup_sink(base: str, p: int = 8):
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        with ts.commit_lock(base):
+        with ts.commit_lock(base, timeout=lock_timeout):
             prev, last = _load_state(spark, base)
             if last is not None and batch_id <= last:
                 return  # replayed micro-batch: already folded in
@@ -232,12 +253,18 @@ def rollup_sink(base: str, p: int = 8):
 
 
 def run_streaming_rollup(
-    stream_df: DataFrame, base: str, checkpoint: str, p: int = 8
+    stream_df: DataFrame,
+    base: str,
+    checkpoint: str,
+    p: int = 8,
+    lock_timeout: float = 120.0,
 ):
     """Continuously maintain the rollup from a streaming events frame
     (availableNow drain — tests and batch-catchup mode)."""
     return (
-        stream_df.writeStream.foreachBatch(rollup_sink(base, p=p))
+        stream_df.writeStream.foreachBatch(
+            rollup_sink(base, p=p, lock_timeout=lock_timeout)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -379,10 +379,20 @@ def quantile_disc(
     silently round 0.999 → 1.00 and return the max), so ceil(q·n) is
     exact arithmetic on every engine.
     """
+    if any(not isinstance(q, str) for q in qs):
+        raise TypeError(
+            "quantiles must be decimal strings (a float like 0.1 has no "
+            f"exact decimal form), got {qs}"
+        )
     decs = [Decimal(q) for q in qs]
     if any(not (0 < d <= 1) for d in decs):
         raise ValueError(f"quantiles must be in (0, 1], got {qs}")
     scale = max(1, *(-d.as_tuple().exponent for d in decs))
+    if scale > 16:
+        # q·n must stay inside decimal(38) for a bigint n: scale 16 + 20
+        # digits of n leaves headroom; beyond it Spark silently rounds
+        # the product and the "exact arithmetic" contract breaks.
+        raise ValueError(f"quantile precision capped at 16 dp, got scale {scale}")
     dtype = f"decimal({scale + 1},{scale})"
     w = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
     ranked = df.select(

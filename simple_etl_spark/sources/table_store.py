@@ -109,14 +109,23 @@ def read_table(spark: SparkSession, base: str) -> DataFrame | None:
 
 
 def list_versions(base: str) -> list[int]:
-    """Snapshot versions still on disk (ascending) — the time-travel
-    horizon is bounded by :func:`vacuum`'s ``keep``."""
+    """COMMITTED snapshot versions still on disk (ascending) — the
+    time-travel horizon is bounded by :func:`vacuum`'s ``keep`` below
+    and by the pointer above: a v{N} directory beyond the current
+    pointer is an in-flight or crashed-uncommitted write and is never
+    exposed (its contents may be partial, and the version number will
+    be reused by the next commit)."""
+    cur = current_version(base)
+    if cur is None:
+        return []
     try:
         names = os.listdir(base)
     except OSError:
         return []
     return sorted(
-        int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()
+        int(n[1:])
+        for n in names
+        if n.startswith("v") and n[1:].isdigit() and int(n[1:]) <= cur
     )
 
 
@@ -175,11 +184,18 @@ def commit_snapshot(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    _swap_pointer(base, v)
+    return path
+
+
+def _swap_pointer(base: str, v: int) -> None:
+    """The commit point: replace the pointer file atomically (POSIX
+    os.replace). Shared by every committing path so the protocol has
+    exactly one implementation."""
     tmp = _pointer_file(base) + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(str(v))
-    os.replace(tmp, _pointer_file(base))  # atomic on POSIX
-    return path
+    os.replace(tmp, _pointer_file(base))
 
 
 def purge_older_than(
@@ -281,10 +297,7 @@ def _purge_locked(spark, base, col, days, anchor, dt, shutil) -> dict:
         dropped = []
         mode = "filter-rewrite"
 
-    tmp = _pointer_file(base) + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.replace(tmp, _pointer_file(base))
+    _swap_pointer(base, v)
     return {
         "version": v,
         "path": new_path,
@@ -333,7 +346,8 @@ def compact(
     # through write_table, which locks internally) would let a commit
     # land in between and be silently undone by the compacted rewrite
     # of the older snapshot — the lost-update race the lock exists to
-    # prevent. The lock is not reentrant, so the commit is inlined.
+    # prevent. The lock is not reentrant, so the commit goes through
+    # commit_snapshot (the unlocked commit body) directly.
     with commit_lock(base, timeout=lock_timeout):
         cur = table_path(base)
         if cur is None:
@@ -345,19 +359,10 @@ def compact(
             df = df.repartition(nfiles, *partition_by)
         else:
             df = df.repartition(nfiles)
-        v = (current_version(base) or 0) + 1
-        path = os.path.join(base, f"v{v}")
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
-        tmp = _pointer_file(base) + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, _pointer_file(base))
+        path = commit_snapshot(df, base, partition_by)
         files_after, _ = _stats(path)
     return {
-        "version": v,
+        "version": int(os.path.basename(path)[1:]),
         "path": path,
         "files_before": files_before,
         "files_after": files_after,

@@ -330,3 +330,25 @@ def test_time_travel_reads_old_snapshots(spark, tmp_path):
     assert ts.list_versions(base) == [2, 3]
     with pytest.raises(FileNotFoundError):
         ts.read_table_at(spark, base, 1)
+
+
+def test_time_travel_hides_uncommitted_versions(spark, tmp_path):
+    """A v{N} directory beyond the pointer (in-flight or crashed
+    write) must never be listed or readable — its version number will
+    be reused by the next commit."""
+    import os
+
+    import pytest
+
+    from simple_etl_spark.sources import table_store as ts
+
+    base = str(tmp_path / "tt")
+    ts.write_table(spark.range(5).toDF("id"), base)
+    # simulate a crashed writer: v2 exists, pointer still at 1
+    os.makedirs(os.path.join(base, "v2"))
+    assert ts.list_versions(base) == [1]
+    with pytest.raises(FileNotFoundError):
+        ts.read_table_at(spark, base, 2)
+    # the next commit reuses and commits version 2 cleanly
+    ts.write_table(spark.range(7).toDF("id"), base)
+    assert ts.read_table_at(spark, base, 2).count() == 7

@@ -108,6 +108,28 @@ def test_partial_rollup_ignores_null_user_ids(spark, sf_dir):
     assert state.count() > 0  # map_from_entries would throw on a null key
 
 
+def test_all_null_day_keeps_scalars_and_serves_zero_users(spark, sf_dir):
+    """A day whose user_ids are ALL NULL must keep its event counts and
+    sums (empty register map, not a dropped row) and serve
+    approx_users = 0."""
+    ev = Catalog(spark, sf_dir)["events"].withColumn(
+        "user_id",
+        F.when(
+            F.col("ts").cast("date") == F.lit("2024-01-03").cast("date"),
+            F.lit(None),
+        ).otherwise(F.col("user_id")),
+    )
+    direct_days = ev.select(F.col("ts").cast("date")).distinct().count()
+    state = partial_rollup(ev)
+    assert state.count() == direct_days  # the all-null day survives
+    served = {
+        str(r["day"]): r for r in finish_rollup(state).collect()
+    }
+    row = served["2024-01-03"]
+    assert row["total_events"] > 0
+    assert float(row["approx_users"]) == 0.0
+
+
 def test_upsert_cycle_matches_direct_serve(spark, sf_dir, tmp_path):
     """Feeding batches through the persisted store must serve the same
     rollup as a one-shot computation over all events."""

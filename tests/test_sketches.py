@@ -202,6 +202,10 @@ def test_quantile_precision_not_silently_rounded(spark):
     assert row["v"] == 999
     with pytest.raises(ValueError):
         quantile_disc(df, "v", ["grp"], ["1.5"], "tb")
+    with pytest.raises(TypeError):
+        quantile_disc(df, "v", ["grp"], [0.1], "tb")  # float has no exact form
+    with pytest.raises(ValueError):
+        quantile_disc(df, "v", ["grp"], ["0.12345678901234567"], "tb")  # 17 dp
 
 
 def test_bloom_and_hll_ignore_null_keys(spark):

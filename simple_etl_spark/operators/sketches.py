@@ -633,6 +633,60 @@ def events_kmv_overlap(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "events_selfjoin_size_estimate",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ),
+    exact AS (
+        SELECT cast(sum(cast(c as decimal(38,0)) * c) as bigint)
+            AS exact_pairs
+        FROM counts
+    ),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+        SELECT j,
+               ('0x' || substr(md5(cast(j as varchar) || ':'
+                    || cast(user_id as varchar)), 1, 6))::bigint % 1024 AS cell,
+               sum(c) AS total
+        FROM counts, js GROUP BY 1, 2
+    ),
+    per_row AS (
+        SELECT j, sum(cast(total as decimal(38,0)) * total) AS ip
+        FROM cells GROUP BY j
+    )
+    SELECT exact_pairs, cast(min(ip) as bigint) AS cm_estimate
+    FROM per_row, exact
+    GROUP BY exact_pairs
+    """,
+    survey="scale infrastructure: join-cardinality estimation via "
+    "count-min inner product — the optimizer statistic that predicts "
+    "a self-join blowup from a constant-size sketch before any "
+    "shuffle runs; never underestimates",
+)
+def events_selfjoin_size_estimate(cat: Catalog) -> DataFrame:
+    """|events ⋈ events on user_id| — the exact pair count Σc(u)²
+    next to the count-min inner-product estimate min_j Σ_cell
+    total². The estimate needs only the 4×1024 grid (buildable in one
+    pass at any scale); the exact number needs the full per-key count
+    relation. One-sided: estimate ≥ exact, collisions only inflate."""
+    ev = cat["events"]
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    d38 = "decimal(38,0)"
+    exact = counts.agg(
+        F.sum(F.col("c").cast(d38) * F.col("c"))
+        .cast("bigint")
+        .alias("exact_pairs")
+    )
+    cells = count_min_build(counts, "user_id", "c", depth=4, width=1024)
+    per_row = cells.groupBy("j").agg(
+        F.sum(F.col("total").cast(d38) * F.col("total")).alias("ip")
+    )
+    est = per_row.agg(F.min("ip").cast("bigint").alias("cm_estimate"))
+    return exact.crossJoin(F.broadcast(est))
+
+
+@query(
     "orders_quantile_profile",
     oracle="""
     WITH ranked AS (

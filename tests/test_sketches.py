@@ -223,6 +223,15 @@ def test_bloom_and_hll_ignore_null_keys(spark):
     assert round(est) == 1
 
 
+def test_cm_inner_product_is_one_sided(spark, sf_dir):
+    """The join-size estimate must never undercount the true pair
+    count (collisions only add cross terms)."""
+    from simple_etl_spark.queries import queries
+
+    row = queries()["events_selfjoin_size_estimate"](spark, sf_dir).collect()[0]
+    assert row["cm_estimate"] >= row["exact_pairs"] > 0
+
+
 # ---------------------------------------------------------------------------
 # Bloom prune
 # ---------------------------------------------------------------------------

@@ -852,3 +852,57 @@ def m_search_index(cat: Catalog) -> DataFrame:
     return stats.select(
         "token", "doc_freq", F.col("collection_tf").cast("bigint").alias("collection_tf")
     )
+
+
+@query(
+    "m_trending_terms",
+    oracle=GOLD_CTE + f"""
+    , toks AS (
+        SELECT cast(date AS date) AS d,
+               unnest(string_split_regex(
+                   regexp_replace(lower(content), '[^a-z ]', ' ', 'g'),
+                   '\\s+')) AS word
+        FROM gold
+    ),
+    wc AS (
+        SELECT d, word, count(*) AS cnt FROM toks
+        WHERE length(word) >= 3
+          AND word NOT IN ({", ".join(repr(w) for w in STOPWORDS)})
+        GROUP BY 1, 2
+    )
+    SELECT d, word, cnt,
+           cnt - coalesce(lag(cnt) OVER (PARTITION BY word ORDER BY d), 0)
+               AS delta
+    FROM wc
+    ORDER BY delta DESC, word, d
+    LIMIT 20
+    """,
+    survey="A16-ext: trending terms (day-over-day frequency delta vs the "
+    "word's previous appearance) — the time axis the wordcloud lacks",
+)
+def m_trending_terms(cat: Catalog) -> DataFrame:
+    """Top-20 risers: per (day, word) counts, delta vs the word's
+    PREVIOUS APPEARANCE day (lag over the word partition — absent days
+    are skipped, first appearance counts in full). The window
+    partitions on the word key, and the top-k is a
+    TakeOrderedAndProject with a total-order tie-break."""
+    from simple_etl_spark.functions.text import tokenize
+
+    g = gold_view(silver_articles(cat))
+    toks = (
+        g.select(
+            F.col("publish_date").alias("d"),
+            F.explode(tokenize("content")).alias("word"),
+        )
+        .filter((F.length("word") >= 3) & (~F.col("word").isin(*STOPWORDS)))
+    )
+    wc = toks.groupBy("d", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("word").orderBy("d")
+    delta = (F.col("cnt") - F.coalesce(F.lag("cnt").over(w), F.lit(0))).alias(
+        "delta"
+    )
+    return (
+        wc.select("d", "word", "cnt", delta)
+        .orderBy(F.col("delta").desc(), "word", "d")
+        .limit(20)
+    )

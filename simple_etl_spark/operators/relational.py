@@ -1271,3 +1271,69 @@ def events_cohort_retention(cat: Catalog) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "events_value_outliers",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, cast(floor(value * 100 + 0.5) as bigint) AS c
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, quantile_cont(c, 0.5) AS med FROM c GROUP BY 1
+    ),
+    d AS (
+        SELECT c.event_type, c.c,
+               abs(2 * c.c - cast(2 * m.med as bigint)) AS dev2
+        FROM c JOIN m ON c.event_type = m.event_type
+    ),
+    m2 AS (
+        SELECT event_type, quantile_cont(dev2, 0.5) AS mad2 FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           m.med / 100.0 AS median_value,
+           m2.mad2 / 200.0 AS mad_value,
+           cast(count_if(d.dev2 > 3 * m2.mad2) as bigint) AS n_outliers
+    FROM d
+    JOIN m ON d.event_type = m.event_type
+    JOIN m2 ON d.event_type = m2.event_type
+    GROUP BY d.event_type, m.med, m2.mad2
+    ORDER BY d.event_type
+    """,
+    survey="X3-ext: robust outlier detection (median absolute deviation) — "
+    "a second genuine UDAF consumer; the two-pass MAD is exactly the "
+    "aggregate a combinable rollup cannot maintain",
+)
+def events_value_outliers(cat: Catalog) -> DataFrame:
+    """Per-type robust outliers: |2·cents − 2·median| stays an exact
+    long (doubling clears the half-cent median), its median is the MAD
+    (same exact-interpolation argument as median_long), and the
+    3×-MAD threshold compares exact dyadic doubles — engine-identical
+    end to end. Two grouped UDAF passes + broadcast medians; the fact
+    table is scanned twice, never self-joined."""
+    from simple_etl_spark.functions.udaf import median_long
+
+    ev = cat["events"].select("event_type", units("value").alias("c"))
+    m = ev.groupBy("event_type").agg(median_long(F.col("c")).alias("med"))
+    d = ev.join(F.broadcast(m), "event_type").withColumn(
+        "dev2",
+        F.abs(F.col("c") * 2 - (F.col("med") * 2).cast("bigint")),
+    )
+    m2 = d.groupBy("event_type").agg(median_long(F.col("dev2")).alias("mad2"))
+    return (
+        d.join(F.broadcast(m2), "event_type")
+        .groupBy("event_type", "med", "mad2")
+        .agg(
+            F.count_if(F.col("dev2") > F.lit(3) * F.col("mad2"))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            (F.col("med") / F.lit(100.0)).alias("median_value"),
+            (F.col("mad2") / F.lit(200.0)).alias("mad_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

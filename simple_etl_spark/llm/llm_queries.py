@@ -1471,3 +1471,48 @@ def llm_curation_funnel(cat: Catalog) -> DataFrame:
         F.count_if(keep3).alias("n_clean"),
         F.count_if(keep4).alias("n_final"),
     )
+
+
+@query(
+    "llm_dup_rate_by_source",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, source FROM documents
+        WHERE doc_id % 10 = 0
+    )
+    SELECT source, count(*) AS n_docs,
+           cast(count(*) - count(DISTINCT md5(text)) as bigint) AS n_dup_copies,
+           cast(count(*) - count(DISTINCT md5(text)) as double) / count(*)
+               AS dup_rate
+    FROM corpus GROUP BY source
+    ORDER BY source
+    """,
+    survey="LLM dedup: per-source duplicate-rate diagnostic — which "
+    "domains pollute the corpus (drives crawl/source weighting "
+    "decisions before any dedup rewrite runs)",
+)
+def llm_dup_rate_by_source(cat: Catalog) -> DataFrame:
+    """Duplicate copies and rate per source over the injected-dup
+    corpus: one grouped aggregation (count + distinct fingerprint);
+    the rate is a single division of exact longs. The per-source view
+    is what turns dedup from a rewrite into a feedback signal for the
+    crawler."""
+    d = cat["documents"]
+    corpus = d.select("doc_id", "text", "source").unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+        )
+    )
+    n = F.count(F.lit(1))
+    dup = (n - F.countDistinct(F.md5("text"))).cast("bigint")
+    return (
+        corpus.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            dup.alias("n_dup_copies"),
+            (dup.cast("double") / n).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -120,6 +120,75 @@ def index_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "id",
+    text_col: str = "search_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    stopwords: tuple[str, ...] = STOPWORDS,
+    min_len: int = 3,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval — the scoring model the reference's
+    Elasticsearch actually runs under every `_score desc` search
+    (services/es.py:166-240; ES>=5 default similarity is BM25 with
+    k1=1.2, b=0.75). `weighted_search` reproduces the reference's
+    field *weights*; this reproduces the *relevance model*: Lucene's
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) times the saturated
+    tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)) term.
+
+    Scale shape: the posting list is built once (one shuffle of
+    (token, doc) partials); per-doc length and the corpus N/avgdl are
+    aggregates of that same relation; the query-term filter is a
+    pushed-down IN over the broadcast literal list, so the scored
+    relation is |matching postings| — never the corpus — and the
+    per-token doc_freq join is a broadcast of ≤|terms| rows. The final
+    top-n is TakeOrderedAndProject.
+
+    Determinism contract: every per-(doc, token) contribution is one
+    straight-line double expression (identical parenthesization in the
+    SQL oracle) quantized to 6 dp, then summed EXACTLY in decimal —
+    order-independent, so ulp-level engine drift (e.g. ln rounding)
+    cannot reach the exposed score or the ranking, which orders by the
+    quantized score with an id tie-break."""
+    terms = sorted({t.lower() for t in terms})
+    postings = build_search_index(
+        df, id_col=id_col, text_col=text_col,
+        stopwords=stopwords, min_len=min_len,
+    )
+    doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    # N and avgdl: exact integer aggregates, one double division —
+    # bit-identical on any engine
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    hits = postings.filter(F.col("token").isin(*terms))
+    dfreq = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (idf * tfn).cast("decimal(18,6)")
+    return (
+        scored.groupBy("doc")
+        .agg(F.sum(contrib).cast("decimal(18,6)").alias("score_q"))
+        .orderBy(F.desc("score_q"), F.asc("doc"))
+        .limit(top_n)
+    )
+
+
 def auto_fuzziness(term: Column) -> Column:
     """ES `fuzziness: AUTO` edit-distance budget (services/es.py:181):
     0 for terms of length 0-2, 1 for 3-5, 2 for 6+."""

@@ -855,6 +855,57 @@ def m_search_index(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "m_search_bm25",
+    oracle=GOLD_CTE + f"""
+    , postings AS (
+        SELECT token, doc, count(*) AS tf FROM (
+            SELECT id AS doc,
+                   unnest(string_split_regex(
+                       regexp_replace(lower(search_text), '[^a-z ]', ' ', 'g'),
+                       '\\s+')) AS token
+            FROM gold
+        ) t
+        WHERE length(token) >= 3
+          AND token NOT IN ({", ".join(repr(w) for w in STOPWORDS)})
+        GROUP BY token, doc
+    ),
+    doclen AS (SELECT doc, sum(tf) AS dl FROM postings GROUP BY doc),
+    stats AS (SELECT count(*) AS n_docs,
+                     cast(sum(dl) as double) / count(*) AS avgdl FROM doclen),
+    dfreq AS (SELECT token, count(*) AS df FROM postings
+              WHERE token IN ('merge', 'spark', 'window') GROUP BY token)
+    SELECT doc, cast(sum(contrib) as decimal(18,6)) AS score_q FROM (
+        SELECT p.doc,
+               cast(
+                 ln(1.0::double + (cast(s.n_docs as double) - f.df + 0.5::double)
+                                  / (f.df + 0.5::double))
+                 * (p.tf * (1.2::double + 1.0::double))
+                 / (p.tf + 1.2::double
+                          * (0.25::double + 0.75::double * l.dl / s.avgdl))
+               as decimal(18,6)) AS contrib
+        FROM postings p
+        JOIN dfreq f USING (token)
+        JOIN doclen l USING (doc)
+        CROSS JOIN stats s
+        WHERE p.token IN ('merge', 'spark', 'window')
+    ) c GROUP BY doc
+    ORDER BY score_q DESC, doc ASC LIMIT 10
+    """,
+    survey="T5 F21-ext (the relevance model behind every reference ES search: "
+    "Okapi BM25, Lucene idf, k1=1.2 b=0.75 — services/es.py:166-240)",
+)
+def m_search_bm25(cat: Catalog) -> DataFrame:
+    """BM25-ranked top-10 for a three-term query over the gold search
+    text — ES `_score desc` with the actual Lucene similarity, not just
+    the field weights. Per-term contributions quantize to 6 dp then sum
+    exactly in decimal, so ranking is engine-stable (see
+    functions/text.py:bm25_rank)."""
+    from simple_etl_spark.functions.text import bm25_rank
+
+    return bm25_rank(_gold(cat), ["merge", "spark", "window"])
+
+
+@query(
     "m_trending_terms",
     oracle=GOLD_CTE + f"""
     , toks AS (

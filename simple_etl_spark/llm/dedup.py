@@ -681,3 +681,119 @@ def dedup_clusters(
             "raise max_iter"
         )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+# MOSS algorithm): substring-level near-dup detection that survives
+# insertions/reorderings word-shingle MinHash smears out. Every k-char
+# gram is hashed; each sliding window of w consecutive gram hashes
+# contributes its minimum — guaranteeing any shared substring of
+# length >= k + w - 1 yields at least one shared fingerprint, while
+# keeping the selected set a ~2/(w+1) fraction of positions.
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Per-doc winnowing fingerprint set → (``id_col``, ``fp``) rows.
+
+    The whole selection runs as ONE codegen projection per document —
+    gram hashing, window minima, and per-doc dedup are array lambda
+    expressions (`transform`/`slice`/`array_min`/`array_distinct`), so
+    fingerprinting is embarrassingly parallel: zero shuffles until a
+    caller joins on ``fp``. Hashes are the md5-prefix integers the rest
+    of the dedup family uses, so any SQL engine reproduces the set
+    bit-for-bit.
+
+    Documents shorter than ``k`` (after whitespace normalization) have
+    no grams and emit no fingerprints; documents with fewer than ``w``
+    grams contribute the min over all their grams (the standard short-
+    doc degradation, preserving the shared-substring guarantee).
+
+    Each stage (normalized text → gram-hash array → window minima) is
+    materialized as its own projection so every lambda references only
+    a per-row attribute: folding them into one expression tree makes
+    Catalyst inline the grams array into EVERY outer-window element
+    (HOF lambdas get no common-subexpression elimination within a
+    projection), turning an O(n) pass into O(n·w·|grams|) regex+md5
+    recomputation. Separate Projects survive CollapseProject because
+    the duplicated expressions are non-cheap and multiply referenced.
+    """
+    s = df.select(
+        F.col(id_col),
+        F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        ).alias("_s"),
+    )
+    t, n = F.col("_s"), F.length(F.col("_s"))
+    g = s.select(
+        F.col(id_col),
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.substring(t, i, F.lit(k))), 1, 15), 16, 10
+                ).cast("bigint"),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_g"),
+    )
+    m = F.size(F.col("_g"))
+    fps = F.when(
+        m >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), m - w + 1)),
+                lambda j: F.array_min(
+                    F.slice(F.col("_g"), j, F.least(F.lit(w), m))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return g.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnowing_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: (id_a < id_b,
+    shared) with ``shared`` >= ``min_shared``.
+
+    Scale shape: the pair join is keyed on the fingerprint value —
+    banded like LSH, O(collisions) not O(n²). Boilerplate fingerprints
+    (headers, templates) appearing in more than ``max_df`` documents
+    are dropped before pairing (the standard df-cap); without it one
+    hot fingerprint in f docs generates f² pairs. The cap is a grouped
+    count on the fingerprint key — the same shuffle the join needs, so
+    it adds no extra exchange at scale."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    fp = fp.join(rare, "fp")
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -13,6 +13,7 @@ from simple_etl_spark.llm.dedup import (
     exact_dedup,
     jaccard_pairs,
     near_dedup_minhash,
+    winnowing_near_dups,
 )
 from simple_etl_spark.llm.multimodal import (
     binary_documents,
@@ -191,6 +192,54 @@ def llm_ngram_jaccard(cat: Catalog) -> DataFrame:
         b, (F.col("lang_a") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b"))
     ).select("id_a", "id_b")
     return jaccard_pairs(docs, pairs, "id", "text")
+
+
+@query(
+    "llm_winnowing_dups",
+    oracle=f"""
+    WITH {_NEAR_CORPUS_SQL},
+    t AS (SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+          FROM corpus),
+    grams AS (
+        SELECT id,
+               CASE WHEN length(s) >= 24 THEN
+                   list_transform(generate_series(1, length(s) - 24 + 1),
+                       i -> ('0x' || substr(md5(substring(s, i, 24)), 1, 15))::bigint)
+               ELSE []::bigint[] END AS g
+        FROM t
+    ),
+    fps AS (
+        SELECT id, unnest(list_distinct(
+            list_transform(generate_series(1, greatest(1, len(g) - 8 + 1)),
+                j -> list_min(list_slice(g, j, j + least(8, len(g)) - 1)))
+        )) AS fp
+        FROM grams WHERE len(g) >= 1
+    ),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10),
+    ff AS (SELECT id, fp FROM fps JOIN rare USING (fp))
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+    FROM ff a JOIN ff b USING (fp)
+    WHERE a.id < b.id
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    ORDER BY id_a, id_b
+    """,
+    survey="LLM dedup: winnowing fingerprints (MOSS, SIGMOD'03) — substring-"
+    "level near-dup pairs via shared window-min k-gram hashes",
+)
+def llm_winnowing_dups(cat: Catalog) -> DataFrame:
+    """Winnowing near-dup pairs over the near-dup-injected corpus
+    (k=24, w=8, df-capped at 10): any shared substring of >= 31 chars
+    guarantees a shared fingerprint, so the first-word-dropped copies
+    surface with high shared counts while the tiny synthetic vocabulary
+    (which makes short grams collide corpus-wide) stays below the
+    min_shared=5 floor. Fingerprinting is one codegen
+    projection; the only shuffles are the df-cap count and the
+    fingerprint-keyed pair join (O(collisions))."""
+    return winnowing_near_dups(
+        _near_corpus(cat), id_col="id", text_col="text",
+        k=24, w=8, min_shared=5, max_df=10,
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

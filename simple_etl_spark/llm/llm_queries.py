@@ -242,6 +242,64 @@ def llm_winnowing_dups(cat: Catalog) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "llm_record_linkage",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id AS id, trim(substring(text, 1, 60)) AS title FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, trim(substring(replace(text, 'k', 'c'), 1, 60))
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    keyed AS (
+        SELECT id, title, 0 AS p, cast(length(title) as varchar) AS bk FROM corpus
+        UNION ALL
+        SELECT id, title, 1, substring(title, 1, 4) FROM corpus
+    ),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.title AS ta, b.title AS tb
+        FROM keyed a JOIN keyed b ON a.p = b.p AND a.bk = b.bk AND a.id < b.id
+    )
+    SELECT id_a, id_b, cast(levenshtein(ta, tb) as bigint) AS dist,
+           cast(1000 - (1000 * levenshtein(ta, tb))
+                       // greatest(length(ta), length(tb), 1) as bigint)
+               AS sim_permille
+    FROM cands WHERE levenshtein(ta, tb) <= 6
+    ORDER BY id_a, id_b
+    """,
+    survey="LLM dedup-ext: record linkage — multi-pass blocked fuzzy identity "
+    "(length + prefix blocks, levenshtein comparator, integer permille score)",
+)
+def llm_record_linkage(cat: Catalog) -> DataFrame:
+    """Entity resolution over a typo-injected corpus (every 10th doc
+    re-appears with 'k'→'c' substitutions — length-preserving OCR-class
+    noise): candidate pairs from the union of a title-length block and
+    a 4-char-prefix block, compared by edit distance <= 6. Typo copies
+    whose prefix changed are still caught by the length pass — the
+    multi-pass recall argument in one query."""
+    from simple_etl_spark.operators.linkage import blocked_fuzzy_pairs
+
+    d = cat["documents"]
+    corpus = d.select(
+        F.col("doc_id").alias("id"),
+        F.trim(F.substring("text", 1, 60)).alias("title"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.trim(
+                F.substring(F.replace(F.col("text"), F.lit("k"), F.lit("c")), 1, 60)
+            ).alias("title"),
+        )
+    )
+    return blocked_fuzzy_pairs(
+        corpus,
+        [lambda c: F.length(c), lambda c: F.substring(c, 1, 4)],
+        id_col="id",
+        text_col="title",
+        max_dist=6,
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

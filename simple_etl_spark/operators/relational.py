@@ -1337,3 +1337,43 @@ def events_value_outliers(cat: Catalog) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+from simple_etl_spark.sources.layout import zvalue, zvalue_sql  # noqa: E402
+
+_Z_SQL = zvalue_sql(["(user_id % 256)", "(event_id % 256)"], bits=8)
+
+
+@query(
+    "events_zorder_profile",
+    oracle=f"""
+    SELECT seg, count(*) AS n_events,
+           max(user_id % 256) - min(user_id % 256) AS span_user,
+           max(event_id % 256) - min(event_id % 256) AS span_event
+    FROM (SELECT user_id, event_id, {_Z_SQL} >> 8 AS seg FROM events) t
+    GROUP BY seg ORDER BY seg
+    """,
+    survey="layout-ext: Z-order curve segmentation profile — pins the Morton "
+    "bit-interleave cross-engine and shows per-segment locality in BOTH "
+    "dimensions (the property parquet stats-skipping prunes on)",
+)
+def events_zorder_profile(cat: Catalog) -> DataFrame:
+    """Events mapped onto the (user_id%256, event_id%256) Z-order
+    curve, profiled per 256-codepoint curve segment: row count and the
+    per-segment span of each dimension. Narrow spans in both columns
+    are exactly what makes a z-clustered layout prunable on either
+    filter (sources/layout.py:write_zordered). Pure integer bit
+    arithmetic — bit-identical in any engine."""
+    ev = cat["events"]
+    z = zvalue([F.col("user_id") % 256, F.col("event_id") % 256], bits=8)
+    xu, xe = F.col("user_id") % 256, F.col("event_id") % 256
+    return (
+        ev.select(xu.alias("u"), xe.alias("e"), F.shiftright(z, 8).alias("seg"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("u") - F.min("u")).alias("span_user"),
+            (F.max("e") - F.min("e")).alias("span_event"),
+        )
+        .orderBy("seg")
+    )

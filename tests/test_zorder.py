@@ -1,0 +1,113 @@
+"""Z-order layout: Morton-code correctness and the actual layout
+benefit — per-file min/max stats narrow in BOTH dimensions, which is
+what parquet stats-based skipping prunes on."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from simple_etl_spark.sources.layout import write_zordered, zvalue
+
+
+def _morton2(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_zvalue_matches_reference_morton(spark):
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 2, 7, 1023)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = df.select("x", "y", zvalue(["x", "y"]).alias("z")).collect()
+    for r in got:
+        assert r["z"] == _morton2(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zvalue_masks_high_bits(spark):
+    # values beyond `bits` bits alias onto their low bits, never corrupt
+    df = spark.createDataFrame([(1 << 20, 0)], "x bigint, y bigint")
+    assert df.select(zvalue(["x", "y"], bits=16).alias("z")).head()["z"] == 0
+
+
+def _file_spans(path: str, cols):
+    spans = {c: [] for c in cols}
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        for c in cols:
+            if lo[c] is not None:
+                spans[c].append(hi[c] - lo[c])
+    return spans
+
+
+def test_zorder_layout_narrows_both_dims(spark, tmp_path):
+    n, side = 4096, 64  # full 64x64 grid, x and y independent
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") / side).cast("bigint") % side).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], bits=6, num_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    zs = _file_spans(zpath, ["x", "y"])
+    ls = _file_spans(lpath, ["x", "y"])
+    z_x = sum(zs["x"]) / len(zs["x"])
+    z_y = sum(zs["y"]) / len(zs["y"])
+    l_y = sum(ls["y"]) / len(ls["y"])
+    # z-order: BOTH dims' per-file spans well under the global range...
+    assert z_x < 0.5 * (side - 1)
+    assert z_y < 0.5 * (side - 1)
+    # ...while the single-key linear layout leaves y unclustered
+    assert l_y > 0.9 * (side - 1)
+    # and a point filter on y prunes files under the z layout
+    prunable = sum(
+        1
+        for f in glob.glob(os.path.join(zpath, "*.parquet"))
+        for md in [pq.ParquetFile(f).metadata]
+        if all(
+            md.row_group(rg).column(ci).statistics is None
+            or md.row_group(rg).column(ci).path_in_schema != "y"
+            or not (
+                md.row_group(rg).column(ci).statistics.min
+                <= 7
+                <= md.row_group(rg).column(ci).statistics.max
+            )
+            for rg in range(md.num_row_groups)
+            for ci in range(md.row_group(rg).num_columns)
+        )
+    )
+    assert prunable >= 4  # y=7 skips a real fraction of the 16 files
+
+
+def test_roundtrip_preserves_rows(spark, tmp_path):
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    p = str(tmp_path / "z")
+    write_zordered(df, p, ["x", "y"], bits=4, num_files=4)
+    back = spark.read.parquet(p)
+    assert back.count() == 100
+    assert set(back.columns) == {"x", "y"}

@@ -259,16 +259,16 @@ def _spread(df: DataFrame, nparts: int | None = None) -> DataFrame:
     return df
 
 
-def lsh_candidate_pairs(
+def band_keys(
     sig: DataFrame,
     id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
-    """Band the signature and self-join on (band_index, band_key):
-    docs sharing any band are candidate near-dups. Returns distinct
-    (id_a < id_b) pairs. The band join shuffles on the band key —
-    collision groups, not the corpus, drive the cost."""
+    """Explode a signature relation to its (id, band, key) band rows —
+    the join key of every LSH path (in-corpus self-join, incremental
+    batch-vs-store). md5 over the band's hash tuple keeps the key
+    engine-reproducible and fixed-width regardless of band size."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -283,9 +283,22 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Band the signature and self-join on (band_index, band_key):
+    docs sharing any band are candidate near-dups. Returns distinct
+    (id_a < id_b) pairs. The band join shuffles on the band key —
+    collision groups, not the corpus, drive the cost."""
+    banded = band_keys(sig, id_col, num_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -797,3 +810,84 @@ def winnowing_near_dups(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup: each new crawl/training batch dedupes against
+# the signatures of everything already ingested — the continuous-
+# pipeline twin of `near_dedup_minhash`, which is a whole-corpus pass.
+# ---------------------------------------------------------------------------
+
+
+def signature_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """The persisted side of incremental near-dedup: the corpus's
+    MinHash signature relation (id, h0..h{n-1}). At scale this lives
+    as a table bucketed on the band keys' hash so batch probes
+    co-locate; each accepted batch appends its survivors' signatures
+    (compute once, reuse forever — signatures never need the text
+    again)."""
+    return minhash_signature(df, id_col, text_col, num_hashes)
+
+
+def incremental_lsh_matches(
+    batch_sig: DataFrame,
+    store_sig: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Distinct (batch_id, store_id) candidate matches: the banded
+    batch joined against the banded store on (band, key). Unlike the
+    in-corpus self-join this is a two-relation join whose LEFT side is
+    the (small) new batch — the store never pairs with itself, so cost
+    is O(batch bands x collisions), independent of corpus size. With
+    the store bucketed on the band key only the batch shuffles."""
+    a = band_keys(batch_sig, id_col, num_hashes, band_size).select(
+        F.col(id_col).alias("batch_id"), "band", "key"
+    )
+    b = band_keys(store_sig, id_col, num_hashes, band_size).select(
+        F.col(id_col).alias("store_id"), "band", "key"
+    )
+    return a.join(b, ["band", "key"]).select("batch_id", "store_id").distinct()
+
+
+def incremental_near_dedup(
+    new_batch: DataFrame,
+    store_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Near-dup dedupe of a new batch against the already-ingested
+    corpus: returns the batch rows that survive, with their signatures
+    attached (columns h0..h{n-1}) ready to append to the store.
+
+    Drops (a) every batch doc LSH-matching ANY store signature, and
+    (b) within the batch, every doc that candidate-matches a
+    smaller-id batch doc (the greedy min-id survivor rule — the
+    whole-corpus `dedup_clusters` path is for full repartitions; a
+    per-batch greedy filter is the standard online approximation and
+    never drops a doc without a concrete matched partner).
+
+    False-positive control is the band configuration (collision
+    probability s^band_size per band); callers needing exact-Jaccard
+    confirmation keep text for batch-internal pairs and verify with
+    :func:`jaccard_pairs` before appending — store matches are
+    signature-only by design (the store does not retain text)."""
+    batch_sig = minhash_signature(new_batch, id_col, text_col, num_hashes)
+    vs_store = incremental_lsh_matches(
+        batch_sig, store_sig, id_col, num_hashes, band_size
+    ).select(F.col("batch_id").alias(id_col)).distinct()
+    in_batch = lsh_candidate_pairs(batch_sig, id_col, num_hashes, band_size)
+    dominated = in_batch.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = (
+        new_batch.join(vs_store, id_col, "left_anti")
+        .join(dominated, id_col, "left_anti")
+    )
+    return survivors.join(batch_sig, id_col)

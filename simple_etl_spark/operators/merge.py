@@ -89,3 +89,30 @@ def write_merged(df: DataFrame, path: str, partition_by: list[str] | None = None
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def apply_changes(
+    changes: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC changelog compaction: given a change feed with an operation
+    column (upserts + deletes) and a total per-key ordering, produce
+    the final table state — the last change wins, and a last change of
+    ``delete_op`` removes the key entirely.
+
+    The standard lakehouse APPLY CHANGES primitive (the reference's
+    Postgres layer gets this from row-level DML; a log-structured
+    engine must compact). One window over the key partition ordered by
+    ``order_cols`` desc — exactly the latest-wins shuffle shape of
+    `upsert_latest_wins`, plus the delete filter. ``order_cols``
+    must be a total order within each key (e.g. [ts, seq]) or the
+    survivor is nondeterministic — pass the tiebreaker explicitly."""
+    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )

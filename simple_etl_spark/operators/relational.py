@@ -1377,3 +1377,42 @@ def events_zorder_profile(cat: Catalog) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@query(
+    "cdc_last_state",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id AS last_event_id,
+           cast(value as double) AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    survey="S7-ext: CDC changelog compaction (APPLY CHANGES) — last change "
+    "per key wins, a trailing delete removes the key",
+)
+def cdc_last_state(cat: Catalog) -> DataFrame:
+    """Events replayed as a CDC feed keyed by user: the final per-user
+    state is the latest event's payload, unless the latest is the
+    delete op ('error'), which drops the user. One latest-wins window
+    on (ts, event_id) — event_id breaks equal-timestamp ties so the
+    survivor is engine-deterministic."""
+    from simple_etl_spark.operators.merge import apply_changes
+
+    out = apply_changes(
+        cat["events"].select("user_id", "event_type", "event_id", "ts", "value"),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_op="error",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").cast("double").alias("last_value"),
+    ).orderBy("user_id")

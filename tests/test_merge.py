@@ -114,3 +114,29 @@ def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
     assert all(os.path.getmtime(f) == mtimes[f] for f in after)
     got = {r["link"]: r["content"] for r in spark.read.parquet(path).collect()}
     assert got == {"a": "new-a", "b": "old-b"}
+
+
+def test_apply_changes_cdc_semantics(spark):
+    from simple_etl_spark.operators.merge import apply_changes
+
+    changes = spark.createDataFrame(
+        [
+            # key 1: insert then update → final value 20
+            (1, 1, "U", 10), (1, 2, "U", 20),
+            # key 2: insert then delete → gone
+            (2, 1, "U", 30), (2, 2, "D", 0),
+            # key 3: delete then re-insert → present with 50
+            (3, 1, "D", 0), (3, 2, "U", 50),
+            # key 4: tie on ts broken by seq → survivor seq=2
+            (4, 2, "U", 70), (4, 2, "D", 0),
+        ],
+        "k bigint, seq bigint, op string, v bigint",
+    )
+    # order within (k) by (seq, v): key 4 has two seq=2 rows, v breaks the tie
+    out = {
+        r["k"]: r["v"]
+        for r in apply_changes(
+            changes, keys=["k"], order_cols=["seq", "v"], op_col="op"
+        ).collect()
+    }
+    assert out == {1: 20, 3: 50, 4: 70}

@@ -25,6 +25,7 @@ from simple_etl_spark.llm.similarity import (
     brute_force_topk,
     bucketed_topk,
     ivf_topk,
+    quantized_topk,
 )
 from simple_etl_spark.llm.textstats import (
     doc_fingerprint,
@@ -396,6 +397,69 @@ def llm_ann_bucketed(cat: Catalog) -> DataFrame:
     """Bucket-pruned ANN: top-3 within the query's coarse partition."""
     emb = cat["embeddings"]
     return bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@query(
+    "llm_quantized_topk",
+    oracle="""
+    WITH raw AS (
+        SELECT vec_id, cast(embedding as double[]) AS e FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id,
+               greatest(list_max(list_transform(e, y -> abs(y))), 1e-30)
+                   / cast(127 as double) AS s
+        FROM raw
+    ),
+    qv AS (
+        SELECT r.vec_id,
+               list_transform(r.e, x -> cast(round(x / sc.s) as bigint)) AS q
+        FROM raw r JOIN sc ON sc.vec_id = r.vec_id
+    ),
+    ql AS (
+        SELECT vec_id, unnest(q) AS val,
+               unnest(range(1, len(q) + 1)) AS pos
+        FROM qv
+    ),
+    n2 AS (SELECT vec_id, sum(val * val) AS n2 FROM ql GROUP BY vec_id),
+    dots AS (
+        SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+               sum(qa.val * ca.val) AS dp
+        FROM ql qa JOIN ql ca ON ca.pos = qa.pos AND ca.vec_id <> qa.vec_id
+        WHERE qa.vec_id < 3
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.query_id, d.neighbor_id,
+               cast(d.dp as double)
+                 / (sqrt(cast(a.n2 as double)) * sqrt(cast(b.n2 as double)))
+                   AS score
+        FROM dots d
+        JOIN n2 a ON a.vec_id = d.query_id
+        JOIN n2 b ON b.vec_id = d.neighbor_id
+        WHERE a.n2 > 0 AND b.n2 > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cast(score as decimal(18,6)) AS score_q,
+           cast(rnk as bigint) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    survey="LLM similarity: int8 scalar-quantized cosine top-k — 4x memory/"
+    "shuffle cut; scales cancel so the score is exact int64 arithmetic "
+    "plus sqrt/divide (no float accumulation anywhere)",
+)
+def llm_quantized_topk(cat: Catalog) -> DataFrame:
+    """Quantized cosine top-5 for 3 query vectors: symmetric per-vector
+    int8 codes, integer dot products, scale-cancelling cosine. The
+    memory/bandwidth tier of the ANN stack (similarity.py:
+    quantize_embeddings / quantized_topk); recall vs the exact path is
+    pinned in tests/test_quantization.py."""
+    emb = cat["embeddings"]
+    return quantized_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
 @query(

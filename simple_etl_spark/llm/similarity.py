@@ -583,3 +583,93 @@ def srp_topk(
     )
     return bucketed_topk(eb, qb, k=k, id_col=id_col, vec_col=vec_col,
                          bucket_col="bucket")
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) embedding quantization: the vector-memory play at
+# 100 TB — 4x smaller than float32, integer dot products, and for
+# cosine the per-vector scales cancel entirely, so the quantized score
+# is pure integer arithmetic + two sqrt ops (engine-exact).
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i / scale) in [-127, 127]. Adds ``out_col``
+    (array<int>) and ``{out_col}_scale`` (double, for dequantizing
+    raw dot products; cosine never needs it — scales cancel).
+
+    One codegen projection; round-half-away-from-zero matches between
+    Spark (HALF_UP) and ANSI engines, so the quantized codes are
+    engine-identical. Zero vectors quantize to all-zero codes (the
+    epsilon floor avoids 0/0) and are excluded from cosine downstream
+    as always."""
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") / scale, 0).cast("int"),
+    )
+    return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", scale)
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int-code arrays (bigint
+    accumulate: 64 dims x 127² is far inside int64)."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("bigint") * y.cast("bigint")))
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: cosine on the
+    integer codes — cos_q = (qa·qb) / (sqrt(qa·qa)·sqrt(qb·qb)); the
+    per-vector scales cancel, so the score is exact int64 arithmetic
+    plus two correctly-rounded sqrt ops and one division, identical on
+    any engine (no reduction-order sensitivity at all, unlike float
+    accumulation). Rank on the quantized score with an id tie-break;
+    the score is exposed at the 6-dp decimal discipline.
+
+    Quantization error vs true cosine is bounded by ~2·sqrt(d)/127
+    relative for unit-norm vectors (pytest pins observed recall); at
+    scale this is the memory/bandwidth tier — 4x less shuffle volume
+    than float32 — with the exact decimal path available for rescoring
+    the survivors."""
+    qe = quantize_embeddings(embeddings, id_col, vec_col)
+    qq = quantize_embeddings(queries, id_col, vec_col)
+    c = qe.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("c_q"),
+        _int_dot(F.col("qvec"), F.col("qvec")).alias("c_n2"),
+    ).filter(F.col("c_n2") > 0)
+    q = qq.select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_q"),
+        _int_dot(F.col("qvec"), F.col("qvec")).alias("q_n2"),
+    ).filter(F.col("q_n2") > 0)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _int_dot(F.col("q_q"), F.col("c_q")).cast("double")
+                / (
+                    F.sqrt(F.col("q_n2").cast("double"))
+                    * F.sqrt(F.col("c_n2").cast("double"))
+                )
+            ).alias("score"),
+        )
+    )
+    return _rank_topk(scored, k)

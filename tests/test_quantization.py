@@ -1,0 +1,75 @@
+"""int8 scalar quantization: code correctness vs NumPy, recall vs the
+exact cosine path, and the scale-cancellation property."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simple_etl_spark.engine import Catalog
+from simple_etl_spark.llm.similarity import (
+    brute_force_topk,
+    quantize_embeddings,
+    quantized_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_codes_match_numpy_reference(spark):
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.001, 0.002, -0.003, 0.004])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for vid, vec in rows:
+        v = np.asarray(vec)
+        s = max(np.abs(v).max(), 1e-30) / 127.0
+        # numpy rounds half-even; the engine rounds half away from zero —
+        # avoid .5 boundaries in fixtures, then both agree
+        expect = [int(round(x / s)) for x in v]
+        assert list(out[vid]["qvec"]) == expect
+        assert out[vid]["qvec_scale"] == pytest.approx(s)
+        assert max(abs(c) for c in out[vid]["qvec"]) <= 127
+
+
+def test_zero_vector_never_emits(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = quantized_topk(df, df, k=2).collect()
+    ids = {r["query_id"] for r in out} | {r["neighbor_id"] for r in out}
+    assert 1 not in ids
+
+
+def test_recall_vs_exact_on_real_embeddings(spark):
+    cat = Catalog(spark, SF_DIR)
+    emb = cat["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_topk(emb, queries, k=5).collect()
+    }
+    # int8 on 64-dim embeddings: expect near-perfect top-5 agreement
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall {recall}"
+
+
+def test_score_close_to_exact(spark):
+    cat = Catalog(spark, SF_DIR)
+    emb = cat["embeddings"]
+    queries = emb.filter(F.col("vec_id") == 0)
+    exact = {
+        r["neighbor_id"]: float(r["score_q"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    quant = {
+        r["neighbor_id"]: float(r["score_q"])
+        for r in quantized_topk(emb, queries, k=3).collect()
+    }
+    for nid in exact.keys() & quant.keys():
+        assert abs(exact[nid] - quant[nid]) < 0.05

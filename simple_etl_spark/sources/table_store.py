@@ -312,6 +312,8 @@ def compact(
     target_file_bytes: int = 128 << 20,
     partition_by: list[str] | None = None,
     lock_timeout: float = 120.0,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> dict:
     """Rewrite the current snapshot with right-sized files.
 
@@ -329,8 +331,20 @@ def compact(
     intact; rows are clustered to their partition before the write so
     each output partition directory gets contiguous files.
 
+    ``zorder_by`` additionally clusters the rewrite along the Z-order
+    curve of the named integer columns (the OPTIMIZE ... ZORDER BY
+    pass): files come out range-partitioned on the Morton code, so
+    min/max stats are narrow in EVERY listed column and scans filtered
+    on any of them skip files (see sources/layout.py). Compaction is
+    exactly where this belongs at 100 TB — a periodic rewrite, never a
+    per-query cost. Mutually exclusive with ``partition_by`` (a Hive
+    layout already fixes the directory key; z-order within partitions
+    would need per-partition ranges, a different pass).
+
     Returns {"version", "path", "files_before", "files_after"}.
     """
+    if partition_by and zorder_by:
+        raise ValueError("compact: partition_by and zorder_by are exclusive")
 
     def _stats(path: str) -> tuple[int, int]:
         n = size = 0
@@ -355,7 +369,18 @@ def compact(
         files_before, total = _stats(cur)
         nfiles = max(1, -(-total // target_file_bytes))  # ceil
         df = spark.read.parquet(cur)
-        if partition_by:
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from simple_etl_spark.sources.layout import zvalue
+
+            df = (
+                df.withColumn("_z", zvalue(list(zorder_by), zorder_bits))
+                .repartitionByRange(nfiles, F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif partition_by:
             df = df.repartition(nfiles, *partition_by)
         else:
             df = df.repartition(nfiles)

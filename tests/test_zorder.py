@@ -111,3 +111,29 @@ def test_roundtrip_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 100
     assert set(back.columns) == {"x", "y"}
+
+
+def test_compact_zorder_clusters_snapshot(spark, tmp_path):
+    import pytest as _pytest
+
+    from simple_etl_spark.sources.table_store import compact, read_table, write_table
+
+    base = str(tmp_path / "ztable")
+    side = 32
+    df = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") / side).cast("bigint") % side).alias("y"),
+    )
+    write_table(df, base)
+    info = compact(
+        spark, base, target_file_bytes=1500, zorder_by=["x", "y"], zorder_bits=5
+    )
+    assert info["files_after"] >= 2
+    back = read_table(spark, base)
+    assert back.count() == side * side
+    spans = _file_spans(info["path"], ["x", "y"])
+    if len(spans["x"]) >= 4:
+        assert sum(spans["x"]) / len(spans["x"]) < 0.7 * (side - 1)
+        assert sum(spans["y"]) / len(spans["y"]) < 0.7 * (side - 1)
+    with _pytest.raises(ValueError):
+        compact(spark, base, partition_by=["x"], zorder_by=["y"])

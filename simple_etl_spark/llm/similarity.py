@@ -647,15 +647,31 @@ def quantized_topk(
     the survivors."""
     qe = quantize_embeddings(embeddings, id_col, vec_col)
     qq = quantize_embeddings(queries, id_col, vec_col)
-    c = qe.select(
+    return quantized_topk_coded(qe, qq, k, id_col)
+
+
+def quantized_topk_coded(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "qvec",
+) -> DataFrame:
+    """Top-k over PRE-quantized code relations (the output of
+    :func:`quantize_embeddings`, materialized once) — the at-scale
+    shape: the corpus codes live as a stored int8 table (4x smaller
+    scan + shuffle than the float column), and each query batch pays
+    only its own quantization. :func:`quantized_topk` is the
+    one-shot convenience wrapper over this."""
+    c = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col("qvec").alias("c_q"),
-        _int_dot(F.col("qvec"), F.col("qvec")).alias("c_n2"),
+        F.col(code_col).alias("c_q"),
+        _int_dot(F.col(code_col), F.col(code_col)).alias("c_n2"),
     ).filter(F.col("c_n2") > 0)
-    q = qq.select(
+    q = query_codes.select(
         F.col(id_col).alias("query_id"),
-        F.col("qvec").alias("q_q"),
-        _int_dot(F.col("qvec"), F.col("qvec")).alias("q_n2"),
+        F.col(code_col).alias("q_q"),
+        _int_dot(F.col(code_col), F.col(code_col)).alias("q_n2"),
     ).filter(F.col("q_n2") > 0)
     scored = (
         F.broadcast(q)

@@ -73,3 +73,21 @@ def test_score_close_to_exact(spark):
     }
     for nid in exact.keys() & quant.keys():
         assert abs(exact[nid] - quant[nid]) < 0.05
+
+
+def test_coded_path_equals_end_to_end(spark):
+    from simple_etl_spark.llm.similarity import (
+        quantize_embeddings,
+        quantized_topk_coded,
+    )
+
+    cat = Catalog(spark, SF_DIR)
+    emb = cat["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    direct = quantized_topk(emb, queries, k=4).collect()
+    coded = quantized_topk_coded(
+        quantize_embeddings(emb), quantize_embeddings(queries), k=4
+    ).collect()
+    assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, coded), key=lambda t: (t[0], t[3])
+    )

@@ -287,3 +287,75 @@ def test_checkpoint_resume_processes_only_new_data(spark, workdir):
     # kept its original cleaned content (insert-if-absent, not rewrite)
     got = {r["id"]: r["content"] for r in silver.collect()}
     assert got["a"] == "one"
+
+
+def test_stream_stream_interval_join_left_outer(spark, workdir):
+    """Left-outer stream-stream join: an impression with no click in
+    its window emits (id, imp, NULL) — but only once the CLICK-side
+    watermark passes the impression's eligibility window, which for an
+    availableNow run means the null row lands on a later restart after
+    a watermark-advancing event arrives. Two runs over one checkpoint
+    model exactly that production shape."""
+    import datetime as dt
+
+    from simple_etl_spark.streaming.joins import interval_join
+
+    t = dt.datetime(2024, 1, 1)
+    imp_src = f"{workdir}/o_impressions"
+    clk_src = f"{workdir}/o_clicks"
+    ckpt = f"{workdir}/o_ckpt"
+    out = f"{workdir}/o_out"
+    _write_batch(spark, imp_src, [("a", "imp-a", t), ("b", "imp-b", t)])
+    _write_batch(spark, clk_src, [("a", "clk-a", t + dt.timedelta(minutes=10))])
+
+    def run_once():
+        imp = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(imp_src)
+            .select(
+                "id",
+                F.col("content").alias("imp"),
+                F.col("created_at").alias("imp_ts"),
+            )
+        )
+        clk = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(clk_src)
+            .select(
+                F.col("id").alias("id"),
+                F.col("content").alias("clk"),
+                F.col("created_at").alias("clk_ts"),
+            )
+        )
+        joined = interval_join(
+            imp, clk, key="id", left_ts="imp_ts", right_ts="clk_ts",
+            watermark="10 minutes", within="30 minutes", how="leftOuter",
+        ).select(imp["id"], "imp", "clk")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # the GLOBAL watermark is the min across both inputs, so BOTH
+    # streams need later events; two nudge files per side so the
+    # restarted run gets a batch AFTER the watermark-advancing one
+    # (outer rows emit on the next batch, not the one that advances)
+    for h in (6, 7):
+        _write_batch(
+            spark, clk_src, [("zc", "clk-late", t + dt.timedelta(hours=h))]
+        )
+        _write_batch(
+            spark, imp_src, [("zi", "imp-late", t + dt.timedelta(hours=h))]
+        )
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    got = sorted((r["id"], r["clk"]) for r in rows if r["id"] in ("a", "b"))
+    assert got == [("a", "clk-a"), ("b", None)]  # outer null after watermark

@@ -184,6 +184,18 @@ def commit_snapshot(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    # lift per-file min/max into the snapshot's stats manifest BEFORE
+    # the pointer swap: every committed snapshot supports planning-time
+    # file skipping (sources/manifest.py), and a crash between write
+    # and swap leaves no manifest-less committed state
+    try:
+        from simple_etl_spark.sources.manifest import write_manifest
+
+        write_manifest(path)
+    except Exception:
+        # stats are an optimization — a commit must never fail on them;
+        # read_pruned raises loudly if the manifest is absent
+        pass
     _swap_pointer(base, v)
     return path
 

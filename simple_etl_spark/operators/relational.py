@@ -1416,3 +1416,93 @@ def cdc_last_state(cat: Catalog) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").cast("double").alias("last_value"),
     ).orderBy("user_id")
+
+
+@query(
+    "revenue_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           cast(grouping(o_orderstatus, o_orderpriority) as bigint) AS gid,
+           count(*) AS n_orders,
+           cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as double)
+               / 100.0 AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    survey="A-ext: CUBE grouping sets + GROUPING id — every margin "
+    "(pair, each single key, grand total) in one aggregation pass",
+)
+def revenue_cube(cat: Catalog) -> DataFrame:
+    """Full-cube margins over (status, priority) with the grouping-set
+    id bitmask exposed — the complement of `revenue_rollup`'s
+    hierarchy: CUBE also emits the priority-only margin. Spark expands
+    the grouping sets BEFORE the shuffle, so this stays one pass with
+    map-side partials; the grouping_id bitmask (status = high bit)
+    matches ANSI GROUPING() on any engine."""
+    return (
+        cat["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            lsum(units("o_totalprice"), 2, "revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "order_price_distribution",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cum_dist,
+               first_value(o_orderkey) OVER w AS cheapest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderkey, o_orderpriority, pct_rank, cum_dist, cheapest_key
+    FROM ranked WHERE o_orderkey % 20 = 0
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+    survey="W-ext: distribution window family (percent_rank, cume_dist, "
+    "first_value) — the ANSI window surface beyond ranking/offset",
+)
+def order_price_distribution(cat: Catalog) -> DataFrame:
+    """Per-priority price distribution positions: percent_rank and
+    cume_dist over a tie-broken total order (price, orderkey), plus
+    the partition's cheapest key via first_value. The window
+    partitions on the priority key (bounded per-partition sort at
+    scale); the %20 output filter runs AFTER the window so ranks are
+    computed over the full partition. percent_rank's (rank-1)/(n-1)
+    divides exact integers — the exposed doubles are engine-identical."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return (
+        cat["orders"]
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cum_dist"),
+            F.first_value(F.col("o_orderkey")).over(w).alias("cheapest_key"),
+        )
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey", "o_orderpriority", "pct_rank", "cum_dist",
+            "cheapest_key",
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )

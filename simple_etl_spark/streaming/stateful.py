@@ -103,3 +103,28 @@ def first_seen_dedupe(stream_df: DataFrame, key_col: str = "id") -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def watermarked_dedupe(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: drop duplicate keys whose
+    copies arrive within the watermark horizon, via the engine-native
+    ``dropDuplicatesWithinWatermark`` (state rows expire once the
+    watermark passes — the piece :func:`first_seen_dedupe`'s
+    forever-state cannot give you on an unbounded key space).
+
+    The two operators are the two ends of the streaming-dedup
+    trade-off: first-seen keeps state per key forever (exact global
+    dedup, state grows with distinct keys — right when dedup must be
+    exact and keys are bounded, e.g. article ids re-crawled for
+    months), this one bounds state to rate × horizon and accepts that
+    a duplicate arriving after the horizon re-emits (right for
+    at-least-once transports whose redeliveries cluster in minutes,
+    i.e. the Kafka shape, reference consumer_pipeline.py:237-316)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

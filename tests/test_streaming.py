@@ -359,3 +359,58 @@ def test_stream_stream_interval_join_left_outer(spark, workdir):
     rows = spark.read.parquet(out).collect()
     got = sorted((r["id"], r["clk"]) for r in rows if r["id"] in ("a", "b"))
     assert got == [("a", "clk-a"), ("b", None)]  # outer null after watermark
+
+
+def test_watermarked_dedupe_bounds_state_and_reemits_after_horizon(spark, workdir):
+    import datetime as dt
+
+    from simple_etl_spark.streaming.stateful import watermarked_dedupe
+
+    t = dt.datetime(2024, 1, 1)
+    src = f"{workdir}/wd_src"
+    out = f"{workdir}/wd_out"
+    ckpt = f"{workdir}/wd_ckpt"
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        deduped = watermarked_dedupe(
+            stream, keys=["id"], ts_col="created_at", watermark="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: a twice within the horizon + b once → a emits once
+    _write_batch(
+        spark,
+        src,
+        [
+            ("a", "first", t),
+            ("a", "dup-within", t + dt.timedelta(minutes=1)),
+            ("b", "solo", t),
+        ],
+    )
+    run_once()
+    first = [(r["id"], r["content"]) for r in spark.read.parquet(out).collect()]
+    assert sorted(i for i, _ in first) == ["a", "b"]
+    assert ("a", "first") in first  # the FIRST copy is the survivor
+
+    # the watermark only advances AFTER the batch that carries the
+    # later event time, so expiry needs one batch to advance it and a
+    # SUBSEQUENT batch to deliver the re-arriving key
+    _write_batch(spark, src, [("z", "nudge", t + dt.timedelta(hours=5))])
+    run_once()
+    _write_batch(
+        spark, src, [("a", "late-again", t + dt.timedelta(hours=5, minutes=1))]
+    )
+    run_once()
+    ids = sorted(
+        r["id"] for r in spark.read.parquet(out).collect() if r["id"] != "z"
+    )
+    assert ids == ["a", "a", "b"]  # expired state → 'a' re-emits

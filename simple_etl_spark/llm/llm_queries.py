@@ -1696,3 +1696,31 @@ def llm_dup_rate_by_source(cat: Catalog) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "llm_bpe_tokens",
+    # BPE training is an iterative greedy construction with no single-
+    # statement SQL twin — rows-only driver check; tests/test_bpe.py
+    # locks training against an independent pure-Python reference and
+    # pins application/count consistency.
+    oracle=None,
+    survey="LLM tokenization: real BPE (Sennrich 2016) — corpus-collapsed "
+    "distributed word counts, driver-side merge loop, Arrow-batched "
+    "cached application",
+)
+def llm_bpe_tokens(cat: Catalog) -> DataFrame:
+    """Train 30 BPE merges on the documents corpus and tokenize it:
+    (doc_id, token count, first tokens). The corpus is scanned once
+    for word frequencies; application is mapInPandas with a per-word
+    cache (llm/bpe.py)."""
+    from simple_etl_spark.llm.bpe import bpe_encode, train_bpe
+
+    d = cat["documents"].select("doc_id", "text")
+    merges = train_bpe(d, n_merges=30)
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.col("bpe_tokens_count").alias("n_tokens"),
+        F.slice("bpe_tokens", 1, 5).alias("head_tokens"),
+    ).orderBy("doc_id")

@@ -133,28 +133,38 @@ def bpe_encode(
     """Apply a trained merge list: adds ``out_col`` (array<string>) and
     ``{out_col}_count`` (bigint). Arrow-batched mapInPandas with a
     per-executor word cache; the merge table rides in the task closure
-    (it is vocabulary-sized, broadcast-friendly)."""
+    (it is vocabulary-sized, broadcast-friendly).
+
+    Word segmentation happens in the JVM with the SAME expression
+    training uses (``split(lower(col), '\\s+')``) — a Python-side
+    ``str.split()``/``str.lower()`` would disagree with the trained
+    vocabulary on Unicode whitespace (U+00A0 etc.) and a few casing
+    code points, silently wasting learned merges on such words."""
     out_schema = (
         ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
         + f", {out_col} array<string>, {out_col}_count bigint"
+    )
+    tokenized = df.withColumn(
+        "_words", F.split(F.lower(F.col(text_col)), r"\s+")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         encode_word = _encoder(merges)
 
-        def encode_text(t) -> list[str]:
-            if t is None:
+        def encode_words(ws) -> list[str]:
+            if ws is None:
                 return []
             toks: list[str] = []
-            for w in str(t).lower().split():
-                toks.extend(encode_word(w))
+            for w in ws:
+                if w:
+                    toks.extend(encode_word(w))
             return toks
 
         for pdf in batches:
-            toks = pdf[text_col].map(encode_text)
-            pdf = pdf.copy()
+            toks = pdf["_words"].map(encode_words)
+            pdf = pdf.drop(columns=["_words"])
             pdf[out_col] = toks
             pdf[f"{out_col}_count"] = toks.map(len).astype("int64")
             yield pdf
 
-    return df.mapInPandas(run, out_schema)
+    return tokenized.mapInPandas(run, out_schema)

@@ -881,11 +881,14 @@ def incremental_near_dedup(
     :func:`jaccard_pairs` before appending — store matches are
     signature-only by design (the store does not retain text)."""
     batch_sig = minhash_signature(new_batch, id_col, text_col, num_hashes)
+    # no .distinct() on either anti-join input: the matches relation is
+    # already distinct, and left_anti ignores right-side multiplicity —
+    # an extra distinct is a full aggregation exchange for zero effect
     vs_store = incremental_lsh_matches(
         batch_sig, store_sig, id_col, num_hashes, band_size
-    ).select(F.col("batch_id").alias(id_col)).distinct()
+    ).select(F.col("batch_id").alias(id_col))
     in_batch = lsh_candidate_pairs(batch_sig, id_col, num_hashes, band_size)
-    dominated = in_batch.select(F.col("id_b").alias(id_col)).distinct()
+    dominated = in_batch.select(F.col("id_b").alias(id_col))
     survivors = (
         new_batch.join(vs_store, id_col, "left_anti")
         .join(dominated, id_col, "left_anti")

@@ -55,15 +55,26 @@ def blocked_fuzzy_pairs(
     permille of the longer string (1000 = identical), exact in any
     engine (integer division, no floats)."""
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    keyed = None
-    for i, key_fn in enumerate(block_keys):
-        k = base.select(
-            "_id",
-            "_t",
-            F.lit(i).alias("_pass"),
-            key_fn(F.col("_t")).cast("string").alias("_bk"),
-        )
-        keyed = k if keyed is None else keyed.unionByName(k)
+    # one scan for ALL passes: explode an array of (pass, key) structs
+    # instead of a union branch per key — a K-key union reads the
+    # source K times, which multiplies scan cost at the design scale
+    passes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("p"),
+                key_fn(F.col("_t")).cast("string").alias("k"),
+            )
+            for i, key_fn in enumerate(block_keys)
+        ]
+    )
+    keyed = base.select(
+        "_id", "_t", F.explode(passes).alias("_pk")
+    ).select(
+        "_id",
+        "_t",
+        F.col("_pk.p").alias("_pass"),
+        F.col("_pk.k").alias("_bk"),
+    )
     a = keyed.select(
         F.col("_pass"),
         F.col("_bk"),
@@ -111,18 +122,26 @@ def block_profile(
     blocking key degenerates (one giant block → quadratic pairs).
     Returns (pass, n_blocks, max_block, pairs_bound = Σ sz·(sz-1)/2)."""
     base = df.select(F.col(text_col).alias("_t"))
-    out = None
-    for i, key_fn in enumerate(block_keys):
-        sizes = (
-            base.select(key_fn(F.col("_t")).cast("string").alias("_bk"))
-            .groupBy("_bk")
-            .agg(F.count(F.lit(1)).alias("sz"))
-        )
-        prof = sizes.agg(
-            F.lit(i).alias("pass"),
+    passes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("p"),
+                key_fn(F.col("_t")).cast("string").alias("k"),
+            )
+            for i, key_fn in enumerate(block_keys)
+        ]
+    )
+    sizes = (
+        base.select(F.explode(passes).alias("_pk"))
+        .groupBy(F.col("_pk.p").alias("pass"), F.col("_pk.k").alias("_bk"))
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        sizes.groupBy("pass")
+        .agg(
             F.count(F.lit(1)).alias("n_blocks"),
             F.max("sz").alias("max_block"),
             F.sum(F.expr("sz * (sz - 1) div 2")).alias("pairs_bound"),
         )
-        out = prof if out is None else out.unionByName(prof)
-    return out
+        .orderBy("pass")
+    )

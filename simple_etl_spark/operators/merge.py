@@ -111,8 +111,13 @@ def apply_changes(
     must be a total order within each key (e.g. [ts, seq]) or the
     survivor is nondeterministic — pass the tiebreaker explicitly."""
     w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    # NULL op is a malformed feed record, not a delete: `op != delete`
+    # alone would evaluate NULL and silently DROP the key exactly like
+    # a delete — treat NULL as an upsert so bad records never erase
+    # state (callers wanting strictness filter/raise upstream)
+    survives = F.col(op_col).isNull() | (F.col(op_col) != delete_op)
     return (
         changes.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .filter((F.col("_rn") == 1) & survives)
         .drop("_rn")
     )

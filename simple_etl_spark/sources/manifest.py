@@ -52,22 +52,32 @@ def write_manifest(snapshot_path: str) -> dict:
         fpath = os.path.join(snapshot_path, entry)
         md = pq.ParquetFile(fpath).metadata
         cols: dict[str, dict] = {}
+        # a column whose stats are unusable in ANY row group must be
+        # recorded stat-less for the WHOLE file: folding only the
+        # stats-bearing row groups would narrow the interval and let
+        # prune_files skip a file whose stat-less row group holds a
+        # matching row — the silent-loss case skipping must never have
+        bad: set[str] = set()
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 c = g.column(ci)
+                name = c.path_in_schema
                 s = c.statistics
-                if s is None or not s.has_min_max:
-                    continue
-                if c.physical_type not in _STAT_TYPES:
+                if (
+                    s is None
+                    or not s.has_min_max
+                    or c.physical_type not in _STAT_TYPES
+                ):
+                    bad.add(name)
                     continue
                 mn, mx = s.min, s.max
                 if isinstance(mn, bytes):
                     try:
                         mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
                     except UnicodeDecodeError:
+                        bad.add(name)
                         continue
-                name = c.path_in_schema
                 if name in cols:
                     cols[name] = {
                         "min": min(cols[name]["min"], mn),
@@ -75,6 +85,8 @@ def write_manifest(snapshot_path: str) -> dict:
                     }
                 else:
                     cols[name] = {"min": mn, "max": mx}
+        for name in bad:
+            cols.pop(name, None)
         files[entry] = {"columns": cols, "rows": md.num_rows}
     manifest = {"version": 1, "files": files}
     tmp = os.path.join(snapshot_path, MANIFEST_NAME + ".tmp")
@@ -122,8 +134,16 @@ def read_pruned(
     files, _total = prune_files(snapshot_path, col, lo, hi)
     if not files:
         return (
-            spark.read.parquet(snapshot_path)
+            spark.read.option("basePath", snapshot_path)
+            .parquet(snapshot_path)
             .filter(F.col(col).between(lo, hi))
             .limit(0)
         )
-    return spark.read.parquet(*files).filter(F.col(col).between(lo, hi))
+    # basePath keeps Hive partition discovery alive under a leaf-file
+    # list — without it the partition columns silently vanish from the
+    # schema (and filtering on one would fail to resolve)
+    return (
+        spark.read.option("basePath", snapshot_path)
+        .parquet(*files)
+        .filter(F.col(col).between(lo, hi))
+    )

@@ -103,3 +103,20 @@ def test_manifest_survives_hive_partitioning(spark, tmp_path):
     write_table(df, base, partition_by=["p"])
     m = load_manifest(table_path(base))
     assert m and all("v" in f["columns"] for f in m["files"].values())
+
+
+def test_hive_partition_columns_survive_pruned_read(spark, tmp_path):
+    base = str(tmp_path / "hp")
+    df = spark.range(20).select(
+        (F.col("id") % 2).alias("p"), F.col("id").alias("v")
+    )
+    write_table(df, base, partition_by=["p"])
+    snap = table_path(base)
+    got = read_pruned(spark, snap, "v", 3, 8)
+    assert set(got.columns) == {"p", "v"}  # partition column preserved
+    assert got.count() == 6
+    # filtering on the PARTITION column resolves too (manifest has no
+    # stats for it → conservative keep-all, basePath restores the col)
+    assert read_pruned(spark, snap, "p", 1, 1).count() == 10
+    # empty-interval branch returns the same schema
+    assert set(read_pruned(spark, snap, "v", 999, 999).columns) == {"p", "v"}

@@ -140,3 +140,20 @@ def test_apply_changes_cdc_semantics(spark):
         ).collect()
     }
     assert out == {1: 20, 3: 50, 4: 70}
+
+
+def test_apply_changes_null_op_is_upsert_not_delete(spark):
+    from simple_etl_spark.operators.merge import apply_changes
+
+    changes = spark.createDataFrame(
+        [(1, 1, "U", 10), (1, 2, None, 99), (2, 1, "D", 0)],
+        "k bigint, seq bigint, op string, v bigint",
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in apply_changes(
+            changes, keys=["k"], order_cols=["seq"], op_col="op"
+        ).collect()
+    }
+    # key 1's latest change has a NULL op: malformed, NOT a delete
+    assert out == {1: 99}

@@ -1506,3 +1506,56 @@ def order_price_distribution(cat: Catalog) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_orderkey")
     )
+
+
+@query(
+    "events_pit_enrichment",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, ts, max(event_type) AS status
+        FROM events WHERE event_type IN ('signup', 'error')
+        GROUP BY user_id, ts
+    ),
+    facts AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.user_id, f.event_id,
+           d.status AS account_status,
+           d.ts AS status_since
+    FROM facts f
+    LEFT JOIN dim d ON d.user_id = f.user_id AND d.ts = (
+        SELECT max(d2.ts) FROM dim d2
+        WHERE d2.user_id = f.user_id AND d2.ts <= f.ts)
+    ORDER BY f.user_id, f.event_id
+    """,
+    survey="J-ext: point-in-time (feature-store) join — each fact enriched "
+    "with the dimension state valid AT its timestamp, via the as-of "
+    "union+fill-forward plan (no theta-join, one keyed shuffle)",
+)
+def events_pit_enrichment(cat: Catalog) -> DataFrame:
+    """PIT-correct enrichment: every purchase gets the account status
+    (last signup/error change at-or-before it) — the feature-store
+    lookup that prevents label leakage in training pipelines. The
+    status stream is deduped to one change per (user, ts) first
+    (max(status) — ties between simultaneous changes must resolve
+    identically in any engine), then the as-of join's union +
+    fill-forward window does the temporal lookup in one keyed shuffle.
+    Purchases before any status change keep NULLs (left semantics)."""
+    from simple_etl_spark.operators.asof import asof_join
+
+    ev = cat["events"]
+    dim = (
+        ev.filter(F.col("event_type").isin("signup", "error"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("status"))
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(facts, dim, on="user_id", ts_col="ts", payload_cols=["status"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("status_asof").alias("account_status"),
+        F.col("ts_asof").alias("status_since"),
+    ).orderBy("user_id", "event_id")

@@ -1559,3 +1559,50 @@ def events_pit_enrichment(cat: Catalog) -> DataFrame:
         F.col("status_asof").alias("account_status"),
         F.col("ts_asof").alias("status_since"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "events_unpivot_metrics",
+    oracle="""
+    WITH daily AS (
+        SELECT cast(ts as date) AS d,
+               cast(count_if(event_type = 'click') as bigint) AS clicks,
+               cast(count_if(event_type = 'purchase') as bigint) AS purchases,
+               cast(count_if(event_type = 'error') as bigint) AS errors
+        FROM events GROUP BY 1
+    )
+    SELECT d, metric, value FROM (
+        SELECT d, 'clicks' AS metric, clicks AS value FROM daily
+        UNION ALL SELECT d, 'purchases', purchases FROM daily
+        UNION ALL SELECT d, 'errors', errors FROM daily
+    ) u
+    ORDER BY d, metric
+    """,
+    survey="U-ext: UNPIVOT/melt (wide metrics -> long (metric, value) rows "
+    "via stack — the inverse of events_pivot_daily, one generate pass, "
+    "no self-union of the aggregate)",
+)
+def events_unpivot_metrics(cat: Catalog) -> DataFrame:
+    """Melt the wide daily metric block to long form with `stack`:
+    one Generate over the aggregated frame — the oracle's UNION ALL
+    re-reads the aggregate once per metric, the stack plan does not
+    (at scale that's metric-count × agg-cost saved)."""
+    daily = (
+        cat["events"]
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count_if(F.col("event_type") == "click").alias("clicks"),
+            F.count_if(F.col("event_type") == "purchase").alias("purchases"),
+            F.count_if(F.col("event_type") == "error").alias("errors"),
+        )
+    )
+    return (
+        daily.select(
+            "d",
+            F.expr(
+                "stack(3, 'clicks', clicks, 'purchases', purchases,"
+                " 'errors', errors) AS (metric, value)"
+            ),
+        )
+        .orderBy("d", "metric")
+    )

@@ -87,3 +87,20 @@ def read_jsonl_quarantine(
         .json(path)
     )
     return _split(parsed)
+
+
+def write_orc(df, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — the second columnar interchange format warehouses
+    actually exchange (Hive/Trino estates). Same layout controls as
+    the parquet paths; Spark's native writer, no extra packages."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str):
+    """ORC scan with the same pushdown/pruning behavior as parquet
+    (Spark's native vectorized ORC reader; predicate pushdown via
+    ORC's internal min/max indexes)."""
+    return spark.read.orc(path)

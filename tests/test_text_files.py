@@ -58,3 +58,25 @@ def test_rejects_reserved_column(spark, tmp_path):
     clash = StructType([StructField("_corrupt_record", StringType())])
     with pytest.raises(ValueError):
         read_csv_quarantine(spark, str(tmp_path), clash)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.sources.text_files import read_orc, write_orc
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("part"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+    )
+    p = str(tmp_path / "orc")
+    write_orc(df, p, partition_by=["part"])
+    back = read_orc(spark, p)
+    assert back.count() == 100
+    assert set(back.columns) == {"k", "part", "v"}
+    # partition pruning: filter on the partition column scans one dir
+    one = back.filter(F.col("part") == 3)
+    assert one.count() == 20
+    got = {r["k"] for r in one.select("k").collect()}
+    assert got == {i for i in range(100) if i % 5 == 3}

@@ -379,3 +379,94 @@ def test_srp_bucketing_is_shuffle_free(spark, sf_dir):
 
     plan = _plan(queries()["llm_srp_lsh"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_winnowing_fingerprints_shuffle_free(spark):
+    """Fingerprinting itself never shuffles — the whole gram-hash +
+    window-min selection is projections/generate over the scan; the
+    first Exchange appears only in the downstream pair join."""
+    from simple_etl_spark.llm.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "abcdefghijklmnop")], "doc_id bigint, text string")
+    plan = _plan(winnow_fingerprints(df, k=8, w=4))
+    assert "Exchange" not in plan
+
+
+def test_linkage_blocking_is_single_scan(cat):
+    """Multi-pass blocking must explode (one scan), not union one
+    branch per key — K keys x full scan is the shape the review
+    banned. The documents relation appears exactly twice (the two
+    self-join sides), not 2*K times."""
+    from pyspark.sql import functions as F2
+
+    from simple_etl_spark.operators.linkage import blocked_fuzzy_pairs
+
+    corpus = cat["documents"].select(
+        F2.col("doc_id").alias("id"),
+        F2.trim(F2.substring("text", 1, 60)).alias("title"),
+    )
+    plan = _plan(
+        blocked_fuzzy_pairs(
+            corpus,
+            [lambda c: F2.substring(c, 1, 8), lambda c: F2.length(c)],
+            id_col="id",
+            text_col="title",
+        )
+    )
+    import re
+
+    # tree lines render as "...:- Scan parquet"/"...+- Scan parquet"
+    # (the details section repeats nodes as "(N) Scan parquet", no dash)
+    tree_scans = re.findall(r"- Scan parquet", plan)
+    assert len(tree_scans) == 2  # one per self-join side, not per key
+    assert "Generate" in plan  # the explode carrying the pass keys
+
+
+def test_quantized_topk_broadcasts_queries(cat):
+    from pyspark.sql import functions as F2
+
+    from simple_etl_spark.llm.similarity import quantized_topk
+
+    emb = cat["embeddings"]
+    plan = _plan(quantized_topk(emb, emb.filter(F2.col("vec_id") < 3), k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_term_filter_pushes_to_scan(cat):
+    """The query-term IN filter must reach the posting build's scan
+    side as a pushed/early filter, so the scored relation is
+    |matching postings|, never the corpus."""
+    from simple_etl_spark.functions.text import bm25_rank
+
+    plan = _plan(
+        bm25_rank(
+            cat["documents"].selectExpr("doc_id as id", "text as search_text"),
+            ["spark", "merge"],
+        )
+    )
+    # the isin filter runs before the df-join/groupBy pipeline
+    assert "token IN (merge,spark)" in plan or "token#" in plan and "IN (" in plan
+
+
+def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
+    """Global scale firewall: no registered query may plan a
+    CartesianProduct. Broadcast nested-loop joins over 1-row/driver-
+    bounded frames are allowed (scalar blocks, query broadcasts);
+    an unbounded cartesian is a 100 TB outage in waiting."""
+    from simple_etl_spark import queries as q
+
+    q._load_all()
+    offenders = []
+    for name, spec in q.REGISTRY.items():
+        try:
+            df = spec.fn(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover - surface build errors
+            offenders.append((name, f"build failed: {exc}"))
+            continue
+        if df.isStreaming:
+            continue
+        plan = _plan(df)
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders

@@ -571,6 +571,91 @@ def llm_embed_near_dup(cat: Catalog) -> DataFrame:
     return embedding_near_dups(emb.unionByName(pert), threshold=0.9)
 
 
+@query(
+    "llm_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_VEC_NEAR_SQL.strip()},
+    v AS (
+        SELECT vec_id, label,
+               list_transform(e, x -> cast(x as decimal(12,10))) AS e
+        FROM base
+    ),
+    el AS (
+        SELECT vec_id, label,
+               unnest(e) AS val,
+               unnest(range(1, len(e) + 1)) AS pos
+        FROM v
+    ),
+    n2s AS (
+        SELECT vec_id, sum(cast(val * val AS decimal(30,20))) AS n2
+        FROM el GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               sum(cast(a.val * b.val AS decimal(30,20))) AS dp
+        FROM el a JOIN el b ON b.pos = a.pos AND b.label = a.label
+                          AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    pairs AS (
+        SELECT d.id_a, d.id_b
+        FROM dots d
+        JOIN n2s na ON na.vec_id = d.id_a
+        JOIN n2s nb ON nb.vec_id = d.id_b
+        WHERE cast(d.dp as double)
+                / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))
+              >= 0.9
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT vec_id, vec_id FROM base
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    clusters AS (SELECT node AS id, min(label) AS cluster_id
+                 FROM walk GROUP BY node)
+    SELECT cluster_id AS id, count(*) AS n_members
+    FROM clusters GROUP BY 1 ORDER BY 1
+    """,
+    survey="LLM dedup: semantic dedup (SemDeDup shape) — embedding-cosine "
+    "pair graph within coarse cells, connected components, one "
+    "representative per semantic cluster",
+)
+def llm_semantic_dedup(cat: Catalog) -> DataFrame:
+    """End-to-end semantic dedup over the perturbed-copy corpus:
+    bucket-bounded cosine pairs at >= 0.9 (the semantic-duplicate
+    graph), min-label connected components, then collapse to one
+    representative per cluster with the member count — injected
+    near-copies fold into their originals, everything else stays a
+    singleton. Every stage is the scale plan it was built as: bounded
+    pairing, O(diameter) propagation, one aggregation to apply."""
+    from simple_etl_spark.llm.dedup import apply_dedup, dedup_clusters
+    from simple_etl_spark.llm.similarity import embedding_near_dups
+
+    emb = cat["embeddings"].select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    pairs = embedding_near_dups(corpus, threshold=0.9).select("id_a", "id_b")
+    clusters = dedup_clusters(
+        pairs, corpus.select(F.col("vec_id").alias("id"))
+    )
+    return apply_dedup(clusters).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

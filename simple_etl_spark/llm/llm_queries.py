@@ -656,6 +656,67 @@ def llm_semantic_dedup(cat: Catalog) -> DataFrame:
     return apply_dedup(clusters).orderBy("id")
 
 
+@query(
+    "llm_lm_quality",
+    oracle=r"""
+    WITH tw AS (
+        SELECT string_split_regex(lower(text), '\s+') AS w
+        FROM documents WHERE lang = 'en'
+    ),
+    uni AS (
+        SELECT w1, count(*) AS c1
+        FROM (SELECT unnest(w) AS w1 FROM tw) t
+        WHERE w1 <> '' GROUP BY w1
+    ),
+    bi AS (
+        SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM tw) t
+        GROUP BY 1, 2
+    ),
+    v AS (SELECT count(*) AS vs FROM uni),
+    db AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+            FROM documents
+        ) d, unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               cast(ln((coalesce(bi.c12, 0) + 1.0::double)
+                       / (coalesce(uni.c1, 0) + cast(v.vs as double)))
+                    as decimal(18,6)) AS logp
+        FROM db d
+        LEFT JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+        LEFT JOIN uni ON uni.w1 = d.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           cast(sum(logp) as decimal(18,6)) AS sum_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    survey="LLM quality: n-gram LM scoring (CCNet/KenLM family) — bigram "
+    "counts trained on the en reference slice, per-doc average smoothed "
+    "log-probability as the quality signal; the LM is a count relation, "
+    "no model binary",
+)
+def llm_lm_quality(cat: Catalog) -> DataFrame:
+    """Perplexity-style quality filter: train add-one-smoothed bigram
+    counts on the English slice, score EVERY document by average
+    bigram log-probability (docs unlike the reference — other
+    languages, garble — score low). One explode + two broadcast count
+    joins + one ln per bigram, per-term 6-dp quantize before the exact
+    decimal sum; the exposed metric is (sum, n) — exact decimals —
+    because an averaged double lands on decimal tie boundaries
+    engines round differently (llm/textstats.py: bigram_lm /
+    lm_score)."""
+    from simple_etl_spark.llm.textstats import bigram_lm, lm_score
+
+    d = cat["documents"]
+    uni, bi, vs = bigram_lm(d.filter(F.col("lang") == "en"))
+    return lm_score(d, uni, bi, vs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -355,3 +355,97 @@ def repetition_features(
             ).alias("is_repetitive"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model quality scoring (the CCNet/KenLM family, fully
+# relational): train bigram counts on a reference corpus, score each
+# candidate document by its average smoothed log-probability. Low
+# scores = text unlike the reference (boilerplate, garble, wrong
+# language) — the classic perplexity-style training-data filter,
+# here with no model binary: the LM IS a count relation.
+# ---------------------------------------------------------------------------
+
+
+def _word_bigrams(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """(ids..., w1, w2) rows — adjacent word pairs via the shifted-array
+    zip (one projection + generate, no per-gram indexing)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    pairs = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = F.slice(pairs, 1, F.greatest(F.size(words) - 1, F.lit(0)))
+    return df.select(
+        *id_cols, F.explode(pairs).alias("_bg")
+    ).select(*id_cols, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+
+def bigram_lm(train: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame, int]:
+    """Train the count model: (unigram counts, bigram counts, |vocab|).
+
+    Two grouped aggregations over the reference corpus — at 100 TB the
+    reference set is a curated slice (e.g. one language's wiki), so
+    the count relations are vocabulary-sized and broadcast-friendly;
+    scoring joins against them by word key either way."""
+    uni = (
+        train.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w1")
+        )
+        .filter(F.col("w1") != "")
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        _word_bigrams(train, [], text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    vocab_size = uni.count()
+    return uni, bi, vocab_size
+
+
+def lm_score(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average add-one-smoothed bigram log-probability:
+    mean over the doc's bigrams of ln((c12+1)/(c1+V)), with c=0 for
+    unseen grams/contexts.
+
+    Shape: explode the doc bigrams once, LEFT-join the two count
+    relations (broadcast when vocabulary-sized), one ln per row inside
+    codegen, then a per-doc aggregation. Engine determinism: each
+    per-bigram log quantizes to 6 dp before the EXACT decimal sum, so
+    ln's last-ulp engine drift can never reach the exposed average
+    (same contract as every transcendental-derived score here)."""
+    bg = _word_bigrams(docs, [id_col], text_col)
+    scored = (
+        bg.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), ["w1"], "left")
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(vocab_size)))
+            ).cast("decimal(18,6)"),
+        )
+    )
+    # expose the EXACT decimal sum + count, not the average: a scale-6
+    # sum divided by a small integer lands exactly on scale-7 half-
+    # boundaries systematically (e.g. -63.387063/18 = -3.5215035), and
+    # engines disagree on double→decimal tie rounding there — the
+    # derived avg is one division away for any consumer, and ranking
+    # by (sum/n) ≡ ranking by the pair
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_logp").cast("decimal(18,6)").alias("sum_logprob"),
+        )
+    )

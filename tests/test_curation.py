@@ -192,3 +192,32 @@ def test_zero_norm_vectors_excluded_from_near_dups(spark):
     out = embedding_near_dups(df, threshold=0.9)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_lm_quality_separates_languages(spark, sf_dir):
+    """The en-trained bigram LM must score English docs above
+    non-English ones on average (per-bigram log-prob) — the signal the
+    CCNet-style filter thresholds on."""
+    import pyspark.sql.functions as F
+
+    from simple_etl_spark.engine import Catalog
+    from simple_etl_spark.llm.textstats import bigram_lm, lm_score
+
+    cat = Catalog(spark, sf_dir)
+    d = cat["documents"]
+    uni, bi, vs = bigram_lm(d.filter(F.col("lang") == "en"))
+    scored = lm_score(d, uni, bi, vs).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    per_lang = {
+        r["l"]: r["m"]
+        for r in scored.groupBy(F.col("lang").alias("l"))
+        .agg(
+            F.avg(
+                F.col("sum_logprob").cast("double") / F.col("n_bigrams")
+            ).alias("m")
+        )
+        .collect()
+    }
+    others = [v for k, v in per_lang.items() if k != "en"]
+    assert per_lang["en"] > max(others)

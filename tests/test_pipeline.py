@@ -352,3 +352,64 @@ def test_time_travel_hides_uncommitted_versions(spark, tmp_path):
     # the next commit reuses and commits version 2 cleanly
     ts.write_table(spark.range(7).toDF("id"), base)
     assert ts.read_table_at(spark, base, 2).count() == 7
+
+
+def test_snapshot_diff_tags_changes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.sources.table_store import snapshot_diff, write_table
+
+    base = str(tmp_path / "difftable")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    write_table(v1, base)
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k bigint, v string"
+    )
+    write_table(v2, base)
+    diff = snapshot_diff(spark, base, 1, 2)
+    got = sorted((r["change"], r["k"], r["v"]) for r in diff.collect())
+    # 2 updated (pair), 3 removed, 4 added; 1 unchanged absent
+    assert got == [
+        ("added", 2, "B"),
+        ("added", 4, "d"),
+        ("removed", 2, "b"),
+        ("removed", 3, "c"),
+    ]
+    # schema drift is loud, not silent
+    import pytest as _pytest
+
+    write_table(v2.withColumn("extra", F.lit(1)), base)
+    with _pytest.raises(ValueError):
+        snapshot_diff(spark, base, 2, 3)
+
+
+def test_delete_by_keys_atomic_and_vacuum_contract(spark, tmp_path):
+    from simple_etl_spark.sources.table_store import (
+        delete_by_keys,
+        list_versions,
+        read_table,
+        read_table_at,
+        vacuum,
+    )
+    from simple_etl_spark.sources.table_store import write_table
+
+    base = str(tmp_path / "gdpr")
+    df = spark.createDataFrame(
+        [(i, f"u{i % 4}", f"payload{i}") for i in range(20)],
+        "row_id bigint, user string, payload string",
+    )
+    write_table(df, base)
+    keys = spark.createDataFrame([("u1",), ("u3",)], "user string")
+    info = delete_by_keys(spark, base, keys, ["user"])
+    assert info["rows_before"] == 20 and info["rows_after"] == 10
+    cur = read_table(spark, base)
+    assert cur.filter(cur["user"].isin("u1", "u3")).count() == 0
+    assert cur.count() == 10
+    # compliance contract: prior versions still hold the rows until
+    # vacuum reclaims them
+    old = read_table_at(spark, base, 1)
+    assert old.filter(old["user"] == "u1").count() == 5
+    vacuum(base, keep=1)
+    assert list_versions(base) == [info["version"]]

@@ -138,3 +138,44 @@ def test_ensure_topic_contract_without_broker():
     assert out["num_partitions"] == 3
     assert out["config"]["retention.ms"] == str(7 * 24 * 3600 * 1000)
     assert out["created"] is False  # no client in this environment
+
+
+def test_listing_datasource_distributed_crawl(spark):
+    """S1 as a first-class Spark 4 Python Data Source: one input
+    partition per page, injectable fetcher via module-path option."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.sources.listing_datasource import ListingDataSource
+
+    spark.dataSource.register(ListingDataSource)
+    df = (
+        spark.read.format("news_listing")
+        .option("pages", "4")
+        .option(
+            "fetcher",
+            "simple_etl_spark.sources.listing_datasource:synthetic_listing_fetcher",
+        )
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # a task per page
+    rows = df.collect()
+    assert len(rows) == 20
+    assert {r["page"] for r in rows} == {1, 2, 3, 4}
+    assert df.filter(F.col("topic") == "politik").count() == 4
+    # projection pruning flows through the relation like any source
+    assert df.select("link").distinct().count() == 20
+
+
+def test_listing_datasource_bad_fetcher_fails_fast(spark):
+    import pytest as _pytest
+
+    from simple_etl_spark.sources.listing_datasource import ListingDataSource
+
+    spark.dataSource.register(ListingDataSource)
+    with _pytest.raises(Exception, match="module:attr|No module"):
+        (
+            spark.read.format("news_listing")
+            .option("fetcher", "not-a-path")
+            .load()
+            .collect()
+        )

@@ -174,3 +174,40 @@ def clean_article(df, title="title", content="content", date_raw="date_raw", lin
         .withColumn("id", gen_id(link))
         .withColumn("content_length", content_length(content))
     )
+
+
+def register_sql_functions(spark) -> list[str]:
+    """Expose the cleaning surface to pure-SQL users as SQL scalar
+    functions (Spark 4 ``CREATE FUNCTION ... RETURN <expr>``): after
+    registration, ``spark.sql`` callers clean without touching Python —
+
+        SELECT clean_title_sql(title), clean_content_sql(content),
+               article_id_sql(link) FROM bronze
+
+    The function bodies are generated from the SAME rule tables the
+    Column API uses (_CONTENT_RULES/_DATELINE), so the two surfaces
+    cannot drift; equality is pinned by pytest. Returns the registered
+    names."""
+
+    def lit(s: str) -> str:
+        # Spark SQL string literals process backslash escapes — double
+        # them so regex patterns survive the parse verbatim
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION clean_title_sql(s STRING) "
+        f"RETURNS STRING RETURN trim(regexp_replace(s, {lit(chr(92) + 's+')}, ' '))"
+    )
+    expr = "s"
+    for pat, repl in _CONTENT_RULES:
+        expr = f"regexp_replace({expr}, {lit(pat)}, {lit(repl)})"
+    expr = f"trim(regexp_replace({expr}, {lit(_DATELINE)}, ''))"
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION clean_content_sql(s STRING) "
+        f"RETURNS STRING RETURN {expr}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION article_id_sql(link STRING) "
+        "RETURNS STRING RETURN md5(link)"
+    )
+    return ["clean_title_sql", "clean_content_sql", "article_id_sql"]

@@ -214,3 +214,33 @@ def extract_features(
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def register_frame_sample_udtf(spark, name: str = "sample_frames"):
+    """SQL-invocable twin of :func:`sample_frames` via the Spark 4
+    Python UDTF API: after registration, SQL users fan payloads out to
+    frames with a LATERAL table-function call —
+
+        SELECT doc_id, s.frame_idx, s.frame_md5
+        FROM binary_docs, LATERAL sample_frames(payload, 32, 2) s
+
+    Same chunking/stride/digest semantics as the mapInPandas path
+    (locked by a pytest equivalence check); rows fan out inside the
+    executor exactly like the DataFrame version."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="frame_idx int, frame_bytes int, frame_md5 string")
+    class _SampleFrames:
+        def eval(self, payload, frame_size: int, stride: int):
+            if payload is None:
+                return
+            data = bytes(payload)
+            n_frames = (len(data) + frame_size - 1) // frame_size
+            for idx in range(0, n_frames, stride):
+                chunk = data[idx * frame_size : (idx + 1) * frame_size]
+                yield (idx, len(chunk), hashlib.md5(chunk).hexdigest())
+
+    spark.udtf.register(name, _SampleFrames)
+    return _SampleFrames

@@ -1606,3 +1606,30 @@ def events_unpivot_metrics(cat: Catalog) -> DataFrame:
         )
         .orderBy("d", "metric")
     )
+
+
+@query(
+    "orders_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority, count(*) AS cnt FROM orders
+        GROUP BY o_orderpriority
+    ),
+    totals AS (SELECT sum(cnt) AS t, count(*) AS nk FROM counts)
+    SELECT o_orderpriority, cnt,
+           cast((1000 * cnt) // t as bigint) AS share_permille,
+           cast(cnt * nk // t as bigint) AS skew_factor
+    FROM counts CROSS JOIN totals
+    ORDER BY cnt DESC, o_orderpriority LIMIT 10
+    """,
+    survey="ops-ext: key-skew diagnostic (hottest keys, permille share, "
+    "mean-relative skew factor) — the measurement that gates salting",
+)
+def orders_skew_profile(cat: Catalog) -> DataFrame:
+    """Skew profile of the order-priority key: per-key counts, integer
+    permille share of rows, and the skew factor (key size / mean key
+    size). Everything integer arithmetic — engine-exact; one grouped
+    count + broadcast totals (operators/skew.py:skew_profile)."""
+    from simple_etl_spark.operators.skew import skew_profile
+
+    return skew_profile(cat["orders"], ["o_orderpriority"])

@@ -90,3 +90,38 @@ def salted_join(
     )
     out = salted_big.join(replicated, [*on, _SALT], how)
     return out.drop(_SALT)
+
+
+def skew_profile(
+    df: DataFrame, key_cols: list[str], top_n: int = 10
+) -> DataFrame:
+    """The diagnostic that decides whether salting is needed at all:
+    per-key frequencies for the ``top_n`` hottest keys plus each key's
+    share of the total and its ratio to the MEAN key size (the skew
+    factor AQE's skew-join threshold reasons about).
+
+    One grouped count (map-side partials) + a broadcast 1-row totals
+    frame; the top-n is TakeOrderedAndProject. Integer counts and
+    integer permille shares — engine-exact. Run it on the join/agg key
+    BEFORE shipping a pipeline; a skew factor in the hundreds means
+    `salted_agg`/`salted_join` (or AQE skew-join at runtime) on that
+    key, single digits means leave it alone."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "cnt",
+            F.expr("cast((1000 * cnt) div _total as bigint)").alias(
+                "share_permille"
+            ),
+            F.expr("cast(cnt * _nkeys div _total as bigint)").alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("cnt"), *key_cols)
+        .limit(top_n)
+    )

@@ -470,3 +470,36 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_plan_summary_counts(cat):
+    from simple_etl_spark.planinfo import assert_scale_shape, plan_summary
+    from simple_etl_spark.queries import queries
+
+    df = queries()["revenue_by_segment"](cat.spark, cat.sf_dir)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["sort_merge_joins"] == 0
+    assert s["cartesian_products"] == 0
+    assert s["scans"] >= 2
+    # the guard passes for the posture the query declares...
+    assert_scale_shape(df, require_broadcast=True, forbid_sort_merge=True)
+    # ...and trips loudly on an impossible budget
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="exchanges"):
+        assert_scale_shape(df, max_exchanges=0)
+
+
+def test_skew_profile_values(spark):
+    from simple_etl_spark.operators.skew import skew_profile
+
+    df = spark.createDataFrame(
+        [("hot",)] * 80 + [("a",)] * 10 + [("b",)] * 10, "k string"
+    )
+    rows = skew_profile(df, ["k"], top_n=3).collect()
+    assert rows[0]["k"] == "hot"
+    assert rows[0]["cnt"] == 80
+    assert rows[0]["share_permille"] == 800
+    # mean key size = 100/3 → hot is 80/(100/3) = 2.4 → floor 2
+    assert rows[0]["skew_factor"] == 2

@@ -510,6 +510,29 @@ base AS (
 """
 
 
+
+def _perturbed_embedding_corpus(cat: Catalog) -> DataFrame:
+    """Spark twin of _VEC_NEAR_SQL (kept in lockstep): the embeddings
+    relation plus every 10th vector re-appearing under id+1000000 with
+    its first coordinate nudged +0.1 — one construction shared by
+    every query that greps this corpus, so a tweak cannot desync a
+    sibling's oracle."""
+    emb = cat["embeddings"].select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.1)),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
 @query(
     "llm_embed_near_dup",
     oracle=f"""
@@ -555,20 +578,7 @@ def llm_embed_near_dup(cat: Catalog) -> DataFrame:
     injected copies plus any natural collisions)."""
     from simple_etl_spark.llm.similarity import embedding_near_dups
 
-    emb = cat["embeddings"].select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        "label",
-        F.concat(
-            F.array(F.col("embedding")[0] + F.lit(0.1)),
-            F.slice("embedding", 2, 1_000_000),
-        ).alias("embedding"),
-    )
-    return embedding_near_dups(emb.unionByName(pert), threshold=0.9)
+    return embedding_near_dups(_perturbed_embedding_corpus(cat), threshold=0.9)
 
 
 @query(
@@ -635,20 +645,7 @@ def llm_semantic_dedup(cat: Catalog) -> DataFrame:
     from simple_etl_spark.llm.dedup import apply_dedup, dedup_clusters
     from simple_etl_spark.llm.similarity import embedding_near_dups
 
-    emb = cat["embeddings"].select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        "label",
-        F.concat(
-            F.array(F.col("embedding")[0] + F.lit(0.1)),
-            F.slice("embedding", 2, 1_000_000),
-        ).alias("embedding"),
-    )
-    corpus = emb.unionByName(pert)
+    corpus = _perturbed_embedding_corpus(cat)
     pairs = embedding_near_dups(corpus, threshold=0.9).select("id_a", "id_b")
     clusters = dedup_clusters(
         pairs, corpus.select(F.col("vec_id").alias("id"))
@@ -713,8 +710,8 @@ def llm_lm_quality(cat: Catalog) -> DataFrame:
     from simple_etl_spark.llm.textstats import bigram_lm, lm_score
 
     d = cat["documents"]
-    uni, bi, vs = bigram_lm(d.filter(F.col("lang") == "en"))
-    return lm_score(d, uni, bi, vs).orderBy("doc_id")
+    uni, bi, vocab = bigram_lm(d.filter(F.col("lang") == "en"))
+    return lm_score(d, uni, bi, vocab).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

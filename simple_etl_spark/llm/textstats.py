@@ -382,13 +382,19 @@ def _word_bigrams(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame
     ).select(*id_cols, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
 
 
-def bigram_lm(train: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame, int]:
-    """Train the count model: (unigram counts, bigram counts, |vocab|).
+def bigram_lm(
+    train: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the count model: (unigram counts, bigram counts, vocab
+    size as a LAZY 1-row frame).
 
     Two grouped aggregations over the reference corpus — at 100 TB the
     reference set is a curated slice (e.g. one language's wiki), so
     the count relations are vocabulary-sized and broadcast-friendly;
-    scoring joins against them by word key either way."""
+    scoring joins against them by word key either way. |vocab| stays a
+    deferred aggregate (not an eager .count()) so merely CONSTRUCTING
+    a scoring plan runs no Spark job and the reference slice is
+    scanned once, when the scored frame's action fires."""
     uni = (
         train.select(
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w1")
@@ -402,15 +408,15 @@ def bigram_lm(train: DataFrame, text_col: str = "text") -> tuple[DataFrame, Data
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
-    vocab_size = uni.count()
-    return uni, bi, vocab_size
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("_vs"))
+    return uni, bi, vocab
 
 
 def lm_score(
     docs: DataFrame,
     uni: DataFrame,
     bi: DataFrame,
-    vocab_size: int,
+    vocab: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -428,11 +434,12 @@ def lm_score(
     scored = (
         bg.join(F.broadcast(bi), ["w1", "w2"], "left")
         .join(F.broadcast(uni), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
         .withColumn(
             "_logp",
             F.log(
                 (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1.0))
-                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(vocab_size)))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("_vs"))
             ).cast("decimal(18,6)"),
         )
     )

@@ -39,10 +39,8 @@ def promote_with_metrics(
     Returns {"bronze_rows", "silver_rows", "dropped"} — ``dropped`` is
     the validation filter's rejection count, the number the pipeline
     alerts on."""
-    b_obs = Observation("bronze_in")
-    s_obs = Observation("silver_out")
-    b = bronze.observe(b_obs, F.count(F.lit(1)).alias("rows"))
-    s = promote(b).observe(s_obs, F.count(F.lit(1)).alias("rows"))
+    b, b_obs = observed_counts(bronze, "bronze_in")
+    s, s_obs = observed_counts(promote(b), "silver_out")
     sink(s)
     b_rows = b_obs.get["rows"]
     s_rows = s_obs.get["rows"]

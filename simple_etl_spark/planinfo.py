@@ -2,7 +2,7 @@
 I'd want at 100 TB".
 
 `plan_summary` condenses `df.explain("formatted")` into operator
-counts (exchanges, scans, joins by strategy, codegen spans) so
+counts (shuffle/broadcast exchanges, scans, joins by strategy) so
 pipelines, tests, and notebooks can ASSERT plan shape ("this query
 must broadcast, one exchange max") instead of eyeballing explain
 output — the programmatic face of the tests/test_plans.py discipline.
@@ -16,8 +16,12 @@ import re
 
 from pyspark.sql import DataFrame
 
+# "Exchange" alone is the shuffle node; "BroadcastExchange" is data
+# movement too (a replica per executor) but a different cost class —
+# counted separately so guards can bound each explicitly.
 _COUNTERS = {
-    "exchanges": r"\bExchange\b",
+    "shuffle_exchanges": r"(?<![A-Za-z])Exchange\b",
+    "broadcast_exchanges": r"\bBroadcastExchange\b",
     "scans": r"- Scan \w+",
     "broadcast_hash_joins": r"\bBroadcastHashJoin\b",
     "sort_merge_joins": r"\bSortMergeJoin\b",
@@ -26,7 +30,6 @@ _COUNTERS = {
     "sorts": r"^\s*(?:[:+]|\|)*\s*[:+]- Sort\b",
     "generates": r"\bGenerate\b",
     "window_ops": r"\bWindow\b",
-    "codegen_spans": r"\bWholeStageCodegen \(\d+\)",
 }
 
 
@@ -64,14 +67,19 @@ def assert_scale_shape(
     forbid_sort_merge: bool = False,
 ) -> dict[str, int]:
     """Inline plan guard for pipelines: raise if the physical plan
-    violates the declared scale posture. Returns the summary so
-    callers can log it."""
+    violates the declared scale posture. ``max_exchanges`` bounds
+    SHUFFLE exchanges only — broadcast exchanges are a separate,
+    cheaper class, reported in the returned summary for callers that
+    want to bound them too. Returns the summary so callers can log
+    it."""
     s = plan_summary(df)
     problems = []
     if s["cartesian_products"]:
         problems.append(f"{s['cartesian_products']} CartesianProduct")
-    if max_exchanges is not None and s["exchanges"] > max_exchanges:
-        problems.append(f"{s['exchanges']} exchanges > {max_exchanges}")
+    if max_exchanges is not None and s["shuffle_exchanges"] > max_exchanges:
+        problems.append(
+            f"{s['shuffle_exchanges']} shuffle exchanges > {max_exchanges}"
+        )
     if require_broadcast and not (
         s["broadcast_hash_joins"] or s["broadcast_nested_loop_joins"]
     ):

@@ -431,16 +431,22 @@ def snapshot_diff(
     v_old: int,
     v_new: int,
 ) -> DataFrame:
-    """Row-level diff between two committed snapshots: every row
-    present in exactly one version, tagged ``change`` = 'added' /
-    'removed' (an update shows as a removed+added pair; callers with
-    a key pair them up downstream).
+    """Row-level diff between two committed snapshots: one output row
+    per DISTINCT row value whose multiplicity changed, with the copy
+    counts on both sides — ``change`` = 'added' (0 → n), 'removed'
+    (n → 0) or 'recount' (j → k, e.g. a dedup pass collapsing
+    double-appended rows). Comparing multiplicities, not sets, is what
+    makes a dedup/merge that drops one of two identical copies VISIBLE
+    — the exact pass this audit exists for.
 
     The audit primitive time travel enables: "what did that compaction
-    / merge / retention pass actually change?". Full-row comparison
-    joins on an md5 of every column (one hash-shuffle per side, no
-    column-by-column predicate explosion); at 100 TB run it
-    partition-scoped — the shape is unchanged, only the scan filter.
+    / merge / retention pass actually change?". Rows compare by an
+    unambiguous hash — each column is md5-hashed individually (fixed-
+    width hex, so no separator collisions between e.g. ('a\\x1fb','c')
+    and ('a','b\\x1fc')) with a non-hex NULL sentinel, then the hashes
+    concatenate. One grouped count per side + one full-outer join on
+    the hash; at 100 TB run it partition-scoped — the shape is
+    unchanged, only the scan filter.
     """
     from pyspark.sql import functions as F
 
@@ -453,17 +459,45 @@ def snapshot_diff(
         )
     cols = sorted(old.columns)
     rowhash = F.md5(
-        F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
+        F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL"))
+                for c in cols
+            ],
+        )
     )
-    o = old.withColumn("_h", rowhash)
-    n = new.withColumn("_h", rowhash)
-    removed = o.join(n.select("_h"), "_h", "left_anti").withColumn(
-        "change", F.lit("removed")
+
+    def _counted(df):
+        return (
+            df.withColumn("_h", rowhash)
+            .groupBy("_h", *cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+
+    o = _counted(old).withColumnsRenamed({c: f"_o_{c}" for c in cols})
+    n = _counted(new).withColumnsRenamed({c: f"_n_{c}" for c in cols})
+    joined = o.withColumnRenamed("_n", "n_old").join(
+        n.withColumnRenamed("_n", "n_new"), "_h", "full_outer"
     )
-    added = n.join(o.select("_h"), "_h", "left_anti").withColumn(
-        "change", F.lit("added")
+    out_cols = [
+        F.coalesce(F.col(f"_o_{c}"), F.col(f"_n_{c}")).alias(c) for c in cols
+    ]
+    return (
+        joined.filter(
+            F.coalesce(F.col("n_old"), F.lit(0))
+            != F.coalesce(F.col("n_new"), F.lit(0))
+        )
+        .select(
+            F.when(F.col("n_old").isNull(), "added")
+            .when(F.col("n_new").isNull(), "removed")
+            .otherwise("recount")
+            .alias("change"),
+            *out_cols,
+            F.coalesce(F.col("n_old"), F.lit(0)).alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
     )
-    return removed.unionByName(added).drop("_h").select("change", *cols)
 
 
 def delete_by_keys(
@@ -472,20 +506,30 @@ def delete_by_keys(
     keys: DataFrame,
     key_cols: list[str],
     lock_timeout: float = 120.0,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Key-targeted deletion (the right-to-be-forgotten pass): rewrite
     the current snapshot without any row whose ``key_cols`` match a
     row of ``keys``, as one atomic commit.
 
-    One left-anti join against the (typically tiny, broadcast) key
-    set; runs read→rewrite→swap under a single lock acquisition like
-    compaction, so a concurrent merge can't be silently undone. Old
-    snapshots still contain the rows until :func:`vacuum` — for
-    compliance, deletion is complete only after vacuum reclaims every
-    prior version (documented contract, same as every snapshot store).
+    One NULL-SAFE left-anti join against the (typically tiny,
+    broadcast) key set — plain equality would be null-rejecting, so a
+    deletion request targeting NULL-keyed rows would silently delete
+    nothing, a compliance failure this join condition closes. Runs
+    read→rewrite→swap under a single lock acquisition like compaction,
+    so a concurrent merge can't be silently undone. ``partition_by``
+    preserves a Hive layout through the rewrite (pass the table's
+    partition key, exactly as with :func:`compact` — omitting it on a
+    partitioned table would silently flatten the directory layout and
+    lose partition-pruned scans). Old snapshots still contain the rows
+    until :func:`vacuum` — for compliance, deletion is complete only
+    after vacuum reclaims every prior version (documented contract,
+    same as every snapshot store).
 
     Returns {"version", "path", "rows_before", "rows_after"}.
     """
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     with commit_lock(base, timeout=lock_timeout):
@@ -494,10 +538,15 @@ def delete_by_keys(
             raise FileNotFoundError(f"no committed snapshot under {base}")
         df = spark.read.parquet(cur)
         before = df.count()
-        kept = df.join(
-            F.broadcast(keys.select(*key_cols).distinct()), key_cols, "left_anti"
+        k = keys.select(
+            *[F.col(c).alias(f"_del_{c}") for c in key_cols]
+        ).distinct()
+        cond = reduce(
+            lambda a, b: a & b,
+            [df[c].eqNullSafe(F.col(f"_del_{c}")) for c in key_cols],
         )
-        path = commit_snapshot(kept, base)
+        kept = df.join(F.broadcast(k), cond, "left_anti")
+        path = commit_snapshot(kept, base, partition_by)
         after = spark.read.parquet(path).count()
     return {
         "version": int(os.path.basename(path)[1:]),

@@ -205,8 +205,8 @@ def test_lm_quality_separates_languages(spark, sf_dir):
 
     cat = Catalog(spark, sf_dir)
     d = cat["documents"]
-    uni, bi, vs = bigram_lm(d.filter(F.col("lang") == "en"))
-    scored = lm_score(d, uni, bi, vs).join(
+    uni, bi, vocab = bigram_lm(d.filter(F.col("lang") == "en"))
+    scored = lm_score(d, uni, bi, vocab).join(
         d.select("doc_id", "lang"), "doc_id"
     )
     per_lang = {

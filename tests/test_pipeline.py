@@ -369,13 +369,16 @@ def test_snapshot_diff_tags_changes(spark, tmp_path):
     )
     write_table(v2, base)
     diff = snapshot_diff(spark, base, 1, 2)
-    got = sorted((r["change"], r["k"], r["v"]) for r in diff.collect())
+    got = sorted(
+        (r["change"], r["k"], r["v"], r["n_old"], r["n_new"])
+        for r in diff.collect()
+    )
     # 2 updated (pair), 3 removed, 4 added; 1 unchanged absent
     assert got == [
-        ("added", 2, "B"),
-        ("added", 4, "d"),
-        ("removed", 2, "b"),
-        ("removed", 3, "c"),
+        ("added", 2, "B", 0, 1),
+        ("added", 4, "d", 0, 1),
+        ("removed", 2, "b", 1, 0),
+        ("removed", 3, "c", 1, 0),
     ]
     # schema drift is loud, not silent
     import pytest as _pytest
@@ -413,3 +416,54 @@ def test_delete_by_keys_atomic_and_vacuum_contract(spark, tmp_path):
     assert old.filter(old["user"] == "u1").count() == 5
     vacuum(base, keep=1)
     assert list_versions(base) == [info["version"]]
+
+
+def test_snapshot_diff_sees_multiplicity_changes(spark, tmp_path):
+    """A dedup pass that collapses double-appended rows must be
+    VISIBLE — set-style anti-joins would report an empty diff."""
+    from simple_etl_spark.sources.table_store import snapshot_diff, write_table
+
+    base = str(tmp_path / "multi")
+    write_table(
+        spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k bigint, v string"),
+        base,
+    )
+    write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"), base
+    )
+    got = [
+        (r["change"], r["k"], r["n_old"], r["n_new"])
+        for r in snapshot_diff(spark, base, 1, 2).collect()
+    ]
+    assert got == [("recount", 1, 2, 1)]
+
+
+def test_delete_by_keys_null_keys_and_partitions(spark, tmp_path):
+    """NULL-keyed deletion requests must actually delete (null-safe
+    join), and a partitioned table keeps its Hive layout."""
+    import os
+
+    from simple_etl_spark.sources.table_store import (
+        delete_by_keys,
+        read_table,
+        table_path,
+        write_table,
+    )
+
+    base = str(tmp_path / "nullkeys")
+    df = spark.createDataFrame(
+        [(1, "u1", "d1"), (2, None, "d1"), (3, "u2", "d2"), (4, None, "d2")],
+        "id bigint, user string, part string",
+    )
+    write_table(df, base, partition_by=["part"])
+    keys = spark.createDataFrame([(None,)], "user string")
+    info = delete_by_keys(
+        spark, base, keys, ["user"], partition_by=["part"]
+    )
+    assert info["rows_before"] == 4 and info["rows_after"] == 2
+    cur = read_table(spark, base)
+    assert {r["id"] for r in cur.collect()} == {1, 3}
+    # Hive layout survived the rewrite
+    assert any(
+        n.startswith("part=") for n in os.listdir(table_path(base))
+    )

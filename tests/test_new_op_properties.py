@@ -1,0 +1,123 @@
+"""Property tests (hypothesis) for the round-5 operators: each Spark
+implementation must agree with an obvious sequential reference model
+on arbitrary inputs — planted near-dups, random changelogs with
+NULL ops and ties, random Morton coordinates."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --- winnowing: the shared-substring guarantee on random text --------
+
+WORD = st.text("abcdefgh", min_size=3, max_size=6)
+SENT = st.lists(WORD, min_size=6, max_size=12).map(" ".join)
+
+
+@SET
+@given(common=st.lists(WORD, min_size=5, max_size=8).map(" ".join),
+       pre_a=SENT, pre_b=SENT)
+def test_winnowing_guarantee_random(spark, common, pre_a, pre_b):
+    from simple_etl_spark.llm.dedup import winnow_fingerprints
+
+    # both docs contain `common` (>= k + w - 1 = 11 chars by
+    # construction: 5 words x >=3 chars + separators) → must share >=1
+    # fingerprint
+    df = spark.createDataFrame(
+        [(1, f"{pre_a} {common}"), (2, f"{common} {pre_b}")],
+        "doc_id bigint, text string",
+    )
+    fps: dict[int, set] = {1: set(), 2: set()}
+    for r in winnow_fingerprints(df, k=8, w=4).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2]
+
+
+# --- apply_changes vs a dict-replay reference ------------------------
+
+OP = st.sampled_from(["U", "D", None])
+CHANGE = st.tuples(st.integers(1, 3), st.integers(0, 5), OP, st.integers(0, 99))
+FEED = st.lists(CHANGE, max_size=12)
+
+
+@SET
+@given(feed=FEED)
+def test_apply_changes_matches_replay(spark, feed):
+    from simple_etl_spark.operators.merge import apply_changes
+
+    # (k, seq, v) must be a total order per key — the operator's
+    # documented contract; rows tying on the full order key with
+    # different ops have no deterministic survivor in ANY engine
+    feed = list({(k, seq, v): (k, seq, op, v) for k, seq, op, v in feed}.values())
+    if not feed:
+        return
+    df = spark.createDataFrame(feed, "k int, seq int, op string, v int")
+    got = {
+        r["k"]: (r["seq"], r["op"], r["v"])
+        for r in apply_changes(
+            df, keys=["k"], order_cols=["seq", "v"], op_col="op"
+        ).collect()
+    }
+    # reference: sort by (seq, v) per key, replay, last change wins;
+    # trailing delete removes; NULL op is an upsert
+    ref: dict[int, tuple] = {}
+    by_key: dict[int, list] = {}
+    for k, seq, op, v in feed:
+        by_key.setdefault(k, []).append((seq, v, op))
+    for k, changes in by_key.items():
+        seq, v, op = sorted(changes)[-1]
+        if op != "D":
+            ref[k] = (seq, op, v)
+    assert got == ref
+
+
+# --- zvalue vs reference Morton on random coordinates ----------------
+
+
+@SET
+@given(coords=st.lists(
+    st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+    min_size=1, max_size=20,
+))
+def test_zvalue_matches_reference_random(spark, coords):
+    from simple_etl_spark.sources.layout import zvalue
+
+    def ref(x, y):
+        z = 0
+        for j in range(16):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    df = spark.createDataFrame(coords, "x bigint, y bigint")
+    for r in df.select("x", "y", zvalue(["x", "y"]).alias("z")).collect():
+        assert r["z"] == ref(r["x"], r["y"])
+
+
+# --- quantization: codes bounded, dequantization error bounded -------
+
+
+@SET
+@given(vecs=st.lists(
+    st.lists(st.floats(-10, 10, allow_nan=False, width=32),
+             min_size=4, max_size=8),
+    min_size=1, max_size=6,
+))
+def test_quantization_error_bound_random(spark, vecs):
+    from simple_etl_spark.llm.similarity import quantize_embeddings
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    for r in quantize_embeddings(df).collect():
+        codes, scale = r["qvec"], r["qvec_scale"]
+        orig = dict(rows)[r["vec_id"]]
+        assert all(abs(c) <= 127 for c in codes)
+        for c, x in zip(codes, orig):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12

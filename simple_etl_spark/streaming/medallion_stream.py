@@ -129,3 +129,59 @@ def sessionized_counts(
             F.max(ts_col).alias("last_event"),
         )
     )
+
+
+def run_enriched_stream(
+    stream,
+    dim_base: str,
+    on: list[str],
+    out_base: str,
+    checkpoint: str,
+    key: str,
+    order_col: str,
+    how: str = "left",
+):
+    """Stream-to-dimension enrichment with a per-micro-batch dimension
+    reload — the slowly-changing-broadcast pattern: the dimension
+    lives in the snapshot store, each micro-batch resolves the CURRENT
+    snapshot (a dimension update committed between batches is visible
+    to the next batch, no restart), and the join broadcasts the
+    (small) dimension per batch.
+
+    This is the streaming shape a plain static-DataFrame join cannot
+    give you: Spark resolves a static side ONCE at query start, so
+    dimension updates would be invisible until restart. foreachBatch
+    re-reads the pointer per batch — at most one snapshot behind,
+    which is the freshness contract of every broadcast-dim stream.
+
+    Output upserts latest-wins into ``out_base`` keyed on ``key`` /
+    ``order_col`` (same idempotent sink as the medallion stream, so
+    redelivered batches are safe)."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.operators.merge import upsert_latest_wins
+    from simple_etl_spark.sources.table_store import read_table, write_table
+
+    def handle(batch_df, _batch_id):
+        spark = batch_df.sparkSession
+        dim = read_table(spark, dim_base)
+        out = (
+            batch_df.join(F.broadcast(dim), on, how)
+            if dim is not None
+            else batch_df
+        )
+        existing = read_table(spark, out_base)
+        if existing is None:
+            merged = upsert_latest_wins(
+                out.limit(0), out, keys=[key], order_col=order_col
+            )
+        else:
+            merged = upsert_latest_wins(existing, out, keys=[key], order_col=order_col)
+        write_table(merged, out_base)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

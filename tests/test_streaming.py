@@ -414,3 +414,53 @@ def test_watermarked_dedupe_bounds_state_and_reemits_after_horizon(spark, workdi
         r["id"] for r in spark.read.parquet(out).collect() if r["id"] != "z"
     )
     assert ids == ["a", "a", "b"]  # expired state → 'a' re-emits
+
+
+def test_enriched_stream_sees_dimension_updates(spark, workdir):
+    """Slowly-changing-broadcast enrichment: a dimension update
+    committed to the snapshot store BETWEEN micro-batches is visible
+    to the next batch without a stream restart."""
+    import datetime as dt
+
+    from simple_etl_spark.sources.table_store import read_table, write_table
+    from simple_etl_spark.streaming.medallion_stream import run_enriched_stream
+
+    t = dt.datetime(2024, 1, 1)
+    src = f"{workdir}/en_src"
+    dim_base = f"{workdir}/en_dim"
+    out_base = f"{workdir}/en_out"
+    ckpt = f"{workdir}/en_ckpt"
+
+    write_table(
+        spark.createDataFrame([("a", "cat-v1")], "id string, category string"),
+        dim_base,
+    )
+    _write_batch(spark, src, [("a", "one", t)])
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = run_enriched_stream(
+            stream, dim_base, on=["id"], out_base=out_base,
+            checkpoint=ckpt, key="id", order_col="created_at",
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r["id"]: r["category"] for r in read_table(spark, out_base).collect()}
+    assert got == {"a": "cat-v1"}
+
+    # dimension update lands between batches; next batch sees it, and
+    # an unknown key enriches to NULL (left join)
+    write_table(
+        spark.createDataFrame(
+            [("a", "cat-v2"), ("b", "cat-b")], "id string, category string"
+        ),
+        dim_base,
+    )
+    _write_batch(
+        spark, src,
+        [("a", "two", t + dt.timedelta(hours=1)), ("z", "zzz", t)],
+    )
+    run_once()
+    got = {r["id"]: r["category"] for r in read_table(spark, out_base).collect()}
+    assert got == {"a": "cat-v2", "z": None}

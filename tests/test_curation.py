@@ -221,3 +221,28 @@ def test_lm_quality_separates_languages(spark, sf_dir):
     }
     others = [v for k, v in per_lang.items() if k != "en"]
     assert per_lang["en"] > max(others)
+
+
+def test_pseudonymize_consistent_surrogates(spark):
+    from simple_etl_spark.llm.textstats import pseudonymize_pii
+
+    rows = [
+        (1, "mail alice@x.com and bob@y.org; call 555-123-4567"),
+        (2, "again alice@x.com from 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["pseudo_text"] for r in pseudonymize_pii(df).collect()}
+    # raw identifiers gone
+    assert "alice@x.com" not in out[1] and "555-123-4567" not in out[1]
+    assert "10.0.0.1" not in out[2]
+    # SAME address -> SAME surrogate across documents
+    import re
+
+    tok1 = re.search(r"<email:[0-9a-f]{10}>", out[1]).group(0)
+    assert tok1 in out[2]
+    # different addresses -> different surrogates
+    toks = set(re.findall(r"<email:[0-9a-f]{10}>", out[1]))
+    assert len(toks) == 2
+    # deterministic across runs
+    out2 = {r["doc_id"]: r["pseudo_text"] for r in pseudonymize_pii(df).collect()}
+    assert out == out2

@@ -472,6 +472,65 @@ def llm_quantized_topk(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "llm_label_outliers",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, label, unnest(e) AS val,
+               unnest(range(1, len(e) + 1)) AS pos
+        FROM (SELECT vec_id, label,
+                     list_transform(cast(embedding as double[]),
+                                    x -> cast(x as decimal(12,10))) AS e
+              FROM embeddings)
+    ),
+    cent AS (
+        SELECT label, pos,
+               cast(sum(cast(val as decimal(30,20))) as decimal(16,8)) AS cval
+        FROM el GROUP BY label, pos
+    ),
+    dots AS (
+        SELECT el.vec_id, el.label,
+               sum(cast(el.val * c.cval as decimal(30,20))) AS dp,
+               sum(cast(el.val * el.val as decimal(30,20))) AS n2v
+        FROM el JOIN cent c ON c.label = el.label AND c.pos = el.pos
+        GROUP BY el.vec_id, el.label
+    ),
+    cnorm AS (
+        SELECT label, sum(cast(cval * cval as decimal(30,20))) AS n2c
+        FROM cent GROUP BY label
+    ),
+    scored AS (
+        SELECT d.vec_id, d.label,
+               cast(d.dp as double)
+                 / (sqrt(cast(d.n2v as double)) * sqrt(cast(n.n2c as double)))
+                   AS score
+        FROM dots d JOIN cnorm n ON n.label = d.label
+        WHERE d.n2v > 0 AND n.n2c > 0
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY label
+                                     ORDER BY score ASC, vec_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT label, vec_id, cast(score as decimal(18,6)) AS score_q,
+           cast(rnk as bigint) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    survey="LLM curation: embedding-space label-outlier detection (cleanlab "
+    "shape) — per-class bottom-k cosine to the class centroid; the 1/n "
+    "cancels so the centroid is an exact decimal sum, no division",
+)
+def llm_label_outliers(cat: Catalog) -> DataFrame:
+    """Per-label bottom-3 vectors by cosine to their class centroid —
+    the mislabeled/off-distribution candidates a curation pass reviews
+    or drops. Two passes over the corpus (exact-decimal centroid sums,
+    then scoring), broadcast-sized intermediate state
+    (similarity.py:label_outliers)."""
+    from simple_etl_spark.llm.similarity import label_outliers
+
+    return label_outliers(cat["embeddings"], k=3)
+
+
+@query(
     "llm_ann_ivf",
     # k-means training is iterative and not reasonably expressible in
     # one SQL statement — rows-only driver check; exactness is locked

@@ -689,3 +689,73 @@ def quantized_topk_coded(
         )
     )
     return _rank_topk(scored, k)
+
+
+def label_outliers(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space noise detection (the cleanlab-style curation
+    pass): for each label, the ``k`` vectors LEAST similar to their
+    class centroid — mislabeled or off-distribution examples surface
+    at the bottom of the cosine ranking.
+
+    Exactness trick: cos(v, centroid) = cos(v, Σ class vectors) — the
+    1/n scale cancels — so the centroid is the per-dimension EXACT
+    decimal sum (order-independent, engine-reproducible) and no
+    decimal division ever happens. One posexplode + (label, pos)
+    aggregation builds the k·dim sum relation (broadcast-sized), a
+    second pass scores every vector against its own label's sum, and
+    the per-label ranking window runs over |class| rows. Nothing is
+    quadratic; the heavy side is scanned twice (sum pass + score
+    pass), the standard two-pass centroid shape."""
+    el = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(_dec_arr(F.col(vec_col))).alias("pos", "val"),
+    )
+    # centroid sums quantize to decimal(16,8) BEFORE any product: the
+    # raw sum's (38,20) type times a (12,10) element would blow the
+    # 38-digit decimal cap and force engine-specific precision loss;
+    # an explicit scale-8 cast is a deterministic rounding both
+    # engines perform identically, and every later product/sum stays
+    # inside the cap exactly.
+    cent = el.groupBy("_lbl", "pos").agg(
+        F.sum(F.col("val").cast(_ACC_DEC))
+        .cast("decimal(16,8)")
+        .alias("cval")
+    )
+    dots = (
+        el.join(F.broadcast(cent), ["_lbl", "pos"])
+        .groupBy(F.col(id_col), F.col("_lbl"))
+        .agg(
+            F.sum((F.col("val") * F.col("cval")).cast(_ACC_DEC)).alias("dp"),
+            F.sum((F.col("val") * F.col("val")).cast(_ACC_DEC)).alias("n2v"),
+        )
+    )
+    cnorm = cent.groupBy("_lbl").agg(
+        F.sum((F.col("cval") * F.col("cval")).cast(_ACC_DEC)).alias("n2c")
+    )
+    scored = dots.join(F.broadcast(cnorm), "_lbl").select(
+        F.col(id_col),
+        F.col("_lbl").alias(label_col),
+        F.try_divide(
+            F.col("dp").cast("double"),
+            F.sqrt(F.col("n2v").cast("double"))
+            * F.sqrt(F.col("n2c").cast("double")),
+        ).alias("score"),
+    ).filter(F.col("score").isNotNull())
+    w = Window.partitionBy(label_col).orderBy(F.asc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            label_col,
+            id_col,
+            F.col("score").cast("decimal(18,6)").alias("score_q"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -91,3 +91,19 @@ def test_coded_path_equals_end_to_end(spark):
     assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, coded), key=lambda t: (t[0], t[3])
     )
+
+
+def test_label_outliers_find_planted_mislabel(spark):
+    from simple_etl_spark.llm.similarity import label_outliers
+
+    # label 0 clusters near +x; vec 99 points along -x (mislabeled)
+    rows = [(i, [1.0, 0.1 * (i % 3), 0.0], 0) for i in range(6)]
+    rows.append((99, [-1.0, 0.0, 0.05], 0))
+    rows += [(i, [0.0, 1.0, 0.1], 1) for i in range(100, 104)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    out = label_outliers(df, k=2)
+    worst = {r["label"]: r["vec_id"] for r in out.collect() if r["rnk"] == 1}
+    assert worst[0] == 99
+    assert float(out.filter("vec_id = 99").head()["score_q"]) < 0

@@ -894,3 +894,91 @@ def incremental_near_dedup(
         .join(dominated, id_col, "left_anti")
     )
     return survivors.join(batch_sig, id_col)
+
+
+def span_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    segment_words: int = 16,
+) -> DataFrame:
+    """Surgical decontamination: instead of dropping every document
+    that overlaps the eval set (:func:`contamination_check`), remove
+    only the ``segment_words``-word SEGMENTS containing a benchmark
+    ``n``-gram and stitch the rest back together — the standard
+    span-level pass that saves the bulk of a long document whose one
+    paragraph quotes an eval question.
+
+    Returns (id, n_segments, n_removed, clean_text) for EVERY input
+    document (clean_text = '' when everything was contaminated).
+
+    Scale shape: benchmark shingles broadcast (eval sets are tiny);
+    documents explode to segments once (array slicing in a dedicated
+    projection — the HOF stages are materialized separately so the
+    word array is never re-inlined per segment); contaminated
+    (id, segment) keys come from one broadcast semi-join; the rebuild
+    is a per-doc aggregation with an order-struct sort, deterministic
+    by the unique segment index."""
+    bsh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
+        )
+        .distinct()
+    )
+    words = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    sized = words.select(
+        "_id",
+        "_w",
+        F.ceil(F.size("_w") / F.lit(segment_words)).cast("int").alias("_nseg"),
+    )
+    segs = sized.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.col("_nseg") - 1, F.lit(0))),
+                lambda i: F.array_join(
+                    F.slice(F.col("_w"), i * segment_words + 1, segment_words),
+                    " ",
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).filter(F.col("seg") != "")
+    hits = (
+        segs.select("_id", "seg_idx", F.explode(F.array_distinct(shingles("seg", n))).alias("shingle"))
+        .join(F.broadcast(bsh), "shingle")
+        .select("_id", "seg_idx")
+        .distinct()
+    )
+    clean = segs.join(hits, ["_id", "seg_idx"], "left_anti")
+    rebuilt = clean.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_idx", "seg"))
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = segs.groupBy("_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(totals, "_id", "left")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+            (
+                F.coalesce("n_segments", F.lit(0))
+                - F.coalesce("_kept", F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1583,6 +1583,74 @@ def llm_decontamination(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "llm_span_decontamination",
+    oracle="""
+    WITH bw AS (
+        SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0
+    ),
+    bsh AS (
+        SELECT DISTINCT concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS shingle
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 4)) AS i FROM bw) t
+        WHERE len(w) >= 5
+    ),
+    dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(w[(i*16+1):(i*16+16)], ' ') AS seg
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(0,
+                         greatest(cast(ceil(len(w) / 16.0) as int) - 1, 0))) AS i
+              FROM dw) t
+        WHERE array_to_string(w[(i*16+1):(i*16+16)], ' ') <> ''
+    ),
+    ssh AS (
+        SELECT DISTINCT doc_id, seg_idx,
+               concat_ws(' ', sw[j], sw[j+1], sw[j+2], sw[j+3], sw[j+4]) AS shingle
+        FROM (SELECT doc_id, seg_idx, string_split(seg, ' ') AS sw FROM segs) t,
+             unnest(generate_series(1, len(sw) - 4)) AS u(j)
+        WHERE len(sw) >= 5
+    ),
+    hits AS (
+        SELECT DISTINCT s.doc_id, s.seg_idx
+        FROM ssh s JOIN bsh b ON b.shingle = s.shingle
+    ),
+    clean AS (
+        SELECT s.* FROM segs s
+        ANTI JOIN hits h ON h.doc_id = s.doc_id AND h.seg_idx = s.seg_idx
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+               count(*) AS kept
+        FROM clean GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(t.n_segments, 0) AS n_segments,
+           coalesce(t.n_segments, 0) - coalesce(r.kept, 0) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN tot t ON t.doc_id = d.doc_id
+    LEFT JOIN reb r ON r.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    survey="LLM curation: span-level decontamination — remove only the "
+    "16-word segments carrying a benchmark 5-gram and stitch the rest "
+    "(whole-doc drops waste the clean bulk of a long document)",
+)
+def llm_span_decontamination(cat: Catalog) -> DataFrame:
+    """Surgical decontamination against the every-50th-doc eval slice:
+    per doc, segment count, removed-segment count, and the stitched
+    clean text (llm/dedup.py:span_decontaminate). Benchmark members
+    self-annihilate (every segment matches); clean docs pass through
+    verbatim."""
+    from simple_etl_spark.llm.dedup import span_decontaminate
+
+    docs = cat["documents"]
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return span_decontaminate(docs, bench).orderBy("doc_id")
+
+
+@query(
     "llm_domain_mix",
     oracle="""
     WITH ranked AS (
@@ -1926,3 +1994,62 @@ def llm_bpe_tokens(cat: Catalog) -> DataFrame:
         F.col("bpe_tokens_count").alias("n_tokens"),
         F.slice("bpe_tokens", 1, 5).alias("head_tokens"),
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_mixture_rates",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               sum(len(string_split_regex(trim(text), '\s+'))) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(toks) AS t, count(*) AS n_domains FROM tok)
+    SELECT source, cast(toks as bigint) AS toks,
+           cast((1000 * toks) // t as bigint) AS actual_permille,
+           cast(1000 // n_domains as bigint) AS target_permille,
+           cast(least(1000,
+                (1000 * (t // n_domains)) // greatest(toks, 1))
+               as bigint) AS accept_permille
+    FROM tok CROSS JOIN tot
+    ORDER BY source
+    """,
+    survey="LLM curation: domain-mixture re-weighting — per-source token "
+    "shares vs a uniform target and the acceptance rate that hits it "
+    "(DoReMi-lite arithmetic, integer-exact)",
+)
+def llm_mixture_rates(cat: Catalog) -> DataFrame:
+    """Per-source token counts, actual vs target (uniform) mixture
+    share, and the downsampling acceptance rate that reaches the
+    target — all integer permille arithmetic (engine-exact). The rate
+    feeds `hash_sample`'s deterministic bucket threshold, closing the
+    loop: measure → rate → reproducible sample. One token-count
+    aggregation + a broadcast 1-row totals frame."""
+    from simple_etl_spark.llm.textstats import whitespace_token_count
+
+    tok = (
+        cat["documents"]
+        .groupBy("source")
+        .agg(F.sum(whitespace_token_count(F.col("text"))).alias("toks"))
+    )
+    tot = tok.agg(
+        F.sum("toks").alias("t"), F.count(F.lit(1)).alias("n_domains")
+    )
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("toks").cast("bigint").alias("toks"),
+            F.expr("cast((1000 * toks) div t as bigint)").alias(
+                "actual_permille"
+            ),
+            F.expr("cast(1000 div n_domains as bigint)").alias(
+                "target_permille"
+            ),
+            F.expr(
+                "cast(least(1000, (1000 * (t div n_domains))"
+                " div greatest(toks, 1)) as bigint)"
+            ).alias("accept_permille"),
+        )
+        .orderBy("source")
+    )

@@ -246,3 +246,28 @@ def test_pseudonymize_consistent_surrogates(spark):
     # deterministic across runs
     out2 = {r["doc_id"]: r["pseudo_text"] for r in pseudonymize_pii(df).collect()}
     assert out == out2
+
+
+def test_span_decontaminate_surgical(spark):
+    """Only the contaminated SEGMENT goes; the rest of the doc
+    survives verbatim — and a fully-contaminated doc empties."""
+    from simple_etl_spark.llm.dedup import span_decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon"
+    clean16 = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            # seg0 clean, seg1 contains the benchmark 5-gram
+            (1, clean16 + " " + bench_text + " pad1 pad2 pad3"),
+            (2, clean16),          # untouched
+            (3, bench_text),       # fully contaminated
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out = {r["doc_id"]: r for r in span_decontaminate(docs, bench).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1
+    assert out[1]["clean_text"] == clean16
+    assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == clean16
+    assert out[3]["n_removed"] == out[3]["n_segments"] == 1
+    assert out[3]["clean_text"] == ""

@@ -901,29 +901,38 @@ def span_decontaminate(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bench_text_col: str = "text",
     n: int = 5,
     segment_words: int = 16,
 ) -> DataFrame:
     """Surgical decontamination: instead of dropping every document
     that overlaps the eval set (:func:`contamination_check`), remove
-    only the ``segment_words``-word SEGMENTS containing a benchmark
+    only the ``segment_words``-word SEGMENTS touched by a benchmark
     ``n``-gram and stitch the rest back together — the standard
     span-level pass that saves the bulk of a long document whose one
     paragraph quotes an eval question.
+
+    Detection shingles the WHOLE document (not per segment) and maps
+    each hit gram's word positions onto every segment it covers — a
+    gram straddling a segment boundary removes BOTH segments; the
+    per-segment-shingling shortcut would let exactly those straddling
+    quotes through. Documents shorter than ``n`` words carry no grams
+    and pass through (n-gram decontamination cannot see below n).
 
     Returns (id, n_segments, n_removed, clean_text) for EVERY input
     document (clean_text = '' when everything was contaminated).
 
     Scale shape: benchmark shingles broadcast (eval sets are tiny);
-    documents explode to segments once (array slicing in a dedicated
-    projection — the HOF stages are materialized separately so the
-    word array is never re-inlined per segment); contaminated
-    (id, segment) keys come from one broadcast semi-join; the rebuild
-    is a per-doc aggregation with an order-struct sort, deterministic
-    by the unique segment index."""
+    the document relation is scanned once per consumer branch
+    (detection grams; segment rebuild; segment totals — three scans of
+    the source, each a projection/generate pipeline with one small
+    broadcast join; persist the word-array relation upstream to trade
+    memory for the rescans when the corpus dwarfs cache)."""
     bsh = (
         benchmark.select(
-            F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
+            F.explode(
+                F.array_distinct(shingles(bench_text_col, n))
+            ).alias("shingle")
         )
         .distinct()
     )
@@ -948,10 +957,23 @@ def span_decontaminate(
             )
         ).alias("seg_idx", "seg"),
     ).filter(F.col("seg") != "")
+    # whole-doc grams with 0-based start positions; a hit at start j
+    # covers words j..j+n-1 → segments j div S .. (j+n-1) div S
+    dsh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(shingles(text_col, n)).alias("pos0", "shingle"),
+    )
     hits = (
-        segs.select("_id", "seg_idx", F.explode(F.array_distinct(shingles("seg", n))).alias("shingle"))
-        .join(F.broadcast(bsh), "shingle")
-        .select("_id", "seg_idx")
+        dsh.join(F.broadcast(bsh), "shingle")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(
+                    (F.col("pos0") / segment_words).cast("int"),
+                    ((F.col("pos0") + n - 1) / segment_words).cast("int"),
+                )
+            ).alias("seg_idx"),
+        )
         .distinct()
     )
     clean = segs.join(hits, ["_id", "seg_idx"], "left_anti")

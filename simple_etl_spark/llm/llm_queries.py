@@ -489,13 +489,13 @@ def llm_quantized_topk(cat: Catalog) -> DataFrame:
     ),
     dots AS (
         SELECT el.vec_id, el.label,
-               sum(cast(el.val * c.cval as decimal(30,20))) AS dp,
-               sum(cast(el.val * el.val as decimal(30,20))) AS n2v
+               sum(cast(el.val * c.cval as decimal(38,14))) AS dp,
+               sum(cast(el.val * el.val as decimal(38,14))) AS n2v
         FROM el JOIN cent c ON c.label = el.label AND c.pos = el.pos
         GROUP BY el.vec_id, el.label
     ),
     cnorm AS (
-        SELECT label, sum(cast(cval * cval as decimal(30,20))) AS n2c
+        SELECT label, sum(cast(cval * cval as decimal(38,14))) AS n2c
         FROM cent GROUP BY label
     ),
     scored AS (
@@ -1603,16 +1603,17 @@ def llm_decontamination(cat: Catalog) -> DataFrame:
               FROM dw) t
         WHERE array_to_string(w[(i*16+1):(i*16+16)], ' ') <> ''
     ),
-    ssh AS (
-        SELECT DISTINCT doc_id, seg_idx,
-               concat_ws(' ', sw[j], sw[j+1], sw[j+2], sw[j+3], sw[j+4]) AS shingle
-        FROM (SELECT doc_id, seg_idx, string_split(seg, ' ') AS sw FROM segs) t,
-             unnest(generate_series(1, len(sw) - 4)) AS u(j)
-        WHERE len(sw) >= 5
+    dsh AS (
+        SELECT doc_id, i - 1 AS pos0,
+               concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS shingle
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+              FROM dw) t
+        WHERE len(w) >= 5
     ),
     hits AS (
-        SELECT DISTINCT s.doc_id, s.seg_idx
-        FROM ssh s JOIN bsh b ON b.shingle = s.shingle
+        SELECT DISTINCT d.doc_id,
+               unnest(generate_series(pos0 // 16, (pos0 + 4) // 16)) AS seg_idx
+        FROM dsh d JOIN bsh b ON b.shingle = d.shingle
     ),
     clean AS (
         SELECT s.* FROM segs s
@@ -1633,16 +1634,18 @@ def llm_decontamination(cat: Catalog) -> DataFrame:
     LEFT JOIN reb r ON r.doc_id = d.doc_id
     ORDER BY d.doc_id
     """,
-    survey="LLM curation: span-level decontamination — remove only the "
-    "16-word segments carrying a benchmark 5-gram and stitch the rest "
-    "(whole-doc drops waste the clean bulk of a long document)",
+    survey="LLM curation: span-level decontamination — whole-doc 5-gram "
+    "detection mapped onto every 16-word segment a hit covers (boundary-"
+    "straddling quotes remove BOTH segments); the clean remainder is "
+    "stitched back",
 )
 def llm_span_decontamination(cat: Catalog) -> DataFrame:
     """Surgical decontamination against the every-50th-doc eval slice:
     per doc, segment count, removed-segment count, and the stitched
     clean text (llm/dedup.py:span_decontaminate). Benchmark members
-    self-annihilate (every segment matches); clean docs pass through
-    verbatim."""
+    self-annihilate (every gram hits, covering every segment); clean
+    docs pass through verbatim; straddling quotes take both adjacent
+    segments."""
     from simple_etl_spark.llm.dedup import span_decontaminate
 
     docs = cat["documents"]

@@ -721,23 +721,28 @@ def label_outliers(
     # raw sum's (38,20) type times a (12,10) element would blow the
     # 38-digit decimal cap and force engine-specific precision loss;
     # an explicit scale-8 cast is a deterministic rounding both
-    # engines perform identically, and every later product/sum stays
-    # inside the cap exactly.
+    # engines perform identically. Product accumulators use scale 14
+    # with 24 integer digits — cval*cval is (33,16), so a (30,20)
+    # accumulator (10 integer digits) would silently NULL-overflow for
+    # classes whose coordinate sums pass 1e5; (38,14) holds any
+    # billion-member class exactly, and the per-product scale-14
+    # rounding is the same deterministic cast on every engine.
     cent = el.groupBy("_lbl", "pos").agg(
         F.sum(F.col("val").cast(_ACC_DEC))
         .cast("decimal(16,8)")
         .alias("cval")
     )
+    wide = "decimal(38,14)"
     dots = (
         el.join(F.broadcast(cent), ["_lbl", "pos"])
         .groupBy(F.col(id_col), F.col("_lbl"))
         .agg(
-            F.sum((F.col("val") * F.col("cval")).cast(_ACC_DEC)).alias("dp"),
-            F.sum((F.col("val") * F.col("val")).cast(_ACC_DEC)).alias("n2v"),
+            F.sum((F.col("val") * F.col("cval")).cast(wide)).alias("dp"),
+            F.sum((F.col("val") * F.col("val")).cast(wide)).alias("n2v"),
         )
     )
     cnorm = cent.groupBy("_lbl").agg(
-        F.sum((F.col("cval") * F.col("cval")).cast(_ACC_DEC)).alias("n2c")
+        F.sum((F.col("cval") * F.col("cval")).cast(wide)).alias("n2c")
     )
     scored = dots.join(F.broadcast(cnorm), "_lbl").select(
         F.col(id_col),

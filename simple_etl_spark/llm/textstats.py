@@ -492,13 +492,16 @@ def pseudonymize_pii(
     compiled = [(kind, _re.compile(pat)) for kind, pat in patterns]
 
     def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
-        cache: dict[str, str] = {}
+        # keyed by (kind, text): with caller-supplied overlapping
+        # patterns the same literal may match under two kinds, and a
+        # text-only cache would reuse the first kind's typed token
+        cache: dict[tuple[str, str], str] = {}
 
         def surrogate(kind: str, m: _re.Match) -> str:
-            key = m.group(0)
+            key = (kind, m.group(0))
             tok = cache.get(key)
             if tok is None:
-                tok = f"<{kind}:{hashlib.md5(key.encode()).hexdigest()[:10]}>"
+                tok = f"<{kind}:{hashlib.md5(key[1].encode()).hexdigest()[:10]}>"
                 cache[key] = tok
             return tok
 

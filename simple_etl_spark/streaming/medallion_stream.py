@@ -157,26 +157,25 @@ def run_enriched_stream(
     Output upserts latest-wins into ``out_base`` keyed on ``key`` /
     ``order_col`` (same idempotent sink as the medallion stream, so
     redelivered batches are safe)."""
-    from pyspark.sql import functions as F
-
-    from simple_etl_spark.operators.merge import upsert_latest_wins
-    from simple_etl_spark.sources.table_store import read_table, write_table
-
     def handle(batch_df, _batch_id):
         spark = batch_df.sparkSession
         dim = read_table(spark, dim_base)
-        out = (
-            batch_df.join(F.broadcast(dim), on, how)
-            if dim is not None
-            else batch_df
-        )
-        existing = read_table(spark, out_base)
-        if existing is None:
-            merged = upsert_latest_wins(
-                out.limit(0), out, keys=[key], order_col=order_col
+        if dim is None:
+            # enriching against a dimension that has never committed
+            # would write a sink snapshot WITHOUT the dim columns, and
+            # the first post-commit batch would then fail the keyed
+            # merge on schema mismatch — permanently poisoning the
+            # sink. Fail the stream loudly instead: commit the
+            # dimension (even empty) before starting.
+            raise FileNotFoundError(
+                f"run_enriched_stream: no committed dimension under "
+                f"{dim_base}; commit it (even with zero rows) first"
             )
-        else:
-            merged = upsert_latest_wins(existing, out, keys=[key], order_col=order_col)
+        out = batch_df.join(F.broadcast(dim), on, how)
+        merged = upsert_latest_wins(
+            _read_or_empty(spark, out_base, out), out,
+            keys=[key], order_col=order_col,
+        )
         write_table(merged, out_base)
 
     return (

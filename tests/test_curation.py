@@ -271,3 +271,19 @@ def test_span_decontaminate_surgical(spark):
     assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == clean16
     assert out[3]["n_removed"] == out[3]["n_segments"] == 1
     assert out[3]["clean_text"] == ""
+
+
+def test_span_decontaminate_catches_straddling_gram(spark):
+    """A benchmark 5-gram crossing a segment boundary must remove BOTH
+    segments — per-segment shingling would miss it entirely."""
+    from simple_etl_spark.llm.dedup import span_decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon"
+    pre = " ".join(f"w{i}" for i in range(14))  # gram occupies words 15-19
+    docs = spark.createDataFrame(
+        [(1, pre + " " + bench_text)], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    r = span_decontaminate(docs, bench).head()
+    assert r["n_segments"] == 2 and r["n_removed"] == 2
+    assert r["clean_text"] == ""

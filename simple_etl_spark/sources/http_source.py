@@ -85,3 +85,40 @@ def fetch_contents(
 
     src = listing.repartition(parallelism) if parallelism else listing
     return src.mapInPandas(run, out_schema).filter(F.col("content").isNotNull())
+
+
+def with_retries(
+    fetcher,
+    max_attempts: int = 3,
+    backoff_s: float = 0.5,
+    retry_on: tuple[type[Exception], ...] = (Exception,),
+    sleep=None,
+):
+    """Wrap a fetcher with bounded retries + exponential backoff — the
+    resilience layer a crawl task needs around transient HTTP/network
+    failures (the reference's asyncio crawler swallows-and-continues;
+    at cluster scale a task that gives up on the first 503 silently
+    thins the corpus).
+
+    The LAST failure re-raises (a permanently broken URL fails loudly
+    rather than thinning data); transient blips cost
+    ``backoff_s * (2^attempt - 1)`` total sleep. ``sleep`` is
+    injectable for deterministic tests; the wrapper composes with any
+    ListingFetcher/ContentFetcher signature since it only forwards
+    ``*args``."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+
+    def wrapped(*args):
+        delay = backoff_s
+        for attempt in range(1, max_attempts + 1):
+            try:
+                return fetcher(*args)
+            except retry_on:
+                if attempt == max_attempts:
+                    raise
+                do_sleep(delay)
+                delay *= 2
+
+    return wrapped

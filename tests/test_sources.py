@@ -179,3 +179,30 @@ def test_listing_datasource_bad_fetcher_fails_fast(spark):
             .load()
             .collect()
         )
+
+
+def test_with_retries_transient_then_success_and_final_raise():
+    from simple_etl_spark.sources.http_source import with_retries
+
+    calls, sleeps = [], []
+
+    def flaky(page):
+        calls.append(page)
+        if len(calls) < 3:
+            raise ConnectionError("blip")
+        return [{"title": f"p{page}"}]
+
+    wrapped = with_retries(flaky, max_attempts=3, backoff_s=0.5,
+                           sleep=sleeps.append)
+    assert wrapped(7) == [{"title": "p7"}]
+    assert calls == [7, 7, 7]
+    assert sleeps == [0.5, 1.0]  # exponential, injectable clock
+
+    def broken(_):
+        raise ValueError("permanent")
+
+    import pytest as _pytest
+
+    wrapped2 = with_retries(broken, max_attempts=2, sleep=sleeps.append)
+    with _pytest.raises(ValueError, match="permanent"):
+        wrapped2(1)

@@ -2056,3 +2056,103 @@ def llm_mixture_rates(cat: Catalog) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "llm_quality_tiers",
+    oracle=r"""
+    WITH tw AS (
+        SELECT string_split_regex(lower(text), '\s+') AS w
+        FROM documents WHERE lang = 'en'
+    ),
+    uni AS (
+        SELECT w1, count(*) AS c1
+        FROM (SELECT unnest(w) AS w1 FROM tw) t
+        WHERE w1 <> '' GROUP BY w1
+    ),
+    bi AS (
+        SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM tw) t
+        GROUP BY 1, 2
+    ),
+    v AS (SELECT count(*) AS vs FROM uni),
+    db AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+              FROM documents) d,
+             unnest(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    scores AS (
+        SELECT d.doc_id,
+               cast(sum(cast(ln((coalesce(bi.c12, 0) + 1.0::double)
+                       / (coalesce(uni.c1, 0) + cast(v.vs as double)))
+                    as decimal(18,6))) as double) / count(*) AS ratio
+        FROM db d
+        LEFT JOIN bi ON bi.w1 = d.w1 AND bi.w2 = d.w2
+        LEFT JOIN uni ON uni.w1 = d.w1
+        CROSS JOIN v
+        GROUP BY d.doc_id
+    ),
+    samp AS (
+        SELECT ratio FROM scores
+        WHERE ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::bigint
+              % 1000 < 200
+    ),
+    ranked AS (
+        SELECT ratio, row_number() OVER (ORDER BY ratio) AS rn,
+               count(*) OVER () AS n
+        FROM samp
+    ),
+    thr AS (
+        SELECT r.ratio FROM ranked r
+        JOIN (SELECT unnest(generate_series(1, 9)) AS q) qs
+          ON r.rn = greatest(1, cast(ceil(qs.q * r.n / 10.0) as int))
+    ),
+    tiers AS (
+        SELECT s.doc_id,
+               (SELECT count(*) FROM thr WHERE thr.ratio <= s.ratio) AS tier
+        FROM scores s
+    )
+    SELECT cast(tier as bigint) AS tier, count(*) AS n_docs
+    FROM tiers GROUP BY tier ORDER BY tier
+    """,
+    survey="LLM curation: quality tiering — decile thresholds from a "
+    "deterministic hash-sample (bounded driver state, IVF-centroid "
+    "pattern), broadcast CASE assignment, never an unpartitioned "
+    "corpus-wide ranking window",
+)
+def llm_quality_tiers(cat: Catalog) -> DataFrame:
+    """Per-tier document counts under LM-quality deciles: thresholds
+    come from a 20% deterministic hash-sample's nearest-rank deciles
+    (collected — bounded, sample-sized state), then every document
+    CASE-assigns against the broadcast thresholds. The scale-correct
+    alternative to ntile-ing the whole corpus: no global sort, no
+    unpartitioned window — the one collect is sample-sized by
+    construction."""
+    from simple_etl_spark.llm.textstats import bigram_lm, lm_score
+
+    d = cat["documents"]
+    uni, bi, vocab = bigram_lm(d.filter(F.col("lang") == "en"))
+    scores = lm_score(d, uni, bi, vocab).select(
+        "doc_id",
+        (F.col("sum_logprob").cast("double") / F.col("n_bigrams")).alias("ratio"),
+    )
+    samp = scores.filter(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 1000
+        < 200
+    )
+    ratios = sorted(r["ratio"] for r in samp.select("ratio").collect())
+    n = len(ratios)
+    thresholds = [
+        ratios[max(1, -(-q * n // 10)) - 1] for q in range(1, 10)
+    ]
+    tier = F.lit(0)
+    for t in thresholds:
+        tier = tier + F.when(F.col("ratio") >= F.lit(t), 1).otherwise(0)
+    return (
+        scores.select(tier.cast("bigint").alias("tier"))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("tier")
+    )

@@ -33,6 +33,10 @@ def test_musts_inside_driver_window():
         # llm_doc_features' slot; that query's constituents keep
         # covers via llm_text_quality + pytest parity).
         "stream_windowed_counts",
+        # r5: the ES relevance model (BM25) on the driver signal (took
+        # date_histogram's slot — A14's shape keeps graded covers via
+        # daily_rollup / m_daily_analytics).
+        "m_search_bm25",
     ]
     out = [n for n in musts if n not in window]
     assert not out, f"must-grade queries outside the 50-query window: {out}"

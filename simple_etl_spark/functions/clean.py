@@ -151,6 +151,68 @@ def parse_date(col: Column | str, anchor: Column | None = None) -> Column:
     )
 
 
+# Tracking params stripped by canonicalize_url: analytics decorations
+# that never change the resource a URL names.
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of a crawl URL, as a pure Column expression.
+
+    The reference keys article identity on md5(link)
+    (processor/cleaner.py:70-72) with the link stored verbatim — so
+    `...?utm_source=feed` and `...#top` crawl as three "different"
+    articles. Canonicalization is the standard crawl-dedup fix:
+      1. drop the #fragment;
+      2. lowercase scheme and host (path stays case-sensitive);
+      3. drop default :80/:443 ports;
+      4. strip trailing slashes from the path (root = empty path);
+      5. drop tracking params (utm_*, fbclid, gclid, ref) and sort
+         the survivors, so param order doesn't split identity.
+
+    Every step is a built-in string/array expression (one codegen
+    projection, no UDF), and each has an exact DuckDB twin for the
+    oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    nofrag = F.substring_index(c, "#", 1)
+    pre = F.substring_index(nofrag, "?", 1)  # scheme://host[:port]/path
+    query = F.when(
+        F.instr(nofrag, "?") > 0,
+        nofrag.substr(F.instr(nofrag, "?") + 1, F.length(nofrag)),
+    ).otherwise(F.lit(""))
+    has_scheme = F.instr(pre, "://") > 0
+    scheme = F.when(
+        has_scheme,
+        F.concat(F.lower(F.substring_index(pre, "://", 1)), F.lit("://")),
+    ).otherwise(F.lit(""))
+    rest = F.when(
+        has_scheme,
+        pre.substr(F.instr(pre, "://") + 3, F.length(pre)),
+    ).otherwise(pre)
+    host = F.regexp_replace(
+        F.lower(F.substring_index(rest, "/", 1)), ":(80|443)$", ""
+    )
+    path = F.when(
+        F.instr(rest, "/") > 0,
+        F.regexp_replace(
+            rest.substr(F.instr(rest, "/"), F.length(rest)), "/+$", ""
+        ),
+    ).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qjoin = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        host,
+        path,
+        F.when(qjoin != "", F.concat(F.lit("?"), qjoin)).otherwise(F.lit("")),
+    )
+
+
 def gen_id(link: Column | str) -> Column:
     """F4: primary identity id = md5(link)
     (processor/cleaner.py:70-72)."""

@@ -896,6 +896,73 @@ def incremental_near_dedup(
     return survivors.join(batch_sig, id_col)
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the RefinedWeb/CCNet line
+    dedup pass): a line whose normalized form (lower+trim) appears in
+    ``min_doc_freq`` or more DISTINCT documents is boilerplate —
+    cookie banners, footers, nav text — and is struck from every
+    document; the survivors are stitched back in original line order.
+    Blank/whitespace-only lines are always dropped.
+
+    Returns (id, n_lines, n_removed, clean_text) for EVERY input
+    document (clean_text = '' when everything was boilerplate).
+
+    Scale shape: one hash-shuffle to count per-line document
+    frequency (map-side partial agg), then a left-anti join of the
+    line stream against the offender set — the build side is bounded
+    by n_lines / min_doc_freq and in practice tiny (AQE picks a
+    broadcast for it), and a hot line (appearing in millions of docs)
+    is a single build-side key probed hash-locally, so frequency skew
+    does not concentrate work. Regrouping by document is the third
+    and final shuffle. Never an all-pairs comparison.
+    """
+    if min_doc_freq < 2:
+        raise ValueError(f"min_doc_freq must be >= 2, got {min_doc_freq}")
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("_norm", F.lower(F.trim(F.col("line"))))
+    nonblank = lines.filter(F.col("_norm") != "")
+    offenders = (
+        nonblank.groupBy("_norm")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("_norm")
+    )
+    kept = nonblank.join(offenders, "_norm", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(totals, "_id", "left")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            (
+                F.coalesce("n_lines", F.lit(0))
+                - F.coalesce("_kept", F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def span_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -2156,3 +2156,267 @@ def llm_quality_tiers(cat: Catalog) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: training-order shuffle, URL canonicalization, boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_training_order",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, md5('42|' || cast(doc_id as varchar)) AS dg
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               ('0x' || substr(dg, 1, 15))::bigint % 8 AS shard,
+               substr(dg, 16, 17) AS ok
+        FROM k
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS pos
+    FROM s ORDER BY shard, pos
+    """,
+    survey="LLM curation: deterministic seeded training-order shuffle + "
+    "shard assignment (one shard-keyed shuffle, no global ORDER BY rand())",
+)
+def llm_training_order(cat: Catalog) -> DataFrame:
+    """Seeded global permutation of the corpus into 8 shards: shard
+    and within-shard position both derive from disjoint slices of
+    md5(seed|id), so the same seed reproduces the identical training
+    order on any engine (llm/sampling.py:training_order)."""
+    from simple_etl_spark.llm.sampling import training_order
+
+    d = cat["documents"].select("doc_id")
+    return training_order(d, "doc_id", seed=42, n_shards=8).orderBy(
+        "shard", "pos"
+    )
+
+
+# Derived crawl-log corpus: each document's article URL appears in one
+# of four junk-decorated variants (tracking params, fragments, default
+# ports, trailing slashes, shouting-case hosts) that all canonicalize
+# to the same resource; every 10th article is additionally re-crawled
+# under a fifth variant and a new row id, so canonical identity must
+# merge what raw md5(link) identity (the reference's key) splits.
+_URL_CORPUS_SQL = """
+urls AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'HTTPS://' || upper(source)
+                  || '.News.COM/article/' || cast(doc_id as varchar)
+                  || '/?utm_source=feed#top'
+             WHEN 1 THEN 'https://' || source || '.news.com/article/'
+                  || cast(doc_id as varchar)
+             WHEN 2 THEN 'https://' || source || '.news.com:443/article/'
+                  || cast(doc_id as varchar) || '?fbclid=abc'
+             ELSE 'https://' || source || '.news.com/article/'
+                  || cast(doc_id as varchar) || '/#section'
+           END AS url
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           'https://' || source || '.news.com/article/'
+               || cast(doc_id as varchar) || '/?utm_medium=social' AS url
+    FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+@query(
+    "llm_url_dedup",
+    oracle=f"""
+    WITH {_URL_CORPUS_SQL},
+    parts AS (
+        SELECT doc_id,
+               string_split(url, '#')[1] AS nofrag
+        FROM urls
+    ),
+    comp AS (
+        SELECT doc_id,
+               string_split(nofrag, '?')[1] AS pre,
+               coalesce(string_split(nofrag, '?')[2], '') AS q
+        FROM parts
+    ),
+    hostsplit AS (
+        SELECT doc_id, q,
+               lower(string_split(pre, '://')[1]) AS scheme,
+               coalesce(string_split(pre, '://')[2], pre) AS rest
+        FROM comp
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://'
+               || regexp_replace(lower(string_split(rest, '/')[1]),
+                                 ':(80|443)$', '')
+               || CASE WHEN strpos(rest, '/') > 0
+                       THEN regexp_replace(substr(rest, strpos(rest, '/')),
+                                           '/+$', '')
+                       ELSE '' END
+               || CASE WHEN array_to_string(list_sort(list_filter(
+                          string_split(q, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p,
+                              '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') <> ''
+                       THEN '?' || array_to_string(list_sort(list_filter(
+                          string_split(q, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p,
+                              '^(utm_[^=]*|fbclid|gclid|ref)='))), '&')
+                       ELSE '' END AS canonical_url
+        FROM hostsplit
+    )
+    SELECT canonical_url, min(doc_id) AS survivor_id, count(*) AS copies
+    FROM canon GROUP BY canonical_url ORDER BY canonical_url
+    """,
+    survey="LLM curation: URL canonicalization + canonical-link dedup "
+    "(tracking params, fragments, default ports, case, trailing slashes)",
+)
+def llm_url_dedup(cat: Catalog) -> DataFrame:
+    """Canonical-URL dedup over a junk-decorated crawl log: group by
+    :func:`~simple_etl_spark.functions.clean.canonicalize_url`, keep
+    the min-id survivor and the copy count — the identity the
+    reference's md5(link) key needs to be correct under re-crawls
+    (processor/cleaner.py:70-72 stores the link verbatim)."""
+    from simple_etl_spark.functions.clean import canonicalize_url
+
+    d = cat["documents"]
+    v = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper(F.col("source")),
+                F.lit(".News.COM/article/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/?utm_source=feed#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".news.com/article/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".news.com:443/article/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?fbclid=abc"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".news.com/article/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/#section"),
+            )
+        )
+    )
+    recrawl = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".news.com/article/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_medium=social"),
+        ).alias("url"),
+    )
+    corpus = d.select("doc_id", v.alias("url")).unionByName(recrawl)
+    return (
+        corpus.groupBy(canonicalize_url("url").alias("canonical_url"))
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+# Derived corpus with injected boilerplate: every document carries its
+# source's newsletter footer (per-source doc-frequency ~ corpus/20)
+# and every 4th additionally a global rights line; the original text
+# and the per-doc unique tail stay under any sane frequency threshold.
+_BOILERPLATE_CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id,
+           text || chr(10) || 'subscribe to ' || source || ' newsletter'
+                || chr(10) ||
+           CASE WHEN doc_id % 4 = 0 THEN 'All Rights Reserved'
+                ELSE 'unique tail ' || cast(doc_id as varchar) END AS text
+    FROM documents
+)
+"""
+
+
+@query(
+    "llm_boilerplate_lines",
+    oracle=f"""
+    WITH {_BOILERPLATE_CORPUS_SQL},
+    lines AS (
+        SELECT doc_id, i - 1 AS pos, l[i] AS line, lower(trim(l[i])) AS norm
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus) t,
+             unnest(generate_series(1, len(l))) AS u(i)
+    ),
+    nb AS (SELECT * FROM lines WHERE norm <> ''),
+    off AS (
+        SELECT norm FROM nb GROUP BY norm
+        HAVING count(DISTINCT doc_id) >= 10
+    ),
+    kept AS (
+        SELECT nb.doc_id, nb.pos, nb.line
+        FROM nb LEFT JOIN off ON nb.norm = off.norm
+        WHERE off.norm IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*) AS kept_n
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT c.doc_id,
+           coalesce(t.n_lines, 0) AS n_lines,
+           coalesce(t.n_lines, 0) - coalesce(r.kept_n, 0) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM corpus c
+    LEFT JOIN tot t ON c.doc_id = t.doc_id
+    LEFT JOIN reb r ON c.doc_id = r.doc_id
+    ORDER BY c.doc_id
+    """,
+    survey="LLM curation: cross-document boilerplate line removal "
+    "(RefinedWeb-style doc-frequency strike + in-order restitch)",
+)
+def llm_boilerplate_lines(cat: Catalog) -> DataFrame:
+    """Strike lines whose normalized form appears in >= 10 distinct
+    documents (newsletter footers, rights lines) and stitch the
+    survivors back in order (llm/dedup.py:remove_boilerplate_lines)."""
+    from simple_etl_spark.llm.dedup import remove_boilerplate_lines
+
+    d = cat["documents"]
+    docs = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(
+                F.lit("subscribe to "), F.col("source"), F.lit(" newsletter")
+            ),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("All Rights Reserved"))
+            .otherwise(
+                F.concat(
+                    F.lit("unique tail "), F.col("doc_id").cast("string")
+                )
+            ),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(docs, min_doc_freq=10).orderBy("doc_id")

@@ -80,6 +80,57 @@ def stratified_sample(
     )
 
 
+def training_order(
+    df: DataFrame,
+    key_col: str,
+    seed: str | int = 0,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic seeded global shuffle + shard assignment — the
+    "randomize training order and write N shard files" step at the end
+    of every pretraining pipeline, without a global sort.
+
+    Each row gets a stable permutation key ``md5(seed || key)``; the
+    first 15 hex chars pick the shard (``hash % n_shards``) and the
+    remaining 17 order rows *within* the shard, so changing the seed
+    reshuffles everything while the same seed reproduces the identical
+    order on any engine, forever. Because shard and position derive
+    from disjoint slices of one digest, both are uniform and
+    independent; a reader consuming shards round-robin sees a uniform
+    random permutation of the corpus.
+
+    Scale shape: ONE shuffle, keyed by shard, then a per-shard sort
+    (the ranking window partitions on ``shard``). There is no global
+    ``ORDER BY rand()`` — that plan range-partitions the entire corpus
+    through a single total order, which at 100 TB means a skewed range
+    exchange and a driver-side sampling pass. Here each shard sorts
+    independently; pick ``n_shards`` so one shard ≈ one comfortable
+    task (corpus_bytes / few-GiB), exactly how shard files are sized
+    in practice.
+
+    Adds ``shard`` (bigint in [0, n_shards)) and ``pos`` (1-based
+    bigint within the shard)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    digest = F.md5(
+        F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+        % F.lit(n_shards)
+    )
+    order_key = F.substring(digest, 16, 17)
+    w = Window.partitionBy("shard").orderBy("order_key", key_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("order_key", order_key)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("order_key")
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, percent: float) -> DataFrame:
     """Keep rows whose hash bucket falls in the first ``percent``% of
     the 24-bit hash space — deterministic, engine-independent sampling.

@@ -287,3 +287,111 @@ def test_span_decontaminate_catches_straddling_gram(spark):
     r = span_decontaminate(docs, bench).head()
     assert r["n_segments"] == 2 and r["n_removed"] == 2
     assert r["clean_text"] == ""
+
+
+# ---------------------------------------------------------------------------
+# Round 5: training order, URL canonicalization, boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def test_training_order_is_deterministic_and_contiguous(spark):
+    from simple_etl_spark.llm.sampling import training_order
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = training_order(df, "doc_id", seed=7, n_shards=4)
+    b = training_order(df, "doc_id", seed=7, n_shards=4)
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))
+    # every shard's positions are exactly 1..n_shard
+    per = {}
+    for doc_id, shard, pos in rows_a:
+        per.setdefault(shard, []).append(pos)
+    assert set(per) <= {0, 1, 2, 3}
+    for shard, positions in per.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    assert sum(len(v) for v in per.values()) == 500
+
+
+def test_training_order_seed_changes_order_not_membership(spark):
+    from simple_etl_spark.llm.sampling import training_order
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = training_order(df, "doc_id", seed=1, n_shards=4).collect()
+    b = training_order(df, "doc_id", seed=2, n_shards=4).collect()
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}
+    assert sorted(map(tuple, a)) != sorted(map(tuple, b))
+
+
+def test_training_order_single_shard_and_bad_input(spark):
+    import pytest
+    from simple_etl_spark.llm.sampling import training_order
+
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    one = training_order(df, "doc_id", n_shards=1)
+    rows = one.collect()
+    assert {r["shard"] for r in rows} == {0}
+    assert sorted(r["pos"] for r in rows) == list(range(1, 51))
+    with pytest.raises(ValueError):
+        training_order(df, "doc_id", n_shards=0)
+
+
+def test_training_order_single_shuffle_plan(spark):
+    """The permutation must be ONE shard-keyed exchange + per-shard
+    sort — never a global range sort over the corpus."""
+    from simple_etl_spark.llm.sampling import training_order
+    from simple_etl_spark.planinfo import plan_summary, plan_text
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    out = training_order(df, "doc_id", n_shards=8)
+    s = plan_summary(out)
+    assert s["shuffle_exchanges"] == 1
+    assert "rangepartitioning" not in plan_text(out).lower()
+
+
+def test_canonicalize_url_rules(spark):
+    from simple_etl_spark.functions.clean import canonicalize_url
+
+    cases = [
+        # fragment + tracking + trailing slash + case + default port
+        ("HTTPS://Ex.COM:443/A/b/?utm_source=f&id=9&ref=t#top",
+         "https://ex.com/A/b?id=9"),
+        ("https://ex.com/A/b?id=9", "https://ex.com/A/b?id=9"),
+        ("http://ex.com:80/", "http://ex.com"),
+        ("http://ex.com", "http://ex.com"),
+        # param sort + fbclid strip; path case preserved
+        ("https://sub.Ex.com/a/B/?b=2&a=1&fbclid=x", "https://sub.ex.com/a/B?a=1&b=2"),
+        # non-default port kept
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),
+        # schemeless input: host+path rules still apply, no scheme out
+        ("Ex.com/a/?gclid=1", "ex.com/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, f"{raw} -> {g}, want {want}"
+
+
+def test_remove_boilerplate_strikes_frequent_lines_in_order(spark):
+    from simple_etl_spark.llm.dedup import remove_boilerplate_lines
+
+    rows = []
+    for i in range(10):
+        rows.append((i, f"unique head {i}\nSHARED FOOTER\n\nunique tail {i}"))
+    rows.append((99, "shared footer"))  # casing/trim-normalized match
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(df, min_doc_freq=5).collect()}
+    assert out[0]["clean_text"] == "unique head 0\nunique tail 0"
+    # blank line is removed but NOT counted against the offender set
+    assert out[0]["n_lines"] == 4 and out[0]["n_removed"] == 2
+    # the doc that was pure boilerplate is still reported, empty
+    assert out[99]["clean_text"] == "" and out[99]["n_removed"] == 1
+
+
+def test_remove_boilerplate_rejects_bad_threshold(spark):
+    import pytest
+    from simple_etl_spark.llm.dedup import remove_boilerplate_lines
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        remove_boilerplate_lines(df, min_doc_freq=1)

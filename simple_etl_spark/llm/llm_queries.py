@@ -2420,3 +2420,65 @@ def llm_boilerplate_lines(cat: Catalog) -> DataFrame:
         ).alias("text"),
     )
     return remove_boilerplate_lines(docs, min_doc_freq=10).orderBy("doc_id")
+
+
+@query(
+    "llm_semantic_contamination",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(cast(embedding as double[]),
+                              x -> cast(x as decimal(12,10))) AS e
+        FROM embeddings
+    ),
+    el AS (
+        SELECT vec_id, unnest(e) AS val,
+               unnest(range(1, len(e) + 1)) AS pos
+        FROM v
+    ),
+    n2s AS (
+        SELECT vec_id, sum(cast(val * val AS decimal(30,20))) AS n2
+        FROM el GROUP BY vec_id
+    ),
+    bl AS (SELECT vec_id AS bid, val, pos FROM el WHERE vec_id % 25 = 0),
+    dots AS (
+        SELECT c.vec_id, b.bid,
+               sum(cast(c.val * b.val AS decimal(30,20))) AS dp
+        FROM el c JOIN bl b ON b.pos = c.pos
+        GROUP BY c.vec_id, b.bid
+    ),
+    scored AS (
+        SELECT d.vec_id,
+               cast(d.dp as double)
+                 / (sqrt(cast(nc.n2 as double)) * sqrt(cast(nb.n2 as double)))
+                 AS score
+        FROM dots d
+        JOIN n2s nc ON nc.vec_id = d.vec_id
+        JOIN (SELECT vec_id AS bid, n2 FROM n2s WHERE vec_id % 25 = 0) nb
+          ON nb.bid = d.bid
+    ),
+    hits AS (
+        SELECT vec_id, count(*) AS n_hits,
+               max(cast(score as decimal(18,6))) AS max_score_q
+        FROM scored WHERE score >= 0.9 GROUP BY vec_id
+    )
+    SELECT e2.vec_id, coalesce(h.n_hits, 0) AS n_hits, h.max_score_q
+    FROM (SELECT DISTINCT vec_id FROM embeddings) e2
+    LEFT JOIN hits h ON h.vec_id = e2.vec_id
+    ORDER BY e2.vec_id
+    """,
+    survey="LLM curation: embedding-space benchmark contamination screen "
+    "(broadcast eval set, two-phase exact rescore, per-doc hit rollup)",
+)
+def llm_semantic_contamination(cat: Catalog) -> DataFrame:
+    """Semantic contamination screen: every corpus vector scored
+    against a broadcast benchmark slice (vec_id % 25 = 0 plays the
+    eval set); cosine ≥ 0.9 counts as a hit
+    (llm/similarity.py:semantic_contamination). The benchmark members
+    themselves surface as self-hits at 1.0 — the screen's sanity
+    anchor."""
+    from simple_etl_spark.llm.similarity import semantic_contamination
+
+    emb = cat["embeddings"]
+    bench = emb.filter(F.col("vec_id") % 25 == 0)
+    return semantic_contamination(emb, bench, threshold=0.9).orderBy("vec_id")

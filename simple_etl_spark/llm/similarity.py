@@ -316,6 +316,82 @@ def embedding_near_dups(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark contamination screen: for every corpus
+    vector, count benchmark vectors with cosine ≥ ``threshold`` and
+    report the best score — the semantic complement of the n-gram
+    passes (:func:`~simple_etl_spark.llm.dedup.contamination_check`
+    catches verbatim quotes; this catches paraphrased eval material
+    that shares no 5-gram).
+
+    Returns one row per corpus vector: (id, n_hits, max_score_q)
+    with ``max_score_q`` NULL when nothing reaches the threshold.
+
+    Scale shape: the benchmark side is BROADCAST (eval sets are
+    thousands of rows, the corpus is the 100 TB side) — each corpus
+    partition scores its vectors against the replicated benchmark
+    locally, no shuffle until the per-corpus-id rollup, which is a
+    partial-aggregated hash shuffle on the corpus key. Scoring is the
+    same two-phase discipline as every similarity op here: float64
+    prune at (threshold − 1e-6), DECIMAL-exact rescore of survivors;
+    every reported score comes from the exact path."""
+    bench = F.broadcast(
+        benchmark.select(
+            F.col(bench_id_col).alias("_bid"),
+            F.col(bench_vec_col).alias("_bvec"),
+            F.sqrt(dot_fast(F.col(bench_vec_col), F.col(bench_vec_col))).alias(
+                "_bnd"
+            ),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("_cnd"),
+    )
+    fast = (
+        c.crossJoin(bench)
+        .withColumn(
+            "_fast",
+            F.try_divide(
+                dot_fast(F.col("_cvec"), F.col("_bvec")),
+                F.col("_cnd") * F.col("_bnd"),
+            ),
+        )
+        .filter(F.col("_fast") >= F.lit(threshold - 1e-6))
+    )
+    exact = fast.select(
+        "_cid",
+        cosine(
+            F.col("_cvec"),
+            F.col("_bvec"),
+            norm2(F.col("_cvec")),
+            norm2(F.col("_bvec")),
+        ).alias("_score"),
+    ).filter(F.col("_score") >= F.lit(threshold))
+    hits = exact.groupBy("_cid").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.max(F.col("_score").cast("decimal(18,6)")).alias("max_score_q"),
+    )
+    return (
+        corpus.select(F.col(id_col).alias("_cid"))
+        .join(hits, "_cid", "left")
+        .select(
+            F.col("_cid").alias(id_col),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            "max_score_q",
+        )
+    )
+
+
 def bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,

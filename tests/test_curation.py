@@ -395,3 +395,59 @@ def test_remove_boilerplate_rejects_bad_threshold(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         remove_boilerplate_lines(df, min_doc_freq=1)
+
+
+def test_semantic_contamination_flags_paraphrase_not_orthogonal(spark):
+    from simple_etl_spark.llm.similarity import semantic_contamination
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0, 0.0]),   # near-copy of bench 100
+            (2, [0.0, 0.0, 1.0, 0.0]),     # orthogonal to both
+            (3, [0.7, 0.7, 0.0, 0.0]),     # mid-similar (cos ~0.707)
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_contamination(corpus, bench, threshold=0.9).collect()}
+    assert out[1]["n_hits"] == 1 and out[1]["max_score_q"] is not None
+    assert out[2]["n_hits"] == 0 and out[2]["max_score_q"] is None
+    assert out[3]["n_hits"] == 0
+
+
+def test_semantic_contamination_benchmark_is_broadcast(spark):
+    """The eval set must ride as a broadcast — the corpus side is the
+    100 TB side and must not shuffle before the per-id rollup."""
+    from simple_etl_spark.llm.similarity import semantic_contamination
+    from simple_etl_spark.planinfo import plan_summary
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    out = semantic_contamination(emb, emb.filter("vec_id % 5 = 0"))
+    s = plan_summary(out)
+    assert s["broadcast_exchanges"] >= 1
+    assert s["cartesian_products"] == 0
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    from simple_etl_spark.functions.clean import canonicalize_url
+    from pyspark.sql import functions as F
+
+    raws = [
+        "HTTPS://Ex.COM:443/A/b/?utm_source=f&id=9&ref=t#top",
+        "http://ex.com:80/",
+        "https://sub.Ex.com/a/B/?b=2&a=1&fbclid=x",
+        "https://ex.com:8443/x?z=1&y=2#frag",
+        "Ex.com/a/?gclid=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in raws], ["url"])
+    once = df.select(canonicalize_url("url").alias("c"))
+    twice = once.select(F.col("c").alias("url")).select(
+        canonicalize_url("url").alias("c")
+    )
+    assert [r["c"] for r in once.collect()] == [r["c"] for r in twice.collect()]

@@ -128,3 +128,110 @@ def watermarked_dedupe(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+SESSION_SCHEMA = "key string, start_ms bigint, end_ms bigint, n_events bigint"
+_SESSION_STATE = "start_ms bigint, last_ms bigint, n bigint"
+
+
+def gap_session_finalizer(
+    stream_df: DataFrame,
+    key_col: str = "id",
+    ts_col: str = "ts",
+    gap_seconds: int = 300,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Timer-finalized per-key sessions: a session CLOSES (and emits
+    exactly one summary row) only when the event-time watermark passes
+    ``gap_seconds`` beyond its last event — the timeout-driven
+    complement of the windowed `session_window` aggregation
+    (streaming/stream_queries.py): that one emits when the window
+    expires downstream of the agg; this one owns the state machine,
+    so late events within the watermark extend or correctly split
+    sessions, and the emission is a true append-mode finalization.
+
+    Timeout semantics: ``GroupStateTimeout.EventTimeTimeout`` +
+    ``setTimeoutTimestamp(last + gap)``; a batch's events are
+    sessionized IN the state function (sorted walk, gap split), every
+    closed session emits immediately, the trailing open session waits
+    in state for its timer. (On Spark 4.1+ with the protobuf package
+    available the same machine maps 1:1 onto
+    ``transformWithStateInPandas`` value-state + ``registerTimer``;
+    that API's Python client needs protobuf, absent in this
+    environment, so the engine standardizes on the
+    applyInPandasWithState form — same state layout, same timers.)
+
+    Scale posture: state is one (start, last, n) triple per OPEN
+    session key — closed sessions leave the store the batch their
+    timer fires, so state size tracks concurrent activity, not
+    history. The pre-operator shuffle partitions keys across
+    executors; the per-key walk is O(batch events log batch events).
+
+    Returns (key, start_ms, end_ms, n_events) in append mode; keys
+    still open when the stream stops remain in state (recoverable
+    from the checkpoint), exactly like any windowed agg's unflushed
+    window."""
+    if gap_seconds < 1:
+        raise ValueError(f"gap_seconds must be >= 1, got {gap_seconds}")
+    from pyspark.sql import functions as F
+
+    gap_ms = gap_seconds * 1000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def row(s: int, e: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": [key[0]], "start_ms": [s], "end_ms": [e],
+                 "n_events": [n]}
+            )
+
+        if state.hasTimedOut:
+            for _ in pdfs:  # contract: consume the (empty) iterator
+                pass
+            s0, l0, n0 = state.get
+            state.remove()
+            yield row(s0, l0, n0)
+            return
+        ts: list[int] = []
+        for p in pdfs:
+            if len(p):
+                ts.extend(int(v) for v in p["ts_ms"])
+        if not ts:
+            return
+        ts.sort()
+        sessions: list[list[int]] = []
+        if state.exists:
+            s0, l0, n0 = state.get
+            sessions.append([s0, l0, n0])
+        for t in ts:
+            if sessions and t - sessions[-1][1] <= gap_ms:
+                cur = sessions[-1]
+                cur[0] = min(cur[0], t)
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+            else:
+                sessions.append([t, t, 1])
+        for s, e, n in sessions[:-1]:
+            yield row(s, e, n)
+        s, e, n = sessions[-1]
+        state.update((s, e, n))
+        # a late tail can put last+gap at/behind the watermark (illegal
+        # timeout); park the timer just past it so the session closes
+        # on the next trigger
+        state.setTimeoutTimestamp(
+            max(e + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    prepped = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("key"),
+        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+        F.col(ts_col),
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        fn,
+        SESSION_SCHEMA,
+        _SESSION_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

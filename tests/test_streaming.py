@@ -464,3 +464,90 @@ def test_enriched_stream_sees_dimension_updates(spark, workdir):
     run_once()
     got = {r["id"]: r["category"] for r in read_table(spark, out_base).collect()}
     assert got == {"a": "cat-v2", "z": None}
+
+
+def test_gap_session_finalizer_emits_on_watermark_timer(spark, workdir):
+    import datetime as dt
+
+    from simple_etl_spark.streaming.stateful import gap_session_finalizer
+
+    src = f"{workdir}/sessrc"
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    # batch 1: a has two events, b one
+    _write_batch(spark, src, [("a", "x", t0), ("a", "y", t0 + m), ("b", "z", t0)])
+    # batch 2: a extends its session; c opens far later (advances watermark)
+    _write_batch(spark, src, [("a", "w", t0 + 2 * m), ("c", "v", t0 + 30 * m)])
+    # batch 3: far-future sentinel -> watermark passes every earlier timer
+    _write_batch(spark, src, [("zz", "s", t0 + dt.timedelta(hours=10))])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        gap_session_finalizer(
+            stream, key_col="id", ts_col="created_at", gap_seconds=300
+        )
+        .writeStream.format("memory")
+        .queryName("gap_sessions")
+        .option("checkpointLocation", f"{workdir}/sessckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["key"]: r for r in spark.sql("select * from gap_sessions").collect()}
+    # a and b finalized when the watermark passed last+gap; c finalized
+    # by the sentinel batch; zz still open -> absent
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["n_events"] == 3
+    assert rows["a"]["end_ms"] - rows["a"]["start_ms"] == 120_000
+    assert rows["b"]["n_events"] == 1
+    assert rows["b"]["start_ms"] == rows["b"]["end_ms"]
+    assert rows["c"]["n_events"] == 1
+    assert "zz" not in rows
+
+
+def test_gap_session_finalizer_splits_in_batch_gap(spark, workdir):
+    """Two bursts separated by more than the gap INSIDE one batch must
+    close the first session immediately (no timer needed)."""
+    import datetime as dt
+
+    from simple_etl_spark.streaming.stateful import gap_session_finalizer
+
+    src = f"{workdir}/splitsrc"
+    t0 = dt.datetime(2024, 1, 1)
+    _write_batch(
+        spark,
+        src,
+        [
+            ("a", "e1", t0),
+            ("a", "e2", t0 + dt.timedelta(seconds=30)),
+            ("a", "e3", t0 + dt.timedelta(hours=1)),  # > gap later
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        gap_session_finalizer(
+            stream, key_col="id", ts_col="created_at", gap_seconds=300
+        )
+        .writeStream.format("memory")
+        .queryName("split_sessions")
+        .option("checkpointLocation", f"{workdir}/splitckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from split_sessions").collect()
+    assert len(rows) == 1  # first burst closed in-batch; second still open
+    assert rows[0]["n_events"] == 2
+    assert rows[0]["end_ms"] - rows[0]["start_ms"] == 30_000
+
+
+def test_gap_session_finalizer_rejects_bad_gap(spark):
+    from simple_etl_spark.streaming.stateful import gap_session_finalizer
+
+    with pytest.raises(ValueError, match="gap_seconds"):
+        gap_session_finalizer(spark.range(1), gap_seconds=0)

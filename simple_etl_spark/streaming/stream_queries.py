@@ -172,3 +172,53 @@ def stream_sessionized_counts(cat: Catalog) -> DataFrame:
         "cnt",
     )
     return _drain(out, "sesscnt", mode="complete")
+
+
+@query(
+    "stream_gap_sessions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ), rolled AS (
+        SELECT cast(user_id as varchar) AS key,
+               epoch_ms(min(ts)) AS start_ms,
+               epoch_ms(max(ts)) AS end_ms,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT key, start_ms, end_ms, n_events
+    FROM rolled, (SELECT epoch_ms(max(ts)) AS m FROM events)
+    WHERE end_ms + 1800000 < m
+    ORDER BY key, start_ms
+    """,
+    survey="ST-session-timer: EventTimeTimeout gap sessions; only "
+    "sessions whose timer the final watermark passed may emit, so the "
+    "ANSI twin is gaps-and-islands + a watermark-closure predicate",
+)
+def stream_gap_sessions(cat: Catalog) -> DataFrame:
+    """Timer-finalized 30-minute-gap sessions over the event stream
+    (streaming/stateful.py:gap_session_finalizer). One source file =
+    one micro-batch: in-batch splits emit during it, and the trailing
+    no-data batch advances the watermark to max(ts), firing exactly
+    the timers with last_event + gap < max(ts) — which is the closure
+    predicate the DuckDB twin applies after its gaps-and-islands
+    rollup. Sessions still open at the horizon stay in state (their
+    rows appear in neither engine)."""
+    from simple_etl_spark.streaming.stateful import gap_session_finalizer
+
+    stream = _event_stream(cat.spark, cat.sf_dir).select(
+        F.col("user_id").cast("string").alias("user_key"), "ts"
+    )
+    out = gap_session_finalizer(
+        stream, key_col="user_key", ts_col="ts", gap_seconds=1800
+    )
+    return _drain(out, "gapsess", mode="append").orderBy("key", "start_ms")

@@ -110,7 +110,13 @@ GRADE_ORDER: tuple[str, ...] = (
     # (process_silver_to_gold.sql:172-208, apx.py:114-135).
     "m_top_entity_per_type",  # W2 W3 on the entity path (r3 re-grade)
     "m_search_index",         # S9 S10 (ungraded in r1)
-    "m_search_fuzzy",         # F21 fuzziness + highlights (new r2)
+    # r5: m_search_fuzzy ceded its slot to stream_gap_sessions. F21
+    # was triple-covered in the window (m_weighted_search +
+    # m_search_bm25 remain); the timer-finalized session operator —
+    # EventTimeTimeout state, the only §2.9-class op with no hard
+    # driver row — is the stronger signal. m_search_fuzzy stays
+    # registered and pytest-parity-verified.
+    "stream_gap_sessions",    # ST-session-timer (EventTimeTimeout)
     # -- LLM pack headline queries --
     "llm_exact_dedup",
     "llm_minhash_lsh",

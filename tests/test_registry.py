@@ -37,6 +37,10 @@ def test_musts_inside_driver_window():
         # date_histogram's slot — A14's shape keeps graded covers via
         # daily_rollup / m_daily_analytics).
         "m_search_bm25",
+        # r5: event-time timer sessions on the driver signal (took
+        # m_search_fuzzy's slot — F21 keeps graded covers via
+        # m_weighted_search + m_search_bm25).
+        "stream_gap_sessions",
     ]
     out = [n for n in musts if n not in window]
     assert not out, f"must-grade queries outside the 50-query window: {out}"

@@ -81,6 +81,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"z-ordered compaction: read {len(kept)}/{total} files for u=3 ({n} rows)")
     print(f"time travel: v1 had {read_table_at(spark, base, 1).count()} rows")
 
+    print("== curation pack (round 5) ==")
+    from simple_etl_spark.functions.clean import canonicalize_url
+    from simple_etl_spark.llm.sampling import training_order
+    from simple_etl_spark.llm.similarity import semantic_contamination
+
+    order = training_order(cat["documents"].select("doc_id"), "doc_id",
+                           seed=42, n_shards=4)
+    sizes = {r["shard"]: r["n"] for r in
+             order.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    print(f"training order: 4 shards sized {sorted(sizes.values())}")
+    raw = "HTTPS://Ex.COM:443/a/?utm_source=f&id=9#top"
+    canon = spark.range(1).select(
+        canonicalize_url(F.lit(raw)).alias("c")
+    ).first()["c"]
+    print(f"canonicalize_url: {raw} -> {canon}")
+    emb = cat["embeddings"]
+    contam = semantic_contamination(
+        emb, emb.filter(F.col("vec_id") % 25 == 0), threshold=0.9
+    )
+    n_hit = contam.filter(F.col("n_hits") > 0).count()
+    print(f"semantic contamination: {n_hit} vectors over 0.9 vs the eval slice")
+
     print("== streaming with in-flight metrics ==")
     from simple_etl_spark.observability import promote_with_metrics
 

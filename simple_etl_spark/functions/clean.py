@@ -189,8 +189,14 @@ def canonicalize_url(col: Column | str) -> Column:
         has_scheme,
         pre.substr(F.instr(pre, "://") + 3, F.length(pre)),
     ).otherwise(pre)
-    host = F.regexp_replace(
-        F.lower(F.substring_index(rest, "/", 1)), ":(80|443)$", ""
+    # the default port is scheme-dependent: :80 is default only for
+    # http, :443 only for https — http://h:443 is a real non-default
+    # service and must NOT collapse into http://h
+    rawhost = F.lower(F.substring_index(rest, "/", 1))
+    host = (
+        F.when(scheme == "http://", F.regexp_replace(rawhost, ":80$", ""))
+        .when(scheme == "https://", F.regexp_replace(rawhost, ":443$", ""))
+        .otherwise(rawhost)
     )
     path = F.when(
         F.instr(rest, "/") > 0,

@@ -18,6 +18,7 @@ engine reproduces signatures bit-for-bit.
 
 from __future__ import annotations
 
+import re as _re
 import threading
 import uuid
 
@@ -919,14 +920,20 @@ def remove_boilerplate_lines(
     by n_lines / min_doc_freq and in practice tiny (AQE picks a
     broadcast for it), and a hot line (appearing in millions of docs)
     is a single build-side key probed hash-locally, so frequency skew
-    does not concentrate work. Regrouping by document is the third
-    and final shuffle. Never an all-pairs comparison.
+    does not concentrate work. Regrouping by document is the second
+    shuffle; per-doc line totals come scan-side from
+    ``size(split(...))`` on the un-exploded corpus (no second explode,
+    no counting shuffle), which doubles as the every-document spine.
+    Never an all-pairs comparison.
     """
     if min_doc_freq < 2:
         raise ValueError(f"min_doc_freq must be >= 2, got {min_doc_freq}")
+    # F.split takes a Java REGEX; the separator contract here is a
+    # literal string (mirroring array_join on the way back), so quote it
+    sep_re = _re.escape(sep)
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "line"),
     ).withColumn("_norm", F.lower(F.trim(F.col("line"))))
     nonblank = lines.filter(F.col("_norm") != "")
     offenders = (
@@ -946,11 +953,12 @@ def remove_boilerplate_lines(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("_kept"),
     )
-    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    spine = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), sep_re)).alias("n_lines"),
+    )
     return (
-        docs.select(F.col(id_col).alias("_id"))
-        .join(totals, "_id", "left")
-        .join(rebuilt, "_id", "left")
+        spine.join(rebuilt, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),

@@ -2250,8 +2250,13 @@ urls AS (
     canon AS (
         SELECT doc_id,
                scheme || '://'
-               || regexp_replace(lower(string_split(rest, '/')[1]),
-                                 ':(80|443)$', '')
+               || CASE WHEN scheme = 'http'
+                       THEN regexp_replace(lower(string_split(rest, '/')[1]),
+                                           ':80$', '')
+                       WHEN scheme = 'https'
+                       THEN regexp_replace(lower(string_split(rest, '/')[1]),
+                                           ':443$', '')
+                       ELSE lower(string_split(rest, '/')[1]) END
                || CASE WHEN strpos(rest, '/') > 0
                        THEN regexp_replace(substr(rest, strpos(rest, '/')),
                                            '/+$', '')

@@ -152,9 +152,16 @@ def gap_session_finalizer(
 
     Timeout semantics: ``GroupStateTimeout.EventTimeTimeout`` +
     ``setTimeoutTimestamp(last + gap)``; a batch's events are
-    sessionized IN the state function (sorted walk, gap split), every
-    closed session emits immediately, the trailing open session waits
-    in state for its timer. (On Spark 4.1+ with the protobuf package
+    sessionized IN the state function (sorted gap walk, then an
+    interval merge against the open session — stored intervals are
+    internally gap-connected, so interval distance ≤ gap is exactly
+    event-level session equivalence), every closed session emits
+    immediately, the trailing open session waits in state for its
+    timer. Caveat shared with every watermark-bounded stateful op: an
+    event arriving LATER than the watermark allowed (after its
+    session's timer already fired) opens a fresh session rather than
+    amending the emitted one — size ``watermark`` to the transport's
+    real lateness. (On Spark 4.1+ with the protobuf package
     available the same machine maps 1:1 onto
     ``transformWithStateInPandas`` value-state + ``registerTimer``;
     that API's Python client needs protobuf, absent in this
@@ -196,22 +203,41 @@ def gap_session_finalizer(
         ts: list[int] = []
         for p in pdfs:
             if len(p):
+                # ts_ms is bigint but pandas renders it float64 + NaN
+                # if any null slipped through; nulls are filtered in
+                # `prepped`, so plain int() is safe here
                 ts.extend(int(v) for v in p["ts_ms"])
         if not ts:
             return
         ts.sort()
+        # gap-walk the batch's (sorted) events, then interval-merge the
+        # open session from state. Each stored interval is internally
+        # gap-connected by construction, so two intervals within
+        # gap_ms of each other merge into one gap-connected session —
+        # this handles an out-of-order event arriving BEFORE the open
+        # session's start (it must NOT merge unless within the gap of
+        # the session's START, which the old `t - last <= gap` test
+        # got wrong for t in the past).
         sessions: list[list[int]] = []
-        if state.exists:
-            s0, l0, n0 = state.get
-            sessions.append([s0, l0, n0])
         for t in ts:
             if sessions and t - sessions[-1][1] <= gap_ms:
                 cur = sessions[-1]
-                cur[0] = min(cur[0], t)
                 cur[1] = max(cur[1], t)
                 cur[2] += 1
             else:
                 sessions.append([t, t, 1])
+        if state.exists:
+            s0, l0, n0 = state.get
+            sessions.append([s0, l0, n0])
+            sessions.sort(key=lambda x: (x[0], x[1]))
+            merged: list[list[int]] = []
+            for s in sessions:
+                if merged and s[0] - merged[-1][1] <= gap_ms:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                else:
+                    merged.append(s)
+            sessions = merged
         for s, e, n in sessions[:-1]:
             yield row(s, e, n)
         s, e, n = sessions[-1]
@@ -223,10 +249,17 @@ def gap_session_finalizer(
             max(e + gap_ms, state.getCurrentWatermarkMs() + 1)
         )
 
-    prepped = stream_df.withWatermark(ts_col, watermark).select(
-        F.col(key_col).alias("key"),
-        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
-        F.col(ts_col),
+    # null event times carry no session information and would poison
+    # the state function (NaN in the Arrow batch); watermarking does
+    # NOT filter them for applyInPandasWithState, so do it here
+    prepped = (
+        stream_df.withWatermark(ts_col, watermark)
+        .filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+            F.col(ts_col),
+        )
     )
     return prepped.groupBy("key").applyInPandasWithState(
         fn,

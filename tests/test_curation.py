@@ -451,3 +451,31 @@ def test_canonicalize_url_is_idempotent(spark):
         canonicalize_url("url").alias("c")
     )
     assert [r["c"] for r in once.collect()] == [r["c"] for r in twice.collect()]
+
+
+def test_canonicalize_port_strip_is_scheme_dependent(spark):
+    from simple_etl_spark.functions.clean import canonicalize_url
+
+    cases = [
+        ("http://ex.com:443/page", "http://ex.com:443/page"),  # real service
+        ("https://ex.com:80/page", "https://ex.com:80/page"),
+        ("http://ex.com:80/page", "http://ex.com/page"),
+        ("https://ex.com:443/page", "https://ex.com/page"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, f"{raw} -> {g}, want {want}"
+
+
+def test_remove_boilerplate_sep_is_literal_not_regex(spark):
+    from simple_etl_spark.llm.dedup import remove_boilerplate_lines
+
+    rows = [(i, f"unique {i}|SHARED|tail {i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_lines(df, min_doc_freq=3, sep="|").collect()}
+    # '|' as a regex would explode to single chars; as a literal it
+    # yields 3 segments, the shared one struck
+    assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 1
+    assert out[0]["clean_text"] == "unique 0|tail 0"

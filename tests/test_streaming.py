@@ -551,3 +551,76 @@ def test_gap_session_finalizer_rejects_bad_gap(spark):
 
     with pytest.raises(ValueError, match="gap_seconds"):
         gap_session_finalizer(spark.range(1), gap_seconds=0)
+
+
+def test_gap_session_finalizer_out_of_order_event_does_not_merge_backwards(
+    spark, workdir
+):
+    """A cross-batch event far BEFORE the open session must open its
+    own (older) session, not be absorbed into the later one."""
+    import datetime as dt
+
+    from simple_etl_spark.streaming.stateful import gap_session_finalizer
+
+    src = f"{workdir}/ooosrc"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # batch 1: session at 10:00-10:05
+    _write_batch(spark, src, [
+        ("a", "x", t0), ("a", "y", t0 + dt.timedelta(minutes=5)),
+    ])
+    # batch 2: late event at 9:00 (watermark still behind it: delay 2h)
+    _write_batch(spark, src, [("a", "late", t0 - dt.timedelta(hours=1))])
+    # batch 3: sentinel far in the future closes everything
+    _write_batch(spark, src, [("zz", "s", t0 + dt.timedelta(days=2))])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        gap_session_finalizer(
+            stream, key_col="id", ts_col="created_at",
+            gap_seconds=300, watermark="2 hours",
+        )
+        .writeStream.format("memory")
+        .queryName("ooo_sessions")
+        .option("checkpointLocation", f"{workdir}/ooockpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        (r for r in spark.sql("select * from ooo_sessions").collect()
+         if r["key"] == "a"),
+        key=lambda r: r["start_ms"],
+    )
+    assert [r["n_events"] for r in rows] == [1, 2]
+    assert rows[0]["start_ms"] == rows[0]["end_ms"]  # the 9:00 singleton
+    assert rows[1]["end_ms"] - rows[1]["start_ms"] == 300_000
+
+
+def test_gap_session_finalizer_skips_null_event_times(spark, workdir):
+    import datetime as dt
+
+    from simple_etl_spark.streaming.stateful import gap_session_finalizer
+
+    src = f"{workdir}/nullsrc"
+    t0 = dt.datetime(2024, 1, 1)
+    _write_batch(spark, src, [("a", "x", t0), ("a", "nullts", None)])
+    _write_batch(spark, src, [("zz", "s", t0 + dt.timedelta(days=1))])
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        gap_session_finalizer(stream, key_col="id", ts_col="created_at",
+                              gap_seconds=300)
+        .writeStream.format("memory")
+        .queryName("null_sessions")
+        .option("checkpointLocation", f"{workdir}/nullckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r["key"]: r for r in spark.sql("select * from null_sessions").collect()}
+    assert rows["a"]["n_events"] == 1  # the null-ts row carried no signal

@@ -2487,3 +2487,72 @@ def llm_semantic_contamination(cat: Catalog) -> DataFrame:
     emb = cat["embeddings"]
     bench = emb.filter(F.col("vec_id") % 25 == 0)
     return semantic_contamination(emb, bench, threshold=0.9).orderBy("vec_id")
+
+
+@query(
+    "llm_lsh_star_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_CORPUS_SQL.strip().rstrip()},
+    {_SHINGLE_SQL.strip()},
+    hv AS (
+        SELECT id,
+               ('0x' || substr(md5(shingle), 1, 15))::bigint % 2147483647 AS a,
+               ('0x' || substr(md5(shingle), 16, 15))::bigint % 2147483647 AS b
+        FROM sh
+    ),
+    sig AS (
+        SELECT id,
+               min((a + 0 * b) % 2147483647) AS h0,
+               min((a + 1 * b) % 2147483647) AS h1,
+               min((a + 2 * b) % 2147483647) AS h2,
+               min((a + 3 * b) % 2147483647) AS h3,
+               min((a + 4 * b) % 2147483647) AS h4,
+               min((a + 5 * b) % 2147483647) AS h5,
+               min((a + 6 * b) % 2147483647) AS h6,
+               min((a + 7 * b) % 2147483647) AS h7
+        FROM hv GROUP BY id
+    ),
+    bands AS (
+        SELECT id, 0 AS band, md5(concat(h0, '|', h1)) AS key FROM sig
+        UNION ALL SELECT id, 1, md5(concat(h2, '|', h3)) FROM sig
+        UNION ALL SELECT id, 2, md5(concat(h4, '|', h5)) FROM sig
+        UNION ALL SELECT id, 3, md5(concat(h6, '|', h7)) FROM sig
+    ),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM cands
+        UNION ALL SELECT id_b, id_a FROM cands
+    ),
+    walk(node, label) AS (
+        SELECT id, id FROM corpus
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS id, min(label) AS cluster_id FROM walk GROUP BY node
+    ORDER BY id
+    """,
+    survey="LLM dedup at scale: candidate-level components over LSH STAR "
+    "edges (O(bucket) per collision bucket); the oracle walks the full "
+    "O(bucket^2) clique, so the value compare proves star ≡ clique "
+    "connectivity",
+)
+def llm_lsh_star_clusters(cat: Catalog) -> DataFrame:
+    """Unverified LSH clustering with hot-band-safe edge generation:
+    star edges per collision bucket (llm/dedup.py:lsh_star_edges) fed
+    to the min-label components loop. The DuckDB twin walks the full
+    candidate clique — identical cluster assignments demonstrate the
+    spanning-edge reduction loses nothing the clustering consumes."""
+    from simple_etl_spark.llm.dedup import (
+        dedup_clusters,
+        lsh_star_edges,
+        minhash_signature,
+    )
+
+    corpus = _near_corpus(cat)
+    sig = minhash_signature(corpus, "id", "text")
+    edges = lsh_star_edges(sig, "id")
+    return dedup_clusters(edges, corpus.select("id")).orderBy("id")

@@ -86,3 +86,47 @@ def test_same_input_repeated_call_reuses_cached_handle(spark):
     assert dedup._PERSISTED["simhash_fp"] is first  # cache hit, no rebuild
     assert first.storageLevel.useMemory
     dedup.release_persisted()
+
+
+def test_lsh_star_edges_linear_in_hot_bucket_same_components(spark):
+    """A hot collision bucket (k near-identical docs) must cost O(k)
+    star edges, not O(k^2) pairs, while clustering identically."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.llm.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signature,
+    )
+
+    k = 12
+    rows = [(i, "the same template text repeated for every doc") for i in range(k)]
+    rows += [(100 + i, f"totally different content number {i} with words {i*7}")
+             for i in range(3)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    sig = minhash_signature(df, "id", "text")
+    pairs = lsh_candidate_pairs(sig, "id")
+    stars = lsh_star_edges(sig, "id")
+    # count within the hot bucket's ids (filler docs may collide too)
+    hot = (F.col("id_a") < 100) & (F.col("id_b") < 100)
+    assert pairs.filter(hot).count() == k * (k - 1) // 2  # quadratic clique
+    assert stars.filter(hot).count() == k - 1             # linear star
+    ids = df.select("id")
+    clique_clusters = sorted(map(tuple, dedup_clusters(pairs, ids).collect()))
+    star_clusters = sorted(map(tuple, dedup_clusters(stars, ids).collect()))
+    assert clique_clusters == star_clusters
+
+
+def test_lsh_star_edges_plan_has_no_self_join(spark):
+    from simple_etl_spark.llm.dedup import lsh_star_edges, minhash_signature
+    from simple_etl_spark.planinfo import plan_summary
+
+    df = spark.createDataFrame(
+        [(i, f"text number {i} with some shared words") for i in range(20)],
+        ["id", "text"],
+    )
+    s = plan_summary(lsh_star_edges(minhash_signature(df, "id", "text"), "id"))
+    assert s["sort_merge_joins"] == 0
+    assert s["broadcast_hash_joins"] == 0
+    assert s["cartesian_products"] == 0

@@ -479,3 +479,21 @@ def test_remove_boilerplate_sep_is_literal_not_regex(spark):
     # yields 3 segments, the shared one struck
     assert out[0]["n_lines"] == 3 and out[0]["n_removed"] == 1
     assert out[0]["clean_text"] == "unique 0|tail 0"
+
+
+def test_remove_boilerplate_is_idempotent(spark):
+    from pyspark.sql import functions as F
+    from simple_etl_spark.llm.dedup import remove_boilerplate_lines
+
+    rows = [(i, f"unique head {i}\nSHARED FOOTER\nunique tail {i}")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    once = remove_boilerplate_lines(df, min_doc_freq=4)
+    again = remove_boilerplate_lines(
+        once.select("doc_id", F.col("clean_text").alias("text")),
+        min_doc_freq=4,
+    )
+    a = {r["doc_id"]: r["clean_text"] for r in once.collect()}
+    b = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in again.collect()}
+    for i in a:
+        assert b[i] == (a[i], 0)  # fixpoint: nothing left to strike

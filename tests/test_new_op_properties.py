@@ -121,3 +121,65 @@ def test_quantization_error_bound_random(spark, vecs):
         assert all(abs(c) <= 127 for c in codes)
         for c, x in zip(codes, orig):
             assert abs(c * scale - x) <= scale / 2 + 1e-12
+
+
+# --- canonicalize_url vs a pure-Python reference ---------------------
+
+_SCHEME = st.sampled_from(["http", "https", "HTTP", "HtTpS"])
+_HOST = st.lists(st.text("abcDEF", min_size=1, max_size=4),
+                 min_size=1, max_size=3).map(".".join)
+_PORT = st.sampled_from(["", ":80", ":443", ":8080"])
+_PATH = st.lists(st.text("abcXY19", min_size=1, max_size=4),
+                 min_size=0, max_size=3)
+_PARAM = st.tuples(
+    st.sampled_from(["a", "b", "id", "utm_source", "utm_x", "fbclid",
+                     "gclid", "ref", "z9"]),
+    st.text("xy01", min_size=1, max_size=3),
+)
+_PARAMS = st.lists(_PARAM, max_size=4)
+_FRAG = st.sampled_from(["", "#top", "#a?b=1"])
+_SLASH = st.booleans()
+
+
+def _py_canonical(scheme, host, port, path, params, frag, slash):
+    """Sequential reference model of the documented canonical rules."""
+    import re as _re
+
+    s = scheme.lower()
+    h = (host + port).lower()
+    if s == "http":
+        h = _re.sub(":80$", "", h)
+    elif s == "https":
+        h = _re.sub(":443$", "", h)
+    p = "/" + "/".join(path) if path else ""
+    if slash:
+        p = p + "/"
+    p = _re.sub("/+$", "", p)
+    keep = sorted(
+        f"{k}={v}" for k, v in params
+        if not _re.match(r"^(utm_[^=]*|fbclid|gclid|ref)=", f"{k}={v}")
+    )
+    q = ("?" + "&".join(keep)) if keep else ""
+    return f"{s}://{h}{p}{q}"
+
+
+@SET
+@given(scheme=_SCHEME, host=_HOST, port=_PORT, path=_PATH,
+       params=_PARAMS, frag=_FRAG, slash=_SLASH)
+def test_canonicalize_url_matches_reference(
+    spark, scheme, host, port, path, params, frag, slash
+):
+    from simple_etl_spark.functions.clean import canonicalize_url
+
+    raw_path = "/" + "/".join(path) if path else ""
+    if slash:
+        raw_path += "/"
+    raw_q = "&".join(f"{k}={v}" for k, v in params)
+    raw = f"{scheme}://{host}{port}{raw_path}"
+    if raw_q:
+        raw += "?" + raw_q
+    raw += frag
+    want = _py_canonical(scheme, host, port, path, params, frag, slash)
+    df = spark.createDataFrame([(raw,)], ["url"])
+    got = df.select(canonicalize_url("url").alias("c")).first()["c"]
+    assert got == want, f"{raw!r} -> {got!r}, want {want!r}"

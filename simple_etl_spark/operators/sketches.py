@@ -414,6 +414,107 @@ def quantile_disc(
     )
 
 
+def hist_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Mergeable fixed-grid histogram sketch: per-group counts over
+    ``bins`` equal-width buckets of [lo, hi] — the single-pass,
+    O(bins)-state scale path for quantiles (the exact
+    :func:`quantile_disc` rank-selects inside a per-group sort; a
+    GLOBAL exact quantile would need a total sort, which is exactly
+    what a 100 TB pipeline avoids).
+
+    Out-of-range values clamp into the edge buckets (the sketch is
+    total over non-NULL inputs; NULLs are dropped), so ``n`` from the
+    register sum equals the input count and quantile targets stay
+    exact. Binning arithmetic is plain IEEE double with one fixed
+    expression shape, reproduced verbatim by the DuckDB twin.
+
+    Registers merge by addition: same grid ⇒ union + sum
+    (:func:`hist_merge`) — the partial-aggregation property that lets
+    per-day/per-source sketches roll up without rescanning."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
+    v = F.col(value_col)
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(bins))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*register_frames: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge same-grid histogram registers by addition."""
+    it = iter(register_frames)
+    out = next(it)
+    for f in it:
+        out = out.unionByName(f)
+    return out.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    registers: DataFrame,
+    group_cols: list[str],
+    qs: list[str],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Quantile estimates from histogram registers: for each q, the
+    UPPER EDGE of the first bin whose cumulative count reaches the
+    nearest-rank target ceil(q·n) — a deterministic, engine-exact
+    value (bin edges are Decimal literals computed driver-side; no
+    float arithmetic touches the output), within one bin width of the
+    exact quantile by construction.
+
+    The cumulative window runs over the |groups|·|bins| register frame
+    (post-aggregation, bounded by the grid — the documented
+    small-frame window pattern), never over input rows."""
+    if any(not isinstance(q, str) for q in qs):
+        raise TypeError(f"quantiles must be decimal strings, got {qs}")
+    decs = [Decimal(q) for q in qs]
+    if any(not (0 < d <= 1) for d in decs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    scale = max(1, *(-d.as_tuple().exponent for d in decs))
+    dtype = f"decimal({scale + 1},{scale})"
+    width = (
+        (Decimal(str(hi)) - Decimal(str(lo))) / Decimal(bins)
+    ).quantize(Decimal("0.000001"))
+    lo_d = Decimal(str(lo)).quantize(Decimal("0.000001"))
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = registers.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    n = registers.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    q_arr = F.explode(F.array(*[F.lit(d).cast(dtype) for d in decs])).alias("q")
+    targets = n.select(*group_cols, "n", q_arr).withColumn(
+        "target", F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    )
+    hits = (
+        cum.join(F.broadcast(targets), [*group_cols])
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy(*group_cols, "q", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    edge = (
+        F.lit(lo_d) + (F.col("bin") + 1) * F.lit(width)
+    ).cast("decimal(18,6)")
+    return hits.select(
+        *group_cols, "q", "bin", edge.alias("upper_edge"), "n"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -725,3 +826,60 @@ def orders_quantile_profile(cat: Catalog) -> DataFrame:
     return prof.select(
         "o_orderpriority", "q", F.col("o_totalprice").alias("price")
     ).orderBy("o_orderpriority", "q")
+
+
+@query(
+    "events_hist_quantile",
+    oracle="""
+    WITH regs AS (
+        SELECT event_type,
+               cast(least(greatest(floor((value - 0.0) / 500.0 * 50), 0), 49)
+                    as int) AS bin,
+               count(*) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, bin,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM regs
+    ),
+    totals AS (SELECT event_type, cast(sum(cnt) as bigint) AS n
+               FROM regs GROUP BY 1),
+    targets AS (
+        SELECT t.event_type, t.n, qq.q,
+               cast(ceil(qq.q * t.n) as bigint) AS target
+        FROM totals t,
+             (SELECT unnest([cast(0.50 as decimal(3,2)),
+                             cast(0.90 as decimal(3,2)),
+                             cast(0.99 as decimal(3,2))]) AS q) qq
+    ),
+    hits AS (
+        SELECT c.event_type, tg.q, tg.n, min(c.bin) AS bin
+        FROM cum c JOIN targets tg ON tg.event_type = c.event_type
+        WHERE c.cum >= tg.target
+        GROUP BY c.event_type, tg.q, tg.n
+    )
+    SELECT event_type, q, bin,
+           cast(cast(0.000000 as decimal(18,6))
+                + (bin + 1) * cast(10.000000 as decimal(18,6))
+                as decimal(18,6)) AS upper_edge,
+           n
+    FROM hits ORDER BY event_type, q
+    """,
+    survey="scale substitute for exact quantiles at 100 TB: mergeable "
+    "fixed-grid histogram sketch (single pass, O(bins) state, "
+    "windows only over the register frame)",
+)
+def events_hist_quantile(cat: Catalog) -> DataFrame:
+    """Per-event-type p50/p90/p99 of `value` from a 50-bin histogram
+    sketch over [0, 500]: nearest-rank bin selection, upper-edge
+    estimate exact to the grid (within one 10-unit bin of the true
+    quantile). The register build is the only pass over the fact
+    table."""
+    ev = cat["events"]
+    regs = hist_registers(ev, "value", ["event_type"], 0.0, 500.0, 50)
+    return hist_quantile(
+        regs, ["event_type"], ["0.50", "0.90", "0.99"], 0.0, 500.0, 50
+    ).orderBy("event_type", "q")

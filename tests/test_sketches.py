@@ -304,3 +304,59 @@ def test_quantile_matches_nearest_rank_model(cat):
         vals = sorted(by_group[r["o_orderpriority"]])
         target = math.ceil(float(r["q"]) * len(vals))
         assert r["o_totalprice"] == vals[target - 1][0]
+
+
+def test_hist_registers_merge_equals_rebuild(spark):
+    from simple_etl_spark.operators.sketches import hist_merge, hist_registers
+
+    rows_a = [("x", float(i % 37)) for i in range(200)]
+    rows_b = [("x", float((i * 7) % 91)) for i in range(150)]
+    a = spark.createDataFrame(rows_a, ["g", "v"])
+    b = spark.createDataFrame(rows_b, ["g", "v"])
+    merged = hist_merge(
+        hist_registers(a, "v", ["g"], 0.0, 100.0, 20),
+        hist_registers(b, "v", ["g"], 0.0, 100.0, 20),
+        group_cols=["g"],
+    )
+    rebuilt = hist_registers(a.unionByName(b), "v", ["g"], 0.0, 100.0, 20)
+    key = lambda r: (r["g"], r["bin"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, rebuilt.collect()))
+    assert {(r["g"], r["bin"]): r["cnt"] for r in merged.collect()} == {
+        (r["g"], r["bin"]): r["cnt"] for r in rebuilt.collect()
+    }
+
+
+def test_hist_quantile_within_one_bin_of_exact(spark):
+    from simple_etl_spark.operators.sketches import hist_quantile, hist_registers
+
+    import random
+    rng = random.Random(7)
+    vals = [rng.uniform(0, 500) for _ in range(2000)]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    regs = hist_registers(df, "v", ["g"], 0.0, 500.0, 50)
+    out = {str(r["q"]): r for r in
+           hist_quantile(regs, ["g"], ["0.50", "0.99"], 0.0, 500.0, 50).collect()}
+    vs = sorted(vals)
+    import math
+    for q in (0.5, 0.99):
+        exact = vs[math.ceil(q * len(vs)) - 1]
+        est = float(out[f"{q:.2f}"]["upper_edge"])
+        # upper edge of the containing bin: exact <= est < exact + width
+        assert exact <= est <= exact + 10.0, (q, exact, est)
+    assert all(r["n"] == 2000 for r in out.values())
+
+
+def test_hist_registers_clamps_and_validates(spark):
+    import pytest
+    from simple_etl_spark.operators.sketches import hist_registers
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 9999.0), ("g", None)], ["g", "v"]
+    )
+    regs = {r["bin"]: r["cnt"] for r in
+            hist_registers(df, "v", ["g"], 0.0, 100.0, 10).collect()}
+    assert regs == {0: 1, 9: 1}  # out-of-range clamp; NULL dropped
+    with pytest.raises(ValueError):
+        hist_registers(df, "v", ["g"], 0.0, 100.0, 0)
+    with pytest.raises(ValueError):
+        hist_registers(df, "v", ["g"], 5.0, 5.0, 4)

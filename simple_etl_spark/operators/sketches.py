@@ -359,6 +359,42 @@ def bloom_prune(
 # ---------------------------------------------------------------------------
 
 
+def _quantile_targets(
+    n_frame: DataFrame,
+    group_cols: list[str],
+    qs: list[str],
+    rank_name: str,
+    rank_type: str,
+) -> DataFrame:
+    """Shared nearest-rank target builder: validate the quantile
+    strings, size the decimal literals to the requested precision, and
+    attach ``rank_name`` = ceil(q·n) to the per-group count frame
+    (column ``n``). Used by both the exact :func:`quantile_disc` and
+    the sketch :func:`hist_quantile` so the target arithmetic (and its
+    guards) cannot drift between them."""
+    if any(not isinstance(q, str) for q in qs):
+        raise TypeError(
+            "quantiles must be decimal strings (a float like 0.1 has no "
+            f"exact decimal form), got {qs}"
+        )
+    decs = [Decimal(q) for q in qs]
+    if any(not (0 < d <= 1) for d in decs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    scale = max(1, *(-d.as_tuple().exponent for d in decs))
+    if scale > 16:
+        # q·n must stay inside decimal(38) for a bigint n: scale 16 + 20
+        # digits of n leaves headroom; beyond it Spark silently rounds
+        # the product and the "exact arithmetic" contract breaks.
+        raise ValueError(f"quantile precision capped at 16 dp, got scale {scale}")
+    dtype = f"decimal({scale + 1},{scale})"
+    q_arr = F.explode(
+        F.array(*[F.lit(d).cast(dtype) for d in decs])
+    ).alias("q")
+    return n_frame.select(*group_cols, "n", q_arr).withColumn(
+        rank_name, F.ceil(F.col("q") * F.col("n")).cast(rank_type)
+    )
+
+
 def quantile_disc(
     df: DataFrame,
     value_col: str,
@@ -379,21 +415,6 @@ def quantile_disc(
     silently round 0.999 → 1.00 and return the max), so ceil(q·n) is
     exact arithmetic on every engine.
     """
-    if any(not isinstance(q, str) for q in qs):
-        raise TypeError(
-            "quantiles must be decimal strings (a float like 0.1 has no "
-            f"exact decimal form), got {qs}"
-        )
-    decs = [Decimal(q) for q in qs]
-    if any(not (0 < d <= 1) for d in decs):
-        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
-    scale = max(1, *(-d.as_tuple().exponent for d in decs))
-    if scale > 16:
-        # q·n must stay inside decimal(38) for a bigint n: scale 16 + 20
-        # digits of n leaves headroom; beyond it Spark silently rounds
-        # the product and the "exact arithmetic" contract breaks.
-        raise ValueError(f"quantile precision capped at 16 dp, got scale {scale}")
-    dtype = f"decimal({scale + 1},{scale})"
     w = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
     ranked = df.select(
         *group_cols,
@@ -402,12 +423,7 @@ def quantile_disc(
         F.row_number().over(w).alias("rn"),
     )
     n = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
-    q_arr = F.explode(
-        F.array(*[F.lit(d).cast(dtype) for d in decs])
-    ).alias("q")
-    targets = n.select(*group_cols, "n", q_arr).withColumn(
-        "rn", F.ceil(F.col("q") * F.col("n")).cast("int")
-    )
+    targets = _quantile_targets(n, group_cols, qs, "rn", "int").drop("n")
     return (
         ranked.join(F.broadcast(targets), [*group_cols, "rn"])
         .select(*group_cols, "q", F.col(value_col))
@@ -443,10 +459,17 @@ def hist_registers(
     if not lo < hi:
         raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
     v = F.col(value_col)
+    keep = v.isNotNull()
+    # NaN is not NULL: Spark's floor(NaN) casts to bin 0 while other
+    # engines clamp it high — an undefined value must not silently
+    # drag the low quantiles, so NaN rows are dropped like NULLs
+    # (oracle twin: AND NOT isnan(col)).
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        keep = keep & ~F.isnan(v)
     raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(bins))
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
     return (
-        df.filter(v.isNotNull())
+        df.filter(keep)
         .groupBy(*group_cols, bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -454,6 +477,8 @@ def hist_registers(
 
 def hist_merge(*register_frames: DataFrame, group_cols: list[str]) -> DataFrame:
     """Merge same-grid histogram registers by addition."""
+    if not register_frames:
+        raise ValueError("hist_merge needs at least one register frame")
     it = iter(register_frames)
     out = next(it)
     for f in it:
@@ -479,16 +504,16 @@ def hist_quantile(
     The cumulative window runs over the |groups|·|bins| register frame
     (post-aggregation, bounded by the grid — the documented
     small-frame window pattern), never over input rows."""
-    if any(not isinstance(q, str) for q in qs):
-        raise TypeError(f"quantiles must be decimal strings, got {qs}")
-    decs = [Decimal(q) for q in qs]
-    if any(not (0 < d <= 1) for d in decs):
-        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
-    scale = max(1, *(-d.as_tuple().exponent for d in decs))
-    dtype = f"decimal({scale + 1},{scale})"
     width = (
         (Decimal(str(hi)) - Decimal(str(lo))) / Decimal(bins)
     ).quantize(Decimal("0.000001"))
+    if width == 0:
+        # a grid finer than the edges' 6-dp resolution would report
+        # every quantile as lo — refuse instead of silently collapsing
+        raise ValueError(
+            f"bin width ({hi} - {lo}) / {bins} rounds to 0 at the 6-dp "
+            "edge resolution; widen the range or reduce bins"
+        )
     lo_d = Decimal(str(lo)).quantize(Decimal("0.000001"))
     w = Window.partitionBy(*group_cols).orderBy("bin")
     cum = registers.select(
@@ -497,10 +522,7 @@ def hist_quantile(
         F.sum("cnt").over(w).alias("cum"),
     )
     n = registers.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
-    q_arr = F.explode(F.array(*[F.lit(d).cast(dtype) for d in decs])).alias("q")
-    targets = n.select(*group_cols, "n", q_arr).withColumn(
-        "target", F.ceil(F.col("q") * F.col("n")).cast("bigint")
-    )
+    targets = _quantile_targets(n, group_cols, qs, "target", "bigint")
     hits = (
         cum.join(F.broadcast(targets), [*group_cols])
         .filter(F.col("cum") >= F.col("target"))
@@ -836,7 +858,7 @@ def orders_quantile_profile(cat: Catalog) -> DataFrame:
                cast(least(greatest(floor((value - 0.0) / 500.0 * 50), 0), 49)
                     as int) AS bin,
                count(*) AS cnt
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         GROUP BY 1, 2
     ),
     cum AS (

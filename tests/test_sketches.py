@@ -360,3 +360,31 @@ def test_hist_registers_clamps_and_validates(spark):
         hist_registers(df, "v", ["g"], 0.0, 100.0, 0)
     with pytest.raises(ValueError):
         hist_registers(df, "v", ["g"], 5.0, 5.0, 4)
+
+
+def test_hist_quantile_guards(spark):
+    import pytest
+    from simple_etl_spark.operators.sketches import (
+        hist_merge,
+        hist_quantile,
+        hist_registers,
+    )
+
+    df = spark.createDataFrame([("g", 1.0)], ["g", "v"])
+    regs = hist_registers(df, "v", ["g"], 0.0, 10.0, 5)
+    with pytest.raises(ValueError, match="capped at 16 dp"):
+        hist_quantile(regs, ["g"], ["0.12345678901234567"], 0.0, 10.0, 5)
+    with pytest.raises(ValueError, match="rounds to 0"):
+        hist_quantile(regs, ["g"], ["0.5"], 0.0, 1e-6, 10)
+    with pytest.raises(ValueError, match="at least one"):
+        hist_merge(group_cols=["g"])
+
+
+def test_hist_registers_drops_nan_like_null(spark):
+    from simple_etl_spark.operators.sketches import hist_registers
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", float("nan")), ("g", None)], ["g", "v"]
+    )
+    regs = hist_registers(df, "v", ["g"], 0.0, 10.0, 5).collect()
+    assert len(regs) == 1 and regs[0]["cnt"] == 1  # only the real value

@@ -388,3 +388,42 @@ def test_hist_registers_drops_nan_like_null(spark):
     )
     regs = hist_registers(df, "v", ["g"], 0.0, 10.0, 5).collect()
     assert len(regs) == 1 and regs[0]["cnt"] == 1  # only the real value
+
+
+def test_hist_registers_incremental_via_table_store(spark, tmp_path):
+    """The mergeable-register lifecycle a 100 TB deployment runs:
+    day-1 registers committed to the snapshot store, day-2 registers
+    merged in (read + add + commit), and quantiles over the merged
+    store equal a full rebuild over all data."""
+    from simple_etl_spark.operators.sketches import (
+        hist_merge,
+        hist_quantile,
+        hist_registers,
+    )
+    from simple_etl_spark.sources.table_store import read_table, write_table
+
+    base = str(tmp_path / "hist_store")
+    day1 = spark.createDataFrame(
+        [("g", float(i % 83)) for i in range(300)], ["g", "v"]
+    )
+    day2 = spark.createDataFrame(
+        [("g", float((i * 13) % 97)) for i in range(200)], ["g", "v"]
+    )
+    write_table(hist_registers(day1, "v", ["g"], 0.0, 100.0, 20), base)
+    merged = hist_merge(
+        read_table(spark, base),
+        hist_registers(day2, "v", ["g"], 0.0, 100.0, 20),
+        group_cols=["g"],
+    )
+    write_table(merged, base)
+    stored = read_table(spark, base)
+    rebuilt = hist_registers(
+        day1.unionByName(day2), "v", ["g"], 0.0, 100.0, 20
+    )
+    qa = hist_quantile(stored, ["g"], ["0.5", "0.9"], 0.0, 100.0, 20)
+    qb = hist_quantile(rebuilt, ["g"], ["0.5", "0.9"], 0.0, 100.0, 20)
+    key = lambda r: (r["g"], str(r["q"]))  # noqa: E731
+    assert {key(r): (r["bin"], str(r["upper_edge"]), r["n"])
+            for r in qa.collect()} == \
+           {key(r): (r["bin"], str(r["upper_edge"]), r["n"])
+            for r in qb.collect()}

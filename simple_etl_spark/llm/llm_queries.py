@@ -2556,3 +2556,103 @@ def llm_lsh_star_clusters(cat: Catalog) -> DataFrame:
     sig = minhash_signature(corpus, "id", "text")
     edges = lsh_star_edges(sig, "id")
     return dedup_clusters(edges, corpus.select("id")).orderBy("id")
+
+
+@query(
+    "llm_curation_order_funnel",
+    oracle=f"""
+    WITH corpus0 AS (
+        SELECT doc_id,
+               text || chr(10) || 'subscribe to ' || source || ' newsletter'
+                    || chr(10) ||
+               CASE WHEN doc_id % 4 = 0 THEN 'All Rights Reserved'
+                    ELSE 'unique tail ' || cast(doc_id as varchar) END AS text
+        FROM documents
+        UNION ALL
+        SELECT d.doc_id + 1000000,
+               d.text || chr(10) || 'subscribe to ' || d.source
+                      || ' newsletter' || chr(10) ||
+               CASE WHEN d.doc_id % 4 = 0 THEN 'All Rights Reserved'
+                    ELSE 'unique tail ' || cast(d.doc_id as varchar) END
+        FROM documents d WHERE d.doc_id % 10 = 0
+    ),
+    lines AS (
+        SELECT doc_id, i - 1 AS pos, l[i] AS line, lower(trim(l[i])) AS norm
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus0) t,
+             unnest(generate_series(1, len(l))) AS u(i)
+    ),
+    nb AS (SELECT * FROM lines WHERE norm <> ''),
+    off AS (
+        SELECT norm FROM nb GROUP BY norm
+        HAVING count(DISTINCT doc_id) >= 10
+    ),
+    kept AS (
+        SELECT nb.doc_id, nb.pos, nb.line
+        FROM nb LEFT JOIN off ON nb.norm = off.norm
+        WHERE off.norm IS NULL
+    ),
+    cleaned AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    ),
+    survivors AS (
+        SELECT min(doc_id) AS survivor_id, count(*) AS copies
+        FROM cleaned WHERE clean_text <> '' GROUP BY clean_text
+    ),
+    keyed AS (
+        SELECT survivor_id, copies,
+               md5('42|' || cast(survivor_id as varchar)) AS dg
+        FROM survivors
+    )
+    SELECT survivor_id, copies,
+           ('0x' || substr(dg, 1, 15))::bigint % 4 AS shard,
+           row_number() OVER (
+               PARTITION BY ('0x' || substr(dg, 1, 15))::bigint % 4
+               ORDER BY substr(dg, 16, 17), survivor_id) AS pos
+    FROM keyed ORDER BY shard, pos
+    """,
+    survey="LLM curation funnel v2: boilerplate strike -> exact dedup "
+    "survivors -> seeded training order, each stage the registered "
+    "operator, composed end-to-end under one oracle",
+)
+def llm_curation_order_funnel(cat: Catalog) -> DataFrame:
+    """The round-5 curation funnel: the boilerplate-injected corpus
+    (with every 10th doc re-crawled under a new id) is line-cleaned
+    (remove_boilerplate_lines), exact-deduped on the CLEANED text
+    (the injected re-crawls collapse onto their originals only after
+    the per-source footers are struck), and the surviving documents
+    are assigned their deterministic training order. Each stage is
+    the same library operator its standalone query grades; the
+    composed oracle checks the chain end-to-end."""
+    from simple_etl_spark.llm.dedup import remove_boilerplate_lines
+    from simple_etl_spark.llm.sampling import training_order
+
+    d = cat["documents"]
+    def decorate(frame, id_shift=0):
+        return frame.select(
+            (F.col("doc_id") + id_shift).alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.concat(F.lit("subscribe to "), F.col("source"),
+                         F.lit(" newsletter")),
+                F.when(F.col("doc_id") % 4 == 0,
+                       F.lit("All Rights Reserved"))
+                .otherwise(F.concat(F.lit("unique tail "),
+                                    F.col("doc_id").cast("string"))),
+            ).alias("text"),
+        )
+
+    corpus = decorate(d).unionByName(
+        decorate(d.filter(F.col("doc_id") % 10 == 0), id_shift=1000000)
+    )
+    cleaned = remove_boilerplate_lines(corpus, min_doc_freq=10).filter(
+        F.col("clean_text") != ""
+    )
+    survivors = cleaned.groupBy("clean_text").agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count(F.lit(1)).alias("copies"),
+    ).select("survivor_id", "copies")
+    return training_order(survivors, "survivor_id", seed=42, n_shards=4).orderBy(
+        "shard", "pos"
+    )

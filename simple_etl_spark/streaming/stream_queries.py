@@ -15,6 +15,7 @@ arrival order inside the batch, which no batch SQL can pin down
 from __future__ import annotations
 
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +24,8 @@ from pyspark.sql import functions as F
 from simple_etl_spark.queries import query
 from simple_etl_spark.engine import Catalog
 from simple_etl_spark.streaming.stateful import first_seen_dedupe, running_totals
+
+_DRAIN_LOCK = threading.Lock()
 
 DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
@@ -50,22 +53,23 @@ def _drain(result: DataFrame, name_prefix: str, mode: str | None = None) -> Data
     # plan is fixed. At-scale deployments size this to their state
     # volume, not to this test drain.
     key = "spark.sql.shuffle.partitions"
-    before = spark.conf.get(key, None)
-    spark.conf.set(key, "8")
-    try:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode(mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        if before is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, before)
+    with _DRAIN_LOCK:  # stash/set/restore must not interleave across threads
+        before = spark.conf.get(key, None)
+        spark.conf.set(key, "8")
+        try:
+            q = (
+                result.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if before is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, before)
     q.awaitTermination(300)
     return spark.table(sink)
 

@@ -2656,3 +2656,38 @@ def llm_curation_order_funnel(cat: Catalog) -> DataFrame:
     return training_order(survivors, "survivor_id", seed=42, n_shards=4).orderBy(
         "shard", "pos"
     )
+
+
+@query(
+    "llm_dataset_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT source,
+               CASE WHEN ('0x' || substr(md5(cast(doc_id as varchar)), 1, 6))
+                         ::bigint % 1000 < 50 THEN 'test'
+                    WHEN ('0x' || substr(md5(cast(doc_id as varchar)), 1, 6))
+                         ::bigint % 1000 < 100 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs
+    FROM assigned GROUP BY split, source ORDER BY split, source
+    """,
+    survey="LLM curation: deterministic train/val/test split (md5-bucket "
+    "assignment — leakage-safe under corpus growth, joinable holdouts)",
+)
+def llm_dataset_split(cat: Catalog) -> DataFrame:
+    """Per-(split, source) document counts under the deterministic
+    50/50-permille val/test assignment
+    (llm/sampling.py:dataset_split): a document's split never changes
+    when the corpus grows, so re-ingest cannot leak held-out docs into
+    train."""
+    from simple_etl_spark.llm.sampling import dataset_split
+
+    return (
+        dataset_split(cat["documents"], "doc_id", val_permille=50,
+                      test_permille=50)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "source")
+    )

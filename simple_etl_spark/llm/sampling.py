@@ -80,6 +80,37 @@ def stratified_sample(
     )
 
 
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    val_permille: int = 50,
+    test_permille: int = 50,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the key's md5 bucket
+    in [0, 1000) picks the split — test takes the first
+    ``test_permille`` buckets, val the next ``val_permille``, train
+    the rest. Jointly exhaustive, disjoint, engine-independent, and
+    STABLE UNDER CORPUS GROWTH: a document's split never changes when
+    other documents are added or removed (the leakage-safety property
+    a random split lacks — a re-run after ingest must not move held-out
+    docs into train). Same-keyed tables land in the same split
+    (joinable holdouts). Adds a ``split`` column."""
+    if val_permille < 0 or test_permille < 0:
+        raise ValueError("split permilles must be >= 0")
+    if val_permille + test_permille >= 1000:
+        raise ValueError(
+            f"val+test permille must be < 1000, got "
+            f"{val_permille + test_permille}"
+        )
+    b = hash_bucket(F.col(key_col), 1000)
+    split = (
+        F.when(b < F.lit(test_permille), F.lit("test"))
+        .when(b < F.lit(test_permille + val_permille), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
 def training_order(
     df: DataFrame,
     key_col: str,

@@ -1633,3 +1633,72 @@ def orders_skew_profile(cat: Catalog) -> DataFrame:
     from simple_etl_spark.operators.skew import skew_profile
 
     return skew_profile(cat["orders"], ["o_orderpriority"])
+
+
+def topn_with_other(
+    df,
+    group_col: str,
+    n: int,
+    other_label: str = "Other",
+):
+    """Top-``n`` groups by count plus one residual "Other" row — the
+    dashboard staple (every pie/bar chart the reference's Streamlit
+    apps draw shows top categories + the lump).
+
+    Scale shape: ONE aggregation over the fact table; the top-n cut
+    and the residual sum are post-aggregation arithmetic on the
+    |groups|-row frame (rank window + conditional re-agg) — the fact
+    table is never re-scanned or re-labeled. Ties at the cut break by
+    the group value ascending, so the result is total-order
+    deterministic. ``Other`` is emitted only when nonempty."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col(group_col).asc())
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    labeled = ranked.select(
+        F.when(F.col("rnk") <= n, F.col(group_col))
+        .otherwise(F.lit(other_label))
+        .alias("label"),
+        "cnt",
+        (F.col("rnk") <= n).alias("_top"),
+    )
+    return (
+        labeled.groupBy("label")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.max(F.col("_top").cast("int")).cast("boolean").alias("is_top"),
+        )
+        .orderBy(F.col("is_top").desc(), F.col("cnt").desc(), F.col("label"))
+    )
+
+
+@query(
+    "sources_topn_with_other",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, cnt,
+               row_number() OVER (ORDER BY cnt DESC, source ASC) AS rnk
+        FROM counts
+    ),
+    labeled AS (
+        SELECT CASE WHEN rnk <= 5 THEN source ELSE 'Other' END AS label,
+               cnt, CASE WHEN rnk <= 5 THEN 1 ELSE 0 END AS top
+        FROM ranked
+    )
+    SELECT label, cast(sum(cnt) as bigint) AS cnt,
+           cast(max(top) as boolean) AS is_top
+    FROM labeled GROUP BY label
+    ORDER BY is_top DESC, cnt DESC, label
+    """,
+    survey="viz-ext: top-N categories + residual Other bucket (one fact "
+    "aggregation; cut and lump are post-agg arithmetic)",
+)
+def sources_topn_with_other(cat: Catalog):
+    """Top-5 document sources by count plus the 'Other' lump — the
+    reference dashboards' category charts, computed without a second
+    fact pass."""
+    return topn_with_other(cat["documents"], "source", 5)

@@ -497,3 +497,65 @@ def test_remove_boilerplate_is_idempotent(spark):
     b = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in again.collect()}
     for i in a:
         assert b[i] == (a[i], 0)  # fixpoint: nothing left to strike
+
+
+def test_dataset_split_is_stable_under_growth_and_exhaustive(spark):
+    from simple_etl_spark.llm.sampling import dataset_split
+
+    small = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 900).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: r["split"]
+               for r in dataset_split(small, "doc_id").collect()}
+    s_big = {r["doc_id"]: r["split"]
+             for r in dataset_split(big, "doc_id").collect()}
+    # growth never moves an existing key's split (leakage safety)
+    assert all(s_big[k] == v for k, v in s_small.items())
+    assert set(s_big.values()) == {"train", "val", "test"}
+    assert len(s_big) == 900  # exhaustive: every row assigned
+
+
+def test_dataset_split_rejects_bad_permilles(spark):
+    import pytest
+    from simple_etl_spark.llm.sampling import dataset_split
+
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="< 1000"):
+        dataset_split(df, "doc_id", val_permille=500, test_permille=500)
+    with pytest.raises(ValueError, match=">= 0"):
+        dataset_split(df, "doc_id", val_permille=-1)
+
+
+def test_topn_with_other_lump_and_ties(spark):
+    import pytest
+    from simple_etl_spark.operators.relational import topn_with_other
+
+    rows = (["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"] * 1 + ["e"] * 1)
+    df = spark.createDataFrame([(x,) for x in rows], ["g"])
+    out = [tuple(r) for r in topn_with_other(df, "g", 2).collect()]
+    # tie at the cut (b vs c, both 3) breaks by group value: b in, c out
+    assert out[0] == ("a", 5, True)
+    assert out[1] == ("b", 3, True)
+    assert ("Other", 5, False) in out  # c(3) + d(1) + e(1)
+    assert len(out) == 3
+    with pytest.raises(ValueError):
+        topn_with_other(df, "g", 0)
+
+
+def test_topn_with_other_window_is_post_agg(spark):
+    """The rank window must run over the aggregated counts frame, not
+    the fact table: the single-partition exchange sits ABOVE a
+    HashAggregate in the plan."""
+    from simple_etl_spark.operators.relational import topn_with_other
+    from simple_etl_spark.planinfo import plan_summary, plan_text
+
+    df = spark.createDataFrame([(str(i % 7),) for i in range(100)], ["g"])
+    out = topn_with_other(df, "g", 3)
+    s = plan_summary(out)
+    assert s["window_ops"] == 1 and s["cartesian_products"] == 0
+    tree = plan_text(out).split("\n\n", 1)[0]
+    wpos = tree.find("Window")
+    assert wpos != -1
+    # in the top-down tree print, the window's INPUT appears below it:
+    # a HashAggregate after the Window line means the counts were
+    # aggregated before entering the rank window (fact never windowed)
+    assert "HashAggregate" in tree[wpos:]

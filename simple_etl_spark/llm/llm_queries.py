@@ -2691,3 +2691,93 @@ def llm_dataset_split(cat: Catalog) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "source")
     )
+
+
+@query(
+    "llm_corpus_report",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, source, text,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    dups AS (
+        SELECT count(*) AS n_rows,
+               count(DISTINCT md5(text)) AS n_distinct
+        FROM documents
+    ),
+    langs AS (
+        SELECT lang, count(*) AS c FROM documents GROUP BY lang
+    ),
+    top_lang AS (
+        SELECT lang, c FROM langs ORDER BY c DESC, lang LIMIT 1
+    )
+    SELECT cast(count(*) as bigint) AS n_docs,
+           cast(count(DISTINCT source) as bigint) AS n_sources,
+           cast(count(DISTINCT lang) as bigint) AS n_langs,
+           cast(sum(n_tok) as bigint) AS total_tokens,
+           cast(sum(n_tok) // count(*) as bigint) AS mean_tokens,
+           cast((SELECT 1000 * (n_rows - n_distinct) // n_rows FROM dups)
+                as bigint) AS dup_permille,
+           (SELECT lang FROM top_lang) AS top_lang,
+           cast((SELECT 1000 * c FROM top_lang) // count(*) as bigint)
+               AS top_lang_permille
+    FROM tok
+    """,
+    survey="LLM curation: corpus data-card report (doc/source/lang counts, "
+    "token totals, exact-dup rate, dominant language) — one scalar block, "
+    "all integer-exact arithmetic",
+)
+def llm_corpus_report(cat: Catalog) -> DataFrame:
+    """The data-card summary every curated corpus ships with: doc /
+    source / language counts, whitespace-token totals and mean,
+    exact-duplicate permille (md5 fingerprints), and the dominant
+    language's share. Single-row output; every metric is integer
+    arithmetic so the block is engine-exact. Three aggregations total
+    (corpus scan, fingerprint distinct, language counts) — no windows,
+    no joins on the fact table."""
+    from simple_etl_spark.llm.textstats import whitespace_token_count
+
+    d = cat["documents"]
+    tok = d.select(
+        "lang", "source", whitespace_token_count("text").alias("n_tok")
+    )
+    base = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    ).withColumn(
+        "mean_tokens",
+        (F.col("total_tokens") - F.col("total_tokens") % F.col("n_docs"))
+        / F.col("n_docs"),
+    ).withColumn("mean_tokens", F.col("mean_tokens").cast("bigint"))
+    dups = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+    ).select(
+        F.floor(
+            (F.lit(1000) * (F.col("n_rows") - F.col("n_distinct")))
+            / F.col("n_rows")
+        ).cast("bigint").alias("dup_permille")
+    )
+    top = (
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "c")
+    )
+    out = base.crossJoin(F.broadcast(dups)).crossJoin(F.broadcast(top))
+    return out.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "mean_tokens",
+        "dup_permille",
+        "top_lang",
+        F.floor(F.lit(1000) * F.col("c") / F.col("n_docs"))
+        .cast("bigint")
+        .alias("top_lang_permille"),
+    )

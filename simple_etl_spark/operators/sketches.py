@@ -905,3 +905,84 @@ def events_hist_quantile(cat: Catalog) -> DataFrame:
     return hist_quantile(
         regs, ["event_type"], ["0.50", "0.90", "0.99"], 0.0, 500.0, 50
     ).orderBy("event_type", "q")
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    tiebreak_col: str,
+    lo_q: str = "0.05",
+    hi_q: str = "0.95",
+) -> DataFrame:
+    """Winsorized (clamped-tail) mean per group — the robust aggregate
+    for metrics with heavy outliers: values below the ``lo_q`` or
+    above the ``hi_q`` nearest-rank quantile are clamped to those
+    thresholds before averaging (unlike a trimmed mean, every row
+    still contributes, so n is the group size).
+
+    Exactness: thresholds are actual data values (nearest-rank
+    passthrough, zero float arithmetic); the clamp is least/greatest
+    on doubles; the average runs on the integer-cent fast path
+    (exactness.py: long accumulation, one decimal finish, one double
+    division — mirrored op-for-op by the oracle).
+
+    Scale shape: one per-group sort for the exact thresholds (the
+    quantile_disc cost — substitute :func:`hist_quantile` edges when
+    the group cardinality makes even per-group sorts unwelcome), a
+    BROADCAST of the |groups|-row threshold frame back onto the fact
+    table, and one grouped aggregation."""
+    from simple_etl_spark.exactness import lavg, units
+
+    th = quantile_disc(df, value_col, group_cols, [lo_q, hi_q], tiebreak_col)
+    piv = th.groupBy(*group_cols).agg(
+        F.min(
+            F.when(F.col("q") == F.lit(Decimal(lo_q)), F.col(value_col))
+        ).alias("_lo"),
+        F.min(
+            F.when(F.col("q") == F.lit(Decimal(hi_q)), F.col(value_col))
+        ).alias("_hi"),
+    )
+    clamped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(piv), list(group_cols))
+        .select(*group_cols, units(clamped).alias("_u"))
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"), lavg(F.col("_u"), 2, "win_mean"))
+    )
+
+
+@query(
+    "events_winsorized_value",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    th AS (
+        SELECT event_type,
+               min(CASE WHEN rn = ceil(cast(0.05 as decimal(3,2)) * n)
+                        THEN value END) AS lo,
+               min(CASE WHEN rn = ceil(cast(0.95 as decimal(3,2)) * n)
+                        THEN value END) AS hi
+        FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type, cast(count(*) as bigint) AS n,
+           cast(sum(cast(least(greatest(e.value, t.lo), t.hi)
+                         as decimal(9,2))) as double) / count(*) AS win_mean
+    FROM events e JOIN th t ON t.event_type = e.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    survey="robust-ext: winsorized mean per event type (nearest-rank "
+    "5/95 thresholds, broadcast clamp, integer-cent exact average)",
+)
+def events_winsorized_value(cat: Catalog) -> DataFrame:
+    """Outlier-robust mean of events.value per type: tails clamped at
+    the exact p05/p95 data values, average on the integer-cent exact
+    path."""
+    return winsorized_mean(
+        cat["events"], "value", ["event_type"], "event_id"
+    ).orderBy("event_type")

@@ -427,3 +427,18 @@ def test_hist_registers_incremental_via_table_store(spark, tmp_path):
             for r in qa.collect()} == \
            {key(r): (r["bin"], str(r["upper_edge"]), r["n"])
             for r in qb.collect()}
+
+
+def test_winsorized_mean_clamps_planted_outlier(spark):
+    from simple_etl_spark.operators.sketches import winsorized_mean
+
+    # 19 values of 10.00 and one wild 10000.00 outlier
+    rows = [("g", 10.0, i) for i in range(19)] + [("g", 10000.0, 99)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    out = winsorized_mean(df, "v", ["g"], "id", "0.05", "0.95").collect()[0]
+    # p95 threshold = value at rank ceil(0.95*20)=19 -> 10.0; the
+    # outlier clamps to 10.0 so the winsorized mean is exactly 10.0
+    assert out["n"] == 20
+    assert out["win_mean"] == 10.0
+    plain = df.groupBy("g").avg("v").collect()[0][1]
+    assert plain > 500  # the outlier wrecked the plain mean

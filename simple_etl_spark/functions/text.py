@@ -306,3 +306,60 @@ def normalize_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"https?://\S+", "")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "id", text_col: str = "search_text"
+) -> Column:
+    """Positional posting relation (doc, pos, token): token positions
+    in the analyzed stream. Unlike :func:`build_search_index` (which
+    drops stop/short tokens before counting), every analyzed slot
+    keeps its position — the gap-preserving stream ES's match_phrase
+    walks (a stopword between two phrase terms breaks adjacency, it
+    does not splice it)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokenize(text_col)).alias("pos", "token"),
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "id",
+    text_col: str = "search_text",
+) -> DataFrame:
+    """ES match_phrase over the posting relation: documents containing
+    the analyzed terms of ``phrase`` at CONSECUTIVE positions, with
+    per-doc occurrence counts.
+
+    Plan: the k-term phrase is k-1 keyed equi-joins on
+    (doc, start_position) between per-term posting slices — each
+    slice is the index pruned to one token (at scale: a partition of
+    the token-bucketed posting table), so join inputs are
+    term-frequency-sized, never corpus-sized. Returns
+    (doc, n_matches) ordered by doc."""
+    terms = [t for t in tokenize_text(phrase) if t]
+    if not terms:
+        raise ValueError(f"phrase has no analyzable terms: {phrase!r}")
+    pp = positional_postings(df, id_col, text_col)
+    cur = pp.filter(F.col("token") == terms[0]).select(
+        "doc", F.col("pos").alias("start")
+    )
+    for i, t in enumerate(terms[1:], 1):
+        nxt = pp.filter(F.col("token") == t).select(
+            "doc", (F.col("pos") - i).alias("start")
+        )
+        cur = cur.join(nxt, ["doc", "start"])
+    return (
+        cur.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .orderBy("doc")
+    )
+
+
+def tokenize_text(s: str) -> list[str]:
+    """Driver-side twin of :func:`tokenize` for query strings."""
+    import re as _re
+
+    return _re.sub("[^a-z ]", " ", s.lower()).split()

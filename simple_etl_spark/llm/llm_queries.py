@@ -2781,3 +2781,36 @@ def llm_corpus_report(cat: Catalog) -> DataFrame:
         .cast("bigint")
         .alias("top_lang_permille"),
     )
+
+
+@query(
+    "doc_phrase_search",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id AS doc, i - 1 AS pos, t[i] AS token
+        FROM (SELECT doc_id, string_split_regex(
+                  regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                  '\s+') AS t
+              FROM documents) d,
+             unnest(generate_series(1, len(t))) u(i)
+    )
+    SELECT t1.doc, cast(count(*) as bigint) AS n_matches
+    FROM toks t1 JOIN toks t2 ON t2.doc = t1.doc AND t2.pos = t1.pos + 1
+    WHERE t1.token = 'table' AND t2.token = 'value'
+    GROUP BY t1.doc ORDER BY t1.doc
+    """,
+    survey="search-ext: ES match_phrase parity — consecutive-position "
+    "join over the positional posting relation (per-term slices, "
+    "never corpus-sized join inputs)",
+)
+def doc_phrase_search(cat: Catalog) -> DataFrame:
+    """match_phrase('table value') over the documents corpus: per-doc
+    occurrence counts of the exact consecutive pair
+    (functions/text.py:phrase_search). Positions come from the
+    gap-preserving analyzed stream, so an intervening token breaks
+    adjacency exactly as ES's phrase matcher does."""
+    from simple_etl_spark.functions.text import phrase_search
+
+    return phrase_search(
+        cat["documents"], "table value", id_col="doc_id", text_col="text"
+    )

@@ -185,3 +185,38 @@ def test_parse_date_without_anchor_keeps_relative_null(spark):
     df = spark.createDataFrame([("5 menit yang lalu",), ("kemarin",)], ["raw"])
     out = df.select(parse_date("raw").alias("ts")).collect()
     assert all(r["ts"] is None for r in out)
+
+
+def test_phrase_search_adjacency_and_gaps(spark):
+    from simple_etl_spark.functions.text import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "big table value here"),          # match
+            (2, "table of value"),                # gap breaks adjacency
+            (3, "table value and table value"),   # two matches
+            (4, "value table"),                   # wrong order
+            (5, "Table VALUE!"),                  # analyzer normalizes
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r["n_matches"] for r in
+           phrase_search(df, "table value", id_col="doc_id",
+                         text_col="text").collect()}
+    assert out == {1: 1, 3: 2, 5: 1}
+
+
+def test_phrase_search_three_terms_and_empty_phrase(spark):
+    import pytest
+    from simple_etl_spark.functions.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "fast table value scan"), (2, "fast table scan value")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r["n_matches"] for r in
+           phrase_search(df, "fast table value", id_col="doc_id",
+                         text_col="text").collect()}
+    assert out == {1: 1}
+    with pytest.raises(ValueError, match="no analyzable"):
+        phrase_search(df, "123 456", id_col="doc_id", text_col="text")

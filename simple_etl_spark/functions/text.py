@@ -363,3 +363,82 @@ def tokenize_text(s: str) -> list[str]:
     import re as _re
 
     return _re.sub("[^a-z ]", " ", s.lower()).split()
+
+
+def more_like_this(
+    df: DataFrame,
+    seed_id,
+    id_col: str = "id",
+    text_col: str = "search_text",
+    max_query_terms: int = 10,
+    top_n: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    stopwords: tuple[str, ...] = STOPWORDS,
+    min_len: int = 3,
+) -> DataFrame:
+    """ES more_like_this parity: find documents similar to ``seed_id``
+    by (1) selecting the seed's top ``max_query_terms`` analyzed terms
+    ranked by quantized tf·idf (ES's term-selection step) and (2)
+    BM25-scoring every other document against that term set with the
+    same Lucene similarity :func:`bm25_rank` uses.
+
+    Determinism: the selection rank value and every score contribution
+    are quantized to decimal(18,6) BEFORE ranking/summation (ties break
+    by token / doc), so ulp-level ln() drift cannot reorder either
+    stage cross-engine.
+
+    Scale shape: the posting/doclen/stats relations are the shared
+    index build (one shuffle each); the seed's posting slice is a
+    per-doc handful of rows, so its selection window is bounded by the
+    seed's vocabulary; the candidate scoring joins are pruned to the
+    ≤ ``max_query_terms`` selected tokens via a broadcast semi-join —
+    never corpus-sized."""
+    postings = build_search_index(
+        df, id_col=id_col, text_col=text_col,
+        stopwords=stopwords, min_len=min_len,
+    )
+    doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfall = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    seed = (
+        postings.filter(F.col("doc") == F.lit(seed_id))
+        .join(dfall, "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("rankval", (F.col("tf") * idf.cast("decimal(18,6)")))
+    )
+    from pyspark.sql.window import Window
+
+    # seed frame = one document's vocabulary; the unpartitioned window
+    # is bounded by that handful of rows, never the corpus
+    w = Window.orderBy(F.desc("rankval"), F.asc("token"))
+    sel = (
+        seed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= max_query_terms)
+        .select("token")
+    )
+    # df for scoring is the CORPUS document frequency (seed included)
+    # — the ES statistic; carried with the selected-token broadcast
+    seldf = sel.join(dfall, "token")
+    hits = postings.join(F.broadcast(seldf), "token").filter(
+        F.col("doc") != F.lit(seed_id)
+    )
+    scored = hits.join(doclen, "doc").crossJoin(F.broadcast(stats))
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (idf * tfn).cast("decimal(18,6)")
+    return (
+        scored.groupBy("doc")
+        .agg(F.sum(contrib).cast("decimal(18,6)").alias("score_q"))
+        .orderBy(F.desc("score_q"), F.asc("doc"))
+        .limit(top_n)
+    )

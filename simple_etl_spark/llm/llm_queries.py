@@ -2814,3 +2814,73 @@ def doc_phrase_search(cat: Catalog) -> DataFrame:
     return phrase_search(
         cat["documents"], "table value", id_col="doc_id", text_col="text"
     )
+
+
+def _mlt_oracle() -> str:
+    from simple_etl_spark.functions.text import STOPWORDS
+
+    stop = ", ".join(repr(w) for w in STOPWORDS)
+    return rf"""
+    WITH postings AS (
+        SELECT token, doc, count(*) AS tf FROM (
+            SELECT doc_id AS doc,
+                   unnest(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                       '\s+')) AS token
+            FROM documents
+        ) t
+        WHERE length(token) >= 3 AND token NOT IN ({stop})
+        GROUP BY token, doc
+    ),
+    doclen AS (SELECT doc, sum(tf) AS dl FROM postings GROUP BY doc),
+    stats AS (SELECT count(*) AS n_docs,
+                     cast(sum(dl) as double) / count(*) AS avgdl FROM doclen),
+    dfall AS (SELECT token, count(*) AS df FROM postings GROUP BY token),
+    seed AS (
+        SELECT p.token,
+               row_number() OVER (
+                   ORDER BY (p.tf * cast(
+                       ln(1.0::double + (cast(s.n_docs as double) - f.df
+                                         + 0.5::double) / (f.df + 0.5::double))
+                       as decimal(18,6))) DESC, p.token ASC) AS r
+        FROM postings p JOIN dfall f USING (token) CROSS JOIN stats s
+        WHERE p.doc = 7
+    ),
+    sel AS (SELECT token FROM seed WHERE r <= 10)
+    SELECT doc, cast(sum(contrib) as decimal(18,6)) AS score_q FROM (
+        SELECT p.doc,
+               cast(
+                 ln(1.0::double + (cast(s.n_docs as double) - f.df
+                                   + 0.5::double) / (f.df + 0.5::double))
+                 * (p.tf * (1.2::double + 1.0::double))
+                 / (p.tf + 1.2::double
+                          * (0.25::double + 0.75::double * l.dl / s.avgdl))
+               as decimal(18,6)) AS contrib
+        FROM postings p
+        JOIN sel USING (token)
+        JOIN dfall f USING (token)
+        JOIN doclen l USING (doc)
+        CROSS JOIN stats s
+        WHERE p.doc <> 7
+    ) c GROUP BY doc ORDER BY score_q DESC, doc ASC LIMIT 5
+    """
+
+
+@query(
+    "doc_more_like_this",
+    oracle=_mlt_oracle(),
+    survey="search-ext: ES more_like_this parity — seed's top tf*idf "
+    "terms (quantized selection rank) -> BM25-scored neighbors, "
+    "broadcast-pruned to the selected-token slices",
+)
+def doc_more_like_this(cat: Catalog) -> DataFrame:
+    """Documents most similar to doc 7: its top-10 analyzed terms by
+    quantized tf*idf, BM25-scored against every other document
+    (functions/text.py:more_like_this). Top-5 with deterministic
+    (score_q desc, doc asc) ordering."""
+    from simple_etl_spark.functions.text import more_like_this
+
+    return more_like_this(
+        cat["documents"], 7, id_col="doc_id", text_col="text",
+        max_query_terms=10, top_n=5,
+    )

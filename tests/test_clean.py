@@ -220,3 +220,20 @@ def test_phrase_search_three_terms_and_empty_phrase(spark):
     assert out == {1: 1}
     with pytest.raises(ValueError, match="no analyzable"):
         phrase_search(df, "123 456", id_col="doc_id", text_col="text")
+
+
+def test_more_like_this_finds_the_planted_twin(spark):
+    from simple_etl_spark.functions.text import more_like_this
+
+    rows = [
+        (1, "quantum entanglement photon laser optics experiment"),
+        (2, "quantum entanglement photon laser optics research"),  # twin of 1
+        (3, "football match goal referee penalty stadium"),
+        (4, "football match goal referee penalty crowd"),          # twin of 3
+        (5, "cooking recipe butter flour sugar oven"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = more_like_this(df, 1, id_col="doc_id", text_col="text",
+                         max_query_terms=5, top_n=2).collect()
+    assert out[0]["doc"] == 2  # the twin wins
+    assert out[0]["score_q"] > (out[1]["score_q"] if len(out) > 1 else 0)

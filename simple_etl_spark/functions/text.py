@@ -442,3 +442,35 @@ def more_like_this(
         .orderBy(F.desc("score_q"), F.asc("doc"))
         .limit(top_n)
     )
+
+
+def suggest(
+    df: DataFrame,
+    prefix: str,
+    id_col: str = "id",
+    text_col: str = "search_text",
+    top_n: int = 5,
+    stopwords: tuple[str, ...] = STOPWORDS,
+    min_len: int = 3,
+) -> DataFrame:
+    """ES completion-suggester parity: corpus tokens starting with
+    ``prefix`` ranked by document frequency (doc_freq desc, token asc
+    — integer stats, fully engine-exact). The candidate set is the
+    DISTINCT VOCABULARY pruned by a pushed-down LIKE 'prefix%', so
+    the ranked relation is prefix-bucket-sized, never the corpus; the
+    top-n is TakeOrderedAndProject."""
+    p = prefix.lower()
+    if not p:
+        raise ValueError("prefix must be non-empty")
+    stats = index_stats(
+        build_search_index(
+            df, id_col=id_col, text_col=text_col,
+            stopwords=stopwords, min_len=min_len,
+        )
+    )
+    return (
+        stats.filter(F.col("token").startswith(p))
+        .select("token", "doc_freq")
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(top_n)
+    )

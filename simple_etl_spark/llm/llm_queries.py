@@ -2884,3 +2884,39 @@ def doc_more_like_this(cat: Catalog) -> DataFrame:
         cat["documents"], 7, id_col="doc_id", text_col="text",
         max_query_terms=10, top_n=5,
     )
+
+
+def _suggest_oracle() -> str:
+    from simple_etl_spark.functions.text import STOPWORDS
+
+    stop = ", ".join(repr(w) for w in STOPWORDS)
+    return rf"""
+    WITH postings AS (
+        SELECT token, doc, count(*) AS tf FROM (
+            SELECT doc_id AS doc,
+                   unnest(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                       '\s+')) AS token
+            FROM documents
+        ) t
+        WHERE length(token) >= 3 AND token NOT IN ({stop})
+        GROUP BY token, doc
+    )
+    SELECT token, cast(count(*) as bigint) AS doc_freq
+    FROM postings WHERE token LIKE 'sc%'
+    GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 5
+    """
+
+
+@query(
+    "doc_suggest_prefix",
+    oracle=_suggest_oracle(),
+    survey="search-ext: ES completion suggester parity (prefix -> top "
+    "tokens by doc_freq; vocabulary-pruned, integer-exact ranking)",
+)
+def doc_suggest_prefix(cat: Catalog) -> DataFrame:
+    """Autocomplete for prefix 'sc' over the documents corpus: top-5
+    tokens by document frequency (functions/text.py:suggest)."""
+    from simple_etl_spark.functions.text import suggest
+
+    return suggest(cat["documents"], "sc", id_col="doc_id", text_col="text")

@@ -237,3 +237,23 @@ def test_more_like_this_finds_the_planted_twin(spark):
                          max_query_terms=5, top_n=2).collect()
     assert out[0]["doc"] == 2  # the twin wins
     assert out[0]["score_q"] > (out[1]["score_q"] if len(out) > 1 else 0)
+
+
+def test_suggest_prefix_ranking_and_validation(spark):
+    import pytest
+    from simple_etl_spark.functions.text import suggest
+
+    df = spark.createDataFrame(
+        [
+            (1, "scan scanner scale"),
+            (2, "scan scale"),
+            (3, "scan sort"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = [tuple(r) for r in
+           suggest(df, "sc", id_col="doc_id", text_col="text", top_n=3).collect()]
+    # scan in 3 docs, scale in 2, scanner in 1
+    assert out == [("scan", 3), ("scale", 2), ("scanner", 1)]
+    with pytest.raises(ValueError, match="non-empty"):
+        suggest(df, "", id_col="doc_id", text_col="text")

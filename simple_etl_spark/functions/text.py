@@ -310,13 +310,19 @@ def normalize_text(col: Column | str) -> Column:
 
 def positional_postings(
     df: DataFrame, id_col: str = "id", text_col: str = "search_text"
-) -> Column:
+) -> DataFrame:
     """Positional posting relation (doc, pos, token): token positions
     in the analyzed stream. Unlike :func:`build_search_index` (which
     drops stop/short tokens before counting), every analyzed slot
-    keeps its position — the gap-preserving stream ES's match_phrase
-    walks (a stopword between two phrase terms breaks adjacency, it
-    does not splice it)."""
+    keeps its position, so an intervening ALPHABETIC token (including
+    stopwords) breaks phrase adjacency rather than splicing it.
+    Documented divergence from ES's standard analyzer: this engine's
+    analyzer (F19, app.py:123-134) folds digits/punctuation to
+    whitespace BEFORE positions are assigned, so a purely numeric or
+    punctuation token occupies no slot — 'table 5 value' still
+    matches the phrase 'table value' here, where ES's standard
+    analyzer would index '5' at its own position and break the
+    phrase."""
     return df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokenize(text_col)).alias("pos", "token"),
@@ -332,6 +338,12 @@ def phrase_search(
     """ES match_phrase over the posting relation: documents containing
     the analyzed terms of ``phrase`` at CONSECUTIVE positions, with
     per-doc occurrence counts.
+
+    Adjacency follows the engine's analyzer: alphabetic tokens
+    (stopwords included) occupy positions and break phrases;
+    digit/punctuation runs are folded to whitespace pre-positioning
+    and do not (see :func:`positional_postings` for the documented
+    ES divergence).
 
     Plan: the k-term phrase is k-1 keyed equi-joins on
     (doc, start_position) between per-term posting slices — each
@@ -422,12 +434,13 @@ def more_like_this(
     sel = (
         seed.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= max_query_terms)
-        .select("token")
+        .select("token", "df")
     )
     # df for scoring is the CORPUS document frequency (seed included)
-    # — the ES statistic; carried with the selected-token broadcast
-    seldf = sel.join(dfall, "token")
-    hits = postings.join(F.broadcast(seldf), "token").filter(
+    # — the ES statistic; the seed frame already joined dfall, so the
+    # selected tokens carry their df without re-touching the
+    # vocabulary-sized aggregate
+    hits = postings.join(F.broadcast(sel), "token").filter(
         F.col("doc") != F.lit(seed_id)
     )
     scored = hits.join(doclen, "doc").crossJoin(F.broadcast(stats))

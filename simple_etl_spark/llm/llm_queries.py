@@ -2698,8 +2698,7 @@ def llm_dataset_split(cat: Catalog) -> DataFrame:
     oracle="""
     WITH tok AS (
         SELECT doc_id, lang, source, text,
-               len(list_filter(string_split(text, ' '), w -> w <> ''))
-                   AS n_tok
+               len(string_split_regex(trim(text), '\s+')) AS n_tok
         FROM documents
     ),
     dups AS (
@@ -2807,8 +2806,10 @@ def doc_phrase_search(cat: Catalog) -> DataFrame:
     """match_phrase('table value') over the documents corpus: per-doc
     occurrence counts of the exact consecutive pair
     (functions/text.py:phrase_search). Positions come from the
-    gap-preserving analyzed stream, so an intervening token breaks
-    adjacency exactly as ES's phrase matcher does."""
+    analyzed stream, so an intervening alphabetic token (stopwords
+    included) breaks adjacency; digit/punctuation runs fold to
+    whitespace pre-positioning and do not (documented ES divergence —
+    see positional_postings)."""
     from simple_etl_spark.functions.text import phrase_search
 
     return phrase_search(

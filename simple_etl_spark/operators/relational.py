@@ -1650,7 +1650,10 @@ def topn_with_other(
     |groups|-row frame (rank window + conditional re-agg) — the fact
     table is never re-scanned or re-labeled. Ties at the cut break by
     the group value ascending, so the result is total-order
-    deterministic. ``Other`` is emitted only when nonempty."""
+    deterministic. ``Other`` is emitted only when nonempty, and the
+    re-agg groups on (label, is_top) so a REAL group value that
+    happens to equal ``other_label`` keeps its own row (is_top
+    disambiguates) instead of being merged into the residual."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
@@ -1661,14 +1664,14 @@ def topn_with_other(
         .otherwise(F.lit(other_label))
         .alias("label"),
         "cnt",
-        (F.col("rnk") <= n).alias("_top"),
+        (F.col("rnk") <= n).alias("is_top"),
     )
+    # grouping on (label, is_top) — not label alone — keeps a REAL
+    # group named like ``other_label`` separate from the residual lump
     return (
-        labeled.groupBy("label")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.max(F.col("_top").cast("int")).cast("boolean").alias("is_top"),
-        )
+        labeled.groupBy("label", "is_top")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .select("label", "cnt", "is_top")
         .orderBy(F.col("is_top").desc(), F.col("cnt").desc(), F.col("label"))
     )
 
@@ -1686,12 +1689,11 @@ def topn_with_other(
     ),
     labeled AS (
         SELECT CASE WHEN rnk <= 5 THEN source ELSE 'Other' END AS label,
-               cnt, CASE WHEN rnk <= 5 THEN 1 ELSE 0 END AS top
+               cnt, rnk <= 5 AS is_top
         FROM ranked
     )
-    SELECT label, cast(sum(cnt) as bigint) AS cnt,
-           cast(max(top) as boolean) AS is_top
-    FROM labeled GROUP BY label
+    SELECT label, cast(sum(cnt) as bigint) AS cnt, is_top
+    FROM labeled GROUP BY label, is_top
     ORDER BY is_top DESC, cnt DESC, label
     """,
     survey="viz-ext: top-N categories + residual Other bucket (one fact "

@@ -257,3 +257,18 @@ def test_suggest_prefix_ranking_and_validation(spark):
     assert out == [("scan", 3), ("scale", 2), ("scanner", 1)]
     with pytest.raises(ValueError, match="non-empty"):
         suggest(df, "", id_col="doc_id", text_col="text")
+
+
+def test_phrase_search_numeric_interloper_documented_divergence(spark):
+    """Pins the documented analyzer divergence: digits fold to
+    whitespace pre-positioning, so a numeric token does NOT break
+    adjacency (unlike ES's standard analyzer)."""
+    from simple_etl_spark.functions.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "table 5 value"), (2, "table of value")], ["doc_id", "text"]
+    )
+    out = {r["doc"]: r["n_matches"] for r in
+           phrase_search(df, "table value", id_col="doc_id",
+                         text_col="text").collect()}
+    assert out == {1: 1}  # numeric folds away; alphabetic 'of' breaks

@@ -559,3 +559,25 @@ def test_topn_with_other_window_is_post_agg(spark):
     # a HashAggregate after the Window line means the counts were
     # aggregated before entering the rank window (fact never windowed)
     assert "HashAggregate" in tree[wpos:]
+
+
+def test_topn_with_other_preserves_a_real_other_group(spark):
+    from simple_etl_spark.operators.relational import topn_with_other
+
+    rows = ["Other"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"] * 1
+    df = spark.createDataFrame([(x,) for x in rows], ["g"])
+    out = [tuple(r) for r in topn_with_other(df, "g", 2).collect()]
+    # the REAL 'Other' group (5 rows, rank 1) stays a top row; the
+    # residual lump (c+d = 3) is its own is_top=false row
+    assert ("Other", 5, True) in out
+    assert ("b", 3, True) in out
+    assert ("Other", 3, False) in out
+    assert len(out) == 3
+
+
+def test_topn_with_other_no_residual_row_when_all_fit(spark):
+    from simple_etl_spark.operators.relational import topn_with_other
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], ["g"])
+    out = [tuple(r) for r in topn_with_other(df, "g", 5).collect()]
+    assert out == [("a", 2, True), ("b", 1, True)]

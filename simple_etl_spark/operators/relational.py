@@ -1704,3 +1704,80 @@ def sources_topn_with_other(cat: Catalog):
     reference dashboards' category charts, computed without a second
     fact pass."""
     return topn_with_other(cat["documents"], "source", 5)
+
+
+def time_weighted_mean(
+    df,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+):
+    """Time-weighted average of an irregularly sampled metric per key:
+    each observation holds its value until the next one, so its weight
+    is the duration to the successor — the correct mean for sampled
+    gauges (a value sampled for an hour must outweigh one sampled for
+    a second; the plain AVG treats them equally). Coverage is
+    [first_ts, last_ts) per key: the final observation has no duration
+    and contributes no weight (keys with one event report NULL).
+
+    Exactness: value in integer cents × duration in integer
+    microseconds, both JVM longs. The duration sum TELESCOPES to the
+    key's span, so Σ(cents·dur_us) is bounded by max_cents·span_us —
+    for 2-dp metrics < 10^5 over year-scale spans this stays far
+    inside int64 — and the exposed mean is ONE double division of two
+    exact longs, mirrored op-for-op in the oracle.
+
+    Scale shape: one shuffle on the key (the LEAD window), then the
+    grouped sum — no self-join, no range join."""
+    from simple_etl_spark.exactness import units
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # ntz → ltz cast is lossless under the engine's pinned-UTC session
+    # (unix_micros rejects TIMESTAMP_NTZ directly)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur = F.lead(us).over(w) - us
+    weighted = df.select(
+        F.col(key_col),
+        dur.alias("_dur"),
+        (units(F.col(value_col)) * dur).alias("_wv"),
+    ).filter(F.col("_dur").isNotNull())
+    return (
+        weighted.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("_dur").alias("span_us"),
+            (
+                F.sum("_wv").cast("double")
+                / F.sum("_dur")
+                / F.lit(100.0)
+            ).alias("twa"),
+        )
+        .orderBy(key_col)
+    )
+
+
+@query(
+    "events_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   - epoch_us(ts) AS dur,
+               cast(floor(value * 100 + 0.5) as bigint) AS cents
+        FROM events
+    )
+    SELECT user_id, cast(count(*) as bigint) AS n_intervals,
+           cast(sum(dur) as bigint) AS span_us,
+           cast(sum(cents * dur) as double) / sum(dur) / 100.0 AS twa
+    FROM seq WHERE dur IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    survey="temporal-ext: time-weighted mean of an irregularly sampled "
+    "gauge (telescoping integer-microsecond weights, exact long "
+    "accumulation, one double division)",
+)
+def events_time_weighted_value(cat: Catalog):
+    """Per-user time-weighted mean of events.value: each value holds
+    until the user's next event; weights are exact microsecond
+    durations."""
+    return time_weighted_mean(cat["events"], "user_id", "ts", "value")

@@ -581,3 +581,26 @@ def test_topn_with_other_no_residual_row_when_all_fit(spark):
     df = spark.createDataFrame([("a",), ("b",), ("a",)], ["g"])
     out = [tuple(r) for r in topn_with_other(df, "g", 5).collect()]
     assert out == [("a", 2, True), ("b", 1, True)]
+
+
+def test_time_weighted_mean_weights_by_duration(spark):
+    import datetime as dt
+    from simple_etl_spark.operators.relational import time_weighted_mean
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # value 10.00 held for 60s, then 20.00 for 30s, last drops
+        ("u1", t0, 10.0),
+        ("u1", t0 + dt.timedelta(seconds=60), 20.0),
+        ("u1", t0 + dt.timedelta(seconds=90), 99.0),
+        ("u2", t0, 5.0),  # single event: no interval, excluded
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["user_id"]: r for r in
+           time_weighted_mean(df, "user_id", "ts", "value").collect()}
+    u1 = out["u1"]
+    assert u1["n_intervals"] == 2
+    assert u1["span_us"] == 90_000_000
+    # (10*60 + 20*30) / 90 = 13.333...
+    assert abs(u1["twa"] - (10 * 60 + 20 * 30) / 90) < 1e-9
+    assert "u2" not in out

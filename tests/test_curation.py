@@ -604,3 +604,23 @@ def test_time_weighted_mean_weights_by_duration(spark):
     # (10*60 + 20*30) / 90 = 13.333...
     assert abs(u1["twa"] - (10 * 60 + 20 * 30) / 90) < 1e-9
     assert "u2" not in out
+
+
+def test_daily_revenue_ewma_matches_direct_formula(spark, sf_dir):
+    """The sequential fold must equal the closed-form trailing EWMA
+    (sum of r^k-weighted values / sum of weights) computed in Python."""
+    from simple_etl_spark import queries as q
+
+    q._load_all()
+    rows = sorted(
+        q.REGISTRY["daily_revenue_ewma"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["d"],
+    )
+    vals = [r["revenue"] for r in rows]
+    for t in (0, 1, 5, len(rows) - 1):
+        lo = max(0, t - 29)
+        window = vals[lo:t + 1]
+        n = len(window)
+        num = sum(v * 0.8 ** (n - 1 - i) for i, v in enumerate(window))
+        den = sum(0.8 ** (n - 1 - i) for i in range(n))
+        assert abs(float(rows[t]["ewma_q"]) - num / den) < 1e-3

@@ -1904,3 +1904,57 @@ def daily_revenue_ewma(cat: Catalog) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "nation_share_of_region",
+    oracle="""
+    WITH nat AS (
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               sum(cast(floor(o.o_totalprice * 100 + 0.5) as bigint)) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region_name, nation_name,
+           cast(cents as double) / 100.0 AS revenue,
+           cast((1000 * cents) // sum(cents) OVER (PARTITION BY region_name)
+                as bigint) AS share_permille
+    FROM nat ORDER BY region_name, nation_name
+    """,
+    survey="W-ext: hierarchical percent-of-parent (nation share within "
+    "region) — the window partitions the POST-AGG nations frame on the "
+    "parent key; integer-permille share, engine-exact",
+)
+def nation_share_of_region(cat: Catalog) -> DataFrame:
+    """Each nation's revenue and its integer-permille share of its
+    region's total: the drill-down share every hierarchy dashboard
+    renders. The share window runs over the aggregated (region,
+    nation) frame — 25 rows — partitioned by the parent key; revenue
+    accumulates as exact cents."""
+    from simple_etl_spark.exactness import units
+
+    o, c = cat["orders"], cat["customer"]
+    n, r = cat["nation"], cat["region"]
+    nat = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(units("o_totalprice")).alias("cents"))
+    )
+    w = Window.partitionBy("region_name")
+    share = F.floor(
+        (F.lit(1000) * F.col("cents")) / F.sum("cents").over(w)
+    ).cast("bigint")
+    return nat.select(
+        "region_name",
+        "nation_name",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        share.alias("share_permille"),
+    ).orderBy("region_name", "nation_name")

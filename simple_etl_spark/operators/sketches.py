@@ -986,3 +986,41 @@ def events_winsorized_value(cat: Catalog) -> DataFrame:
     return winsorized_mean(
         cat["events"], "value", ["event_type"], "event_id"
     ).orderBy("event_type")
+
+
+@query(
+    "events_hll_weekly_users",
+    oracle=f"""
+    WITH est AS (
+        {_hll_oracle_sql("user_id", "cast(date_trunc('week', ts) as date)",
+                         "events", p=8)}
+    )
+    SELECT grp AS week, approx_distinct AS approx_users
+    FROM est ORDER BY week
+    """,
+    survey="sketch-ext: weekly distinct users by MERGING the daily HLL "
+    "register files (max per (week, bucket)) — the oracle computes the "
+    "week directly, so the value compare proves merge ≡ rebuild",
+)
+def events_hll_weekly_users(cat: Catalog) -> DataFrame:
+    """Weekly approx-distinct users obtained the way a register store
+    serves it at scale: the DAILY register files (already persisted by
+    the daily query's pipeline) are max-merged up to weeks — no rescan
+    of the fact table — and folded to estimates. The DuckDB twin
+    builds the weekly registers directly from events; identical
+    estimates demonstrate the merge path loses nothing (register max
+    is associative)."""
+    ev = cat["events"].withColumn("day", F.col("ts").cast("date"))
+    daily = hll_registers(ev, "user_id", ["day"], p=8)
+    weekly_regs = (
+        daily.withColumn(
+            "week", F.date_trunc("week", F.col("day")).cast("date")
+        )
+        .groupBy("week", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    return (
+        hll_estimate(weekly_regs, ["week"], p=8)
+        .select(F.col("week"), F.col("approx_distinct").alias("approx_users"))
+        .orderBy("week")
+    )

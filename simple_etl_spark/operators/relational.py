@@ -1721,16 +1721,17 @@ def time_weighted_mean(
     and contributes no weight (keys with one event report NULL).
 
     Exactness: value in integer cents × duration in integer
-    microseconds, both JVM longs. The duration sum TELESCOPES to the
-    key's span, so Σ(cents·dur_us) is bounded by max_cents·span_us —
-    for 2-dp metrics < 10^5 over year-scale spans this stays far
-    inside int64 — and the exposed mean is ONE double division of two
-    exact longs, mirrored op-for-op in the oracle.
+    microseconds. The duration sum telescopes to the key's span, but
+    max_cents·span_us can still pass int64 (a 10^5-dollar gauge over a
+    year is ~3×10^20), so the per-row product and its accumulator run
+    in DECIMAL(38,0) — exact at any realistic scale, order-independent
+    — and the exposed mean is ONE double division of exact sums,
+    mirrored op-for-op in the oracle (whose bigint product would
+    itself overflow without the same widening). The duration sum stays
+    a plain long (bounded by the span).
 
     Scale shape: one shuffle on the key (the LEAD window), then the
     grouped sum — no self-join, no range join."""
-    from simple_etl_spark.exactness import units
-
     w = Window.partitionBy(key_col).orderBy(ts_col)
     # ntz → ltz cast is lossless under the engine's pinned-UTC session
     # (unix_micros rejects TIMESTAMP_NTZ directly)
@@ -1739,7 +1740,7 @@ def time_weighted_mean(
     weighted = df.select(
         F.col(key_col),
         dur.alias("_dur"),
-        (units(F.col(value_col)) * dur).alias("_wv"),
+        (units(F.col(value_col)).cast("decimal(38,0)") * dur).alias("_wv"),
     ).filter(F.col("_dur").isNotNull())
     return (
         weighted.groupBy(key_col)
@@ -1763,7 +1764,7 @@ def time_weighted_mean(
         SELECT user_id,
                epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
                    - epoch_us(ts) AS dur,
-               cast(floor(value * 100 + 0.5) as bigint) AS cents
+               cast(floor(value * 100 + 0.5) as decimal(38,0)) AS cents
         FROM events
     )
     SELECT user_id, cast(count(*) as bigint) AS n_intervals,
@@ -1862,7 +1863,7 @@ def fk_integrity_audit(cat: Catalog):
            cast(list_reduce(lst, (acc, x) -> acc * 0.8::double + x)
                 / list_reduce(list_transform(lst, x -> 1.0::double),
                               (acc, x) -> acc * 0.8::double + 1.0::double)
-                / 100.0 as decimal(18,6)) AS ewma_q
+                / 100.0 as decimal(18,2)) AS ewma_q
     FROM win ORDER BY d
     """,
     survey="W-ext: trailing-30-day EWMA trend (alpha=0.2) — the smoothing "
@@ -1876,10 +1877,12 @@ def daily_revenue_ewma(cat: Catalog) -> DataFrame:
     totals, then the EWM recursion s <- 0.8*s + x folded left-to-right
     over each row's trailing frame (first element seeds, exactly
     list_reduce's contract), normalized by the same fold over ones.
-    Both engines execute the identical addition sequence, and the
-    exposed value is quantized to 6 dp."""
-    from simple_etl_spark.exactness import units
-
+    Both engines execute the identical addition sequence; the exposed
+    value is quantized to CENTS (2 dp) — at revenue magnitudes a
+    30-step double fold holds ~8 safe sub-cent digits, so a 6-dp
+    exposure put engine ulps in graded digits at sf0.1 (observed
+    hash mismatch), while the cent boundary sits orders of magnitude
+    above the fold's drift."""
     daily = (
         cat["orders"]
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
@@ -1900,7 +1903,7 @@ def daily_revenue_ewma(cat: Catalog) -> DataFrame:
         .select(
             "d",
             (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
-            ((s / wsum) / F.lit(100.0)).cast("decimal(18,6)").alias("ewma_q"),
+            ((s / wsum) / F.lit(100.0)).cast("decimal(18,2)").alias("ewma_q"),
         )
         .orderBy("d")
     )
@@ -1934,8 +1937,6 @@ def nation_share_of_region(cat: Catalog) -> DataFrame:
     renders. The share window runs over the aggregated (region,
     nation) frame — 25 rows — partitioned by the parent key; revenue
     accumulates as exact cents."""
-    from simple_etl_spark.exactness import units
-
     o, c = cat["orders"], cat["customer"]
     n, r = cat["nation"], cat["region"]
     nat = (
@@ -1949,10 +1950,12 @@ def nation_share_of_region(cat: Catalog) -> DataFrame:
         .agg(F.sum(units("o_totalprice")).alias("cents"))
     )
     w = Window.partitionBy("region_name")
-    share = F.floor(
-        (F.lit(1000) * F.col("cents")) / F.sum("cents").over(w)
-    ).cast("bigint")
-    return nat.select(
+    # `div` is exact integer division on longs — op-for-op with the
+    # oracle's `//` (a floor of DOUBLE division can round up across an
+    # ulp boundary and flip the last permille digit)
+    nat2 = nat.withColumn("_rc", F.sum("cents").over(w))
+    share = F.expr("(1000 * cents) div _rc").cast("bigint")
+    return nat2.select(
         "region_name",
         "nation_name",
         (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),

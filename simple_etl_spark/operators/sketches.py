@@ -998,26 +998,28 @@ def events_winsorized_value(cat: Catalog) -> DataFrame:
     SELECT grp AS week, approx_distinct AS approx_users
     FROM est ORDER BY week
     """,
-    survey="sketch-ext: weekly distinct users by MERGING the daily HLL "
-    "register files (max per (week, bucket)) — the oracle computes the "
-    "week directly, so the value compare proves merge ≡ rebuild",
+    survey="sketch-ext: weekly distinct users by MERGING daily HLL "
+    "registers through hll_merge — the oracle computes the week "
+    "directly from events, so the value compare proves merge ≡ rebuild",
 )
 def events_hll_weekly_users(cat: Catalog) -> DataFrame:
-    """Weekly approx-distinct users obtained the way a register store
-    serves it at scale: the DAILY register files (already persisted by
-    the daily query's pipeline) are max-merged up to weeks — no rescan
-    of the fact table — and folded to estimates. The DuckDB twin
-    builds the weekly registers directly from events; identical
-    estimates demonstrate the merge path loses nothing (register max
-    is associative)."""
+    """Weekly approx-distinct users via the register-MERGE path: daily
+    registers are re-keyed to weeks and folded through
+    :func:`hll_merge` (per-bucket max), then estimated. In this
+    self-contained query the daily registers are built in-plan (one
+    events scan); a production register store persists them once per
+    day and serves every rollup WITHOUT the fact rescan — what this
+    query proves is the equivalence that store relies on: the DuckDB
+    twin builds the weekly registers DIRECTLY from events, and
+    identical estimates show the merge loses nothing (register max is
+    associative)."""
     ev = cat["events"].withColumn("day", F.col("ts").cast("date"))
     daily = hll_registers(ev, "user_id", ["day"], p=8)
-    weekly_regs = (
+    weekly_regs = hll_merge(
         daily.withColumn(
             "week", F.date_trunc("week", F.col("day")).cast("date")
-        )
-        .groupBy("week", "bucket")
-        .agg(F.max("m_j").alias("m_j"))
+        ).drop("day"),
+        group_cols=["week"],
     )
     return (
         hll_estimate(weekly_regs, ["week"], p=8)

@@ -623,4 +623,5 @@ def test_daily_revenue_ewma_matches_direct_formula(spark, sf_dir):
         n = len(window)
         num = sum(v * 0.8 ** (n - 1 - i) for i, v in enumerate(window))
         den = sum(0.8 ** (n - 1 - i) for i in range(n))
-        assert abs(float(rows[t]["ewma_q"]) - num / den) < 1e-3
+        # ewma_q is quantized to cents: half a cent of rounding slack
+        assert abs(float(rows[t]["ewma_q"]) - num / den) <= 0.005 + 1e-9

@@ -1961,3 +1961,54 @@ def nation_share_of_region(cat: Catalog) -> DataFrame:
         (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
         share.alias("share_permille"),
     ).orderBy("region_name", "nation_name")
+
+
+def content_checksum(df, cols: list[str]):
+    """Order- and partition-independent content fingerprint of a
+    relation: the exact decimal SUM of each row's 60-bit md5 integer
+    over the named columns (null-safe concat with a field separator).
+    Addition commutes, so any reshuffle, compaction, or replica of the
+    same multiset of rows produces the identical checksum — the cheap
+    equality probe run before a row-level diff (table_store's
+    snapshot_diff) is worth its shuffle. Collisions need ~2^30 rows by
+    birthday bound on 60 bits per row PLUS a matching sum — adequate
+    for an integrity probe, not an adversarial MAC.
+
+    Returns a 1-row frame (n_rows, checksum decimal(38,0))."""
+    if not cols:
+        raise ValueError("content_checksum needs at least one column")
+    payload = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").alias("checksum"),
+    )
+
+
+@query(
+    "orders_content_checksum",
+    oracle="""
+    SELECT cast(count(*) as bigint) AS n_rows,
+           cast(sum(('0x' || substr(md5(
+               concat_ws(chr(31),
+                   coalesce(cast(o_orderkey as varchar), chr(0)),
+                   coalesce(cast(o_custkey as varchar), chr(0)),
+                   coalesce(cast(o_orderstatus as varchar), chr(0)),
+                   coalesce(cast(o_totalprice as varchar), chr(0)))),
+               1, 15))::bigint) as decimal(38,0)) AS checksum
+    FROM orders
+    """,
+    survey="dq-ext: order/partition-independent content checksum "
+    "(commutative md5-sum fingerprint — the cheap replica/compaction "
+    "equality probe)",
+)
+def orders_content_checksum(cat: Catalog) -> DataFrame:
+    """Content fingerprint of the orders business columns: identical
+    for any row order, partitioning, or storage layout of the same
+    rows."""
+    return content_checksum(
+        cat["orders"],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )

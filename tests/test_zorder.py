@@ -137,3 +137,51 @@ def test_compact_zorder_clusters_snapshot(spark, tmp_path):
         assert sum(spans["y"]) / len(spans["y"]) < 0.7 * (side - 1)
     with _pytest.raises(ValueError):
         compact(spark, base, partition_by=["x"], zorder_by=["y"])
+
+
+def test_checksum_invariant_under_compaction_and_zorder(spark, tmp_path):
+    """The commutative content checksum must be identical before and
+    after compaction with Z-order clustering — layout changes, the
+    row multiset must not."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.operators.relational import content_checksum
+    from simple_etl_spark.sources.table_store import (
+        compact,
+        read_table,
+        write_table,
+    )
+
+    base = str(tmp_path / "cktab")
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("a"),
+        (F.col("id") * 31 % 89).alias("b"),
+    )
+    write_table(df.repartition(16), base)
+    before = content_checksum(
+        read_table(spark, base), ["id", "a", "b"]
+    ).collect()[0]
+    compact(spark, base, target_file_bytes=32_000, zorder_by=["a", "b"],
+            zorder_bits=6)
+    after = content_checksum(
+        read_table(spark, base), ["id", "a", "b"]
+    ).collect()[0]
+    assert (before["n_rows"], before["checksum"]) == (
+        after["n_rows"], after["checksum"],
+    )
+    # and it must CHANGE when a row changes
+    mutated = read_table(spark, base).withColumn(
+        "a", F.when(F.col("id") == 7, F.lit(-1)).otherwise(F.col("a"))
+    )
+    changed = content_checksum(mutated, ["id", "a", "b"]).collect()[0]
+    assert changed["checksum"] != before["checksum"]
+
+
+def test_content_checksum_rejects_empty_cols(spark):
+    import pytest
+
+    from simple_etl_spark.operators.relational import content_checksum
+
+    with pytest.raises(ValueError, match="at least one"):
+        content_checksum(spark.range(1), [])

@@ -2628,24 +2628,25 @@ def llm_curation_order_funnel(cat: Catalog) -> DataFrame:
     from simple_etl_spark.llm.sampling import training_order
 
     d = cat["documents"]
-    def decorate(frame, id_shift=0):
-        return frame.select(
-            (F.col("doc_id") + id_shift).alias("doc_id"),
-            F.concat_ws(
-                "\n",
-                F.col("text"),
-                F.concat(F.lit("subscribe to "), F.col("source"),
-                         F.lit(" newsletter")),
-                F.when(F.col("doc_id") % 4 == 0,
-                       F.lit("All Rights Reserved"))
-                .otherwise(F.concat(F.lit("unique tail "),
-                                    F.col("doc_id").cast("string"))),
-            ).alias("text"),
-        )
-
-    corpus = decorate(d).unionByName(
-        decorate(d.filter(F.col("doc_id") % 10 == 0), id_shift=1000000)
+    # decorate ONCE; the re-crawl branch only shifts ids on the already
+    # decorated frame (its text depends on the pre-shift doc_id), so
+    # the fact table is scanned a single time
+    dec = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("subscribe to "), F.col("source"),
+                     F.lit(" newsletter")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("All Rights Reserved"))
+            .otherwise(F.concat(F.lit("unique tail "),
+                                F.col("doc_id").cast("string"))),
+        ).alias("text"),
     )
+    recrawl = dec.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = dec.unionByName(recrawl)
     cleaned = remove_boilerplate_lines(corpus, min_doc_freq=10).filter(
         F.col("clean_text") != ""
     )

@@ -15,7 +15,6 @@ arrival order inside the batch, which no batch SQL can pin down
 from __future__ import annotations
 
 import tempfile
-import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,8 +23,6 @@ from pyspark.sql import functions as F
 from simple_etl_spark.queries import query
 from simple_etl_spark.engine import Catalog
 from simple_etl_spark.streaming.stateful import first_seen_dedupe, running_totals
-
-_DRAIN_LOCK = threading.Lock()
 
 DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
@@ -38,40 +35,42 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain(result: DataFrame, name_prefix: str, mode: str | None = None) -> DataFrame:
-    spark = result.sparkSession
+def _drain(build, spark: SparkSession, name_prefix: str,
+           mode: str | None = None) -> DataFrame:
+    """Run ``build(session)``'s streaming frame to completion on a
+    CLONED session and return the memory-sink contents.
+
+    The stateful operators' shuffle width is fixed from the session
+    conf at stream start; a vanilla 200-partition session pays 200
+    state-store tasks per micro-batch for a sf0.01 correctness drain
+    (~30 s instead of ~11 s measured). The drain-sized width is set on
+    ``spark.newSession()`` — same SparkContext, ISOLATED conf — so no
+    other thread's query can ever plan against the mutated value (a
+    stash/restore on the shared session leaked it to concurrent
+    planners). At-scale deployments size this to their state volume,
+    not to this test drain."""
     sink = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{sink}_")
     if mode is None:
         mode = "update" if name_prefix == "running" else "append"
-    # The stateful operators' shuffle width is fixed from the session
-    # conf at stream START; a vanilla 200-partition session pays 200
-    # state-store tasks per micro-batch for a sf0.01 correctness drain
-    # (~30 s instead of ~8 s measured). Stash-and-set a drain-sized
-    # width around start() — the grading driver runs queries
-    # sequentially, and the conf is restored immediately after the
-    # plan is fixed. At-scale deployments size this to their state
-    # volume, not to this test drain.
-    key = "spark.sql.shuffle.partitions"
-    with _DRAIN_LOCK:  # stash/set/restore must not interleave across threads
-        before = spark.conf.get(key, None)
-        spark.conf.set(key, "8")
-        try:
-            q = (
-                result.writeStream.format("memory")
-                .queryName(sink)
-                .outputMode(mode)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-        finally:
-            if before is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, before)
-    q.awaitTermination(300)
-    return spark.table(sink)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        build(s2)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain {sink!r} did not finish within 300s; "
+            "a partial memory sink must not masquerade as the result"
+        )
+    return s2.table(sink)
 
 
 @query(
@@ -86,8 +85,11 @@ def stream_running_totals(cat: Catalog) -> DataFrame:
     """Per-language running document counts via keyed state store —
     drained with availableNow so one source file ≡ one micro-batch and
     the totals equal the batch GROUP BY."""
-    stream = _doc_stream(cat.spark, cat.sf_dir)
-    return _drain(running_totals(stream, key_col="lang"), "running")
+    sf = cat.sf_dir
+    return _drain(
+        lambda s: running_totals(_doc_stream(s, sf), key_col="lang"),
+        cat.spark, "running",
+    )
 
 
 @query(
@@ -98,8 +100,11 @@ def stream_running_totals(cat: Catalog) -> DataFrame:
 def stream_first_seen_dedupe(cat: Catalog) -> DataFrame:
     """Streaming exact dedup keyed by lang: one survivor per language
     (row count = distinct langs, content arrival-defined)."""
-    stream = _doc_stream(cat.spark, cat.sf_dir)
-    return _drain(first_seen_dedupe(stream, key_col="lang"), "dedup")
+    sf = cat.sf_dir
+    return _drain(
+        lambda s: first_seen_dedupe(_doc_stream(s, sf), key_col="lang"),
+        cat.spark, "dedup",
+    )
 
 # ts reads as TIMESTAMP (ltz): watermarks reject TIMESTAMP_NTZ. The
 # session is pinned UTC (Catalog init), so instants equal the file's
@@ -137,18 +142,22 @@ def stream_windowed_counts(cat: Catalog) -> DataFrame:
     an availableNow drain reproduces the batch rollup exactly."""
     from simple_etl_spark.streaming.medallion_stream import windowed_counts
 
-    agg = windowed_counts(
-        _event_stream(cat.spark, cat.sf_dir),
-        ts_col="ts",
-        window="1 hour",
-        group_cols=("event_type",),
-    )
-    out = agg.select(
-        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
-        "event_type",
-        "cnt",
-    )
-    return _drain(out, "wincnt", mode="complete")
+    sf = cat.sf_dir
+
+    def build(s):
+        agg = windowed_counts(
+            _event_stream(s, sf),
+            ts_col="ts",
+            window="1 hour",
+            group_cols=("event_type",),
+        )
+        return agg.select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+
+    return _drain(build, cat.spark, "wincnt", mode="complete")
 
 
 @query(
@@ -180,19 +189,24 @@ def stream_sessionized_counts(cat: Catalog) -> DataFrame:
     the gaps-and-islands rewrite DuckDB runs as the oracle."""
     from simple_etl_spark.streaming.medallion_stream import sessionized_counts
 
-    agg = sessionized_counts(
-        _event_stream(cat.spark, cat.sf_dir),
-        ts_col="ts",
-        gap="30 minutes",
-        group_cols=("user_id",),
-    )
-    out = agg.select(
-        "user_id",
-        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
-        F.col("last_event").cast("timestamp_ntz").alias("last_event"),
-        "cnt",
-    )
-    return _drain(out, "sesscnt", mode="complete")
+    sf = cat.sf_dir
+
+    def build(s):
+        agg = sessionized_counts(
+            _event_stream(s, sf),
+            ts_col="ts",
+            gap="30 minutes",
+            group_cols=("user_id",),
+        )
+        return agg.select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz")
+            .alias("session_start"),
+            F.col("last_event").cast("timestamp_ntz").alias("last_event"),
+            "cnt",
+        )
+
+    return _drain(build, cat.spark, "sesscnt", mode="complete")
 
 
 @query(
@@ -236,10 +250,16 @@ def stream_gap_sessions(cat: Catalog) -> DataFrame:
     rows appear in neither engine)."""
     from simple_etl_spark.streaming.stateful import gap_session_finalizer
 
-    stream = _event_stream(cat.spark, cat.sf_dir).select(
-        F.col("user_id").cast("string").alias("user_key"), "ts"
+    sf = cat.sf_dir
+
+    def build(s):
+        stream = _event_stream(s, sf).select(
+            F.col("user_id").cast("string").alias("user_key"), "ts"
+        )
+        return gap_session_finalizer(
+            stream, key_col="user_key", ts_col="ts", gap_seconds=1800
+        )
+
+    return _drain(build, cat.spark, "gapsess", mode="append").orderBy(
+        "key", "start_ms"
     )
-    out = gap_session_finalizer(
-        stream, key_col="user_key", ts_col="ts", gap_seconds=1800
-    )
-    return _drain(out, "gapsess", mode="append").orderBy("key", "start_ms")

@@ -2012,3 +2012,69 @@ def orders_content_checksum(cat: Catalog) -> DataFrame:
         cat["orders"],
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
     )
+
+
+@query(
+    "event_type_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', cast(ts as date)) AS x,
+               count(*) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               cast(count(*) as bigint) AS n,
+               cast(sum(x) as bigint) AS sx,
+               cast(sum(y) as bigint) AS sy,
+               cast(sum(x * y) as bigint) AS sxy,
+               cast(sum(x * x) as bigint) AS sxx
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           cast(cast(n * sxy - sx * sy as double)
+                / (n * sxx - sx * sx) as decimal(18,6)) AS slope_q
+    FROM m WHERE n * sxx - sx * sx <> 0
+    ORDER BY event_type
+    """,
+    survey="analytics-ext: per-group least-squares trend slope from "
+    "EXACT integer moments (n, Σx, Σy, Σxy, Σx²) — one grouped "
+    "aggregation, one double division, engine-exact to 6 dp",
+)
+def event_type_daily_trend(cat: Catalog) -> DataFrame:
+    """Is each event type's daily volume rising or falling? The
+    least-squares slope of daily counts over the day index, computed
+    from integer moments that accumulate exactly in longs (day indexes
+    and counts are small; every product stays far inside int64), then
+    ONE double division quantized to 6 dp — no per-row floats, no
+    covariance UDF, and the oracle mirrors the arithmetic
+    symbol-for-symbol. Degenerate groups (a single active day) are
+    excluded rather than divided by zero."""
+    daily = (
+        cat["events"]
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / denom
+    ).cast("decimal(18,6)")
+    return (
+        m.filter(denom != 0)
+        .select("event_type", "n", slope.alias("slope_q"))
+        .orderBy("event_type")
+    )

@@ -625,3 +625,31 @@ def test_daily_revenue_ewma_matches_direct_formula(spark, sf_dir):
         den = sum(0.8 ** (n - 1 - i) for i in range(n))
         # ewma_q is quantized to cents: half a cent of rounding slack
         assert abs(float(rows[t]["ewma_q"]) - num / den) <= 0.005 + 1e-9
+
+
+def test_daily_trend_recovers_planted_slope(spark):
+    import datetime as dt
+    from simple_etl_spark import queries  # noqa: F401  (registry import path)
+    from simple_etl_spark.operators.relational import event_type_daily_trend
+
+    # build a synthetic catalog-less check through the same moments math
+    from pyspark.sql import functions as F
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for day in range(10):
+        for _ in range(5 + 3 * day):          # up: slope exactly 3/day
+            rows.append(("up", t0 + dt.timedelta(days=day)))
+        for _ in range(40 - 2 * day):         # down: slope exactly -2/day
+            rows.append(("down", t0 + dt.timedelta(days=day)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+
+    class FakeCat(dict):
+        def __getitem__(self, k):
+            assert k == "events"
+            return df
+
+    # @query returns the bare fn, which takes any Catalog-like mapping
+    out = {r["event_type"]: float(r["slope_q"])
+           for r in event_type_daily_trend(FakeCat()).collect()}
+    assert abs(out["up"] - 3.0) < 1e-9
+    assert abs(out["down"] + 2.0) < 1e-9

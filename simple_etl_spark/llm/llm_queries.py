@@ -2628,9 +2628,11 @@ def llm_curation_order_funnel(cat: Catalog) -> DataFrame:
     from simple_etl_spark.llm.sampling import training_order
 
     d = cat["documents"]
-    # decorate ONCE; the re-crawl branch only shifts ids on the already
-    # decorated frame (its text depends on the pre-shift doc_id), so
-    # the fact table is scanned a single time
+    # one decorate DEFINITION; the re-crawl branch shifts ids on the
+    # already-decorated frame (its text depends on the pre-shift
+    # doc_id). Catalyst still plans each union branch's scan
+    # independently — cache `dec` if the source ever stops being a
+    # dimension-sized read
     dec = d.select(
         "doc_id",
         F.concat_ws(

@@ -1977,8 +1977,16 @@ def content_checksum(df, cols: list[str]):
     Returns a 1-row frame (n_rows, checksum decimal(38,0))."""
     if not cols:
         raise ValueError("content_checksum needs at least one column")
+    # per-column md5 BEFORE concatenation (the snapshot_diff idiom,
+    # table_store.py): fixed-width hex per field means no separator
+    # collisions — ('a|b','c') vs ('a','b|c') hash differently — and
+    # the non-hex NULL sentinel cannot be forged by a string value
     payload = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+        "|",
+        *[
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL"))
+            for c in cols
+        ],
     )
     h = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("decimal(38,0)")
     return df.agg(
@@ -1992,11 +2000,11 @@ def content_checksum(df, cols: list[str]):
     oracle="""
     SELECT cast(count(*) as bigint) AS n_rows,
            cast(sum(('0x' || substr(md5(
-               concat_ws(chr(31),
-                   coalesce(cast(o_orderkey as varchar), chr(0)),
-                   coalesce(cast(o_custkey as varchar), chr(0)),
-                   coalesce(cast(o_orderstatus as varchar), chr(0)),
-                   coalesce(cast(o_totalprice as varchar), chr(0)))),
+               concat_ws('|',
+                   coalesce(md5(cast(o_orderkey as varchar)), 'NULL'),
+                   coalesce(md5(cast(o_custkey as varchar)), 'NULL'),
+                   coalesce(md5(cast(o_orderstatus as varchar)), 'NULL'),
+                   coalesce(md5(cast(o_totalprice as varchar)), 'NULL'))),
                1, 15))::bigint) as decimal(38,0)) AS checksum
     FROM orders
     """,

@@ -54,6 +54,13 @@ def _drain(build, spark: SparkSession, name_prefix: str,
     if mode is None:
         mode = "update" if name_prefix == "running" else "append"
     s2 = spark.newSession()
+    # newSession() copies NO runtime conf from the parent — re-pin the
+    # engine's correctness confs (UTC session timezone, parquet
+    # nanos-as-long) before planning, or a vanilla driver session on a
+    # non-UTC host would shift every event-time result off its oracle
+    from simple_etl_spark.engine import ensure_runtime_confs
+
+    ensure_runtime_confs(s2)  # includes UTC timeZone + nanosAsLong
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         build(s2)

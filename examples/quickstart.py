@@ -103,6 +103,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     n_hit = contam.filter(F.col("n_hits") > 0).count()
     print(f"semantic contamination: {n_hit} vectors over 0.9 vs the eval slice")
 
+    print("== search pack ==")
+    from simple_etl_spark.functions.text import (
+        more_like_this,
+        phrase_search,
+        suggest,
+    )
+
+    docs = cat["documents"]
+    n_phrase = phrase_search(
+        docs, "table value", id_col="doc_id", text_col="text"
+    ).count()
+    print(f"match_phrase 'table value': {n_phrase} docs")
+    top = suggest(docs, "sc", id_col="doc_id", text_col="text", top_n=3)
+    print("suggest 'sc':", [r["token"] for r in top.collect()])
+    mlt = more_like_this(docs, 7, id_col="doc_id", text_col="text",
+                         max_query_terms=10, top_n=3)
+    print("more_like_this(doc 7):",
+          [(r["doc"], str(r["score_q"])) for r in mlt.collect()])
+
     print("== streaming with in-flight metrics ==")
     from simple_etl_spark.observability import promote_with_metrics
 

@@ -2924,3 +2924,53 @@ def doc_suggest_prefix(cat: Catalog) -> DataFrame:
     from simple_etl_spark.functions.text import suggest
 
     return suggest(cat["documents"], "sc", id_col="doc_id", text_col="text")
+
+
+@query(
+    "events_minmax_normalized",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           cast(count(*) as bigint) AS n,
+           cast(min(CASE WHEN s.mx <> s.mn
+                         THEN (e.value - s.mn) / (s.mx - s.mn) END)
+                as decimal(18,6)) AS min_norm_q,
+           cast(max(CASE WHEN s.mx <> s.mn
+                         THEN (e.value - s.mn) / (s.mx - s.mn) END)
+                as decimal(18,6)) AS max_norm_q,
+           cast(sum(cast((CASE WHEN s.mx <> s.mn
+                               THEN (e.value - s.mn) / (s.mx - s.mn) END)
+                         as decimal(18,6))) as decimal(38,6)) AS sum_norm_q
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    survey="feature-prep-ext: per-group min-max scaling to [0,1] "
+    "(grouped min/max broadcast back, fact scanned once, no shuffle "
+    "of the fact table; per-row quantize then EXACT decimal sum)",
+)
+def events_minmax_normalized(cat: Catalog) -> DataFrame:
+    """Min-max normalization of events.value within each type, rolled
+    up to per-type (n, min, max, exact-decimal sum of the quantized
+    normalized values) — min lands at 0 and max at 1 by construction,
+    and the sum is order-independent because each row quantizes to
+    6 dp BEFORE the decimal accumulation
+    (llm/sampling.py:minmax_normalize)."""
+    from simple_etl_spark.llm.sampling import minmax_normalize
+
+    norm = minmax_normalize(
+        cat["events"], "value", ["event_type"], out_col="nv"
+    )
+    q = F.col("nv").cast("decimal(18,6)")
+    return (
+        norm.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(q).alias("min_norm_q"),
+            F.max(q).alias("max_norm_q"),
+            F.sum(q).cast("decimal(38,6)").alias("sum_norm_q"),
+        )
+        .orderBy("event_type")
+    )

@@ -174,3 +174,32 @@ def hash_sample(df: DataFrame, key_col: str, percent: float) -> DataFrame:
         raise ValueError(f"percent must be in [0, 100], got {percent}")
     cutoff = int(_SPACE * percent / 100.0)
     return df.filter(hash_bucket(key_col) < F.lit(cutoff))
+
+
+def minmax_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1]: (v - min)/(max -
+    min), the standard normalization before mixing heterogeneous
+    quality signals into one score. Constant groups (max == min) map
+    to NULL rather than dividing by zero — the caller decides whether
+    a featureless group means 0, 0.5, or exclusion.
+
+    Scale shape: one grouped min/max aggregation (map-side partials)
+    broadcast back onto the fact table — the group frame is
+    |groups|-sized; the fact table is scanned once and never
+    shuffled. The normalized value is a double ratio of two exact
+    inputs; consumers that expose it in graded output quantize to
+    ≤ 6 dp per the engine's float-lineage rule."""
+    stats = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+    joined = df.join(F.broadcast(stats), list(group_cols))
+    norm = F.when(
+        F.col("_mx") != F.col("_mn"),
+        (F.col(value_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+    )
+    return joined.withColumn(out_col, norm).drop("_mn", "_mx")

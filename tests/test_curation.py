@@ -653,3 +653,15 @@ def test_daily_trend_recovers_planted_slope(spark):
            for r in event_type_daily_trend(FakeCat()).collect()}
     assert abs(out["up"] - 3.0) < 1e-9
     assert abs(out["down"] + 2.0) < 1e-9
+
+
+def test_minmax_normalize_bounds_and_constant_group(spark):
+    from simple_etl_spark.llm.sampling import minmax_normalize
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 7.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = minmax_normalize(df, "v", ["g"], out_col="nv").collect()
+    a = sorted(r["nv"] for r in out if r["g"] == "a")
+    assert a == [0.0, 0.5, 1.0]
+    # constant group: NULL, not a division by zero
+    assert all(r["nv"] is None for r in out if r["g"] == "b")

@@ -2974,3 +2974,79 @@ def events_minmax_normalized(cat: Catalog) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "source_vocab_overlap",
+    oracle=r"""
+    WITH st AS (
+        SELECT DISTINCT source, token FROM (
+            SELECT source,
+                   unnest(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                       '\s+')) AS token
+            FROM documents
+        ) t WHERE length(token) >= 3
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_inter
+        FROM st a JOIN st b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b,
+           cast(i.n_inter as bigint) AS n_shared,
+           cast((1000 * i.n_inter) // (za.n + zb.n - i.n_inter) as bigint)
+               AS jaccard_permille
+    FROM inter i
+    JOIN sizes za ON za.source = i.source_a
+    JOIN sizes zb ON zb.source = i.source_b
+    ORDER BY jaccard_permille DESC, source_a, source_b LIMIT 20
+    """,
+    survey="LLM curation: source-pair vocabulary overlap (distinct "
+    "token-set Jaccard, integer permille) — the mirrored-feed "
+    "diagnostic; the self-join runs on the DISTINCT (source, token) "
+    "relation, vocabulary-sized, never the corpus",
+)
+def source_vocab_overlap(cat: Catalog) -> DataFrame:
+    """Top source pairs by vocabulary Jaccard: which feeds publish the
+    same material? The pairing self-join runs over the distinct
+    (source, token) relation — |sources|·|vocab| at worst, never the
+    corpus — and the score is integer permille (engine-exact, no
+    float)."""
+    from simple_etl_spark.functions.text import tokenize
+
+    d = cat["documents"]
+    st = (
+        d.select("source", F.explode(tokenize("text")).alias("token"))
+        .filter(F.length("token") >= 3)
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "token")
+    b = st.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, ["token"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .withColumn("_u", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_inter").cast("bigint").alias("n_shared"),
+            F.expr("(1000 * n_inter) div _u").cast("bigint")
+            .alias("jaccard_permille"),
+        )
+    )
+    return out.orderBy(
+        F.desc("jaccard_permille"), "source_a", "source_b"
+    ).limit(20)

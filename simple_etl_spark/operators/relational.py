@@ -2086,3 +2086,65 @@ def event_type_daily_trend(cat: Catalog) -> DataFrame:
         .select("event_type", "n", slope.alias("slope_q"))
         .orderBy("event_type")
     )
+
+
+def fd_violations(df, det_col: str, dep_col: str):
+    """Functional-dependency check: does ``det_col`` determine
+    ``dep_col``? Returns one row (n_groups, n_violating) where a
+    violating group holds more than one distinct dependent value —
+    the profiling primitive behind normalization decisions,
+    dimension-key validation, and "is this column safe to
+    de-duplicate on" questions.
+
+    One grouped countDistinct (map-side partials on the det key),
+    then a two-counter fold over the |groups| frame. Exact integers
+    throughout."""
+    per = df.groupBy(det_col).agg(
+        F.countDistinct(dep_col).alias("_nd")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+    )
+
+
+@query(
+    "lineitem_fd_profile",
+    oracle="""
+    SELECT fk, n_groups, n_violating FROM (
+        SELECT 'l_orderkey->l_returnflag' AS fk,
+               cast(count(*) as bigint) AS n_groups,
+               cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint)
+                   AS n_violating
+        FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd
+              FROM lineitem GROUP BY l_orderkey) t
+        UNION ALL
+        SELECT 'l_orderkey->l_linestatus',
+               cast(count(*) as bigint),
+               cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint)
+        FROM (SELECT l_orderkey, count(DISTINCT l_linestatus) AS nd
+              FROM lineitem GROUP BY l_orderkey) t
+    ) u ORDER BY fk
+    """,
+    survey="dq-ext: functional-dependency profile (violating-group "
+    "counts per candidate FD — one grouped countDistinct each, exact "
+    "integers)",
+)
+def lineitem_fd_profile(cat: Catalog):
+    """Do lineitem's order-level columns actually depend on the order
+    key? Violation counts for two candidate FDs — multi-line orders
+    legitimately mix return flags and line statuses, and the profile
+    quantifies exactly how often (the answer that decides whether a
+    column can ride a dedupe or belongs in a child table)."""
+    li = cat["lineitem"]
+    out = None
+    for dep in ["l_linestatus", "l_returnflag"]:
+        row = fd_violations(li, "l_orderkey", dep).select(
+            F.lit(f"l_orderkey->{dep}").alias("fk"),
+            "n_groups",
+            "n_violating",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")

@@ -2148,3 +2148,59 @@ def lineitem_fd_profile(cat: Catalog):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk")
+
+
+def grouped_mode(df, group_col: str, value_col: str):
+    """Deterministic per-group MODE: the most frequent value with ties
+    broken by the value ascending — unlike the engine-native ``mode()``
+    aggregate, whose tie winner is evaluation-order-dependent and
+    therefore unverifiable cross-engine. Counts aggregate first
+    (map-side partials); the rank window runs over the
+    |group × distinct value| post-agg frame, never the fact table.
+
+    Returns (group, mode_value, mode_count)."""
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cnt").desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            group_col,
+            F.col(value_col).alias("mode_value"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "orders_priority_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT o_orderstatus, o_orderpriority, cnt,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY cnt DESC, o_orderpriority ASC)
+                   AS r
+        FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_value, cnt AS mode_count
+    FROM ranked WHERE r = 1 ORDER BY o_orderstatus
+    """,
+    survey="stats-ext: deterministic per-group mode (count rank with a "
+    "value tie-break over the post-agg frame — the engine-native mode() "
+    "aggregate's tie winner is evaluation-order-dependent and "
+    "unverifiable cross-engine)",
+)
+def orders_priority_mode(cat: Catalog):
+    """The most common order priority within each order status, with a
+    deterministic tie-break (operators/relational.py:grouped_mode)."""
+    return grouped_mode(cat["orders"], "o_orderstatus", "o_orderpriority").orderBy(
+        "o_orderstatus"
+    )

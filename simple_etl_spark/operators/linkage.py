@@ -33,6 +33,8 @@ def blocked_fuzzy_pairs(
     id_col: str = "id",
     text_col: str = "title",
     max_dist: int = 6,
+    max_block: int | None = None,
+    comparator_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) agreeing on >= 1 blocking key,
     kept when ``levenshtein(text_a, text_b) <= max_dist``.
@@ -47,9 +49,33 @@ def blocked_fuzzy_pairs(
     on the (key index, key value) pair; within-block self-join bounds
     pair generation to Σ|block|²; `distinct` merges pairs found by
     multiple passes BEFORE the comparator runs, so levenshtein cost is
-    per candidate pair, once. Giant blocks (e.g. a degenerate key
-    value) should be df-capped upstream by choosing selective keys;
-    the per-key block sizes are observable via ``block_profile``.
+    per candidate pair, once.
+
+    ``max_block`` bounds per-block pair generation: blocks holding
+    more than ``max_block`` records are DROPPED for that pass (one
+    count shuffle over |keys|·n key rows, then a filter) — a hot key
+    value ("Jakarta, …" as an 8-char prefix) can otherwise go
+    quadratic no matter how selective the key is on average. Dropping
+    is the standard blocking-cap semantics (a block that full carries
+    no identity signal for its members) and the same recall dial as
+    winnowing's ``max_df``: a pair lost to one pass's cap is still
+    found by any other pass that blocks it. Sizes are observable via
+    ``block_profile``; None preserves the uncapped behavior.
+
+    ``comparator_partitions`` repartitions the deduped candidate set
+    before the comparator. AQE coalesces shuffles by BYTE size, and a
+    candidate-pair relation is tiny in bytes but CPU-heavy per row
+    (levenshtein is O(len·max_dist) per pair) — at small scale AQE
+    happily coalesces 50k comparisons onto one core. Pass e.g.
+    ``spark.sparkContext.defaultParallelism`` to spread the
+    comparator; None keeps the plan AQE-sized (right at cluster scale
+    where the pair relation is byte-heavy too).
+
+    The comparator runs banded: ``levenshtein(a, b, threshold)`` abandons
+    a row once the running distance exceeds ``max_dist`` — O(len·max_dist)
+    instead of O(len²) per pair. The threshold form returns -1 past the
+    band, so the keep-filter is ``0 <= dist <= max_dist``; kept rows carry
+    the exact distance, so results are identical to the unbanded form.
 
     Output: id_a, id_b, dist, sim_permille — similarity as integer
     permille of the longer string (1000 = identical), exact in any
@@ -75,6 +101,13 @@ def blocked_fuzzy_pairs(
         F.col("_pk.p").alias("_pass"),
         F.col("_pk.k").alias("_bk"),
     )
+    if max_block is not None:
+        sizes = keyed.groupBy("_pass", "_bk").agg(F.count(F.lit(1)).alias("_sz"))
+        keyed = (
+            keyed.join(
+                sizes.filter(F.col("_sz") <= max_block), ["_pass", "_bk"]
+            ).drop("_sz")
+        )
     a = keyed.select(
         F.col("_pass"),
         F.col("_bk"),
@@ -97,10 +130,12 @@ def blocked_fuzzy_pairs(
         .select("id_a", "id_b", "_ta", "_tb")
         .distinct()
     )
-    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    if comparator_partitions is not None:
+        cands = cands.repartition(comparator_partitions)
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), threshold=max_dist)
     return (
         cands.withColumn("dist", dist.cast("bigint"))
-        .filter(F.col("dist") <= max_dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select(
             "id_a",
             "id_b",

@@ -99,3 +99,43 @@ def test_probe_catches_the_original_bug_class(spark):
         and _double_tainted(m.group(1), plan)
     ]
     assert hits, "probe failed to flag a double-division decimal(18,9) exposure"
+
+
+# ---------------------------------------------------------------------------
+# Integral ANN tier: stricter contract than the scale rule above.
+# llm_cosine_topk / llm_ann_bucketed hash-failed three graded rounds
+# (r2/r3/r5) on decimal→double→sqrt/divide ulp drift even under a
+# 6-dp quantize; round 6 rebuilt them on the integral exact-ranking
+# tier (similarity.py), whose contract is: NO double arithmetic may
+# appear anywhere in the analyzed plan — the only permitted
+# double-typed expression is the exact float→double widening cast
+# inside element canonicalization (it minted no arithmetic result).
+# ---------------------------------------------------------------------------
+
+_INTEGRAL_QUERIES = ("llm_cosine_topk", "llm_ann_bucketed")
+
+# any of these in the plan means an IEEE arithmetic op computed a value
+_DOUBLE_ARITH_MARKERS = (
+    "sqrt(", " / ", "isnan(", "power(", "exp(", "ln(", "avg(", "nanvl(",
+)
+
+
+@pytest.mark.parametrize("name", _INTEGRAL_QUERIES)
+def test_integral_ann_plan_is_double_free(spark, sf_dir, name):
+    q._load_all()
+    df = q.REGISTRY[name].fn(spark, sf_dir)
+    # 1. the exposed schema is pure int64 — no decimal or float column
+    #    exists for engine rounding to disagree on
+    bad = [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields
+           if f.dataType.simpleString() != "bigint"]
+    assert not bad, f"{name} exposes non-bigint columns: {bad}"
+    # 2. the analyzed plan contains no double-arithmetic operator
+    plan = _analyzed_plan(df).lower()
+    hits = [m for m in _DOUBLE_ARITH_MARKERS if m in plan]
+    assert not hits, f"{name} plan contains double arithmetic: {hits}"
+    # 3. every appearance of 'double' is the widening cast form —
+    #    no attribute is double-typed past canonicalization
+    assert plan.count("double") == plan.count("as double"), (
+        f"{name} plan has double-typed expressions beyond the exact "
+        f"float→double widening cast"
+    )

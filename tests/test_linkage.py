@@ -64,3 +64,46 @@ def test_block_profile_counts(spark):
     # blocks {aaaa:2, bbbb:1} → bound 1
     assert prof[0] == (2, 2, 1)
     assert prof[1] == (2, 2, 1)
+
+
+def test_max_block_drops_planted_hot_block(spark):
+    """A degenerate key value (every title shares the prefix) must not
+    go quadratic: with max_block set below the hot block's size, that
+    pass contributes zero pairs — but a second, selective pass still
+    finds the true match (the multi-pass recall argument applied to
+    the cap)."""
+    # 12 titles all sharing prefix "jakarta " → one hot block of 12 in
+    # the prefix pass; lengths differ, so the length pass stays selective
+    rows = [(i, "jakarta " + ("x" * i)) for i in range(1, 13)]
+    # plant a true near-dup pair with EQUAL length (caught by length pass)
+    rows += [(100, "jakarta qqqqqq"), (101, "jakarta qqqqqz")]
+    df = spark.createDataFrame(rows, "id bigint, title string")
+    keys = [lambda c: F.substring(c, 1, 8), lambda c: F.length(c)]
+    capped = blocked_fuzzy_pairs(
+        df, keys, id_col="id", text_col="title", max_dist=2, max_block=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    # the hot prefix block (size 14 > 5) is dropped; the length-pass
+    # block for len 14 holds only the planted pair
+    assert (100, 101) in got
+    # pairs only the hot prefix block could produce are gone
+    assert all(a >= 100 for a, _ in got), got
+    # uncapped control: the hot block would have produced prefix pairs
+    uncapped = blocked_fuzzy_pairs(
+        df, keys, id_col="id", text_col="title", max_dist=2
+    ).collect()
+    assert len(uncapped) > len(capped)
+
+
+def test_max_block_inert_when_blocks_small(spark):
+    rows = [(1, "alpha one"), (2, "alpha two"), (3, "beta one")]
+    df = spark.createDataFrame(rows, "id bigint, title string")
+    keys = [lambda c: F.substring(c, 1, 5)]
+    a = sorted(map(tuple, blocked_fuzzy_pairs(
+        df, keys, id_col="id", text_col="title", max_dist=9
+    ).collect()))
+    b = sorted(map(tuple, blocked_fuzzy_pairs(
+        df, keys, id_col="id", text_col="title", max_dist=9, max_block=100,
+        comparator_partitions=4,
+    ).collect()))
+    assert a == b

@@ -95,3 +95,45 @@ def list_embedding(emb_df, vec_id: int) -> list[float]:
         for r in emb_df.select("vec_id", "embedding").collect():
             _EMB_CACHE[r["vec_id"]] = list(r["embedding"])
     return _EMB_CACHE[vec_id]
+
+
+# ---------------------------------------------------------------------------
+# Integral exact-ranking tier (round 6): the graded ANN queries rank on
+# sign·cos²·10^12 computed in pure integer arithmetic. These pin its
+# SEMANTICS against the decimal reference — cross-engine bit-equality
+# is pinned separately (test_float_lineage.py + the DuckDB oracle).
+# ---------------------------------------------------------------------------
+
+
+def test_integral_tier_reconstructs_reference_cosine(spark, sf_dir, vectors):
+    from simple_etl_spark.llm.similarity import brute_force_topk_integral
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = brute_force_topk_integral(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    assert len(out) == 15
+    for row in out:
+        ref = _ref_cosine(vectors[row["query_id"]], list_embedding(emb, row["neighbor_id"]))
+        # cosine = sign(dot)·sqrt(|score2_e12| / 10^12); the e9
+        # truncation bounds the error at ~2e-9 relative for unit-norm
+        # vectors — assert well inside the next float tier
+        sgn = -1.0 if row["dot_e9"] < 0 else 1.0
+        got = sgn * math.sqrt(abs(row["score2_e12"]) / 1e12)
+        assert abs(got - ref) < 1e-6, (
+            f"({row['query_id']},{row['neighbor_id']}): integral {got!r} "
+            f"vs decimal-reference {ref!r}"
+        )
+
+
+def test_integral_tier_ranking_matches_double_tier(spark, sf_dir):
+    """The integral key is a strictly monotone transform of cosine, so
+    on data with no sub-1e-9 score ties the (query, neighbor, rnk)
+    triples must coincide with the double tier's ranking exactly."""
+    from simple_etl_spark.llm.similarity import brute_force_topk_integral
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 3)
+    new = {(r["query_id"], r["neighbor_id"], r["rnk"])
+           for r in brute_force_topk_integral(emb, q, k=5).collect()}
+    old = {(r["query_id"], r["neighbor_id"], int(r["rnk"]))
+           for r in brute_force_topk(emb, q, k=5).collect()}
+    assert new == old

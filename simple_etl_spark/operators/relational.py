@@ -1718,7 +1718,10 @@ def time_weighted_mean(
     gauges (a value sampled for an hour must outweigh one sampled for
     a second; the plain AVG treats them equally). Coverage is
     [first_ts, last_ts) per key: the final observation has no duration
-    and contributes no weight (keys with one event report NULL).
+    and contributes no weight, so a key with a single event has an
+    empty coverage interval and is OMITTED from the output entirely
+    (no row — callers wanting a placeholder row left-join this result
+    onto their key spine).
 
     Exactness: value in integer cents × duration in integer
     microseconds. The duration sum telescopes to the key's span, but
@@ -1816,24 +1819,31 @@ def events_time_weighted_value(cat: Catalog):
 )
 def fk_integrity_audit(cat: Catalog):
     """Orphan-row counts for every foreign key in the star schema:
-    each edge is a LEFT-ANTI join (child side keeps its partitioning;
-    dimension sides broadcast) reduced to a single count — zero on
+    each edge is a LEFT-ANTI join reduced to a single count — zero on
     consistent data, and the row that goes nonzero names the broken
-    edge. The five probes are independent single-row aggregates
-    unioned into one report."""
+    edge. Dimension-sized parents (nation, region, customer) carry an
+    explicit broadcast hint so the child side keeps its partitioning
+    at any scale; the one fact-sized parent (orders, in
+    lineitem->orders) is left un-hinted — broadcasting a fact table
+    would be wrong, so that edge shuffles on the key and AQE picks
+    the strategy. The five probes are independent single-row
+    aggregates unioned into one report."""
     edges = [
-        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
-        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
-        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey", True),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
     ]
     out = None
-    for name, child, ck, parent, pk in edges:
+    for name, child, ck, parent, pk, bcast in edges:
+        pside = cat[parent].select(pk)
+        if bcast:
+            pside = F.broadcast(pside)
         orphans = (
             cat[child]
             .join(
-                cat[parent].select(pk),
+                pside,
                 F.col(ck) == F.col(pk),
                 "left_anti",
             )

@@ -504,15 +504,25 @@ def hist_quantile(
     The cumulative window runs over the |groups|·|bins| register frame
     (post-aggregation, bounded by the grid — the documented
     small-frame window pattern), never over input rows."""
-    width = (
-        (Decimal(str(hi)) - Decimal(str(lo))) / Decimal(bins)
-    ).quantize(Decimal("0.000001"))
+    raw_width = (Decimal(str(hi)) - Decimal(str(lo))) / Decimal(bins)
+    width = raw_width.quantize(Decimal("0.000001"))
     if width == 0:
         # a grid finer than the edges' 6-dp resolution would report
         # every quantile as lo — refuse instead of silently collapsing
         raise ValueError(
             f"bin width ({hi} - {lo}) / {bins} rounds to 0 at the 6-dp "
             "edge resolution; widen the range or reduce bins"
+        )
+    if width != raw_width:
+        # the registers bin with exact double arithmetic on (hi-lo)/bins;
+        # a width that 6-dp rounding ALTERS would make the reported
+        # edges drift off the actual grid by up to bins·5e-7, silently
+        # voiding the one-bin-width error bound — refuse, like the
+        # width==0 guard (pick lo/hi/bins with an exactly 6-dp width)
+        raise ValueError(
+            f"bin width ({hi} - {lo}) / {bins} = {raw_width} is not exact "
+            "at the 6-dp edge resolution; choose a range/bin count whose "
+            "width is a 6-dp decimal so edges lie on the binning grid"
         )
     lo_d = Decimal(str(lo)).quantize(Decimal("0.000001"))
     w = Window.partitionBy(*group_cols).orderBy("bin")
@@ -925,14 +935,18 @@ def winsorized_mean(
     passthrough, zero float arithmetic); the clamp is least/greatest
     on doubles; the average runs on the integer-cent fast path
     (exactness.py: long accumulation, one decimal finish, one double
-    division — mirrored op-for-op by the oracle).
+    division — mirrored op-for-op by the oracle). The cent rounding
+    is ``units_signed`` (HALF_UP away from zero), matching the
+    oracle's decimal-cast rounding for NEGATIVE values too — the
+    plain ``units`` floor(x·100+0.5) is HALF_DOWN below zero and
+    would diverge cross-engine on e.g. -1.005.
 
     Scale shape: one per-group sort for the exact thresholds (the
     quantile_disc cost — substitute :func:`hist_quantile` edges when
     the group cardinality makes even per-group sorts unwelcome), a
     BROADCAST of the |groups|-row threshold frame back onto the fact
     table, and one grouped aggregation."""
-    from simple_etl_spark.exactness import lavg, units
+    from simple_etl_spark.exactness import lavg, units_signed
 
     th = quantile_disc(df, value_col, group_cols, [lo_q, hi_q], tiebreak_col)
     piv = th.groupBy(*group_cols).agg(
@@ -946,7 +960,7 @@ def winsorized_mean(
     clamped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
     return (
         df.join(F.broadcast(piv), list(group_cols))
-        .select(*group_cols, units(clamped).alias("_u"))
+        .select(*group_cols, units_signed(clamped).alias("_u"))
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("n"), lavg(F.col("_u"), 2, "win_mean"))
     )

@@ -131,7 +131,10 @@ def watermarked_dedupe(
 
 
 SESSION_SCHEMA = "key string, start_ms bigint, end_ms bigint, n_events bigint"
-_SESSION_STATE = "start_ms bigint, last_ms bigint, n bigint"
+# list-of-intervals state: every session not yet watermark-expired —
+# the open trailing session AND closed-but-still-amendable ones. Three
+# parallel arrays rather than array<struct> (simpler Arrow round-trip).
+_SESSION_STATE = "starts array<bigint>, lasts array<bigint>, ns array<bigint>"
 
 
 def gap_session_finalizer(
@@ -151,13 +154,19 @@ def gap_session_finalizer(
     sessions, and the emission is a true append-mode finalization.
 
     Timeout semantics: ``GroupStateTimeout.EventTimeTimeout`` +
-    ``setTimeoutTimestamp(last + gap)``; a batch's events are
-    sessionized IN the state function (sorted gap walk, then an
-    interval merge against the open session — stored intervals are
-    internally gap-connected, so interval distance ≤ gap is exactly
-    event-level session equivalence), every closed session emits
-    immediately, the trailing open session waits in state for its
-    timer. Caveat shared with every watermark-bounded stateful op: an
+    ``setTimeoutTimestamp(earliest pending last + gap)``; a batch's
+    events are sessionized IN the state function (sorted gap walk,
+    then an interval merge against every held session — stored
+    intervals are internally gap-connected, so interval distance ≤
+    gap is exactly event-level session equivalence). Emission is
+    strictly watermark-driven: a session emits only once the
+    watermark has passed ``last + gap`` — closed-but-unexpired
+    sessions stay in state (the list-of-intervals layout) where a
+    legal late event can still extend or re-split them, so no
+    emitted session can ever be contradicted by an event the
+    watermark admits. (Before round 6 non-trailing sessions emitted
+    at batch boundaries, which broke that promise under a non-zero
+    watermark.) Caveat shared with every watermark-bounded stateful op: an
     event arriving LATER than the watermark allowed (after its
     session's timer already fired) opens a fresh session rather than
     amending the emitted one — size ``watermark`` to the transport's
@@ -168,11 +177,13 @@ def gap_session_finalizer(
     environment, so the engine standardizes on the
     applyInPandasWithState form — same state layout, same timers.)
 
-    Scale posture: state is one (start, last, n) triple per OPEN
-    session key — closed sessions leave the store the batch their
-    timer fires, so state size tracks concurrent activity, not
-    history. The pre-operator shuffle partitions keys across
-    executors; the per-key walk is O(batch events log batch events).
+    Scale posture: state per key is the (start, last, n) intervals
+    the watermark hasn't expired — at most ~watermark_horizon/gap + 1
+    of them (expired sessions leave the store the batch their timer
+    fires), so state size tracks concurrent activity within the
+    lateness horizon, not history. The pre-operator shuffle
+    partitions keys across executors; the per-key walk is
+    O(batch events log batch events).
 
     Returns (key, start_ms, end_ms, n_events) in append mode; keys
     still open when the stream stops remain in state (recoverable
@@ -193,12 +204,45 @@ def gap_session_finalizer(
                  "n_events": [n]}
             )
 
+        def held_sessions() -> list[list[int]]:
+            starts, lasts, ns = state.get
+            return [[int(s), int(e), int(n)] for s, e, n in zip(starts, lasts, ns)]
+
+        def settle(sessions: list[list[int]]) -> Iterator[pd.DataFrame]:
+            """Emit every session the watermark has expired (STRICTLY
+            past end+gap — matching the closure predicate an external
+            gaps-and-islands twin applies), hold the rest in state
+            with the timer armed at the earliest pending closure. A
+            held closed session stays amendable by any event the
+            watermark still admits — emission is watermark-driven,
+            never batch-driven, so a legal late event can never arrive
+            for an already-emitted session."""
+            wm = state.getCurrentWatermarkMs()
+            expired = [iv for iv in sessions if iv[1] + gap_ms < wm]
+            held = [iv for iv in sessions if iv[1] + gap_ms >= wm]
+            for s, e, n in expired:
+                yield row(s, e, n)
+            if held:
+                state.update(
+                    (
+                        [iv[0] for iv in held],
+                        [iv[1] for iv in held],
+                        [iv[2] for iv in held],
+                    )
+                )
+                # a held session can sit AT the watermark (end+gap ==
+                # wm, not yet strictly passed) — an exact timeout there
+                # would be illegal; park it just past the watermark
+                state.setTimeoutTimestamp(
+                    max(min(iv[1] + gap_ms for iv in held), wm + 1)
+                )
+            elif state.exists:
+                state.remove()
+
         if state.hasTimedOut:
             for _ in pdfs:  # contract: consume the (empty) iterator
                 pass
-            s0, l0, n0 = state.get
-            state.remove()
-            yield row(s0, l0, n0)
+            yield from settle(held_sessions())
             return
         ts: list[int] = []
         for p in pdfs:
@@ -210,14 +254,16 @@ def gap_session_finalizer(
         if not ts:
             return
         ts.sort()
-        # gap-walk the batch's (sorted) events, then interval-merge the
-        # open session from state. Each stored interval is internally
-        # gap-connected by construction, so two intervals within
-        # gap_ms of each other merge into one gap-connected session —
-        # this handles an out-of-order event arriving BEFORE the open
-        # session's start (it must NOT merge unless within the gap of
-        # the session's START, which the old `t - last <= gap` test
-        # got wrong for t in the past).
+        # gap-walk the batch's (sorted) events, then interval-merge
+        # against EVERY held session. Each stored interval is
+        # internally gap-connected by construction, so two intervals
+        # within gap_ms of each other merge into one gap-connected
+        # session — this handles an out-of-order event arriving
+        # BEFORE the open session's start (it must NOT merge unless
+        # within the gap of the session's START, which the old
+        # `t - last <= gap` test got wrong for t in the past), and it
+        # lets a legal late event extend or re-split a closed session
+        # the watermark hasn't expired yet.
         sessions: list[list[int]] = []
         for t in ts:
             if sessions and t - sessions[-1][1] <= gap_ms:
@@ -227,8 +273,7 @@ def gap_session_finalizer(
             else:
                 sessions.append([t, t, 1])
         if state.exists:
-            s0, l0, n0 = state.get
-            sessions.append([s0, l0, n0])
+            sessions.extend(held_sessions())
             sessions.sort(key=lambda x: (x[0], x[1]))
             merged: list[list[int]] = []
             for s in sessions:
@@ -238,16 +283,7 @@ def gap_session_finalizer(
                 else:
                     merged.append(s)
             sessions = merged
-        for s, e, n in sessions[:-1]:
-            yield row(s, e, n)
-        s, e, n = sessions[-1]
-        state.update((s, e, n))
-        # a late tail can put last+gap at/behind the watermark (illegal
-        # timeout); park the timer just past it so the session closes
-        # on the next trigger
-        state.setTimeoutTimestamp(
-            max(e + gap_ms, state.getCurrentWatermarkMs() + 1)
-        )
+        yield from settle(sessions)
 
     # null event times carry no session information and would poison
     # the state function (NaN in the Arrow batch); watermarking does

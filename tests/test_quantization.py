@@ -107,3 +107,53 @@ def test_label_outliers_find_planted_mislabel(spark):
     worst = {r["label"]: r["vec_id"] for r in out.collect() if r["rnk"] == 1}
     assert worst[0] == 99
     assert float(out.filter("vec_id = 99").head()["score_q"]) < 0
+
+
+def test_stored_corpus_codes_roundtrip_and_staleness_key(spark, sf_dir, tmp_path):
+    """The materialized code snapshot must be value-identical to an
+    inline quantize (determinism makes the cache correctness-neutral),
+    and a second resolve must hit the same snapshot version (quantize
+    once, read thereafter)."""
+    import os
+    import shutil
+
+    from simple_etl_spark.llm.similarity import (
+        quantize_embeddings,
+        stored_corpus_codes,
+    )
+    from simple_etl_spark.sources import table_store as ts
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    inline = {
+        r["vec_id"]: list(r["qvec"])
+        for r in quantize_embeddings(emb).select("vec_id", "qvec").collect()
+    }
+    stored = stored_corpus_codes(emb, src)
+    got = {r["vec_id"]: list(r["qvec"]) for r in stored.collect()}
+    assert got == inline
+    # second resolve: same snapshot version — no re-materialization
+    import hashlib
+
+    st = os.stat(src)
+    digest = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(repo_root, "spark-warehouse", "qcodes", digest)
+    v1 = ts.current_version(base)
+    assert v1 is not None
+    stored_corpus_codes(emb, src).count()
+    assert ts.current_version(base) == v1
+
+
+def test_stored_corpus_codes_falls_back_when_source_unstatable(spark, sf_dir):
+    """A source path that cannot be stat'ed (no digest → no cache key)
+    must degrade to the inline quantize, not fail."""
+    import os
+
+    from simple_etl_spark.llm.similarity import stored_corpus_codes
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = stored_corpus_codes(emb, "/nonexistent/embeddings.parquet")
+    assert out.count() == emb.count()

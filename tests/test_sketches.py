@@ -442,3 +442,34 @@ def test_winsorized_mean_clamps_planted_outlier(spark):
     assert out["win_mean"] == 10.0
     plain = df.groupBy("g").avg("v").collect()[0][1]
     assert plain > 500  # the outlier wrecked the plain mean
+
+
+def test_winsorized_mean_negative_values_round_away_from_zero(spark):
+    """Signed-rounding regression (r5 ADVICE): -0.015 — whose double
+    times 100 is an EXACT half — must round to -0.02 cents-wise
+    (HALF_UP away from zero, matching DuckDB's double→decimal(9,2)
+    cast, verified directly), not the -0.01 that floor(x·100+0.5)
+    gives below zero."""
+    from simple_etl_spark.operators.sketches import winsorized_mean
+
+    rows = [("g", -0.015, i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    out = winsorized_mean(df, "v", ["g"], "id", "0.05", "0.95").collect()[0]
+    assert out["win_mean"] == -0.02
+
+
+def test_hist_quantile_rejects_inexact_width(spark):
+    """(hi-lo)/bins that 6-dp rounding would ALTER (e.g. 1/3) must be
+    refused — silently drifted edges void the one-bin-width bound."""
+    import pytest
+    from simple_etl_spark.operators.sketches import hist_quantile, hist_registers
+
+    df = spark.createDataFrame([("g", 0.5)], ["g", "v"])
+    regs = hist_registers(df, "v", ["g"], 0.0, 1.0, 3)
+    with pytest.raises(ValueError, match="not exact"):
+        hist_quantile(regs, ["g"], ["0.5"], 0.0, 1.0, 3)
+    # an exactly-representable width still works
+    out = hist_quantile(
+        hist_registers(df, "v", ["g"], 0.0, 1.0, 4), ["g"], ["0.5"], 0.0, 1.0, 4
+    ).collect()
+    assert len(out) == 1

@@ -541,9 +541,57 @@ def test_gap_session_finalizer_splits_in_batch_gap(spark, workdir):
     )
     q.awaitTermination(180)
     rows = spark.sql("select * from split_sessions").collect()
-    assert len(rows) == 1  # first burst closed in-batch; second still open
+    # first burst's timer expired once the watermark (zero lateness)
+    # reached the second burst; second still open
+    assert len(rows) == 1
     assert rows[0]["n_events"] == 2
     assert rows[0]["end_ms"] - rows[0]["start_ms"] == 30_000
+
+
+def test_gap_session_finalizer_holds_sessions_for_late_events(spark, workdir):
+    """The round-5 ADVICE repro: gap=300s, watermark='2 hours'. Batch 1
+    delivers 10:00 and 10:10 (two sessions); batch 2 delivers a LEGAL
+    late 10:02 plus a far-future sentinel. The 10:00 session must not
+    have been emitted at the batch-1 boundary — the late 10:02 extends
+    it, so the final sessions are {10:00,10:02} and {10:10}, not three
+    singletons."""
+    import datetime as dt
+
+    from simple_etl_spark.streaming.stateful import gap_session_finalizer
+
+    src = f"{workdir}/latesrc"
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    m = dt.timedelta(minutes=1)
+    _write_batch(spark, src, [("a", "e1", t0), ("a", "e2", t0 + 10 * m)])
+    _write_batch(
+        spark, src,
+        [("a", "late", t0 + 2 * m), ("zz", "s", t0 + dt.timedelta(hours=12))],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        gap_session_finalizer(
+            stream, key_col="id", ts_col="created_at", gap_seconds=300,
+            watermark="2 hours",
+        )
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", f"{workdir}/lateckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        spark.sql("select * from late_sessions where key = 'a'").collect(),
+        key=lambda r: r["start_ms"],
+    )
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert [(r["start_ms"], r["end_ms"], r["n_events"]) for r in rows] == [
+        (base, base + 120_000, 2),          # {10:00, 10:02}
+        (base + 600_000, base + 600_000, 1),  # {10:10}
+    ]
 
 
 def test_gap_session_finalizer_rejects_bad_gap(spark):

@@ -96,7 +96,8 @@ def hll_registers(
 
 
 def hll_estimate(
-    registers: DataFrame, group_cols: list[str], p: int = 8
+    registers: DataFrame, group_cols: list[str], p: int = 8,
+    integral: bool = False,
 ) -> DataFrame:
     """Phase 2 of HLL: fold the register file into a cardinality
     estimate (Flajolet et al. 2007 bias-corrected harmonic mean, with
@@ -111,6 +112,16 @@ def hll_estimate(
     doubles; the exposed estimate is decimal(18,6) per the engine's
     float-lineage rule (COVERAGE.md), where ulp-level ln() drift
     cannot reach.
+
+    ``integral=True`` exposes the estimate as a BIGINT via
+    ``floor(est + 0.5)`` computed on the raw double — the right form
+    for a hard cross-engine hash gate: a distinct-count estimate is
+    naturally integral, the 1.0-wide rounding boundary is 10⁶×
+    coarser than the 6-dp quantize, and the rounding never routes
+    through a decimal→double cast (whose single-vs-double-rounding
+    difference between engines is the r5 ANN-failure class). Note the
+    explicit floor(x+0.5), NOT a double→bigint cast: Spark's cast
+    truncates while DuckDB's rounds — a semantic, not ulp, mismatch.
     """
     m = 2**p
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
@@ -133,17 +144,33 @@ def hll_estimate(
         (e_raw <= F.lit(2.5) * F.lit(float(m))) & (v > F.lit(0)),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(e_raw)
-    return agg.select(
-        *group_cols, est.cast("decimal(18,6)").alias("approx_distinct")
+    exposed = (
+        F.floor(est + F.lit(0.5)).cast("bigint")
+        if integral
+        else est.cast("decimal(18,6)")
     )
+    return agg.select(*group_cols, exposed.alias("approx_distinct"))
 
 
-def _hll_oracle_sql(key_sql: str, group_sql: str, table: str, p: int = 8) -> str:
+def _hll_oracle_sql(
+    key_sql: str, group_sql: str, table: str, p: int = 8,
+    integral: bool = False,
+) -> str:
     """The DuckDB twin of hll_registers + hll_estimate, same hash
-    family and the same decimal accumulator (parity by construction)."""
+    family and the same decimal accumulator (parity by construction).
+    ``integral`` mirrors hll_estimate's bigint exposure."""
     m = 2**p
     hexp = p // 4
     tail = f"('0x' || substr(md5(cast({key_sql} as varchar)), {hexp + 1}, 15))::bigint"
+    est_case = (
+        f"CASE WHEN e_raw <= 2.5 * {float(m)} AND v > 0"
+        f" THEN {float(m)} * ln({float(m)} / v) ELSE e_raw END"
+    )
+    est_sql = (
+        f"cast(floor(({est_case}) + 0.5) AS BIGINT)"
+        if integral
+        else f"cast({est_case} AS decimal(18,6))"
+    )
     return f"""
     WITH regs AS (
         SELECT {group_sql} AS grp,
@@ -166,9 +193,7 @@ def _hll_oracle_sql(key_sql: str, group_sql: str, table: str, p: int = 8) -> str
                           as double) AS e_raw
         FROM folded
     )
-    SELECT grp, cast(CASE WHEN e_raw <= 2.5 * {float(m)} AND v > 0
-                          THEN {float(m)} * ln({float(m)} / v)
-                          ELSE e_raw END AS decimal(18,6)) AS approx_distinct
+    SELECT grp, {est_sql} AS approx_distinct
     FROM scored
     """
 
@@ -555,7 +580,8 @@ def hist_quantile(
 @query(
     "events_hll_daily_users",
     oracle=f"""
-    WITH est AS ({_hll_oracle_sql("user_id", "cast(ts as date)", "events", p=8)}),
+    WITH est AS ({_hll_oracle_sql("user_id", "cast(ts as date)", "events", p=8,
+                                  integral=True)}),
     exact AS (
         SELECT cast(ts as date) AS day, count(DISTINCT user_id) AS exact_users
         FROM events GROUP BY 1
@@ -570,10 +596,17 @@ def hist_quantile(
 def events_hll_daily_users(cat: Catalog) -> DataFrame:
     """Deterministic-HLL daily distinct users next to the exact count.
     The register shuffle is ≤ 256 rows/day independent of event volume
-    — the COUNT(DISTINCT) twin shuffles every (day, user) pair."""
+    — the COUNT(DISTINCT) twin shuffles every (day, user) pair.
+
+    Graded on the driver (r6 — the sketch family's first hard row), so
+    the estimate is exposed INTEGRALLY (hll_estimate(integral=True):
+    floor(est+0.5) as bigint) — the register fold is already
+    decimal-exact, and the integral exposure keeps the few remaining
+    double ops (one division, the linear-counting ln) a million times
+    farther from the rounding boundary than the 6-dp form."""
     ev = cat["events"].select(F.col("ts").cast("date").alias("day"), "user_id")
     regs = hll_registers(ev, "user_id", ["day"], p=8)
-    est = hll_estimate(regs, ["day"], p=8).withColumnRenamed(
+    est = hll_estimate(regs, ["day"], p=8, integral=True).withColumnRenamed(
         "approx_distinct", "approx_users"
     )
     exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("exact_users"))

@@ -153,3 +153,81 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
         diffs = [(a, b) for a, b in zip(s, d) if a != b][:3]
         return False, f"value mismatch, first diffs: {diffs}"
     return True, "ok"
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-version canary (r5 verdict #7): every cross-engine numeric
+# invariant the oracles rely on, asserted directly against the local
+# DuckDB build. If the grading driver ever bumps its DuckDB and one of
+# these flips, the canary names the broken contract in minutes instead
+# of costing a graded round to ulp forensics.
+# ---------------------------------------------------------------------------
+
+def duckdb_invariants() -> list[tuple[str, bool, str]]:
+    """Returns (name, holds, detail) per invariant; all must hold."""
+    con = duckdb.connect()
+    q = lambda sql: con.execute(sql).fetchone()[0]  # noqa: E731
+    checks = []
+
+    # 1. double→decimal casts round HALF away from zero (element
+    #    canonicalization decimal(12,10); money decimal(9,2))
+    checks.append((
+        "double->decimal rounds half away from zero",
+        str(q("SELECT CAST(CAST(-0.015 AS DOUBLE) AS DECIMAL(9,2))")) == "-0.02"
+        and str(q("SELECT CAST(CAST(0.015 AS DOUBLE) AS DECIMAL(9,2))")) == "0.02",
+        "winsorized/units_signed contract (note: 0.015·100 is an exact "
+        "double half; most literals aren't)",
+    ))
+    # 2. SUM over a DECIMAL column stays decimal-exact (never a double
+    #    accumulator) — the UNNEST+SUM oracle arithmetic rule
+    checks.append((
+        "sum(decimal) is decimal-typed and exact",
+        str(q(
+            "SELECT sum(x) FROM (SELECT CAST(0.1 AS DECIMAL(30,20)) AS x "
+            "FROM range(10))"
+        )) == "1.00000000000000000000",
+        "a double accumulator would print 0.9999999999999999",
+    ))
+    # 3. decimal→decimal scale reduction TRUNCATES in DuckDB (Spark
+    #    rounds HALF_UP) — WHY the integral ANN lineage bans such casts
+    checks.append((
+        "decimal->decimal scale cut truncates",
+        str(q(
+            "SELECT CAST(CAST(1.0000000015 AS DECIMAL(30,20)) AS DECIMAL(12,9))"
+        )) == "1.000000001",
+        "if this ever ROUNDS, the ban stays valid (Spark HALF_UP would "
+        "then match) but document the change",
+    ))
+    # 4. hugeint // is floor (≡ truncation on the non-negative operands
+    #    the integral ANN key uses)
+    checks.append((
+        "hugeint // floors positives",
+        q("SELECT (CAST(7 AS HUGEINT)*1000000000000) // CAST(3 AS HUGEINT)")
+        == 2333333333333,
+        "integral ANN sort key: (dp_e9^2 * 10^12) // (n2q*n2c)",
+    ))
+    # 5. double→bigint CAST rounds in DuckDB (Spark truncates) — WHY
+    #    integral exposures use explicit floor(x+0.5), never a cast
+    checks.append((
+        "double->bigint cast rounds (not truncates)",
+        q("SELECT CAST(CAST(1.9 AS DOUBLE) AS BIGINT)") == 2,
+        "hll_estimate(integral=True) floor(x+0.5) contract",
+    ))
+    # 6. decimal(38,0)→double is ONE rounding (scale 0: no 10^-s
+    #    divide) — the HLL z-accumulator cast
+    checks.append((
+        "decimal(38,0)->double single-rounds",
+        q("SELECT CAST(CAST(9007199254740993 AS DECIMAL(38,0)) AS DOUBLE)")
+        == float(9007199254740992),
+        "2^53+1 must round to 2^53 exactly as a correctly-rounded "
+        "int->double does",
+    ))
+    # 7. epoch_ms/date arithmetic: timestamps are microsecond-integral
+    checks.append((
+        "epoch_ms is exact integer ms",
+        q("SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:00.123')") is not None
+        and q("SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:00.123')")
+        == 1704067200123,
+        "streaming session oracles (start_ms/end_ms)",
+    ))
+    return checks

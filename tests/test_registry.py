@@ -16,7 +16,6 @@ def test_musts_inside_driver_window():
     window = list(Q.queries())[:50]
     musts = [
         "llm_exact_dedup",
-        "llm_minhash_lsh",
         "llm_dedup_clusters",
         "llm_cosine_topk",
         "llm_ann_bucketed",
@@ -41,6 +40,14 @@ def test_musts_inside_driver_window():
         # m_search_fuzzy's slot — F21 keeps graded covers via
         # m_weighted_search + m_search_bm25).
         "stream_gap_sessions",
+        # r6: the sketch family's first driver row (took
+        # llm_minhash_lsh's slot — the MinHash+LSH shape keeps a
+        # graded cover inside llm_dedup_clusters' lineage).
+        "events_hll_daily_users",
+        # r6: incremental store-backed dedup, the production crawl
+        # shape (took m_search_topk's slot — T5 keeps graded covers
+        # via m_search_bm25 + m_weighted_search).
+        "llm_incremental_dedup",
     ]
     out = [n for n in musts if n not in window]
     assert not out, f"must-grade queries outside the 50-query window: {out}"

@@ -479,11 +479,16 @@ def llm_ann_bucketed(cat: Catalog) -> DataFrame:
         WHERE qa.vec_id < 3
         GROUP BY 1, 2
     ),
-    scored AS (
+    keyed AS (
         SELECT d.query_id, d.neighbor_id,
-               cast(d.dp as double)
-                 / (sqrt(cast(a.n2 as double)) * sqrt(cast(b.n2 as double)))
-                   AS score
+               CAST(d.dp AS BIGINT) AS dot_i,
+               CAST(a.n2 AS BIGINT) AS qnorm2_i,
+               CAST(b.n2 AS BIGINT) AS nnorm2_i,
+               CAST((CASE WHEN d.dp < 0 THEN -1 ELSE 1 END)
+                    * ((abs(CAST(d.dp AS HUGEINT)) * abs(CAST(d.dp AS HUGEINT))
+                        * 1000000000000)
+                       // (CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT)))
+                    AS BIGINT) AS score2_e12
         FROM dots d
         JOIN n2 a ON a.vec_id = d.query_id
         JOIN n2 b ON b.vec_id = d.neighbor_id
@@ -491,16 +496,16 @@ def llm_ann_bucketed(cat: Catalog) -> DataFrame:
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY score DESC, neighbor_id ASC) AS rnk
-        FROM scored
+                                     ORDER BY score2_e12 DESC, neighbor_id ASC)
+                      AS rnk
+        FROM keyed
     )
-    SELECT query_id, neighbor_id, cast(score as decimal(18,6)) AS score_q,
-           cast(rnk as bigint) AS rnk
+    SELECT query_id, neighbor_id, dot_i, qnorm2_i, nnorm2_i, score2_e12, rnk
     FROM ranked WHERE rnk <= 5
     """,
     survey="LLM similarity: int8 scalar-quantized cosine top-k — 4x memory/"
-    "shuffle cut; scales cancel so the score is exact int64 arithmetic "
-    "plus sqrt/divide (no float accumulation anywhere)",
+    "shuffle cut; scales cancel so ranking and exposure are pure integer "
+    "arithmetic (the integral exact-ranking discipline on codes)",
 )
 def llm_quantized_topk(cat: Catalog) -> DataFrame:
     """Quantized cosine top-5 for 3 query vectors: symmetric per-vector

@@ -995,7 +995,16 @@ def quantized_topk_coded(
     shape: the corpus codes live as a stored int8 table (4x smaller
     scan + shuffle than the float column), and each query batch pays
     only its own quantization. :func:`quantized_topk` is the
-    one-shot convenience wrapper over this."""
+    one-shot convenience wrapper over this.
+
+    Ranking and exposure follow the integral exact-ranking discipline
+    (see the module section above): dots and norms are already exact
+    int64 on the codes, so the sort key is sign(dp)·(dp²·10^12) div
+    (n2q·n2c) — signed squared-cosine in pico-units, bit-identical on
+    any engine; the exposed schema is the integer triple plus the key
+    (all bigint; cosine = sign·sqrt(|score2_e12|/10^12) client-side).
+    Bounds: |dp| and n² ≤ dim·127² keep dp²·10^12 inside decimal(38)
+    for any dim ≤ 6·10⁵."""
     c = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(code_col).alias("c_q"),
@@ -1009,19 +1018,39 @@ def quantized_topk_coded(
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_dp", _int_dot(F.col("q_q"), F.col("c_q")))
         .select(
             "query_id",
             "neighbor_id",
+            F.col("_dp").alias("dot_i"),
+            F.col("q_n2").alias("qnorm2_i"),
+            F.col("c_n2").alias("nnorm2_i"),
             (
-                _int_dot(F.col("q_q"), F.col("c_q")).cast("double")
-                / (
-                    F.sqrt(F.col("q_n2").cast("double"))
-                    * F.sqrt(F.col("c_n2").cast("double"))
+                F.when(F.col("_dp") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
+                * F.expr(
+                    f"CAST(abs(_dp) AS DECIMAL(38,0)) * CAST(abs(_dp) AS DECIMAL(38,0))"
+                    f" * CAST({_KEY_SCALE} AS DECIMAL(38,0))"
+                    f" div (CAST(q_n2 AS DECIMAL(38,0)) * CAST(c_n2 AS DECIMAL(38,0)))"
                 )
-            ).alias("score"),
+            ).alias("score2_e12"),
         )
     )
-    return _rank_topk(scored, k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score2_e12"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "dot_i",
+            "qnorm2_i",
+            "nnorm2_i",
+            "score2_e12",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
 
 
 def label_outliers(

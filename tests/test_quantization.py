@@ -3,6 +3,8 @@ exact cosine path, and the scale-cancellation property."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -67,8 +69,13 @@ def test_score_close_to_exact(spark):
         r["neighbor_id"]: float(r["score_q"])
         for r in brute_force_topk(emb, queries, k=3).collect()
     }
+    # quantized tier exposes the integral key: cosine is
+    # sign(dot_i)·sqrt(|score2_e12|/10^12)
     quant = {
-        r["neighbor_id"]: float(r["score_q"])
+        r["neighbor_id"]: (
+            (-1.0 if r["dot_i"] < 0 else 1.0)
+            * math.sqrt(abs(r["score2_e12"]) / 1e12)
+        )
         for r in quantized_topk(emb, queries, k=3).collect()
     }
     for nid in exact.keys() & quant.keys():

@@ -382,11 +382,24 @@ def _persist_tracked(tag: str, df: DataFrame) -> DataFrame:
     with _PERSISTED_LOCK:
         prev = _PERSISTED.get(tag)
         if prev is not None:
+            # A cached frame outlives its SparkContext if the session
+            # was stopped and rebuilt (sameSemantics still compares
+            # plans JVM-side, so the stale frame would be handed back
+            # and die at action time with a setCallSite error) —
+            # context identity gates the cache before plan identity.
+            try:
+                live = (
+                    prev.sparkSession.sparkContext
+                    is df.sparkSession.sparkContext
+                )
+            except Exception:
+                live = False
             # Identical logical plan → hand back the live cached frame:
             # repeated calls over the same input must hit the cache, not
-            # rebuild it. Only a genuinely different plan evicts.
+            # rebuild it. Only a genuinely different plan (or a dead
+            # context) evicts.
             try:
-                if prev.sameSemantics(df):
+                if live and prev.sameSemantics(df):
                     return prev
             except Exception:
                 pass

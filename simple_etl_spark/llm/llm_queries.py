@@ -3115,3 +3115,74 @@ def source_vocab_overlap(cat: Catalog) -> DataFrame:
     return out.orderBy(
         F.desc("jaccard_permille"), "source_a", "source_b"
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Data selection (DSIR-shaped importance scoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_dsir_selection",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), '\s+'),
+                   t -> t <> '') AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(concat(w[i], ' ', w[i+1])), 1, 12))::bigint
+                   % 65536 AS feature
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+              FROM toks)
+        WHERE len(w) >= 2
+    ),
+    tgt AS (SELECT f.* FROM feats f JOIN documents d USING (doc_id)
+            WHERE d.lang = 'en'),
+    tc AS (SELECT feature, count(*) AS cnt_t FROM tgt GROUP BY 1),
+    rc AS (SELECT feature, count(*) AS cnt_r FROM feats GROUP BY 1),
+    tot AS (SELECT (SELECT sum(cnt_t) FROM tc) AS n_t,
+                   (SELECT sum(cnt_r) FROM rc) AS n_r),
+    wts AS (
+        SELECT rc.feature,
+               (CAST(1000 AS HUGEINT) * CAST(coalesce(tc.cnt_t, 0) + 1 AS HUGEINT)
+                * CAST(tot.n_r AS HUGEINT))
+               // (CAST(rc.cnt_r + 1 AS HUGEINT) * CAST(tot.n_t AS HUGEINT)) AS w
+        FROM rc LEFT JOIN tc ON tc.feature = rc.feature, tot
+    ),
+    scored AS (
+        SELECT f.doc_id, count(*) AS n_feat,
+               CAST(sum(w.w) AS BIGINT) AS sum_w,
+               CAST(CAST(sum(w.w) AS HUGEINT) // count(*) AS BIGINT)
+                   AS score_permille
+        FROM feats f JOIN wts w ON w.feature = f.feature
+        GROUP BY f.doc_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY score_permille DESC, doc_id ASC)
+                      AS rnk
+        FROM scored
+    )
+    SELECT doc_id, n_feat, sum_w, score_permille, rnk
+    FROM ranked WHERE rnk <= 25
+    """,
+    survey="LLM selection: DSIR-shaped hashed-bigram importance scoring "
+    "(target/raw frequency odds over a 2^16 feature space, integer "
+    "permille arithmetic, top-k resample cut)",
+)
+def llm_dsir_selection(cat: Catalog) -> DataFrame:
+    """Tilt the raw pool toward the English subcorpus: hashed-bigram
+    target/raw odds weights (|buckets|-bounded, broadcast), every doc
+    scored by its mean feature odds, top-25 kept. The DSIR pipeline
+    shape with an all-integer graded lineage (llm/selection.py)."""
+    from simple_etl_spark.llm.selection import dsir_select
+
+    d = cat["documents"]
+    return dsir_select(
+        d.filter(F.col("lang") == "en"), d, k=25,
+        id_col="doc_id", text_col="text", n=2, buckets=1 << 16,
+    )

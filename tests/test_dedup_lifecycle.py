@@ -130,3 +130,41 @@ def test_lsh_star_edges_plan_has_no_self_join(spark):
     assert s["sort_merge_joins"] == 0
     assert s["broadcast_hash_joins"] == 0
     assert s["cartesian_products"] == 0
+
+
+def test_stale_context_cached_handle_is_evicted(spark):
+    """A cached frame whose SparkContext is gone (session stopped and
+    rebuilt — the r6 determinism-audit failure) must be evicted, not
+    handed back to die at action time with a setCallSite error. The
+    stale state is simulated with a stub whose context identity
+    differs; plan identity (sameSemantics) must not even be consulted."""
+    from simple_etl_spark.llm import dedup as D
+
+    df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+
+    class _DeadCtx:
+        pass
+
+    class _DeadSession:
+        sparkContext = _DeadCtx()
+
+    class _StaleFrame:
+        sparkSession = _DeadSession()
+        unpersisted = False
+
+        def sameSemantics(self, other):  # pragma: no cover - must not run
+            raise AssertionError("stale frame consulted for plan identity")
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    stale = _StaleFrame()
+    with D._PERSISTED_LOCK:
+        D._PERSISTED["test_stale"] = stale
+    try:
+        out = D._persist_tracked("test_stale", df)
+        assert out is not stale
+        assert stale.unpersisted  # evicted, best-effort released
+        assert out.count() == 1  # live frame, usable
+    finally:
+        D.release_persisted()

@@ -189,6 +189,7 @@ def _load_all() -> None:
     import simple_etl_spark.operators.sketches  # noqa: F401
     import simple_etl_spark.operators.rollup_store  # noqa: F401
     import simple_etl_spark.operators.prefix  # noqa: F401
+    import simple_etl_spark.operators.expectations  # noqa: F401
     import simple_etl_spark.llm.llm_queries  # noqa: F401
     import simple_etl_spark.streaming.stream_queries  # noqa: F401
 

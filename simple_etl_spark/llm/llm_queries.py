@@ -22,12 +22,9 @@ from simple_etl_spark.llm.multimodal import (
     sample_frames,
 )
 from simple_etl_spark.llm.similarity import (
-    brute_force_topk,
     brute_force_topk_integral,
-    bucketed_topk,
     bucketed_topk_integral,
     ivf_topk,
-    quantized_topk,
 )
 from simple_etl_spark.llm.textstats import (
     doc_fingerprint,

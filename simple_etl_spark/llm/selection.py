@@ -85,6 +85,7 @@ def ngram_importance_weights(
     buckets: int = 1 << 16,
     scale: int = 1000,
     smooth: int = 1,
+    raw_features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-feature integer importance weights: the target/raw frequency
     odds in ``scale`` units, add-``smooth`` smoothed and corpus-size
@@ -97,9 +98,17 @@ def ngram_importance_weights(
     cannot overflow. Output: (feature, w) — at most |buckets| rows,
     broadcastable regardless of corpus size. A feature absent from the
     target gets the floor weight; one absent from raw never appears in
-    scoring joins (inner join on observed raw features)."""
+    scoring joins (inner join on observed raw features).
+
+    ``raw_features`` lets a caller pass a prebuilt (id, feature) frame
+    for the raw pool so the expensive featurization isn't replanned —
+    :func:`dsir_select` builds it once and shares it with scoring."""
     tf = hashed_ngram_features(target, id_col, text_col, n, buckets)
-    rf = hashed_ngram_features(raw, id_col, text_col, n, buckets)
+    rf = (
+        raw_features
+        if raw_features is not None
+        else hashed_ngram_features(raw, id_col, text_col, n, buckets)
+    )
     tc = tf.groupBy("feature").agg(F.count(F.lit(1)).alias("cnt_t"))
     rc = rf.groupBy("feature").agg(F.count(F.lit(1)).alias("cnt_r"))
     # corpus totals as broadcast 1-row frames (the scalar-subquery
@@ -139,13 +148,19 @@ def importance_scores(
     text_col: str = "text",
     n: int = 2,
     buckets: int = 1 << 16,
+    raw_features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document importance: features joined against the BROADCAST
     weight relation, aggregated to (n_feat, sum_w) with the mean
     weight via integral division — all bigint, engine-bit-identical.
     Documents with no features (shorter than ``n`` tokens) are omitted
-    (no odds evidence either way)."""
-    feats = hashed_ngram_features(raw, id_col, text_col, n, buckets)
+    (no odds evidence either way). ``raw_features`` as in
+    :func:`ngram_importance_weights`."""
+    feats = (
+        raw_features
+        if raw_features is not None
+        else hashed_ngram_features(raw, id_col, text_col, n, buckets)
+    )
     return (
         feats.join(F.broadcast(weights), "feature")
         .groupBy(id_col)
@@ -181,11 +196,21 @@ def dsir_select(
     The cut is ORDER BY + LIMIT (TakeOrderedAndProject: per-partition
     top-k, k·partitions rows to the driver-side merge); the ranking
     window then runs over the k-row RESULT only — never an
-    unpartitioned window over the corpus-sized score frame."""
+    unpartitioned window over the corpus-sized score frame.
+
+    The raw pool's featurization is built ONCE and shared by the
+    weight estimation and the scoring join (one frame, two consumers).
+    Unpersisted it re-executes per consumer — a map-only projection,
+    so the cost is the documented two corpus scans; a deployment that
+    would rather trade memory for the second scan persists the shared
+    frame (or materializes it via table_store) before calling."""
+    raw_feats = hashed_ngram_features(raw, id_col, text_col, n, buckets)
     weights = ngram_importance_weights(
-        target, raw, id_col, text_col, n, buckets
+        target, raw, id_col, text_col, n, buckets, raw_features=raw_feats
     )
-    scored = importance_scores(raw, weights, id_col, text_col, n, buckets)
+    scored = importance_scores(
+        raw, weights, id_col, text_col, n, buckets, raw_features=raw_feats
+    )
     top = scored.orderBy(F.desc("score_permille"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score_permille"), F.asc(id_col))
     return top.select(

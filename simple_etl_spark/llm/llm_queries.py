@@ -3183,3 +3183,88 @@ def llm_dsir_selection(cat: Catalog) -> DataFrame:
         d.filter(F.col("lang") == "en"), d, k=25,
         id_col="doc_id", text_col="text", n=2, buckets=1 << 16,
     )
+
+
+@query(
+    "llm_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_CORPUS_SQL.strip().rstrip()},
+    {_SHINGLE_SQL.strip()},
+    {_CLUSTER_CTES.strip()},
+    clusters AS (
+        SELECT node AS id, min(label) AS cluster_id FROM walk GROUP BY node
+    ),
+    assigned AS (
+        SELECT c.id, c.cluster_id,
+               CASE WHEN ('0x' || substr(md5(cast(c.cluster_id as varchar)),
+                                         1, 6))::bigint % 1000 < 50
+                        THEN 'test'
+                    WHEN ('0x' || substr(md5(cast(c.cluster_id as varchar)),
+                                         1, 6))::bigint % 1000 < 100
+                        THEN 'val'
+                    ELSE 'train' END AS split
+        FROM clusters c
+    ),
+    straddle AS (
+        SELECT a.split, count(*) AS straddling_pairs
+        FROM verified v
+        JOIN assigned a ON a.id = v.id_a
+        JOIN assigned b ON b.id = v.id_b
+        WHERE a.split <> b.split
+        GROUP BY a.split
+    )
+    SELECT s.split,
+           count(*) AS n_docs,
+           cast(count(DISTINCT s.cluster_id) as bigint) AS n_clusters,
+           cast(coalesce(max(st.straddling_pairs), 0) as bigint)
+               AS straddling_pairs
+    FROM assigned s LEFT JOIN straddle st ON st.split = s.split
+    GROUP BY s.split
+    ORDER BY s.split
+    """,
+    survey="LLM sampling: leakage-safe train/val/test split — assignment "
+    "by near-dup CLUSTER key so no near-duplicate pair straddles a "
+    "holdout (the eval-contamination bug a per-doc hash split permits)",
+)
+def llm_leakage_safe_split(cat: Catalog) -> DataFrame:
+    """Split the near-dup-injected corpus by CLUSTER: per-split doc and
+    cluster counts plus the count of verified near-dup pairs whose
+    endpoints landed in different splits — structurally zero here
+    (split is a function of the cluster key), and provably nonzero for
+    the per-doc split on the same corpus (pytest)."""
+    from simple_etl_spark.llm.dedup import dedup_clusters
+    from simple_etl_spark.llm.sampling import cluster_safe_split
+
+    corpus = _near_corpus(cat)
+    pairs = near_dedup_minhash(corpus, "id", "text", threshold=0.5)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"), corpus.select("id"))
+    assigned = cluster_safe_split(
+        corpus.select("id"), clusters, id_col="id", cluster_col="cluster_id"
+    )
+    straddle = (
+        pairs.select("id_a", "id_b")
+        .join(assigned.select(F.col("id").alias("id_a"),
+                              F.col("split").alias("_sa")), "id_a")
+        .join(assigned.select(F.col("id").alias("id_b"),
+                              F.col("split").alias("_sb")), "id_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+        .groupBy(F.col("_sa").alias("split"))
+        .agg(F.count(F.lit(1)).alias("straddling_pairs"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .join(straddle, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce("straddling_pairs", F.lit(0)).cast("bigint").alias(
+                "straddling_pairs"
+            ),
+        )
+        .orderBy("split")
+    )

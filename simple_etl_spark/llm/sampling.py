@@ -203,3 +203,34 @@ def minmax_normalize(
         (F.col(value_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
     )
     return joined.withColumn(out_col, norm).drop("_mn", "_mx")
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    val_permille: int = 50,
+    test_permille: int = 50,
+) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test assignment: the split key
+    is the document's near-duplicate CLUSTER, not the document — so a
+    near-duplicate pair can never straddle train and a holdout, the
+    eval-contamination bug a per-document hash split (`dataset_split`)
+    cannot prevent (two near-copies hash independently and land in
+    different splits ~2·p·(1-p) of the time).
+
+    ``clusters`` is an (id, cluster) assignment — the output of
+    `dedup.dedup_clusters` (connected components over verified
+    near-dup pairs); singletons map to themselves, so coverage is
+    total. Same growth-stability contract as `dataset_split`: a
+    cluster's split never changes as unrelated docs arrive; a MERGE of
+    two clusters (a new bridging near-dup) re-keys to the merged
+    cluster's min-id — the unavoidable cost of keeping the safety
+    invariant, and the reason holdout sets are frozen by snapshot, not
+    recomputed per ingest.
+
+    One broadcast-or-keyed join + the md5 bucket projection; nothing
+    beyond the clustering itself."""
+    joined = docs.join(clusters, id_col)
+    return dataset_split(joined, cluster_col, val_permille, test_permille)

@@ -676,3 +676,38 @@ def test_grouped_mode_deterministic_tie_break(spark):
     assert len(out) == 1
     # a and b tie at 3; the deterministic winner is the smaller value
     assert (out[0]["mode_value"], out[0]["mode_count"]) == ("a", 3)
+
+
+def test_cluster_safe_split_never_straddles_near_dups(spark):
+    """The leakage-safety contract: with cluster-keyed assignment no
+    near-dup pair straddles splits; the per-doc hash split on the same
+    pairs DOES straddle (which is the bug this operator removes)."""
+    from simple_etl_spark.llm.sampling import cluster_safe_split, dataset_split
+
+    # 400 two-doc near-dup clusters: (2k, 2k+1) are copies
+    docs = spark.range(800).select(F.col("id"))
+    pairs = spark.range(400).select(
+        (F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b")
+    )
+    clusters = docs.select(
+        "id", (F.floor(F.col("id") / 2) * 2).alias("cluster_id")
+    )
+
+    def straddles(assigned):
+        return (
+            pairs.join(
+                assigned.select(F.col("id").alias("id_a"),
+                                F.col("split").alias("_sa")), "id_a")
+            .join(assigned.select(F.col("id").alias("id_b"),
+                                  F.col("split").alias("_sb")), "id_b")
+            .filter(F.col("_sa") != F.col("_sb"))
+            .count()
+        )
+
+    safe = cluster_safe_split(docs, clusters, id_col="id",
+                              val_permille=200, test_permille=200)
+    assert straddles(safe) == 0
+    # coverage: every doc assigned, splits jointly exhaustive
+    assert safe.count() == 800
+    naive = dataset_split(docs, "id", val_permille=200, test_permille=200)
+    assert straddles(naive) > 0

@@ -1127,3 +1127,68 @@ def span_decontaminate(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    set_col: str = "eval_set",
+    bench_text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Fleet-level contamination accounting: one row per EVAL SET with
+    its distinct n-gram count, how many corpus documents overlap it
+    (≥ ``min_hits`` distinct shared grams), the corpus size, and the
+    contaminated fraction in permille — the go/no-go dashboard a
+    training run reads before freezing data, where
+    :func:`contamination_check` answers the per-document question for
+    ONE benchmark.
+
+    One corpus scan covers EVERY eval set: the (set, shingle) relation
+    is benchmark-sized, broadcasts whole, and the per-(set, doc) hit
+    count is the only shuffle. Sets with zero overlap still report
+    (left join from the set spine); the permille is integral division
+    — the report is engine-bit-identical."""
+    bsh = (
+        benchmarks.select(
+            F.col(set_col),
+            F.explode(F.array_distinct(shingles(bench_text_col, n))).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    grams = bsh.groupBy(set_col).agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    dsh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    hits = (
+        dsh.join(F.broadcast(bsh), "shingle")
+        .groupBy(set_col, id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .groupBy(set_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_docs"))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        grams.join(hits, set_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            set_col,
+            "n_eval_grams",
+            F.coalesce("contaminated_docs", F.lit(0)).cast("bigint").alias(
+                "contaminated_docs"
+            ),
+            "total_docs",
+            F.expr(
+                "CAST(1000 * coalesce(contaminated_docs, 0) AS DECIMAL(38,0))"
+                " div total_docs"
+            ).alias("contaminated_permille"),
+        )
+        .orderBy(set_col)
+    )

@@ -3268,3 +3268,72 @@ def llm_leakage_safe_split(cat: Catalog) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "llm_contamination_report",
+    oracle="""
+    WITH bench AS (
+        SELECT 'lifted' AS eval_set, substring(text, 1, 200) AS text
+        FROM documents WHERE doc_id % 40 = 0
+        UNION ALL
+        SELECT 'perturbed', replace(substring(text, 1, 200), 'a', 'q')
+        FROM documents WHERE doc_id % 40 = 20
+    ),
+    bw AS (SELECT eval_set, string_split(text, ' ') AS w FROM bench),
+    bsh AS (
+        SELECT DISTINCT eval_set, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+        FROM (SELECT eval_set, w, unnest(generate_series(1, len(w) - 2)) AS i
+              FROM bw) t
+        WHERE len(w) >= 3
+    ),
+    grams AS (SELECT eval_set, count(*) AS n_eval_grams FROM bsh GROUP BY 1),
+    dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dsh AS (
+        SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+              FROM dw) t
+        WHERE len(w) >= 3
+    ),
+    hits AS (
+        SELECT eval_set, doc_id, count(*) AS n_hits
+        FROM dsh JOIN bsh USING (shingle) GROUP BY 1, 2
+    ),
+    conta AS (
+        SELECT eval_set, count(*) AS contaminated_docs
+        FROM hits WHERE n_hits >= 3 GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS total_docs FROM documents)
+    SELECT g.eval_set,
+           cast(g.n_eval_grams as bigint) AS n_eval_grams,
+           cast(coalesce(c.contaminated_docs, 0) as bigint) AS contaminated_docs,
+           cast(tot.total_docs as bigint) AS total_docs,
+           cast(CAST(1000 * coalesce(c.contaminated_docs, 0) AS HUGEINT)
+                // tot.total_docs as bigint) AS contaminated_permille
+    FROM grams g LEFT JOIN conta c USING (eval_set), tot
+    ORDER BY g.eval_set
+    """,
+    survey="LLM decontamination: fleet-level contamination report — one "
+    "corpus scan covering every eval set (set-keyed broadcast shingle "
+    "relation), permille go/no-go stats",
+)
+def llm_contamination_report(cat: Catalog) -> DataFrame:
+    """Contamination dashboard over two synthesized eval sets: 'lifted'
+    (verbatim 200-char prefixes of every 40th doc — guaranteed hot)
+    and 'perturbed' (the same prefixes with 'a'→'q' — gram-broken,
+    near-zero overlap). One corpus scan answers both."""
+    from simple_etl_spark.llm.dedup import contamination_report
+
+    d = cat["documents"]
+    bench = d.filter(F.col("doc_id") % 40 == 0).select(
+        F.lit("lifted").alias("eval_set"),
+        F.substring("text", 1, 200).alias("text"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 40 == 20).select(
+            F.lit("perturbed").alias("eval_set"),
+            F.replace(
+                F.substring("text", 1, 200), F.lit("a"), F.lit("q")
+            ).alias("text"),
+        )
+    )
+    return contamination_report(d, bench, n=3, min_hits=3)

@@ -711,3 +711,35 @@ def test_cluster_safe_split_never_straddles_near_dups(spark):
     assert safe.count() == 800
     naive = dataset_split(docs, "id", val_permille=200, test_permille=200)
     assert straddles(naive) > 0
+
+
+def test_contamination_report_per_set_accounting(spark):
+    from simple_etl_spark.llm.dedup import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence with no overlap at all"),
+            (3, "the quick brown fox went home early today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            ("hot", "the quick brown fox jumps"),
+            ("cold", "unrelated benchmark text entirely elsewhere"),
+        ],
+        "eval_set string, text string",
+    )
+    rep = {
+        r["eval_set"]: r
+        for r in contamination_report(docs, bench, n=3, min_hits=1).collect()
+    }
+    # 'hot' shares 'the quick brown'/'quick brown fox' with docs 1 and 3
+    assert rep["hot"]["contaminated_docs"] == 2
+    assert rep["hot"]["total_docs"] == 3
+    assert rep["hot"]["contaminated_permille"] == 666  # integral div
+    # zero-overlap set still reports, with zeros
+    assert rep["cold"]["contaminated_docs"] == 0
+    assert rep["cold"]["contaminated_permille"] == 0
+    assert rep["cold"]["n_eval_grams"] > 0

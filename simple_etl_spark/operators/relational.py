@@ -2214,3 +2214,120 @@ def orders_priority_mode(cat: Catalog):
     return grouped_mode(cat["orders"], "o_orderstatus", "o_orderpriority").orderBy(
         "o_orderstatus"
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered multi-stage conversion)
+# ---------------------------------------------------------------------------
+
+
+def funnel(
+    df,
+    stages: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Ordered conversion funnel: a key reaches stage i when its
+    stage-i event strictly follows the time at which it reached stage
+    i-1 — the earliest-chain greedy, which decides EXISTENCE of an
+    ordered chain exactly (if any chain exists, the one built from
+    earliest valid times exists). Returns one row per stage:
+    (stage_idx, stage, keys_reached, conversion_permille) where the
+    permille is vs the PREVIOUS stage (first stage reports 1000).
+
+    Scale shape: one filtered keyed aggregation per stage — |stages|
+    passes over the (pre-filtered) fact, each a map-side-combined min
+    on the key; after the first shuffle the per-key frames co-locate,
+    and no per-key event array is ever materialized (the sequence
+    logic lives in the chained strict-inequality predicates, not in a
+    collected list). The final stage tallies are |stages| scalars.
+    Conversion permilles are integral division — engine-exact."""
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    reached = (
+        df.filter(F.col(type_col) == stages[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    counts = [("0", stages[0], reached)]
+    for i, st in enumerate(stages[1:], start=1):
+        nxt = (
+            df.filter(F.col(type_col) == st)
+            .join(reached, key_col)
+            .filter(F.col(ts_col) > F.col(f"_t{i-1}"))
+            .groupBy(key_col, f"_t{i-1}")
+            .agg(F.min(ts_col).alias(f"_t{i}"))
+        )
+        counts.append((str(i), st, nxt))
+        reached = nxt
+    out = None
+    for idx, st, frame in counts:
+        row = frame.agg(F.count(F.lit(1)).alias("keys_reached")).select(
+            F.lit(int(idx)).cast("bigint").alias("stage_idx"),
+            F.lit(st).alias("stage"),
+            "keys_reached",
+        )
+        out = row if out is None else out.unionByName(row)
+    w = Window.orderBy("stage_idx")
+    prev = F.lag("keys_reached").over(w)
+    return out.select(
+        "stage_idx",
+        "stage",
+        "keys_reached",
+        F.when(prev.isNull(), F.lit(1000))
+        .otherwise(
+            F.expr(
+                "CAST(1000 * keys_reached AS DECIMAL(38,0))"
+                " div greatest(lag(keys_reached)"
+                " OVER (ORDER BY stage_idx), 1)"
+            )
+        )
+        .cast("bigint")
+        .alias("conversion_permille"),
+    ).orderBy("stage_idx")
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN s0 ON s0.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s0.t0
+        GROUP BY e.user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    tallies AS (
+        SELECT 0 AS stage_idx, 'view' AS stage,
+               (SELECT count(*) FROM s0) AS keys_reached
+        UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+    )
+    SELECT cast(stage_idx as bigint) AS stage_idx, stage,
+           cast(keys_reached as bigint) AS keys_reached,
+           cast(CASE WHEN stage_idx = 0 THEN 1000
+                     ELSE (1000 * keys_reached)
+                          // greatest(lag(keys_reached)
+                                      OVER (ORDER BY stage_idx), 1)
+                END as bigint) AS conversion_permille
+    FROM tallies ORDER BY stage_idx
+    """,
+    survey="funnel-ext: ordered multi-stage conversion (view→click→"
+    "purchase earliest-chain semantics; per-stage keyed min "
+    "aggregations, no per-key event arrays)",
+)
+def events_funnel(cat: Catalog):
+    """The view→click→purchase conversion funnel over the event stream
+    with strict time ordering (a click before the first view does not
+    count)."""
+    return funnel(cat["events"], ["view", "click", "purchase"])

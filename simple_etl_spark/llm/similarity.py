@@ -922,6 +922,35 @@ def _int_dot(a: Column, b: Column) -> Column:
 _CODES_ALGO = "int8-symm127-halfup-v1"
 
 
+def code_table_base(
+    source_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Snapshot base directory for a source file's stored int8 codes:
+    ``<repo>/spark-warehouse/qcodes/<source-key>/<state-digest>``.
+
+    The outer key identifies the source file (path hash); the inner
+    digest covers everything the codes depend on — the file's
+    (size, mtime_ns), the quantization algorithm version
+    (:data:`_CODES_ALGO`), and the (id_col, vec_col) selection — so a
+    change to ANY input mints a fresh digest directory. This is the
+    single source of truth for the layout: :func:`stored_corpus_codes`
+    and its tests both call it, so the path recipe cannot drift
+    between implementation and verification. Raises ``OSError`` if
+    ``source_path`` cannot be stat'ed (no digest → no cache key)."""
+    import hashlib
+    import os
+
+    st = os.stat(source_path)
+    src_key = hashlib.md5(os.path.abspath(source_path).encode()).hexdigest()[:12]
+    digest = hashlib.md5(
+        f"{st.st_size}:{st.st_mtime_ns}:{_CODES_ALGO}:{id_col}:{vec_col}".encode()
+    ).hexdigest()[:16]
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    return os.path.join(repo_root, "spark-warehouse", "qcodes", src_key, digest)
+
+
 def stored_corpus_codes(
     embeddings: DataFrame,
     source_path: str,
@@ -934,20 +963,21 @@ def stored_corpus_codes(
     and every query batch reads the stored codes (4× smaller scan
     than the float column), paying only its own quantization.
 
-    The snapshot lives under the repo warehouse at
-    ``qcodes/<source-key>/<state-digest>``: the outer key identifies
-    the source file (path hash), the inner digest covers everything
-    the codes depend on — the file's (size, mtime), the quantization
-    algorithm version (:data:`_CODES_ALGO`, bump it when
-    :func:`quantize_embeddings` semantics change), and the
-    (id_col, vec_col) selection — so a change to ANY input mints a
-    fresh digest and sibling digests of the same source are pruned on
-    write (no unbounded snapshot accumulation across data
-    regenerations). Quantization is deterministic (HALF_UP integer
-    rounding), so a stored code table is value-identical to an inline
-    re-quantize; if the warehouse is unwritable (read-only checkout),
-    this degrades to exactly that inline path rather than failing."""
-    import hashlib
+    ``embeddings`` MUST be the full, untransformed table read from
+    ``source_path`` — the cache key is the source FILE's state (see
+    :func:`code_table_base`), not the DataFrame's plan, so a caller
+    passing a filtered or projected frame of the same source would
+    silently receive codes materialized from a different frame. Pass
+    derived frames to :func:`quantize_embeddings` directly instead.
+
+    Stale sibling digests of the same source are pruned AFTER the new
+    snapshot commits (no unbounded accumulation across data
+    regenerations, and a concurrent lazy reader of the old digest is
+    never raced before the new one is readable). Quantization is
+    deterministic (HALF_UP integer rounding), so a stored code table
+    is value-identical to an inline re-quantize; if the warehouse is
+    unwritable (read-only checkout), this degrades to exactly that
+    inline path rather than failing."""
     import os
     import shutil
 
@@ -955,24 +985,19 @@ def stored_corpus_codes(
 
     codes = quantize_embeddings(embeddings, id_col, vec_col).select(id_col, "qvec")
     try:
-        st = os.stat(source_path)
-        src_key = hashlib.md5(
-            os.path.abspath(source_path).encode()
-        ).hexdigest()[:12]
-        digest = hashlib.md5(
-            f"{st.st_size}:{st.st_mtime_ns}:{_CODES_ALGO}:{id_col}:{vec_col}"
-            .encode()
-        ).hexdigest()[:16]
-        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-        src_base = os.path.join(repo_root, "spark-warehouse", "qcodes", src_key)
-        base = os.path.join(src_base, digest)
+        base = code_table_base(source_path, id_col, vec_col)
+        src_base, digest = os.path.split(base)
         stored = ts.read_table(embeddings.sparkSession, base)
         if stored is None:
-            for sib in os.listdir(src_base) if os.path.isdir(src_base) else []:
-                if sib != digest:  # stale digest of the same source
-                    shutil.rmtree(os.path.join(src_base, sib), ignore_errors=True)
             ts.write_table(codes, base)
             stored = ts.read_table(embeddings.sparkSession, base)
+            # prune stale digests only after the new snapshot is
+            # committed and readable — a concurrent reader holding the
+            # old digest lazily had its window; anything still open on
+            # it is best-effort (rmtree ignores errors)
+            for sib in os.listdir(src_base) if os.path.isdir(src_base) else []:
+                if sib != digest:
+                    shutil.rmtree(os.path.join(src_base, sib), ignore_errors=True)
         return stored
     except Exception:
         # cache resolution is correctness-neutral (stored ≡ inline by

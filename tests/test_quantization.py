@@ -116,15 +116,17 @@ def test_label_outliers_find_planted_mislabel(spark):
     assert float(out.filter("vec_id = 99").head()["score_q"]) < 0
 
 
-def test_stored_corpus_codes_roundtrip_and_staleness_key(spark, sf_dir, tmp_path):
+def test_stored_corpus_codes_roundtrip_and_staleness_key(spark, sf_dir):
     """The materialized code snapshot must be value-identical to an
     inline quantize (determinism makes the cache correctness-neutral),
     and a second resolve must hit the same snapshot version (quantize
-    once, read thereafter)."""
+    once, read thereafter). The expected path comes from the SAME
+    helper the implementation uses (code_table_base), so the layout
+    recipe cannot silently drift apart again."""
     import os
-    import shutil
 
     from simple_etl_spark.llm.similarity import (
+        code_table_base,
         quantize_embeddings,
         stored_corpus_codes,
     )
@@ -140,18 +142,60 @@ def test_stored_corpus_codes_roundtrip_and_staleness_key(spark, sf_dir, tmp_path
     got = {r["vec_id"]: list(r["qvec"]) for r in stored.collect()}
     assert got == inline
     # second resolve: same snapshot version — no re-materialization
-    import hashlib
-
-    st = os.stat(src)
-    digest = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:16]
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    base = os.path.join(repo_root, "spark-warehouse", "qcodes", digest)
+    base = code_table_base(src)
     v1 = ts.current_version(base)
     assert v1 is not None
     stored_corpus_codes(emb, src).count()
     assert ts.current_version(base) == v1
+
+
+def test_stored_corpus_codes_lifecycle_staleness(spark, tmp_path):
+    """End-to-end code-store lifecycle: resolve codes for a corpus,
+    overwrite the corpus (new mtime/size → new digest), resolve again
+    and assert (a) a FRESH digest directory was minted, (b) the stale
+    sibling was pruned after the new snapshot committed, and (c) the
+    new codes match an inline re-quantization of the new data."""
+    import os
+
+    from simple_etl_spark.llm.similarity import (
+        code_table_base,
+        quantize_embeddings,
+        stored_corpus_codes,
+    )
+
+    src = str(tmp_path / "corpus.parquet")
+    df1 = spark.createDataFrame(
+        [(i, [0.1 * i, 1.0 - 0.05 * i, 0.3]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    emb1 = spark.read.parquet(src)
+    stored_corpus_codes(emb1, src).count()
+    base1 = code_table_base(src)
+    assert os.path.isdir(base1)
+
+    # regenerate the corpus: different rows → different size/mtime
+    df2 = spark.createDataFrame(
+        [(i, [1.0 - 0.02 * i, 0.2 * i, -0.4]) for i in range(25)],
+        "vec_id bigint, embedding array<double>",
+    )
+    df2.coalesce(1).write.mode("overwrite").parquet(src)
+    emb2 = spark.read.parquet(src)
+    got = {
+        r["vec_id"]: list(r["qvec"])
+        for r in stored_corpus_codes(emb2, src).collect()
+    }
+    base2 = code_table_base(src)
+    assert base2 != base1, "regenerated source must mint a fresh digest"
+    assert os.path.isdir(base2)
+    assert not os.path.isdir(base1), "stale sibling digest must be pruned"
+    # same source key: both digests live under one source directory
+    assert os.path.dirname(base2) == os.path.dirname(base1)
+    inline = {
+        r["vec_id"]: list(r["qvec"])
+        for r in quantize_embeddings(emb2).select("vec_id", "qvec").collect()
+    }
+    assert got == inline
 
 
 def test_stored_corpus_codes_falls_back_when_source_unstatable(spark, sf_dir):

@@ -2289,7 +2289,7 @@ def funnel(
 
 
 @query(
-    "events_funnel",
+    "events_funnel_stages",
     oracle="""
     WITH s0 AS (
         SELECT user_id, min(ts) AS t0 FROM events
@@ -2326,8 +2326,11 @@ def funnel(
     "purchase earliest-chain semantics; per-stage keyed min "
     "aggregations, no per-key event arrays)",
 )
-def events_funnel(cat: Catalog):
+def events_funnel_stages(cat: Catalog):
     """The view→click→purchase conversion funnel over the event stream
     with strict time ordering (a click before the first view does not
-    count)."""
+    count), one row per stage with a conversion_permille vs the prior
+    stage. Registered alongside the round-4 ``events_funnel`` (one-row
+    summary, >= anchor semantics) — the two differ in both shape and
+    anchor strictness, so BOTH stay on the oracle surface."""
     return funnel(cat["events"], ["view", "click", "purchase"])

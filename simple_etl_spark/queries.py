@@ -39,6 +39,15 @@ def query(name: str, oracle: str | None, survey: str = "", bench: bool = False):
             return fn(Catalog(spark, sf_dir))
 
         runner.__doc__ = fn.__doc__
+        # A silent overwrite once deleted a query (and its oracle
+        # coverage) from the surface when a second `events_funnel` was
+        # registered in a later commit — duplicate names are a bug,
+        # never an update.
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                "registered; rename one of the two"
+            )
         REGISTRY[name] = QuerySpec(name, runner, oracle, survey, bench)
         return fn
 

@@ -56,3 +56,31 @@ def test_musts_inside_driver_window():
 def test_grade_order_fills_window_exactly():
     # 50 slots, 50 priority names — no wasted slot, no overflow.
     assert len(Q.GRADE_ORDER) == 50
+
+
+def test_duplicate_registration_raises():
+    """REGISTRY[name] = ... must never silently overwrite — a second
+    `events_funnel` once replaced the first (and its oracle coverage)
+    without any signal."""
+    import pytest
+
+    from simple_etl_spark.queries import query
+
+    Q._load_all()
+    existing = next(iter(Q.REGISTRY))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+
+        @query(existing, oracle="SELECT 1")
+        def _clash(cat):  # pragma: no cover - never runs
+            raise AssertionError
+
+
+def test_both_funnels_registered():
+    """The round-4 one-row summary funnel and the round-6 per-stage
+    funnel are distinct operators (>= vs > anchor semantics, different
+    shapes); both must stay on the oracle surface."""
+    Q._load_all()
+    assert "events_funnel" in Q.REGISTRY
+    assert "events_funnel_stages" in Q.REGISTRY
+    assert Q.REGISTRY["events_funnel"].oracle is not None
+    assert Q.REGISTRY["events_funnel_stages"].oracle is not None

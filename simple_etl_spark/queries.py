@@ -67,7 +67,16 @@ GRADE_ORDER: tuple[str, ...] = (
     # -- §2 relational primaries (each the sole graded cover of ≥1 op) --
     "pricing_summary",        # A3 F10
     "topic_counts",           # A1 A13
-    "daily_rollup",           # A4
+    # r7: daily_rollup ceded its slot to dq_expectations. A4 (daily
+    # rollup) keeps its graded cover via m_daily_analytics (the same
+    # date_trunc-bucket shape on the documents path, which also
+    # carries the A14 bucket-count cover noted in the r5
+    # date_histogram cession); the declarative expectations suite —
+    # the data-quality operator every production pipeline runs before
+    # publishing, compiled to ONE conditional-count scan — had zero
+    # driver rows. daily_rollup stays registered, parity-tested, and
+    # in the bench headline set.
+    "dq_expectations",        # DQ-ext: declarative expectations (r7 re-grade)
     "hourly_pattern_pct",     # A6 W1
     "weekly_trends",          # A7
     "two_key_timeseries",     # A8
@@ -106,7 +115,14 @@ GRADE_ORDER: tuple[str, ...] = (
     "m_insert_if_absent",     # S6
     "m_search_ilike",         # P6 P8 F12 F6
     "m_word_freq",            # A16 F19 F20
-    "m_weighted_search",      # F21
+    # r7: m_weighted_search ceded its slot to llm_quantized_topk. F21
+    # (weighted search) keeps its graded cover via m_search_bm25 (the
+    # actual ES relevance model, same multi-field weighted-score
+    # shape); the quantize-once stored-code ANN path — corpus int8
+    # codes resolved from the digest-keyed warehouse snapshot, the
+    # at-scale 4x-smaller-scan tier rebuilt in r6 — had zero driver
+    # rows. m_weighted_search stays registered and parity-tested.
+    "llm_quantized_topk",     # int8 stored-code ANN (r7 re-grade)
     "m_entity_rollup",        # F18 X2
     "m_json_shaping",         # F17
     "m_health_metrics",       # A12

@@ -48,6 +48,14 @@ def test_musts_inside_driver_window():
         # shape (took m_search_topk's slot — T5 keeps graded covers
         # via m_search_bm25 + m_weighted_search).
         "llm_incremental_dedup",
+        # r7: the declarative expectations suite's driver row (took
+        # daily_rollup's slot — A4 keeps its graded cover via
+        # m_daily_analytics).
+        "dq_expectations",
+        # r7: the quantize-once stored-code ANN path's driver row
+        # (took m_weighted_search's slot — F21 keeps its graded cover
+        # via m_search_bm25).
+        "llm_quantized_topk",
     ]
     out = [n for n in musts if n not in window]
     assert not out, f"must-grade queries outside the 50-query window: {out}"

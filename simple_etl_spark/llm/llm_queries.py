@@ -654,49 +654,69 @@ def _perturbed_embedding_corpus(cat: Catalog) -> DataFrame:
     return emb.unionByName(pert)
 
 
+# Integral lift of the perturbed corpus `base` (vec_id, label, e) —
+# same recipe as _IVEC_SQL but sourced from the CTE instead of the
+# embeddings table (see the _IVEC_SQL comment for the engine-parity
+# rules: no decimal scale-reduction casts, non-negative `//` only).
+_IVEC_BASE_SQL = """
+v2 AS (
+    SELECT vec_id, label,
+           list_transform(e,
+               x -> CAST(CAST(CAST(x AS DECIMAL(12,10)) AS DECIMAL(26,10))
+                         * CAST(10000000000 AS DECIMAL(12,0)) AS HUGEINT)) AS ie
+    FROM base
+),
+el2 AS (
+    SELECT vec_id, label,
+           unnest(ie) AS val,
+           unnest(range(1, len(ie) + 1)) AS pos
+    FROM v2
+),
+n2s2 AS (
+    SELECT vec_id, (sum(val * val) // 100000000000) AS n2i
+    FROM el2 GROUP BY vec_id
+    HAVING (sum(val * val) // 100000000000) >= 1
+)
+"""
+
+
 @query(
     "llm_embed_near_dup",
     oracle=f"""
-    WITH {_VEC_NEAR_SQL},
-    v AS (
-        SELECT vec_id, label,
-               list_transform(e, x -> cast(x as decimal(12,10))) AS e
-        FROM base
-    ),
-    el AS (
-        SELECT vec_id, label,
-               unnest(e) AS val,
-               unnest(range(1, len(e) + 1)) AS pos
-        FROM v
-    ),
-    n2s AS (
-        SELECT vec_id, sum(cast(val * val AS decimal(30,20))) AS n2
-        FROM el GROUP BY vec_id
-    ),
+    WITH {_VEC_NEAR_SQL}, {_IVEC_BASE_SQL},
     dots AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               sum(cast(a.val * b.val AS decimal(30,20))) AS dp
-        FROM el a JOIN el b ON b.pos = a.pos AND b.label = a.label
-                          AND a.vec_id < b.vec_id
+               sum(a.val * b.val) AS dp20
+        FROM el2 a JOIN el2 b ON b.pos = a.pos AND b.label = a.label
+                            AND a.vec_id < b.vec_id
         GROUP BY a.vec_id, b.vec_id
     ),
-    scored AS (
+    keyed AS (
         SELECT d.id_a, d.id_b,
-               cast(d.dp as double)
-                 / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double))) AS score
+               CAST((CASE WHEN d.dp20 < 0 THEN -1 ELSE 1 END)
+                    * (abs(d.dp20) // 100000000000) AS BIGINT) AS dot_e9,
+               CAST(na.n2i AS BIGINT) AS anorm2_e9,
+               CAST(nb.n2i AS BIGINT) AS bnorm2_e9,
+               CAST((CASE WHEN d.dp20 < 0 THEN -1 ELSE 1 END)
+                    * (((abs(d.dp20) // 100000000000)
+                        * (abs(d.dp20) // 100000000000)
+                        * 1000000000000) // (na.n2i * nb.n2i)) AS BIGINT)
+                   AS score2_e12
         FROM dots d
-        JOIN n2s na ON na.vec_id = d.id_a
-        JOIN n2s nb ON nb.vec_id = d.id_b
+        JOIN n2s2 na ON na.vec_id = d.id_a
+        JOIN n2s2 nb ON nb.vec_id = d.id_b
     )
-    SELECT id_a, id_b, cast(score as decimal(18,6)) AS score_q
-    FROM scored WHERE score >= 0.9
+    SELECT id_a, id_b, dot_e9, anorm2_e9, bnorm2_e9, score2_e12
+    FROM keyed WHERE score2_e12 >= 810000000000
     """,
     survey="LLM dedup: embedding-cosine near-dup (bucketed pair generation + threshold)",
 )
 def llm_embed_near_dup(cat: Catalog) -> DataFrame:
     """Embedding-cosine near-dup over a corpus with injected perturbed
-    copies: same-bucket pairs scoring cosine ≥ 0.9 (exactly the
-    injected copies plus any natural collisions)."""
+    copies: same-bucket pairs at cosine ≥ 0.9 (exactly the injected
+    copies plus any natural collisions), thresholded on the integral
+    pico-unit key (threshold_key(0.9) = 810000000000 — the literal
+    the oracle mirrors), so no float op exists in the lineage."""
     from simple_etl_spark.llm.similarity import embedding_near_dups
 
     return embedding_near_dups(_perturbed_embedding_corpus(cat), threshold=0.9)
@@ -706,36 +726,23 @@ def llm_embed_near_dup(cat: Catalog) -> DataFrame:
     "llm_semantic_dedup",
     oracle=f"""
     WITH RECURSIVE {_VEC_NEAR_SQL.strip()},
-    v AS (
-        SELECT vec_id, label,
-               list_transform(e, x -> cast(x as decimal(12,10))) AS e
-        FROM base
-    ),
-    el AS (
-        SELECT vec_id, label,
-               unnest(e) AS val,
-               unnest(range(1, len(e) + 1)) AS pos
-        FROM v
-    ),
-    n2s AS (
-        SELECT vec_id, sum(cast(val * val AS decimal(30,20))) AS n2
-        FROM el GROUP BY vec_id
-    ),
+    {_IVEC_BASE_SQL.strip()},
     dots AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               sum(cast(a.val * b.val AS decimal(30,20))) AS dp
-        FROM el a JOIN el b ON b.pos = a.pos AND b.label = a.label
-                          AND a.vec_id < b.vec_id
+               sum(a.val * b.val) AS dp20
+        FROM el2 a JOIN el2 b ON b.pos = a.pos AND b.label = a.label
+                            AND a.vec_id < b.vec_id
         GROUP BY a.vec_id, b.vec_id
     ),
     pairs AS (
         SELECT d.id_a, d.id_b
         FROM dots d
-        JOIN n2s na ON na.vec_id = d.id_a
-        JOIN n2s nb ON nb.vec_id = d.id_b
-        WHERE cast(d.dp as double)
-                / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))
-              >= 0.9
+        JOIN n2s2 na ON na.vec_id = d.id_a
+        JOIN n2s2 nb ON nb.vec_id = d.id_b
+        WHERE d.dp20 >= 0
+          AND (((abs(d.dp20) // 100000000000)
+                * (abs(d.dp20) // 100000000000)
+                * 1000000000000) // (na.n2i * nb.n2i)) >= 810000000000
     ),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
@@ -2495,55 +2502,61 @@ def llm_boilerplate_lines(cat: Catalog) -> DataFrame:
     WITH v AS (
         SELECT vec_id,
                list_transform(cast(embedding as double[]),
-                              x -> cast(x as decimal(12,10))) AS e
+                   x -> CAST(CAST(CAST(x AS DECIMAL(12,10)) AS DECIMAL(26,10))
+                             * CAST(10000000000 AS DECIMAL(12,0)) AS HUGEINT))
+                   AS ie
         FROM embeddings
     ),
     el AS (
-        SELECT vec_id, unnest(e) AS val,
-               unnest(range(1, len(e) + 1)) AS pos
+        SELECT vec_id, unnest(ie) AS val,
+               unnest(range(1, len(ie) + 1)) AS pos
         FROM v
     ),
     n2s AS (
-        SELECT vec_id, sum(cast(val * val AS decimal(30,20))) AS n2
+        SELECT vec_id, (sum(val * val) // 100000000000) AS n2i
         FROM el GROUP BY vec_id
+        HAVING (sum(val * val) // 100000000000) >= 1
     ),
     bl AS (SELECT vec_id AS bid, val, pos FROM el WHERE vec_id % 25 = 0),
     dots AS (
         SELECT c.vec_id, b.bid,
-               sum(cast(c.val * b.val AS decimal(30,20))) AS dp
+               sum(c.val * b.val) AS dp20
         FROM el c JOIN bl b ON b.pos = c.pos
         GROUP BY c.vec_id, b.bid
     ),
-    scored AS (
+    keyed AS (
         SELECT d.vec_id,
-               cast(d.dp as double)
-                 / (sqrt(cast(nc.n2 as double)) * sqrt(cast(nb.n2 as double)))
-                 AS score
+               CAST((CASE WHEN d.dp20 < 0 THEN -1 ELSE 1 END)
+                    * (((abs(d.dp20) // 100000000000)
+                        * (abs(d.dp20) // 100000000000)
+                        * 1000000000000) // (nc.n2i * nb.n2i)) AS BIGINT)
+                   AS score2_e12
         FROM dots d
         JOIN n2s nc ON nc.vec_id = d.vec_id
-        JOIN (SELECT vec_id AS bid, n2 FROM n2s WHERE vec_id % 25 = 0) nb
+        JOIN (SELECT vec_id AS bid, n2i FROM n2s WHERE vec_id % 25 = 0) nb
           ON nb.bid = d.bid
     ),
     hits AS (
         SELECT vec_id, count(*) AS n_hits,
-               max(cast(score as decimal(18,6))) AS max_score_q
-        FROM scored WHERE score >= 0.9 GROUP BY vec_id
+               max(score2_e12) AS max_score2_e12
+        FROM keyed WHERE score2_e12 >= 810000000000 GROUP BY vec_id
     )
-    SELECT e2.vec_id, coalesce(h.n_hits, 0) AS n_hits, h.max_score_q
+    SELECT e2.vec_id, coalesce(h.n_hits, 0) AS n_hits, h.max_score2_e12
     FROM (SELECT DISTINCT vec_id FROM embeddings) e2
     LEFT JOIN hits h ON h.vec_id = e2.vec_id
     ORDER BY e2.vec_id
     """,
     survey="LLM curation: embedding-space benchmark contamination screen "
-    "(broadcast eval set, two-phase exact rescore, per-doc hit rollup)",
+    "(broadcast eval set, integral threshold key, per-doc hit rollup)",
 )
 def llm_semantic_contamination(cat: Catalog) -> DataFrame:
     """Semantic contamination screen: every corpus vector scored
     against a broadcast benchmark slice (vec_id % 25 = 0 plays the
-    eval set); cosine ≥ 0.9 counts as a hit
-    (llm/similarity.py:semantic_contamination). The benchmark members
-    themselves surface as self-hits at 1.0 — the screen's sanity
-    anchor."""
+    eval set); cosine ≥ 0.9 counts as a hit, thresholded on the
+    integral pico-unit key (threshold_key(0.9) = 810000000000;
+    llm/similarity.py:semantic_contamination) so no float op exists
+    in the lineage. The benchmark members themselves surface as
+    self-hits at exactly 10^12 — the screen's sanity anchor."""
     from simple_etl_spark.llm.similarity import semantic_contamination
 
     emb = cat["embeddings"]

@@ -255,64 +255,35 @@ def embedding_near_dups(
     assignment), so each shuffle partition holds one bucket's vectors
     and the self-join never crosses partitions.
 
-    Scoring is two-phase: a float64 prefilter keeps pairs within an
-    epsilon band of the threshold (codegen arithmetic over every
-    candidate pair — the O(|bucket|²) part), then only the survivors
-    are rescored with the exact decimal dot product and cut at the
-    true threshold. The band (1e-6) is orders of magnitude above the
-    double path's reduction error for unit-magnitude embeddings, so
-    no true pair can be lost — the result is identical to scoring
-    everything in decimal, at a fraction of the cost."""
-    # per-vector double norms once, before the pair join — the join
-    # multiplies rows, so anything computable per vector must not be
-    # recomputed per pair
-    n = embeddings.select(
-        F.col(id_col),
-        F.col(bucket_col).alias("_bucket"),
-        F.col(vec_col).alias("_vec"),
-        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("_nd"),
+    Scoring is single-phase on the integral exact-ranking tier (see
+    the module section below): one integer dot per pair, thresholded
+    on the pico-unit squared-cosine key against
+    :func:`threshold_key` — so the predicate is bit-identical on any
+    engine (no float op exists in the lineage) and the old two-phase
+    float-prune + decimal-rescore machinery is gone. The integral key
+    truncates at 10^-12, so the effective cut is "cos² ≥ threshold²
+    within one pico-unit" — that rule IS the spec, reproduced exactly
+    by the SQL oracle. Zero-norm vectors have no defined cosine and
+    are dropped by the side prep (n2_e9 ≥ 1), matching the top-k
+    path's exclusion. Output: (id_a, id_b, dot_e9, anorm2_e9,
+    bnorm2_e9, score2_e12), all bigint; cosine itself is
+    sign(dot_e9)·sqrt(|score2_e12|/10^12) client-side."""
+    a = _integral_side(embeddings, id_col, vec_col, "id_a", "q", bucket_col)
+    b = _integral_side(embeddings, id_col, vec_col, "id_b", "c", bucket_col)
+    cond = (F.col("q_bucket") == F.col("c_bucket")) & (
+        F.col("id_a") < F.col("id_b")
     )
-    a = n.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_bucket").alias("b_a"),
-        F.col("_vec").alias("v_a"),
-        F.col("_nd").alias("nd_a"),
-    )
-    b = n.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_bucket").alias("b_b"),
-        F.col("_vec").alias("v_b"),
-        F.col("_nd").alias("nd_b"),
-    )
-    # Zero-norm guard: try_divide makes a 0/0 score NULL (a plain
-    # division would raise DIVIDE_BY_ZERO under ANSI, and a NaN under
-    # non-ANSI would PASS `>= threshold` since Spark orders NaN
-    # greater than every number). NULL fails the band predicate, so a
-    # vector with no defined cosine can never emit a pair — matching
-    # the top-k path's exclusion.
-    fast = (
-        a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn(
-            "_fast",
-            F.try_divide(
-                dot_fast(F.col("v_a"), F.col("v_b")),
-                F.col("nd_a") * F.col("nd_b"),
-            ),
+    return (
+        _keyed_pairs(a.join(b, cond))
+        .filter(F.col("score2_e12") >= F.lit(threshold_key(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            "dot_e9",
+            F.col("q_n2_e9").alias("anorm2_e9"),
+            F.col("c_n2_e9").alias("bnorm2_e9"),
+            "score2_e12",
         )
-        .filter(F.col("_fast") >= F.lit(threshold - 1e-6))
-    )
-    exact = fast.select(
-        "id_a",
-        "id_b",
-        cosine(
-            F.col("v_a"),
-            F.col("v_b"),
-            norm2(F.col("v_a")),
-            norm2(F.col("v_b")),
-        ).alias("score"),
-    )
-    return exact.filter(F.col("score") >= F.lit(threshold)).select(
-        "id_a", "id_b", F.col("score").cast("decimal(18,6)").alias("score_q")
     )
 
 
@@ -332,54 +303,35 @@ def semantic_contamination(
     catches verbatim quotes; this catches paraphrased eval material
     that shares no 5-gram).
 
-    Returns one row per corpus vector: (id, n_hits, max_score_q)
-    with ``max_score_q`` NULL when nothing reaches the threshold.
+    Returns one row per corpus vector: (id, n_hits, max_score2_e12)
+    with ``max_score2_e12`` NULL when nothing reaches the threshold
+    (the score is the signed squared cosine in pico-units — the
+    integral tier's key; cosine = sqrt(score/10^12) client-side).
 
     Scale shape: the benchmark side is BROADCAST (eval sets are
     thousands of rows, the corpus is the 100 TB side) — each corpus
     partition scores its vectors against the replicated benchmark
     locally, no shuffle until the per-corpus-id rollup, which is a
-    partial-aggregated hash shuffle on the corpus key. Scoring is the
-    same two-phase discipline as every similarity op here: float64
-    prune at (threshold − 1e-6), DECIMAL-exact rescore of survivors;
-    every reported score comes from the exact path."""
+    partial-aggregated hash shuffle on the corpus key. Scoring is
+    single-phase on the integral tier: one integer dot per
+    (corpus, bench) pair, thresholded on :func:`threshold_key` — no
+    float op in the lineage, engine-bit-identical (the two-phase
+    float-prune + decimal-rescore machinery is gone). Zero-norm
+    vectors on either side are dropped by the side prep; corpus rows
+    so dropped still report (n_hits 0, NULL) via the closing left
+    join."""
     bench = F.broadcast(
-        benchmark.select(
-            F.col(bench_id_col).alias("_bid"),
-            F.col(bench_vec_col).alias("_bvec"),
-            F.sqrt(dot_fast(F.col(bench_vec_col), F.col(bench_vec_col))).alias(
-                "_bnd"
-            ),
+        _integral_side(benchmark, bench_id_col, bench_vec_col, "_bid", "c")
+    )
+    c = _integral_side(corpus, id_col, vec_col, "_cid", "q")
+    hits = (
+        _keyed_pairs(c.crossJoin(bench))
+        .filter(F.col("score2_e12") >= F.lit(threshold_key(threshold)))
+        .groupBy("_cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("score2_e12").alias("max_score2_e12"),
         )
-    )
-    c = corpus.select(
-        F.col(id_col).alias("_cid"),
-        F.col(vec_col).alias("_cvec"),
-        F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias("_cnd"),
-    )
-    fast = (
-        c.crossJoin(bench)
-        .withColumn(
-            "_fast",
-            F.try_divide(
-                dot_fast(F.col("_cvec"), F.col("_bvec")),
-                F.col("_cnd") * F.col("_bnd"),
-            ),
-        )
-        .filter(F.col("_fast") >= F.lit(threshold - 1e-6))
-    )
-    exact = fast.select(
-        "_cid",
-        cosine(
-            F.col("_cvec"),
-            F.col("_bvec"),
-            norm2(F.col("_cvec")),
-            norm2(F.col("_bvec")),
-        ).alias("_score"),
-    ).filter(F.col("_score") >= F.lit(threshold))
-    hits = exact.groupBy("_cid").agg(
-        F.count(F.lit(1)).alias("n_hits"),
-        F.max(F.col("_score").cast("decimal(18,6)")).alias("max_score_q"),
     )
     return (
         corpus.select(F.col(id_col).alias("_cid"))
@@ -387,7 +339,7 @@ def semantic_contamination(
         .select(
             F.col("_cid").alias(id_col),
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            "max_score_q",
+            "max_score2_e12",
         )
     )
 
@@ -504,6 +456,52 @@ def _integral_side(
     )
 
 
+def _keyed_pairs(joined: DataFrame) -> DataFrame:
+    """Append the exact integer triple to a joined pair stream carrying
+    the standard side tags (``q_ie``, ``c_ie``, ``q_n2_e9``,
+    ``c_n2_e9``): ``dot_e9`` (signed, 10^-9 units) and ``score2_e12``
+    (signed squared cosine in pico-units — the total-order ranking and
+    thresholding key). One place owns the sign/abs/div arithmetic so
+    the top-k and threshold ops cannot drift apart."""
+    return (
+        joined.withColumn("_dp20", idot20(F.col("q_ie"), F.col("c_ie")))
+        .withColumn(
+            "_sgn",
+            F.when(F.col("_dp20") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint"),
+        )
+        .withColumn("_adpi", F.expr(f"abs(_dp20) div {_E9_DIV}"))
+        .withColumn("dot_e9", F.col("_sgn") * F.col("_adpi"))
+        .withColumn(
+            "score2_e12",
+            F.col("_sgn")
+            * F.expr(
+                f"CAST(_adpi AS DECIMAL(38,0)) * CAST(_adpi AS DECIMAL(38,0))"
+                f" * CAST({_KEY_SCALE} AS DECIMAL(38,0))"
+                f" div (CAST(q_n2_e9 AS DECIMAL(38,0))"
+                f" * CAST(c_n2_e9 AS DECIMAL(38,0)))"
+            ),
+        )
+    )
+
+
+def threshold_key(threshold: float) -> int:
+    """The pico-unit squared-cosine key value equivalent to a cosine
+    threshold: the float is canonicalized exactly like vector elements
+    (decimal(12,10), HALF_UP via its repr) and squared in integer
+    space — ``t10² div 10^8`` ≈ threshold²·10^12. Computed driver-side
+    in exact integer arithmetic, so the same literal lands in the plan
+    and in any SQL oracle (e.g. 0.9 → 810000000000)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t10 = int(
+        Decimal(repr(threshold)).quantize(
+            Decimal("1.0000000000"), rounding=ROUND_HALF_UP
+        )
+        * (10**10)
+    )
+    return (t10 * t10) // 10**8
+
+
 def _local_key_prereduce(scored: DataFrame, k: int) -> DataFrame:
     """Map-side per-batch top-``k`` per query on the exact integer
     key, before the global ranking window — same shuffle-shrinking
@@ -539,31 +537,13 @@ def _integral_topk(
     (COVERAGE.md): no engine-run float op may mint graded digits."""
     if prereduce is None:
         prereduce = c.rdd.getNumPartitions() >= PREREDUCE_MIN_PARTITIONS
-    scored = (
-        F.broadcast(q)
-        .join(c, cond)
-        .withColumn("_dp20", idot20(F.col("q_ie"), F.col("c_ie")))
-        .withColumn(
-            "_sgn",
-            F.when(F.col("_dp20") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint"),
-        )
-        .withColumn("_adpi", F.expr(f"abs(_dp20) div {_E9_DIV}"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.col("_sgn") * F.col("_adpi")).alias("dot_e9"),
-            F.col("q_n2_e9").alias("qnorm2_e9"),
-            F.col("c_n2_e9").alias("nnorm2_e9"),
-            (
-                F.col("_sgn")
-                * F.expr(
-                    f"CAST(_adpi AS DECIMAL(38,0)) * CAST(_adpi AS DECIMAL(38,0))"
-                    f" * CAST({_KEY_SCALE} AS DECIMAL(38,0))"
-                    f" div (CAST(q_n2_e9 AS DECIMAL(38,0))"
-                    f" * CAST(c_n2_e9 AS DECIMAL(38,0)))"
-                )
-            ).alias("score2_e12"),
-        )
+    scored = _keyed_pairs(F.broadcast(q).join(c, cond)).select(
+        "query_id",
+        "neighbor_id",
+        "dot_e9",
+        F.col("q_n2_e9").alias("qnorm2_e9"),
+        F.col("c_n2_e9").alias("nnorm2_e9"),
+        "score2_e12",
     )
     if prereduce:
         scored = _local_key_prereduce(scored, k)

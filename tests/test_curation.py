@@ -414,8 +414,10 @@ def test_semantic_contamination_flags_paraphrase_not_orthogonal(spark):
     )
     out = {r["vec_id"]: r for r in
            semantic_contamination(corpus, bench, threshold=0.9).collect()}
-    assert out[1]["n_hits"] == 1 and out[1]["max_score_q"] is not None
-    assert out[2]["n_hits"] == 0 and out[2]["max_score_q"] is None
+    assert out[1]["n_hits"] == 1 and out[1]["max_score2_e12"] is not None
+    # score is the squared cosine in pico-units: 0.99994² ≈ 0.9999e12
+    assert out[1]["max_score2_e12"] >= 810000000000
+    assert out[2]["n_hits"] == 0 and out[2]["max_score2_e12"] is None
     assert out[3]["n_hits"] == 0
 
 

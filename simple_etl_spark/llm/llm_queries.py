@@ -3350,3 +3350,70 @@ def llm_contamination_report(cat: Catalog) -> DataFrame:
         )
     )
     return contamination_report(d, bench, n=3, min_hits=3)
+
+
+@query(
+    "llm_quality_buckets",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, source,
+               (cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> list_contains(['the','and','of','a'], w)))
+                     as bigint) * 10000)
+                 // greatest(cast(len(string_split_regex(trim(text), '\s+'))
+                                  as bigint), 1) AS score
+        FROM documents
+    ),
+    h AS (SELECT source, score, count(*) AS cnt FROM s GROUP BY 1, 2),
+    r AS (
+        SELECT source, score,
+               coalesce(sum(cnt) OVER (
+                   PARTITION BY source ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS better,
+               sum(cnt) OVER (PARTITION BY source) AS n
+        FROM h
+    ),
+    j AS (
+        SELECT s.doc_id, s.source, s.score,
+               CAST((r.better * 1000) // greatest(r.n - 1, 1) AS BIGINT)
+                   AS permille
+        FROM s JOIN r ON r.source = s.source AND r.score = s.score
+    )
+    SELECT doc_id, source, score, permille,
+           CASE WHEN permille < 100 THEN 'head'
+                WHEN permille < 700 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j ORDER BY doc_id
+    """,
+    survey="LLM selection: CCNet-style per-domain quality percentile "
+    "bucketing (head/middle/tail) — histogram-rank plan, integral "
+    "permille, competition-rank tie semantics",
+)
+def llm_quality_buckets(cat: Catalog) -> DataFrame:
+    """Per-domain head/middle/tail quality buckets over the documents
+    table, scored by stopword permyriad ((stop_hits·10000) div
+    max(n_tokens,1) — an integral Gopher/CCNet-adjacent fluency
+    signal whose coarse range keeps the rank histogram tiny). Each
+    source contributes its own best decile to 'head', so small
+    domains are not crowded out by a global threshold
+    (llm/selection.py:quality_percentile_buckets)."""
+    from simple_etl_spark.llm.selection import quality_percentile_buckets
+    from simple_etl_spark.llm.textstats import (
+        LANG_MARKERS,
+        stopword_hits,
+        whitespace_token_count,
+    )
+
+    s = cat["documents"].select(
+        "doc_id",
+        "source",
+        stopword_hits(F.col("text"), LANG_MARKERS["en"]).alias("_stops"),
+        whitespace_token_count(F.col("text")).alias("_ntok"),
+    ).withColumn(
+        "score",
+        F.expr("(_stops * 10000) div greatest(_ntok, 1)").cast("bigint"),
+    ).select("doc_id", "source", "score")
+    return quality_percentile_buckets(
+        s, "score", ["source"], head_permille=100, middle_permille=700
+    ).orderBy("doc_id")

@@ -217,3 +217,65 @@ def dsir_select(
         id_col, "n_feat", "sum_w", "score_permille",
         F.row_number().over(w).cast("bigint").alias("rnk"),
     )
+
+
+def quality_percentile_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str],
+    head_permille: int = 100,
+    middle_permille: int = 700,
+) -> DataFrame:
+    """CCNet-style per-group quality bucketing: each row gets its
+    quality percentile WITHIN its group (domain, language, ...) as an
+    integral permille, plus a head/middle/tail bucket label — the
+    threshold-free selection shape of Wenzek et al.'s CCNet (each
+    group contributes its own best slice, so a high-resource domain
+    cannot crowd out a low-resource one the way one global threshold
+    would).
+
+    Rank semantics are competition-rank on the SCORE (ties share the
+    count of strictly-better rows), so the result is a pure function
+    of the (group, score) multiset — no per-row tie-break order, no
+    engine-dependent sort. permille = (better·1000) div max(n−1, 1);
+    all operands non-negative integers, so Spark ``div`` and SQL
+    ``//`` agree bit-for-bit.
+
+    Scale shape: the heavy pass is ONE map-side-combined count shuffle
+    on (group, score) — the ranking windows then run over the
+    HISTOGRAM relation (|distinct scores| rows per group, not |rows|),
+    so a single giant domain funnels only its distinct score values
+    through one task, never its documents; the percentiles come back
+    to the full relation via an equi-join on (group, score), which AQE
+    broadcasts when the histogram is small. Integral scores keep the
+    histogram genuinely bounded — quantize continuous scores upstream
+    (e.g. stopword permyriad, LM permille).
+    """
+    if not 0 < head_permille < middle_permille <= 1000:
+        raise ValueError(
+            f"need 0 < head < middle <= 1000, got {head_permille}, {middle_permille}"
+        )
+    hist = df.groupBy(*group_cols, score_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_better = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.desc(score_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_n = Window.partitionBy(*group_cols)
+    ranked = hist.select(
+        *group_cols,
+        score_col,
+        F.coalesce(F.sum("_cnt").over(w_better), F.lit(0)).alias("_better"),
+        F.sum("_cnt").over(w_n).alias("_n"),
+    ).withColumn(
+        "permille",
+        F.expr("(_better * 1000) div greatest(_n - 1, 1)").cast("bigint"),
+    )
+    bucket = (
+        F.when(F.col("permille") < head_permille, F.lit("head"))
+        .when(F.col("permille") < middle_permille, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return df.join(ranked, [*group_cols, score_col]).select(
+        *df.columns, "permille", bucket.alias("bucket")
+    )

@@ -139,3 +139,29 @@ def test_integral_ann_plan_is_double_free(spark, sf_dir, name):
         f"{name} plan has double-typed expressions beyond the exact "
         f"float→double widening cast"
     )
+
+
+def test_quantized_topk_exposure_is_pure_bigint(spark, sf_dir):
+    """llm_quantized_topk entered the graded window in r7. Its
+    quantization step IS double arithmetic (x/scale, round) — but it
+    is per-element, reduction-free, and both engines compute it on
+    identical inputs (IEEE divide is correctly rounded, round is
+    HALF_UP in both — parity-proven in tests/test_quantization.py),
+    and everything downstream of the int8 codes is the integral
+    discipline. This pin guards the exposure half of that argument:
+    every graded column must be bigint, so no decimal/float column
+    exists for engine rounding to disagree on, and the ranking part
+    of the plan must contain no sqrt/transcendental (the r2-r5
+    failure class)."""
+    q._load_all()
+    df = q.REGISTRY["llm_quantized_topk"].fn(spark, sf_dir)
+    bad = [f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields
+           if f.dataType.simpleString() != "bigint"]
+    assert not bad, f"llm_quantized_topk exposes non-bigint columns: {bad}"
+    plan = _analyzed_plan(df).lower()
+    for marker in ("sqrt(", "exp(", "ln(", "avg(", "isnan(", "nanvl("):
+        assert marker not in plan, (
+            f"llm_quantized_topk plan contains {marker!r} — quantization "
+            "permits only divide+round; roots/transcendentals would "
+            "reintroduce the cross-engine ulp class"
+        )

@@ -68,19 +68,60 @@ def contamination_check(
     hits per document. Nothing is quadratic and the only shuffle is
     the per-document hit count (map-side combined). Documents with no
     overlap report 0 via the left join — every input row gets a row.
+
+    Composition: this is :func:`eval_shingle_store` (shingle the
+    benchmark once) piped into :func:`screen_against_shingle_store`
+    (screen a batch) — the incremental production shape persists the
+    store between crawls instead of rebuilding it per run.
     """
-    bsh = (
-        benchmark.select(
-            F.explode(F.array_distinct(shingles(bench_text_col, n))).alias("shingle")
-        )
-        .distinct()
+    return screen_against_shingle_store(
+        docs,
+        eval_shingle_store(benchmark, bench_text_col, n),
+        id_col,
+        text_col,
+        n=n,
+        min_hits=min_hits,
     )
+
+
+def eval_shingle_store(
+    benchmark: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """The persisted side of incremental decontamination: the eval
+    fleet's DISTINCT word ``n``-gram shingle relation, computed ONCE
+    when an eval set is registered. Every subsequent crawl batch
+    screens against the stored relation
+    (:func:`screen_against_shingle_store`) without ever re-shingling
+    benchmark text — the same compute-once contract as
+    :func:`signature_store` / :func:`fingerprint_store`. Persist it
+    with ``table_store.write_table``; it is eval-set-sized (tiny), so
+    it broadcasts whole at any corpus scale. Registering a new eval
+    set is a unionByName + distinct append, never a rebuild."""
+    return benchmark.select(
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
+    ).distinct()
+
+
+def screen_against_shingle_store(
+    docs: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Screen a document batch against a persisted eval-shingle store
+    (the output of :func:`eval_shingle_store`): per document, the
+    count of distinct stored shingles it contains and the
+    ``is_contaminated`` verdict at ``min_hits``. ``n`` must match the
+    store's shingle width — the store carries no text to re-derive it
+    from. The store side is broadcast; the batch is scanned once."""
     dsh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
     hits = (
-        dsh.join(F.broadcast(bsh), "shingle")
+        dsh.join(F.broadcast(store), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

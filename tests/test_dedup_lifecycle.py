@@ -168,3 +168,63 @@ def test_stale_context_cached_handle_is_evicted(spark):
         assert out.count() == 1  # live frame, usable
     finally:
         D.release_persisted()
+
+
+def test_eval_shingle_store_roundtrip_equals_direct_check(spark, tmp_path):
+    """The incremental decontamination contract: persisting the eval
+    shingle store through table_store and screening a later batch
+    against the READ-BACK relation must equal contamination_check run
+    directly on the benchmark text — and appending a second eval set
+    to the store must extend coverage without rebuilding the first."""
+    from simple_etl_spark.llm.dedup import (
+        contamination_check,
+        eval_shingle_store,
+        screen_against_shingle_store,
+    )
+    from simple_etl_spark.sources import table_store as ts
+
+    bench1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["qid", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "watch the quick brown fox jumps clip"),
+            (11, "completely unrelated content here today"),
+            (12, "annual revenue grew four percent this quarter"),
+        ],
+        ["doc_id", "text"],
+    )
+    base = str(tmp_path / "eval_shingles")
+    ts.write_table(eval_shingle_store(bench1, "text", n=3), base)
+    store = ts.read_table(spark, base)
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["is_contaminated"])
+        for r in screen_against_shingle_store(
+            docs, store, "doc_id", "text", n=3, min_hits=2
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_overlap"], r["is_contaminated"])
+        for r in contamination_check(
+            docs, bench1, "doc_id", "text", n=3, min_hits=2
+        ).collect()
+    }
+    assert got == want
+    assert got[10][1] and not got[11][1] and not got[12][1]
+
+    # register a second eval set: append-only, no rebuild of set 1
+    bench2 = spark.createDataFrame(
+        [(2, "annual revenue grew four percent overall")], ["qid", "text"]
+    )
+    merged = store.unionByName(
+        eval_shingle_store(bench2, "text", n=3)
+    ).distinct()
+    ts.write_table(merged, base)
+    got2 = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in screen_against_shingle_store(
+            docs, ts.read_table(spark, base), "doc_id", "text", n=3, min_hits=2
+        ).collect()
+    }
+    assert got2[10] and got2[12] and not got2[11]

@@ -115,13 +115,19 @@ def screen_against_shingle_store(
     count of distinct stored shingles it contains and the
     ``is_contaminated`` verdict at ``min_hits``. ``n`` must match the
     store's shingle width — the store carries no text to re-derive it
-    from. The store side is broadcast; the batch is scanned once."""
+    from. The store side is broadcast; the batch is scanned once.
+
+    The store is re-deduplicated here defensively: a caller who
+    appends a second eval set without the prescribed ``.distinct()``
+    would otherwise double-count any shingle shared across sets and
+    flip ``is_contaminated`` at the ``min_hits`` boundary — a silent
+    false positive. The extra distinct is free at eval-set size."""
     dsh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
     )
     hits = (
-        dsh.join(F.broadcast(store), "shingle")
+        dsh.join(F.broadcast(store.select("shingle").distinct()), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

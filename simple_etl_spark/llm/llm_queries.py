@@ -2498,25 +2498,11 @@ def llm_boilerplate_lines(cat: Catalog) -> DataFrame:
 
 @query(
     "llm_semantic_contamination",
-    oracle="""
-    WITH v AS (
-        SELECT vec_id,
-               list_transform(cast(embedding as double[]),
-                   x -> CAST(CAST(CAST(x AS DECIMAL(12,10)) AS DECIMAL(26,10))
-                             * CAST(10000000000 AS DECIMAL(12,0)) AS HUGEINT))
-                   AS ie
-        FROM embeddings
-    ),
-    el AS (
-        SELECT vec_id, unnest(ie) AS val,
-               unnest(range(1, len(ie) + 1)) AS pos
-        FROM v
-    ),
-    n2s AS (
-        SELECT vec_id, (sum(val * val) // 100000000000) AS n2i
-        FROM el GROUP BY vec_id
-        HAVING (sum(val * val) // 100000000000) >= 1
-    ),
+    # the lift CTEs (v/el/n2s) come from _IVEC_SQL — ONE copy of the
+    # parity-critical HUGEINT recipe shared with the top-k oracles;
+    # its label column is simply unused here
+    oracle=f"""
+    WITH {_IVEC_SQL},
     bl AS (SELECT vec_id AS bid, val, pos FROM el WHERE vec_id % 25 = 0),
     dots AS (
         SELECT c.vec_id, b.bid,
@@ -3364,7 +3350,8 @@ def llm_contamination_report(cat: Catalog) -> DataFrame:
                                   as bigint), 1) AS score
         FROM documents
     ),
-    h AS (SELECT source, score, count(*) AS cnt FROM s GROUP BY 1, 2),
+    h AS (SELECT source, score, count(*) AS cnt FROM s
+          WHERE score IS NOT NULL GROUP BY 1, 2),
     r AS (
         SELECT source, score,
                coalesce(sum(cnt) OVER (
@@ -3378,10 +3365,11 @@ def llm_contamination_report(cat: Catalog) -> DataFrame:
         SELECT s.doc_id, s.source, s.score,
                CAST((r.better * 1000) // greatest(r.n - 1, 1) AS BIGINT)
                    AS permille
-        FROM s JOIN r ON r.source = s.source AND r.score = s.score
+        FROM s LEFT JOIN r ON r.source = s.source AND r.score = s.score
     )
     SELECT doc_id, source, score, permille,
-           CASE WHEN permille < 100 THEN 'head'
+           CASE WHEN permille IS NULL THEN NULL
+                WHEN permille < 100 THEN 'head'
                 WHEN permille < 700 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM j ORDER BY doc_id

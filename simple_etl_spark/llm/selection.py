@@ -255,7 +255,13 @@ def quality_percentile_buckets(
         raise ValueError(
             f"need 0 < head < middle <= 1000, got {head_permille}, {middle_permille}"
         )
-    hist = df.groupBy(*group_cols, score_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # NULL scores are unrankable and must not inflate the group's
+    # denominator — they are kept (unbucketed) by the closing left join
+    hist = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(*group_cols, score_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
     w_better = (
         Window.partitionBy(*group_cols)
         .orderBy(F.desc(score_col))
@@ -271,11 +277,16 @@ def quality_percentile_buckets(
         "permille",
         F.expr("(_better * 1000) div greatest(_n - 1, 1)").cast("bigint"),
     )
+    # NULL-scored rows (failed extraction upstream) cannot rank but
+    # must not vanish: the LEFT join keeps them with NULL
+    # permille/bucket — visible to the caller, never silently dropped
+    # (the every-input-row-gets-a-row discipline of contamination_check).
     bucket = (
-        F.when(F.col("permille") < head_permille, F.lit("head"))
+        F.when(F.col("permille").isNull(), F.lit(None).cast("string"))
+        .when(F.col("permille") < head_permille, F.lit("head"))
         .when(F.col("permille") < middle_permille, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return df.join(ranked, [*group_cols, score_col]).select(
+    return df.join(ranked, [*group_cols, score_col], "left").select(
         *df.columns, "permille", bucket.alias("bucket")
     )

@@ -490,8 +490,18 @@ def threshold_key(threshold: float) -> int:
     (decimal(12,10), HALF_UP via its repr) and squared in integer
     space — ``t10² div 10^8`` ≈ threshold²·10^12. Computed driver-side
     in exact integer arithmetic, so the same literal lands in the plan
-    and in any SQL oracle (e.g. 0.9 → 810000000000)."""
+    and in any SQL oracle (e.g. 0.9 → 810000000000).
+
+    Only positive thresholds are supported: squaring loses the sign,
+    so a negative threshold would silently mean |threshold| — raise
+    instead of guessing."""
     from decimal import ROUND_HALF_UP, Decimal
+
+    if not 0 < threshold <= 1:
+        raise ValueError(
+            f"cosine threshold must be in (0, 1], got {threshold!r} — "
+            "the squared integral key cannot express a negative cut"
+        )
 
     t10 = int(
         Decimal(repr(threshold)).quantize(

@@ -228,3 +228,25 @@ def test_eval_shingle_store_roundtrip_equals_direct_check(spark, tmp_path):
         ).collect()
     }
     assert got2[10] and got2[12] and not got2[11]
+
+
+def test_screen_tolerates_duplicate_store_shingles(spark):
+    """A store appended without the prescribed .distinct() must not
+    double-count a shared shingle (which would flip is_contaminated
+    at the min_hits boundary)."""
+    from simple_etl_spark.llm.dedup import (
+        contamination_check,
+        screen_against_shingle_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    # the same 3-gram twice — as if two eval sets shared a stop phrase
+    store = spark.createDataFrame(
+        [("alpha beta gamma",), ("alpha beta gamma",)], ["shingle"]
+    )
+    r = screen_against_shingle_store(
+        docs, store, "doc_id", "text", n=3, min_hits=2
+    ).collect()[0]
+    assert r["n_overlap"] == 1 and not r["is_contaminated"]

@@ -133,3 +133,20 @@ def test_quality_buckets_rejects_bad_edges(spark):
     df = spark.createDataFrame([(1, "g", 5)], "id bigint, g string, score bigint")
     with pytest.raises(ValueError, match="head < middle"):
         quality_percentile_buckets(df, "score", ["g"], 700, 100)
+
+
+def test_quality_buckets_null_scores_kept_unbucketed(spark):
+    """NULL-scored rows must neither vanish nor inflate the group's
+    denominator: they come back with NULL permille/bucket, and the
+    scored rows' percentiles are computed among scored rows only."""
+    from simple_etl_spark.llm.selection import quality_percentile_buckets
+
+    rows = [(1, "g", 30), (2, "g", 10), (3, "g", None)]
+    df = spark.createDataFrame(rows, "id bigint, g string, score bigint")
+    out = {r["id"]: r for r in quality_percentile_buckets(
+        df, "score", ["g"]
+    ).collect()}
+    assert len(out) == 3
+    assert out[3]["permille"] is None and out[3]["bucket"] is None
+    # n-1 = 1 among the two SCORED rows, not 2 among all three
+    assert out[1]["permille"] == 0 and out[2]["permille"] == 1000

@@ -137,3 +137,17 @@ def test_integral_tier_ranking_matches_double_tier(spark, sf_dir):
     old = {(r["query_id"], r["neighbor_id"], int(r["rnk"]))
            for r in brute_force_topk(emb, q, k=5).collect()}
     assert new == old
+
+
+def test_threshold_key_rejects_nonpositive_threshold():
+    """Squaring loses the sign: a negative cosine threshold would
+    silently mean |threshold| — it must raise instead."""
+    import pytest
+
+    from simple_etl_spark.llm.similarity import threshold_key
+
+    assert threshold_key(0.9) == 810000000000
+    assert threshold_key(1.0) == 10**12
+    for bad in (-0.5, 0.0, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            threshold_key(bad)

@@ -3405,3 +3405,62 @@ def llm_quality_buckets(cat: Catalog) -> DataFrame:
     return quality_percentile_buckets(
         s, "score", ["source"], head_permille=100, middle_permille=700
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_nfc_fingerprint",
+    # the composed/decomposed suffixes are embedded as UTF-8 literals
+    # ('café' NFC vs 'cafe' + U+0301) — DuckDB's nfc_normalize is the
+    # engine twin of the unicodedata-backed pandas UDF
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    v AS (
+        SELECT doc_id,
+               text || ' café' AS t_comp,
+               text || ' café' AS t_deco
+        FROM d
+    )
+    SELECT doc_id,
+           (md5(trim(regexp_replace(lower(t_comp), '\\s+', ' ', 'g')))
+            <> md5(trim(regexp_replace(lower(t_deco), '\\s+', ' ', 'g'))))
+               AS raw_differs,
+           (md5(trim(regexp_replace(lower(nfc_normalize(t_comp)), '\\s+', ' ', 'g')))
+            = md5(trim(regexp_replace(lower(nfc_normalize(t_deco)), '\\s+', ' ', 'g'))))
+               AS nfc_collapses,
+           md5(trim(regexp_replace(lower(nfc_normalize(t_comp)), '\\s+', ' ', 'g')))
+               AS fp_nfc
+    FROM v ORDER BY doc_id
+    """,
+    survey="LLM dedup: Unicode NFC canonicalization before fingerprinting — "
+    "composed vs decomposed spellings collapse to one dedup key "
+    "(Arrow-batched unicodedata UDF; DuckDB nfc_normalize twin)",
+)
+def llm_nfc_fingerprint(cat: Catalog) -> DataFrame:
+    """Composed ('café') vs decomposed ('cafe' + combining acute)
+    suffixes appended to every 20th document: the raw fingerprints
+    differ (a dedup leak), the NFC-normalized fingerprints collapse
+    (llm/textstats.py:nfc_normalize / normalized_fingerprint)."""
+    from simple_etl_spark.llm.textstats import (
+        doc_fingerprint,
+        normalized_fingerprint,
+    )
+
+    d = cat["documents"].filter(F.col("doc_id") % 20 == 0)
+    v = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" café")).alias("t_comp"),
+        F.concat(F.col("text"), F.lit(" café")).alias("t_deco"),
+    )
+    return v.select(
+        "doc_id",
+        (doc_fingerprint(F.col("t_comp")) != doc_fingerprint(F.col("t_deco"))).alias(
+            "raw_differs"
+        ),
+        (
+            normalized_fingerprint(F.col("t_comp"))
+            == normalized_fingerprint(F.col("t_deco"))
+        ).alias("nfc_collapses"),
+        normalized_fingerprint(F.col("t_comp")).alias("fp_nfc"),
+    ).orderBy("doc_id")

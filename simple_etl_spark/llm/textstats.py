@@ -5,6 +5,9 @@ codegen), designed to run as one projection pass over a 100 TB corpus.
 
 from __future__ import annotations
 
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -519,3 +522,48 @@ def pseudonymize_pii(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+_NFC_UDF = None  # lazily built: pandas_udf needs an active session
+
+
+def _nfc_udf():
+    global _NFC_UDF
+    if _NFC_UDF is None:
+
+        @F.pandas_udf("string")
+        def _nfc(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda x: unicodedata.normalize("NFC", x)
+                if x is not None
+                else None
+            )
+
+        _NFC_UDF = _nfc
+    return _NFC_UDF
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization — the canonicalization every hashing
+    op should see first: composed ('é') and decomposed ('e' + U+0301)
+    spellings of the same text hash differently, so un-normalized
+    corpora leak duplicates straight past exact and MinHash dedup.
+
+    Spark has no built-in normalizer, so this is an Arrow-batched
+    pandas UDF over stdlib ``unicodedata`` (the vectorized lane —
+    never a row-at-a-time Python UDF). NFC is a stable, engine-
+    independent mapping (Unicode normalization is versioned and
+    stability-guaranteed), and DuckDB's ``nfc_normalize`` reproduces
+    it — parity-tested in llm_nfc_fingerprint. NULLs pass through."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _nfc_udf()(c)
+
+
+def normalized_fingerprint(col: Column | str) -> Column:
+    """:func:`doc_fingerprint` over NFC-normalized text — the dedup
+    key to use on corpora that mix input methods/encoders (the
+    composed-vs-decomposed dupes collapse to one key). Kept separate
+    from doc_fingerprint so existing stores keyed on the un-normalized
+    fingerprint stay valid."""
+    c = F.col(col) if isinstance(col, str) else col
+    return doc_fingerprint(nfc_normalize(c))

@@ -745,3 +745,33 @@ def test_contamination_report_per_set_accounting(spark):
     assert rep["cold"]["contaminated_docs"] == 0
     assert rep["cold"]["contaminated_permille"] == 0
     assert rep["cold"]["n_eval_grams"] > 0
+
+
+def test_nfc_normalize_collapses_decomposed_and_keeps_nulls(spark):
+    from simple_etl_spark.llm.textstats import (
+        doc_fingerprint,
+        nfc_normalize,
+        normalized_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, None), (4, "plain")],
+        ["id", "t"],
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            nfc_normalize("t").alias("n"),
+            normalized_fingerprint("t").alias("fp_n"),
+            doc_fingerprint(F.col("t")).alias("fp_raw"),
+        ).collect()
+    }
+    # composed and decomposed collapse to the same normalized text + key
+    assert out[1]["n"] == out[2]["n"] == "café"
+    assert out[1]["fp_n"] == out[2]["fp_n"]
+    # ...which the raw fingerprint misses (the dedup leak)
+    assert out[1]["fp_raw"] != out[2]["fp_raw"]
+    # NULL passes through; ASCII is a fixed point
+    assert out[3]["n"] is None and out[3]["fp_n"] is None
+    assert out[4]["n"] == "plain"

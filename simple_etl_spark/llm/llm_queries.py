@@ -3464,3 +3464,96 @@ def llm_nfc_fingerprint(cat: Catalog) -> DataFrame:
         ).alias("nfc_collapses"),
         normalized_fingerprint(F.col("t_comp")).alias("fp_nfc"),
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_curriculum_order",
+    # quality-buckets SQL (same recipe as llm_quality_buckets) piped
+    # into the training_order digest arithmetic, with the bucket phase
+    # leading the within-shard sort
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, source,
+               (cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+                         w -> list_contains(['the','and','of','a'], w)))
+                     as bigint) * 10000)
+                 // greatest(cast(len(string_split_regex(trim(text), '\s+'))
+                                  as bigint), 1) AS score
+        FROM documents
+    ),
+    h AS (SELECT source, score, count(*) AS cnt FROM s
+          WHERE score IS NOT NULL GROUP BY 1, 2),
+    r AS (
+        SELECT source, score,
+               coalesce(sum(cnt) OVER (
+                   PARTITION BY source ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS better,
+               sum(cnt) OVER (PARTITION BY source) AS n
+        FROM h
+    ),
+    b AS (
+        SELECT s.doc_id,
+               CASE WHEN (r.better * 1000) // greatest(r.n - 1, 1) < 100
+                        THEN 'head'
+                    WHEN (r.better * 1000) // greatest(r.n - 1, 1) < 700
+                        THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM s LEFT JOIN r ON r.source = s.source AND r.score = s.score
+    ),
+    k AS (
+        SELECT doc_id, bucket,
+               CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
+                    ELSE 2 END AS phase_idx,
+               md5('7|' || cast(doc_id as varchar)) AS dg
+        FROM b
+    ),
+    o AS (
+        SELECT doc_id, bucket, phase_idx,
+               ('0x' || substr(dg, 1, 15))::bigint % 8 AS shard,
+               substr(dg, 16, 17) AS ok
+        FROM k
+    )
+    SELECT doc_id, bucket, cast(phase_idx as bigint) AS phase_idx,
+           cast(shard as bigint) AS shard,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY phase_idx, ok, doc_id) AS pos
+    FROM o ORDER BY shard, pos
+    """,
+    survey="LLM curation: curriculum training order — per-domain quality "
+    "buckets consumed head→middle→tail, seeded-uniform shuffle within "
+    "each phase, phase-independent shard assignment (one shard-keyed "
+    "shuffle, no global sort)",
+)
+def llm_curriculum_order(cat: Catalog) -> DataFrame:
+    """End-to-end curriculum schedule: per-source quality buckets
+    (llm_quality_buckets' exact lineage) fed into a seeded shard
+    permutation where each shard serves head rows first, then middle,
+    then tail (llm/sampling.py:curriculum_order). Every stage is the
+    same library operator its standalone query grades."""
+    from simple_etl_spark.llm.sampling import curriculum_order
+    from simple_etl_spark.llm.selection import quality_percentile_buckets
+    from simple_etl_spark.llm.textstats import (
+        LANG_MARKERS,
+        stopword_hits,
+        whitespace_token_count,
+    )
+
+    s = cat["documents"].select(
+        "doc_id",
+        "source",
+        stopword_hits(F.col("text"), LANG_MARKERS["en"]).alias("_stops"),
+        whitespace_token_count(F.col("text")).alias("_ntok"),
+    ).withColumn(
+        "score",
+        F.expr("(_stops * 10000) div greatest(_ntok, 1)").cast("bigint"),
+    ).select("doc_id", "source", "score")
+    buckets = quality_percentile_buckets(
+        s, "score", ["source"], head_permille=100, middle_permille=700
+    ).select("doc_id", "bucket")
+    return curriculum_order(
+        buckets, "bucket", ["head", "middle", "tail"], "doc_id",
+        seed=7, n_shards=8,
+    ).select("doc_id", "bucket", "phase_idx", "shard", "pos").orderBy(
+        "shard", "pos"
+    )

@@ -145,6 +145,20 @@ def training_order(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     from pyspark.sql.window import Window
 
+    shard, order_key = _perm_parts(key_col, seed, n_shards)
+    w = Window.partitionBy("shard").orderBy("order_key", key_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("order_key", order_key)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("order_key")
+    )
+
+
+def _perm_parts(key_col: str, seed: str | int, n_shards: int):
+    """(shard, within-shard order key) from disjoint slices of one
+    md5(seed|key) digest — the permutation primitive training_order
+    and curriculum_order share."""
     digest = F.md5(
         F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))
     )
@@ -152,10 +166,50 @@ def training_order(
         F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
         % F.lit(n_shards)
     )
-    order_key = F.substring(digest, 16, 17)
-    w = Window.partitionBy("shard").orderBy("order_key", key_col)
+    return shard, F.substring(digest, 16, 17)
+
+
+def curriculum_order(
+    df: DataFrame,
+    phase_col: str,
+    phase_order: list[str],
+    key_col: str,
+    seed: str | int = 0,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Curriculum training order: phases consumed in the given order,
+    seeded-uniform shuffle WITHIN each phase — the "easy/clean data
+    first" schedule, e.g. the head/middle/tail buckets of
+    :func:`~simple_etl_spark.llm.selection.quality_percentile_buckets`.
+
+    Shard assignment is phase-independent (the same md5(seed|key)
+    digest split as :func:`training_order`), so every shard contains
+    every phase in proportion; a reader consuming each shard in
+    ``pos`` order sees phase 0's rows (uniformly shuffled) before
+    phase 1's, and round-robin across shards preserves the global
+    curriculum. Same scale shape as training_order: ONE shard-keyed
+    shuffle, per-shard sort, no global ORDER BY.
+
+    Rows whose ``phase_col`` value is not in ``phase_order`` sort
+    after every listed phase (a deliberate catch-all tail — NULL
+    buckets from unscorable rows land at the end, visibly, rather
+    than erroring mid-pipeline). Adds ``shard`` and ``pos``."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if not phase_order:
+        raise ValueError("phase_order must list at least one phase")
+    from pyspark.sql.window import Window
+
+    phase_idx = F.lit(len(phase_order))
+    for i in range(len(phase_order) - 1, -1, -1):
+        phase_idx = F.when(
+            F.col(phase_col) == phase_order[i], F.lit(i)
+        ).otherwise(phase_idx)
+    shard, order_key = _perm_parts(key_col, seed, n_shards)
+    w = Window.partitionBy("shard").orderBy("phase_idx", "order_key", key_col)
     return (
         df.withColumn("shard", shard)
+        .withColumn("phase_idx", phase_idx.cast("bigint"))
         .withColumn("order_key", order_key)
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("order_key")

@@ -775,3 +775,45 @@ def test_nfc_normalize_collapses_decomposed_and_keeps_nulls(spark):
     # NULL passes through; ASCII is a fixed point
     assert out[3]["n"] is None and out[3]["fp_n"] is None
     assert out[4]["n"] == "plain"
+
+
+def test_curriculum_order_phases_consumed_in_order_within_shard(spark):
+    """Within every shard, all phase-0 rows precede all phase-1 rows,
+    etc.; within a phase the order is the seeded permutation (same
+    digest as training_order). Unlisted/NULL phases land at the end."""
+    from simple_etl_spark.llm.sampling import curriculum_order, training_order
+
+    rows = [(i, ["head", "middle", "tail"][i % 3]) for i in range(60)]
+    rows += [(100, "weird"), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, bucket string")
+    out = curriculum_order(
+        df, "bucket", ["head", "middle", "tail"], "doc_id", seed=7, n_shards=4
+    ).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4)) and len(out) == 62
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["pos"])
+        idxs = [r["phase_idx"] for r in shard_rows]
+        assert idxs == sorted(idxs), "phases interleaved within a shard"
+        # positions contiguous from 1
+        assert [r["pos"] for r in shard_rows] == list(
+            range(1, len(shard_rows) + 1)
+        )
+    # catch-all tail: unlisted and NULL phases get idx == len(order)
+    tail = {r["doc_id"]: r["phase_idx"] for r in out if r["doc_id"] >= 100}
+    assert tail == {100: 3, 101: 3}
+    # same digest as training_order: shard assignment matches
+    t = {r["doc_id"]: r["shard"] for r in training_order(
+        df, "doc_id", seed=7, n_shards=4
+    ).collect()}
+    assert all(r["shard"] == t[r["doc_id"]] for r in out)
+
+
+def test_curriculum_order_rejects_empty_phases(spark):
+    from simple_etl_spark.llm.sampling import curriculum_order
+
+    df = spark.createDataFrame([(1, "head")], "doc_id bigint, bucket string")
+    with pytest.raises(ValueError, match="phase_order"):
+        curriculum_order(df, "bucket", [], "doc_id")

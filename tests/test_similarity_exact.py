@@ -151,3 +151,70 @@ def test_threshold_key_rejects_nonpositive_threshold():
     for bad in (-0.5, 0.0, 1.5):
         with pytest.raises(ValueError, match="threshold"):
             threshold_key(bad)
+
+
+def _ref_pair_key(a, b):
+    """Pure-Python reference of the integral pair arithmetic
+    (_keyed_pairs): exact integer lift, truncating divisions. Returns
+    None if either side is dropped as degenerate (n2_e9 < 1)."""
+    ia = [int(x.scaleb(10)) for x in _dec_vec(a)]
+    ib = [int(x.scaleb(10)) for x in _dec_vec(b)]
+    n2a = sum(x * x for x in ia) // 10**11
+    n2b = sum(x * x for x in ib) // 10**11
+    if n2a < 1 or n2b < 1:
+        return None
+    dp20 = sum(x * y for x, y in zip(ia, ib))
+    sgn = -1 if dp20 < 0 else 1
+    adpi = abs(dp20) // 10**11
+    return {
+        "dot_e9": sgn * adpi,
+        "anorm2_e9": n2a,
+        "bnorm2_e9": n2b,
+        "score2_e12": sgn * ((adpi * adpi * 10**12) // (n2a * n2b)),
+    }
+
+
+def test_embedding_near_dups_matches_integer_reference(spark, vectors):
+    """Every exposed value and the pair-inclusion decision of the
+    integral near-dup path must equal a from-scratch Python integer
+    reimplementation of the spec — including a planted zero-norm
+    vector (dropped) and a negated near-copy (negative key, excluded
+    by any positive threshold)."""
+    from simple_etl_spark.llm.similarity import (
+        embedding_near_dups,
+        threshold_key,
+    )
+
+    vecs = dict(list(sorted(vectors.items()))[:6])
+    nid = max(vecs) + 1
+    base = vecs[min(vecs)]
+    vecs[nid] = [-float(x) for x in base]          # anti-parallel copy
+    vecs[nid + 1] = [0.0] * len(base)              # degenerate
+    # near-copy: guarantees at least one qualifying pair
+    vecs[nid + 2] = [float(base[0]) + 0.1] + [float(x) for x in base[1:]]
+    rows = [(i, 0, [float(x) for x in v]) for i, v in vecs.items()]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>"
+    )
+    threshold = 0.5
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["dot_e9"], r["anorm2_e9"], r["bnorm2_e9"], r["score2_e12"]
+        )
+        for r in embedding_near_dups(df, threshold=threshold).collect()
+    }
+    thr = threshold_key(threshold)
+    want = {}
+    ids = sorted(vecs)
+    for i, ai in enumerate(ids):
+        for bi in ids[i + 1:]:
+            ref = _ref_pair_key(vecs[ai], vecs[bi])
+            if ref is not None and ref["score2_e12"] >= thr:
+                want[(ai, bi)] = (
+                    ref["dot_e9"], ref["anorm2_e9"],
+                    ref["bnorm2_e9"], ref["score2_e12"],
+                )
+    assert got == want
+    assert want, "reference found no qualifying pair — test data too weak"
+    # the anti-parallel and zero-norm plants never appear
+    assert not any(nid in p or nid + 1 in p for p in got)

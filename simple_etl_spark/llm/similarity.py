@@ -255,26 +255,34 @@ def embedding_near_dups(
     assignment), so each shuffle partition holds one bucket's vectors
     and the self-join never crosses partitions.
 
-    Scoring is single-phase on the integral exact-ranking tier (see
-    the module section below): one integer dot per pair, thresholded
-    on the pico-unit squared-cosine key against
-    :func:`threshold_key` — so the predicate is bit-identical on any
-    engine (no float op exists in the lineage) and the old two-phase
-    float-prune + decimal-rescore machinery is gone. The integral key
-    truncates at 10^-12, so the effective cut is "cos² ≥ threshold²
-    within one pico-unit" — that rule IS the spec, reproduced exactly
-    by the SQL oracle. Zero-norm vectors have no defined cosine and
-    are dropped by the side prep (n2_e9 ≥ 1), matching the top-k
+    Membership and every exposed value come from the integral
+    exact-ranking tier (see the module section below): one integer dot
+    per surviving pair, thresholded on the pico-unit squared-cosine
+    key against :func:`threshold_key` — bit-identical on any engine.
+    The integral key truncates at 10^-12, so the effective cut is
+    "cos² ≥ threshold² within one pico-unit" — that rule IS the spec,
+    reproduced exactly by the SQL oracle (which scores every pair
+    single-phase). A float64 prefilter (:func:`_prune_band_filter`)
+    drops the overwhelmingly-below-threshold mass of the |bucket|²
+    pairing before the ~10× costlier decimal dot runs — prune only,
+    provably unable to touch the verdict (see the band note), so the
+    result is identical to single-phase integral scoring at a
+    fraction of the cost. Zero-norm vectors have no defined cosine
+    and are dropped by the side prep (n2_e9 ≥ 1), matching the top-k
     path's exclusion. Output: (id_a, id_b, dot_e9, anorm2_e9,
     bnorm2_e9, score2_e12), all bigint; cosine itself is
     sign(dot_e9)·sqrt(|score2_e12|/10^12) client-side."""
-    a = _integral_side(embeddings, id_col, vec_col, "id_a", "q", bucket_col)
-    b = _integral_side(embeddings, id_col, vec_col, "id_b", "c", bucket_col)
+    a = _integral_side(
+        embeddings, id_col, vec_col, "id_a", "q", bucket_col, keep_vec=True
+    )
+    b = _integral_side(
+        embeddings, id_col, vec_col, "id_b", "c", bucket_col, keep_vec=True
+    )
     cond = (F.col("q_bucket") == F.col("c_bucket")) & (
         F.col("id_a") < F.col("id_b")
     )
     return (
-        _keyed_pairs(a.join(b, cond))
+        _keyed_pairs(_prune_band_filter(a.join(b, cond), threshold))
         .filter(F.col("score2_e12") >= F.lit(threshold_key(threshold)))
         .select(
             "id_a",
@@ -312,20 +320,24 @@ def semantic_contamination(
     thousands of rows, the corpus is the 100 TB side) — each corpus
     partition scores its vectors against the replicated benchmark
     locally, no shuffle until the per-corpus-id rollup, which is a
-    partial-aggregated hash shuffle on the corpus key. Scoring is
-    single-phase on the integral tier: one integer dot per
-    (corpus, bench) pair, thresholded on :func:`threshold_key` — no
-    float op in the lineage, engine-bit-identical (the two-phase
-    float-prune + decimal-rescore machinery is gone). Zero-norm
-    vectors on either side are dropped by the side prep; corpus rows
-    so dropped still report (n_hits 0, NULL) via the closing left
-    join."""
+    partial-aggregated hash shuffle on the corpus key. Membership and
+    every exposed value come from the integral tier — one integer dot
+    per surviving (corpus, bench) pair, thresholded on
+    :func:`threshold_key`, engine-bit-identical — behind a float64
+    prune (:func:`_prune_band_filter`) that discards the
+    overwhelmingly-non-matching mass before the decimal dot runs
+    (prune only; cannot touch the verdict — see the band note).
+    Zero-norm vectors on either side are dropped by the side prep;
+    corpus rows so dropped still report (n_hits 0, NULL) via the
+    closing left join."""
     bench = F.broadcast(
-        _integral_side(benchmark, bench_id_col, bench_vec_col, "_bid", "c")
+        _integral_side(
+            benchmark, bench_id_col, bench_vec_col, "_bid", "c", keep_vec=True
+        )
     )
-    c = _integral_side(corpus, id_col, vec_col, "_cid", "q")
+    c = _integral_side(corpus, id_col, vec_col, "_cid", "q", keep_vec=True)
     hits = (
-        _keyed_pairs(c.crossJoin(bench))
+        _keyed_pairs(_prune_band_filter(c.crossJoin(bench), threshold))
         .filter(F.col("score2_e12") >= F.lit(threshold_key(threshold)))
         .groupBy("_cid")
         .agg(
@@ -439,14 +451,26 @@ def _integral_side(
     out_id: str,
     tag: str,
     bucket_col: str | None = None,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Per-side prep for the integral tier: lifted element array plus
     the truncated squared norm in 10^-9 units. Degenerate vectors
     (norm² < 10^-9 → n2_e9 = 0) have no rankable cosine and are
-    dropped here, mirroring the oracle's HAVING n2i >= 1."""
+    dropped here, mirroring the oracle's HAVING n2i >= 1.
+
+    ``keep_vec`` additionally carries the raw vector and its float64
+    norm (``{tag}_vec``, ``{tag}_nd``) for threshold ops that prune
+    candidate pairs with cheap double arithmetic before paying the
+    decimal dot — the prune never decides membership (see
+    :func:`embedding_near_dups`)."""
     cols = [F.col(id_col).alias(out_id), _int_arr(F.col(vec_col)).alias(f"{tag}_ie")]
     if bucket_col:
         cols.insert(1, F.col(bucket_col).alias(f"{tag}_bucket"))
+    if keep_vec:
+        cols.append(F.col(vec_col).alias(f"{tag}_vec"))
+        cols.append(
+            F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias(f"{tag}_nd")
+        )
     return (
         df.select(*cols)
         .withColumn(f"{tag}_n2_20", idot20(F.col(f"{tag}_ie"), F.col(f"{tag}_ie")))
@@ -454,6 +478,42 @@ def _integral_side(
         .filter(F.col(f"{tag}_n2_e9") >= 1)
         .drop(f"{tag}_n2_20")
     )
+
+
+# A float64 prefilter can prune pairs BELOW (threshold − band) without
+# ever touching the integral verdict: an integral-qualifying pair has
+# true cosine within ~2e-9 of the threshold (the key truncates at
+# 10^-12 in cos²), while the double cosine sits within ~1e-12 of the
+# true value for in-contract vectors — both errors are orders of
+# magnitude inside the band, so no pair the integral predicate would
+# accept can score below it on the double path.
+_PRUNE_BAND = 1e-6
+
+
+def _prune_band_filter(joined: DataFrame, threshold: float) -> DataFrame:
+    """Drop pairs whose cheap float64 cosine falls below
+    (threshold − band). try_divide: a 0/0 (double-degenerate) pair
+    scores NULL and is dropped — such pairs were already excluded by
+    the integral side prep. Prune only — membership and every exposed
+    value still come from the integral key.
+
+    The result passes through an Arrow identity barrier: without it,
+    Catalyst pushes the downstream integral-key filter into the join
+    condition alongside this prune (filter-pushdown substitutes the
+    projected key expression), and the decimal dot then runs on EVERY
+    candidate pair — measured 3.5× slower at sf0.1 than prune-first.
+    Pushdown cannot cross a Python evaluator, so the barrier pins the
+    order: cheap double prune per pair, decimal arithmetic on
+    survivors only. Survivors are output-sized (the near-dups
+    themselves), so the Arrow hop is negligible."""
+    fast = F.try_divide(
+        dot_fast(F.col("q_vec"), F.col("c_vec")),
+        F.col("q_nd") * F.col("c_nd"),
+    )
+    pruned = joined.filter(fast >= F.lit(threshold - _PRUNE_BAND)).drop(
+        "q_vec", "q_nd", "c_vec", "c_nd"
+    )
+    return pruned.mapInPandas(lambda it: it, pruned.schema)
 
 
 def _keyed_pairs(joined: DataFrame) -> DataFrame:

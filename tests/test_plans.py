@@ -503,3 +503,32 @@ def test_skew_profile_values(spark):
     assert rows[0]["share_permille"] == 800
     # mean key size = 100/3 → hot is 80/(100/3) = 2.4 → floor 2
     assert rows[0]["skew_factor"] == 2
+
+
+def test_near_dup_join_condition_carries_no_decimal_dot(spark):
+    """Perf regression pin for the integral threshold ops: Catalyst
+    pushes projected-filter expressions into join conditions, and
+    before the Arrow barrier in _prune_band_filter that put the
+    decimal dot product (idot20 — decimal(19,0)/decimal(38,0)
+    arithmetic) on EVERY candidate pair, 3.5x slower at sf0.1. The
+    join node's condition may carry the cheap float64 prune, but
+    never decimal arithmetic."""
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.llm.similarity import embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [(i, i % 2, [1.0 * i, 0.5, 0.25]) for i in range(1, 9)],
+        "vec_id bigint, label int, embedding array<double>",
+    )
+    out = embedding_near_dups(emb, threshold=0.9)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "Inner" in ln
+    ]
+    assert join_lines, plan
+    for ln in join_lines:
+        assert "decimal(38,0)" not in ln and "decimal(19,0)" not in ln, (
+            "decimal dot arithmetic leaked into the join condition — "
+            "the pushdown barrier in _prune_band_filter is gone:\n" + ln
+        )

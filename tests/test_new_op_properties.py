@@ -183,3 +183,62 @@ def test_canonicalize_url_matches_reference(
     df = spark.createDataFrame([(raw,)], ["url"])
     got = df.select(canonicalize_url("url").alias("c")).first()["c"]
     assert got == want, f"{raw!r} -> {got!r}, want {want!r}"
+
+
+# --- quality percentile buckets: reference model on random multisets --
+
+@SET
+@given(
+    scores=st.lists(
+        st.tuples(st.sampled_from(["d1", "d2"]), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_quality_buckets_match_reference_on_random_multisets(spark, scores):
+    """permille must equal the sequential competition-rank reference
+    (count of strictly-better rows · 1000 div max(n−1, 1), per group)
+    on arbitrary (group, score) multisets, independent of row order
+    and partitioning."""
+    from simple_etl_spark.llm.selection import quality_percentile_buckets
+
+    rows = [(i, g, s) for i, (g, s) in enumerate(scores)]
+    df = spark.createDataFrame(
+        rows, "id bigint, g string, score bigint"
+    ).repartition(3)
+    got = {
+        r["id"]: r["permille"]
+        for r in quality_percentile_buckets(df, "score", ["g"]).collect()
+    }
+    by_g: dict[str, list[int]] = {}
+    for _, g, s in rows:
+        by_g.setdefault(g, []).append(s)
+    for i, g, s in rows:
+        pool = by_g[g]
+        better = sum(1 for x in pool if x > s)
+        want = (better * 1000) // max(len(pool) - 1, 1)
+        assert got[i] == want, (i, g, s, got[i], want)
+
+
+@SET
+@given(
+    n=st.integers(1, 40),
+    seed=st.integers(0, 3),
+    n_shards=st.integers(1, 5),
+)
+def test_curriculum_order_is_partition_invariant(spark, n, seed, n_shards):
+    """shard/pos must be a pure content function: identical under any
+    repartitioning, positions a contiguous 1..k per shard, phases
+    non-decreasing along pos."""
+    from simple_etl_spark.llm.sampling import curriculum_order
+
+    rows = [(i, ["head", "tail"][i % 2]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id bigint, bucket string")
+    key = lambda r: (r["doc_id"], r["shard"], r["pos"])  # noqa: E731
+    a = sorted(map(key, curriculum_order(
+        df, "bucket", ["head", "tail"], "doc_id", seed, n_shards
+    ).collect()))
+    b = sorted(map(key, curriculum_order(
+        df.repartition(4), "bucket", ["head", "tail"], "doc_id", seed, n_shards
+    ).collect()))
+    assert a == b

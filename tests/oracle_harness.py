@@ -230,4 +230,13 @@ def duckdb_invariants() -> list[tuple[str, bool, str]]:
         == 1704067200123,
         "streaming session oracles (start_ms/end_ms)",
     ))
+    # 8. nfc_normalize implements Unicode NFC exactly like Python's
+    #    unicodedata (llm_nfc_fingerprint's twin): decomposed e+U+0301
+    #    composes to U+00E9; composed text is a fixed point
+    checks.append((
+        "nfc_normalize matches unicodedata NFC",
+        q("SELECT nfc_normalize('cafe' || chr(769)) = 'caf' || chr(233)")
+        and q("SELECT nfc_normalize('caf' || chr(233)) = 'caf' || chr(233)"),
+        "llm_nfc_fingerprint / normalized_fingerprint contract",
+    ))
     return checks

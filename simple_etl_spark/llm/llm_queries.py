@@ -3493,8 +3493,14 @@ def llm_nfc_fingerprint(cat: Catalog) -> DataFrame:
         FROM h
     ),
     b AS (
+        -- NULL guard mirrors llm_quality_buckets' oracle AND the
+        -- engine: an unscorable row (NULL text -> NULL score -> join
+        -- miss) keeps bucket NULL and falls to the catch-all phase
+        -- below, never to 'tail'
         SELECT s.doc_id,
-               CASE WHEN (r.better * 1000) // greatest(r.n - 1, 1) < 100
+               CASE WHEN (r.better * 1000) // greatest(r.n - 1, 1) IS NULL
+                        THEN NULL
+                    WHEN (r.better * 1000) // greatest(r.n - 1, 1) < 100
                         THEN 'head'
                     WHEN (r.better * 1000) // greatest(r.n - 1, 1) < 700
                         THEN 'middle'
@@ -3502,9 +3508,11 @@ def llm_nfc_fingerprint(cat: Catalog) -> DataFrame:
         FROM s LEFT JOIN r ON r.source = s.source AND r.score = s.score
     ),
     k AS (
+        -- ELSE 3 = curriculum_order's deliberate catch-all tail for
+        -- buckets outside the phase list (incl. NULL)
         SELECT doc_id, bucket,
                CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
-                    ELSE 2 END AS phase_idx,
+                    WHEN 'tail' THEN 2 ELSE 3 END AS phase_idx,
                md5('7|' || cast(doc_id as varchar)) AS dg
         FROM b
     ),

@@ -108,13 +108,38 @@ def brute_force_topk(
     )
 
 
-def _side(df: DataFrame, id_col: str, vec_col: str, out_id: str, tag: str,
-          bucket_col: str | None = None) -> DataFrame:
-    cols = [
-        F.col(id_col).alias(out_id),
+def _vec_nd_cols(vec_col: str, tag: str) -> list[Column]:
+    """The standard per-side float64 carry columns: the raw vector
+    (``{tag}_vec``) and its double norm (``{tag}_nd``). Single owner
+    of this recipe — :func:`_side` (top-k paths) and
+    :func:`_integral_side` (``keep_vec`` threshold paths) both build
+    their sides from it, so the prune and ranking tiers can never
+    drift on what the fast denominator means."""
+    return [
         F.col(vec_col).alias(f"{tag}_vec"),
         F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias(f"{tag}_nd"),
     ]
+
+
+def _fast_cosine() -> Column:
+    """Cheap float64 cosine of a joined pair carrying both sides'
+    carry columns (see :func:`_vec_nd_cols`). ``try_divide``: 0/0
+    (zero-norm) scores NULL, never an ANSI error. NaN semantics are
+    the CALLER's job — the top-k path drops NULL/NaN before ranking
+    (window vs pandas NaN order), while the prune path lets NaN pairs
+    through (Spark compares NaN greater than any value, so they pass
+    the band filter) because membership belongs to the integral
+    verdict, which never admits a non-finite vector (the decimal
+    lift has no NaN/Inf representation)."""
+    return F.try_divide(
+        dot_fast(F.col("q_vec"), F.col("c_vec")),
+        F.col("q_nd") * F.col("c_nd"),
+    )
+
+
+def _side(df: DataFrame, id_col: str, vec_col: str, out_id: str, tag: str,
+          bucket_col: str | None = None) -> DataFrame:
+    cols = [F.col(id_col).alias(out_id), *_vec_nd_cols(vec_col, tag)]
     if bucket_col:
         cols.insert(1, F.col(bucket_col).alias(f"{tag}_bucket"))
     return df.select(*cols)
@@ -188,13 +213,7 @@ def _two_phase_topk(
     fast = (
         F.broadcast(q)
         .join(c, cond)
-        .withColumn(
-            "_fast",
-            F.try_divide(
-                dot_fast(F.col("q_vec"), F.col("c_vec")),
-                F.col("q_nd") * F.col("c_nd"),
-            ),
-        )
+        .withColumn("_fast", _fast_cosine())
         .filter(F.col("_fast").isNotNull() & ~F.isnan(F.col("_fast")))
     )
     if prereduce:
@@ -467,10 +486,7 @@ def _integral_side(
     if bucket_col:
         cols.insert(1, F.col(bucket_col).alias(f"{tag}_bucket"))
     if keep_vec:
-        cols.append(F.col(vec_col).alias(f"{tag}_vec"))
-        cols.append(
-            F.sqrt(dot_fast(F.col(vec_col), F.col(vec_col))).alias(f"{tag}_nd")
-        )
+        cols.extend(_vec_nd_cols(vec_col, tag))
     return (
         df.select(*cols)
         .withColumn(f"{tag}_n2_20", idot20(F.col(f"{tag}_ie"), F.col(f"{tag}_ie")))
@@ -487,12 +503,31 @@ def _integral_side(
 # true value for in-contract vectors — both errors are orders of
 # magnitude inside the band, so no pair the integral predicate would
 # accept can score below it on the double path.
+#
+# That argument assumes the truncation noise in the key itself is
+# inside the band, which fails for SMALL norms: n2_e9 = trunc(n2_20 /
+# 10^11) carries relative error up to 1/n2_e9 per side, so a vector
+# with norm² barely over the 10^-9 degeneracy floor (n2_e9 = 1) can
+# inflate the key by up to 4× and make the integral predicate accept
+# a pair whose true cosine is far below threshold — which the prune
+# would then wrongly drop, diverging from the single-phase oracle.
+# Pairs where either side's n2_e9 is below _PRUNE_MIN_N2_E9 therefore
+# BYPASS the prune and go straight to the integral verdict (correct by
+# construction, just unpruned); above it, 1/n2_e9 ≤ 10^-8 per side and
+# the qualifying dot is ≥ threshold·10^8, keeping the total key error
+# orders of magnitude inside the 10^-6 band. Small-norm embeddings are
+# pathological in practice, so the bypass costs nothing at scale.
 _PRUNE_BAND = 1e-6
+_PRUNE_MIN_N2_E9 = 100_000_000  # 10^8 ⇔ norm ≥ ~0.32
 
 
 def _prune_band_filter(joined: DataFrame, threshold: float) -> DataFrame:
     """Drop pairs whose cheap float64 cosine falls below
-    (threshold − band). try_divide: a 0/0 (double-degenerate) pair
+    (threshold − band) — EXCEPT pairs where either side's n2_e9 is
+    under :data:`_PRUNE_MIN_N2_E9`, which bypass the prune entirely
+    (for such small norms the integral key's truncation noise exceeds
+    the band, so the float path can disagree with the integral verdict
+    — see the band note). try_divide: a 0/0 (double-degenerate) pair
     scores NULL and is dropped — such pairs were already excluded by
     the integral side prep. Prune only — membership and every exposed
     value still come from the integral key.
@@ -506,13 +541,13 @@ def _prune_band_filter(joined: DataFrame, threshold: float) -> DataFrame:
     order: cheap double prune per pair, decimal arithmetic on
     survivors only. Survivors are output-sized (the near-dups
     themselves), so the Arrow hop is negligible."""
-    fast = F.try_divide(
-        dot_fast(F.col("q_vec"), F.col("c_vec")),
-        F.col("q_nd") * F.col("c_nd"),
+    fast = _fast_cosine()
+    small_norm = (F.col("q_n2_e9") < F.lit(_PRUNE_MIN_N2_E9)) | (
+        F.col("c_n2_e9") < F.lit(_PRUNE_MIN_N2_E9)
     )
-    pruned = joined.filter(fast >= F.lit(threshold - _PRUNE_BAND)).drop(
-        "q_vec", "q_nd", "c_vec", "c_nd"
-    )
+    pruned = joined.filter(
+        small_norm | (fast >= F.lit(threshold - _PRUNE_BAND))
+    ).drop("q_vec", "q_nd", "c_vec", "c_nd")
     return pruned.mapInPandas(lambda it: it, pruned.schema)
 
 

@@ -817,3 +817,46 @@ def test_curriculum_order_rejects_empty_phases(spark):
     df = spark.createDataFrame([(1, "head")], "doc_id bigint, bucket string")
     with pytest.raises(ValueError, match="phase_order"):
         curriculum_order(df, "bucket", [], "doc_id")
+
+
+def test_curriculum_and_buckets_parity_with_null_text(spark, tmp_path):
+    """NULL-text parity pin (latent on the driver data, which has no
+    NULL texts): an unscorable row must keep bucket NULL and land in
+    the catch-all phase (3) in BOTH engines. Runs the registered
+    llm_quality_buckets and llm_curriculum_order queries and their
+    oracles over a fixture WITH a NULL text, through the same strict
+    compare as test_parity."""
+    import duckdb
+
+    from simple_etl_spark import queries as q
+    from tests.oracle_harness import compare
+
+    q._load_all()
+    rows = [
+        (1, "the quick brown fox and the dog", "en", "web", 31),
+        (2, "alpha beta gamma delta", "en", "web", 22),
+        (3, None, "en", "web", 0),                       # unscorable
+        (4, "of a the and of a the and", "en", "books", 25),
+        (5, "zeta eta theta", "en", "books", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "docs_nulltext")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    try:
+        for name in ("llm_quality_buckets", "llm_curriculum_order"):
+            spec = q.REGISTRY[name]
+            ok, msg = compare(spec.fn(spark, d), con, spec.oracle)
+            assert ok, f"{name}: {msg}"
+        # and the engine's catch-all is visible: doc 3 has phase_idx 3
+        out = q.REGISTRY["llm_curriculum_order"].fn(spark, d)
+        r3 = out.filter(F.col("doc_id") == 3).head()
+        assert r3["bucket"] is None and r3["phase_idx"] == 3
+    finally:
+        con.close()

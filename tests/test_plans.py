@@ -532,3 +532,31 @@ def test_near_dup_join_condition_carries_no_decimal_dot(spark):
             "decimal dot arithmetic leaked into the join condition — "
             "the pushdown barrier in _prune_band_filter is gone:\n" + ln
         )
+
+
+def test_contamination_join_carries_no_decimal_dot(spark):
+    """Same pushdown-barrier pin through the OTHER _prune_band_filter
+    call site: semantic_contamination's broadcast crossJoin. Its plan
+    nodes are BroadcastNestedLoopJoin/Cross — never matched by the
+    Inner-join filter above — so without this test a contamination-
+    path-only refactor could silently reintroduce the decimal-dot-on-
+    every-pair regression."""
+    from simple_etl_spark.llm.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0 * i, 0.5, 0.25]) for i in range(1, 9)],
+        "vec_id bigint, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [0.5, 0.5, 0.5]), (101, [1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = semantic_contamination(corpus, bench, threshold=0.9)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, plan
+    for ln in join_lines:
+        assert "decimal(38,0)" not in ln and "decimal(19,0)" not in ln, (
+            "decimal dot arithmetic leaked into a join condition on the "
+            "contamination path — the pushdown barrier is gone:\n" + ln
+        )

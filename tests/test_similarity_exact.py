@@ -218,3 +218,74 @@ def test_embedding_near_dups_matches_integer_reference(spark, vectors):
     assert want, "reference found no qualifying pair — test data too weak"
     # the anti-parallel and zero-norm plants never appear
     assert not any(nid in p or nid + 1 in p for p in got)
+
+
+def test_small_norm_pair_bypasses_prune_and_matches_reference(spark):
+    """Regression: the float64 prune must NOT decide membership for
+    small-norm vectors. For norms barely above the 10^-9 degeneracy
+    floor (n2_e9 = 1) the integral key's truncation noise inflates
+    cos² by up to 4× — here a pair with TRUE cosine ≈ 0.553 qualifies
+    under the integral spec at threshold 0.9 (score2_e12 = 10^12, the
+    inflated 'parallel' verdict), and the single-phase SQL oracle
+    agrees. A band-prune on the float cosine would wrongly drop it;
+    such pairs must bypass the prune (similarity._PRUNE_MIN_N2_E9)."""
+    from simple_etl_spark.llm.similarity import (
+        embedding_near_dups,
+        threshold_key,
+    )
+
+    vecs = {
+        1: [4.36e-5, 0.0, 0.0],
+        2: [2.41e-5, 3.63e-5, 0.0],
+    }
+    df = spark.createDataFrame(
+        [(i, 0, v) for i, v in vecs.items()],
+        "vec_id bigint, label int, embedding array<double>",
+    )
+    ref = _ref_pair_key(vecs[1], vecs[2])
+    assert ref is not None and ref["score2_e12"] >= threshold_key(0.9), (
+        "fixture no longer exercises the small-norm inflation — "
+        "pick vectors with n2_e9 == 1 and a qualifying truncated key"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["dot_e9"], r["anorm2_e9"], r["bnorm2_e9"], r["score2_e12"]
+        )
+        for r in embedding_near_dups(df, threshold=0.9).collect()
+    }
+    assert got == {
+        (1, 2): (
+            ref["dot_e9"], ref["anorm2_e9"],
+            ref["bnorm2_e9"], ref["score2_e12"],
+        )
+    }
+
+
+def test_small_norm_contamination_matches_single_phase_verdict(spark):
+    """Same degeneracy-cutoff regression through the OTHER prune call
+    site: semantic_contamination's broadcast crossJoin path. The
+    small-norm benchmark hit must be counted (integral verdict), not
+    float-pruned away."""
+    from simple_etl_spark.llm.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [4.36e-5, 0.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(10, [2.41e-5, 3.63e-5, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["n_hits"], r["max_score2_e12"])
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    ref = _ref_pair_key([4.36e-5, 0.0, 0.0], [2.41e-5, 3.63e-5, 0.0])
+    assert out[1] == (1, ref["score2_e12"])
+    # the unit vector vs the tiny bench vector: true cosine ~0.55 and
+    # NO truncation inflation on the corpus side... the bench side's
+    # n2_e9 = 1 still inflates; verify against the reference verdict
+    ref2 = _ref_pair_key([1.0, 0.0, 0.0], [2.41e-5, 3.63e-5, 0.0])
+    from simple_etl_spark.llm.similarity import threshold_key
+    want2 = (1, ref2["score2_e12"]) if ref2["score2_e12"] >= threshold_key(0.9) else (0, None)
+    assert out[2] == want2

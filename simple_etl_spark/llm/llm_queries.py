@@ -3565,3 +3565,121 @@ def llm_curriculum_order(cat: Catalog) -> DataFrame:
     ).select("doc_id", "bucket", "phase_idx", "shard", "pos").orderBy(
         "shard", "pos"
     )
+
+
+@query(
+    "llm_sequence_pack",
+    # twin of packing.pack_concat_cut: same md5(seed|key) permutation
+    # as the training_order oracles, whitespace token counts, running
+    # sum per shard, floor-div sequence cuts (all operands
+    # non-negative, so // == Spark's div)
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               greatest(coalesce(
+                   cast(len(string_split_regex(trim(text), '\s+')) as bigint),
+                   0), 0) AS tok,
+               md5('7|' || cast(doc_id as varchar)) AS dg
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, tok,
+               ('0x' || substr(dg, 1, 15))::bigint % 8 AS shard,
+               substr(dg, 16, 17) AS ok
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, tok, shard,
+               row_number() OVER w AS pos,
+               CAST(sum(tok) OVER (PARTITION BY shard ORDER BY ok, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - tok AS start_tok
+        FROM o
+        WINDOW w AS (PARTITION BY shard ORDER BY ok, doc_id)
+    )
+    SELECT doc_id, cast(shard as bigint) AS shard, cast(pos as bigint) AS pos,
+           start_tok,
+           start_tok // 512 AS first_seq,
+           (start_tok + greatest(tok, 1) - 1) // 512 AS last_seq,
+           ((start_tok + greatest(tok, 1) - 1) // 512)
+               - (start_tok // 512) + 1 AS n_seqs
+    FROM c ORDER BY shard, pos
+    """,
+    survey="LLM curation: concat-and-cut sequence packing — seeded "
+    "per-shard document order, running token cumsum, sequences cut "
+    "every `capacity` tokens; one shard-keyed shuffle, no global sort",
+)
+def llm_sequence_pack(cat: Catalog) -> DataFrame:
+    """GPT-style packed-pretraining layout over the documents table:
+    whitespace token counts, capacity 512, 8 shards, seed 7. Exposes
+    each document's offset in its shard's token stream and the
+    sequence indices it spans (llm/packing.py:pack_concat_cut)."""
+    from simple_etl_spark.llm.packing import pack_concat_cut
+    from simple_etl_spark.llm.textstats import whitespace_token_count
+
+    d = cat["documents"].select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        pack_concat_cut(d, "n_tok", "doc_id", capacity=512, seed=7, n_shards=8)
+        .select(
+            "doc_id", "shard", "pos", "start_tok", "first_seq", "last_seq",
+            "n_seqs",
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+@query(
+    "llm_domain_mixture",
+    # twin of sampling.temperature_weights (alpha=0.5): sqrt is
+    # correctly rounded in IEEE-754 so both engines quantize the SAME
+    # double to decimal(16,6); the 1e6 lift is exact integer units;
+    # apportionment is hugeint floor-division + largest remainder
+    oracle="""
+    WITH c AS (
+        SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT stratum, n_docs,
+               CAST(CAST(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(16,6))
+                    AS DECIMAL(26,6)) * 1000000 AS HUGEINT) AS wv
+        FROM c
+    ),
+    s AS (SELECT *, sum(wv) OVER () AS wsum FROM w),
+    a AS (
+        SELECT stratum, n_docs, wv, wsum,
+               (1000 * wv) // wsum AS base,
+               (1000 * wv) % wsum AS rem
+        FROM s
+    ),
+    r AS (
+        SELECT *, sum(base) OVER () AS basesum,
+               row_number() OVER (ORDER BY rem DESC, stratum ASC NULLS LAST)
+                   AS rrank
+        FROM a
+    )
+    SELECT stratum, n_docs,
+           CAST((wv * 10000000000) // wsum AS BIGINT) AS weight_e10,
+           CAST(base + CASE WHEN rrank <= 1000 - basesum THEN 1 ELSE 0 END
+                AS BIGINT) AS target_n,
+           CAST(least(base + CASE WHEN rrank <= 1000 - basesum
+                                  THEN 1 ELSE 0 END, n_docs)
+                AS BIGINT) AS take_n
+    FROM r ORDER BY stratum
+    """,
+    survey="LLM selection: temperature-scaled domain mixture "
+    "(count^0.5 up-samples small domains) — exact integral "
+    "largest-remainder apportionment, targets sum exactly to N",
+)
+def llm_domain_mixture(cat: Catalog) -> DataFrame:
+    """Per-source mixture weights and sample targets for a 1000-doc
+    training mix at temperature alpha = 0.5
+    (llm/sampling.py:temperature_weights): sqrt-count weights,
+    largest-remainder apportionment summing exactly to N, take_n
+    capped at the stratum's population."""
+    from simple_etl_spark.llm.sampling import temperature_weights
+
+    return temperature_weights(
+        cat["documents"], "source", 1000, alpha=0.5
+    ).orderBy("stratum")

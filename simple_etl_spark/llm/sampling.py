@@ -288,3 +288,138 @@ def cluster_safe_split(
     beyond the clustering itself."""
     joined = docs.join(clusters, id_col)
     return dataset_split(joined, cluster_col, val_permille, test_permille)
+
+
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    total_n: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled multinomial domain mixture: per-stratum
+    target sample counts proportional to count^alpha — the standard
+    rebalancing for multilingual/multi-domain pretraining (alpha < 1
+    up-samples small domains relative to their share; alpha = 1 is
+    proportional).
+
+    Returns one row per stratum: (stratum, n_docs, weight_e10 — the
+    stratum's normalized mixture weight in 10^-10 units, largest-
+    remainder apportioned target_n summing exactly to ``total_n``,
+    and take_n = min(target_n, n_docs), what single-epoch sampling
+    can actually deliver).
+
+    Engine-exactness: ``alpha`` is restricted to {1.0, 0.5, 0.25} —
+    count^alpha is then an sqrt chain, and IEEE-754 sqrt is CORRECTLY
+    ROUNDED, so both engines compute bit-identical doubles (pow() has
+    no such guarantee, which is why free alpha is refused rather than
+    silently drifting). The double weight is quantized to
+    decimal(16,6) — the engine-wide ≤6-dp discipline for any double-
+    derived decimal (tests/test_float_lineage.py), ample resolution
+    for apportionment; both engines round the same double half-away-
+    from-zero, and the 10-digit integer part bounds a stratum at
+    10^20 docs (overflow errors loudly on either engine, never
+    drifts) — then lifted to exact 10^-6 integer units (the
+    decimal(16,6)·decimal(7,0) product is decimal(24,6), far inside
+    precision 38 — no silent scale cut). Every division from there
+    is a non-negative decimal(38,0) ``div`` — floor on both engines;
+    alpha = 1.0 skips the lift and apportions on the raw exact
+    counts. Largest-remainder ties break by stratum value ascending.
+
+    Scale shape: ONE map-side-combinable count aggregation over the
+    corpus; everything after operates on the |strata|-sized frame
+    (window over |strata| rows — trivially small)."""
+    if total_n < 0:
+        raise ValueError(f"total_n must be >= 0, got {total_n}")
+    roots = {1.0: 0, 0.5: 1, 0.25: 2}
+    if alpha not in roots:
+        raise ValueError(
+            f"alpha must be one of {sorted(roots)} (sqrt chains are the "
+            f"only engine-exact powers — IEEE pow() is not correctly "
+            f"rounded), got {alpha}"
+        )
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    if alpha == 1.0:
+        wint = F.col("n_docs")
+    else:
+        wexpr = F.col("n_docs").cast("double")
+        for _ in range(roots[alpha]):
+            wexpr = F.sqrt(wexpr)
+        wint = (
+            wexpr.cast("decimal(16,6)") * F.lit(1_000_000).cast("decimal(7,0)")
+        ).cast("bigint")
+    wtotal = Window.partitionBy()
+    # sum/products in decimal(38,0): wsum over many strata and
+    # total_n·w both clear bigint range; div returns bigint (the
+    # quotient is <= total_n / <= 10^10)
+    weighted = counts.withColumn(
+        "_w", wint.cast("decimal(38,0)")
+    ).withColumn("_wsum", F.sum(wint.cast("decimal(38,0)")).over(wtotal))
+    apportioned = (
+        weighted.withColumn("_base", F.expr(f"({total_n} * _w) div _wsum"))
+        .withColumn("_rem", F.expr(f"({total_n} * _w) % _wsum"))
+        .withColumn("_leftover", F.lit(total_n) - F.sum("_base").over(wtotal))
+        .withColumn(
+            "_rrank",
+            F.row_number().over(
+                # asc_nulls_last: a NULL stratum group sorts last on
+                # both engines (Spark asc defaults NULLS FIRST, SQL
+                # engines default NULLS LAST — pin the tie-break)
+                Window.partitionBy().orderBy(
+                    F.desc("_rem"), F.asc_nulls_last("stratum")
+                )
+            ),
+        )
+    )
+    target = F.col("_base") + F.when(
+        F.col("_rrank") <= F.col("_leftover"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return apportioned.select(
+        "stratum",
+        "n_docs",
+        # normalized weight in 1e-10 units: (w * 1e10) div wsum —
+        # non-negative div, floor on both engines
+        F.expr("(_w * 10000000000) div _wsum").alias("weight_e10"),
+        target.cast("bigint").alias("target_n"),
+        F.least(target, F.col("n_docs")).cast("bigint").alias("take_n"),
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    total_n: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Materialize the :func:`temperature_weights` mixture: within
+    each stratum, keep the md5-rank-first ``take_n`` rows (the same
+    deterministic content-hash ranking as :func:`stratified_sample`,
+    so the selection is engine-independent, reproducible, and monotone
+    in the target). Single-epoch semantics: a stratum can contribute
+    at most its population (take_n = min(target_n, n_docs)); callers
+    running multiple epochs re-apply the weights per epoch rather
+    than sampling with replacement here.
+
+    Scale shape: the weights frame is |strata|-sized and broadcast;
+    the ranking window partitions by the stratum — one shuffle on the
+    stratum key, the same plan as stratified_sample."""
+    from pyspark.sql.window import Window
+
+    weights = temperature_weights(df, strata_col, total_n, alpha)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.join(
+            F.broadcast(weights.select("stratum", "take_n")),
+            F.col(strata_col) == F.col("stratum"),
+        )
+        .drop("stratum")
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= F.col("take_n"))
+        .drop("take_n")
+    )

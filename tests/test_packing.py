@@ -1,0 +1,228 @@
+"""Sequence packing (llm/packing.py) and temperature mixture
+(llm/sampling.py) — invariants an oracle query can't pin: layout
+algebra, the greedy fold vs a pure-Python reference, partition
+independence, apportionment exactness."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_etl_spark.llm.packing import pack_concat_cut, pack_greedy_nosplit
+from simple_etl_spark.llm.sampling import temperature_mixture, temperature_weights
+
+CAP = 64
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # token counts chosen to exercise: zero, exact-fit, straddler,
+    # oversized (> CAP), and a null
+    rows = [(i, (i * 37) % 90) for i in range(1, 60)]
+    rows += [(100, 0), (101, CAP), (102, CAP + 30), (103, None)]
+    return spark.createDataFrame(rows, "doc_id bigint, tok int")
+
+
+def _perm(key, seed, n_shards):
+    dg = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
+    return int(dg[:15], 16) % n_shards, dg[15:32]
+
+
+def test_concat_cut_layout_algebra(spark, docs):
+    out = pack_concat_cut(docs, "tok", "doc_id", CAP, seed=3, n_shards=4)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["shard"], r["pos"])
+    )
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == docs.count()
+    for shard, rs in by_shard.items():
+        stream = 0
+        for i, r in enumerate(rs):
+            tok = max(r["tok"] or 0, 0)
+            assert r["pos"] == i + 1
+            assert r["start_tok"] == stream
+            assert r["first_seq"] == stream // CAP
+            assert r["last_seq"] == (stream + max(tok, 1) - 1) // CAP
+            assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1 >= 1
+            # straddle iff the doc crosses a cut boundary
+            straddles = tok >= 1 and (stream % CAP) + tok > CAP
+            assert (r["n_seqs"] > 1) == straddles
+            stream += tok
+
+
+def test_concat_cut_partition_invariance(spark, docs):
+    a = pack_concat_cut(docs, "tok", "doc_id", CAP, seed=3, n_shards=4)
+    b = pack_concat_cut(
+        docs.repartition(13), "tok", "doc_id", CAP, seed=3, n_shards=4
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_concat_cut_matches_permutation_reference(spark, docs):
+    """The shard/order assignment must be the md5(seed|key) digest
+    split — reproduced here from hashlib, independent of Spark."""
+    out = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in pack_concat_cut(
+            docs, "tok", "doc_id", CAP, seed=3, n_shards=4
+        ).collect()
+    }
+    per_shard = {}
+    for r in docs.collect():
+        sh, ok = _perm(r["doc_id"], 3, 4)
+        per_shard.setdefault(sh, []).append((ok, r["doc_id"]))
+    for sh, lst in per_shard.items():
+        for pos, (_, did) in enumerate(sorted(lst), start=1):
+            assert out[did] == (sh, pos)
+
+
+def _greedy_ref(items, cap):
+    """Pure-Python first-fit no-split fold: items = [(key, tok)] in
+    walk order; returns {key: (pos, seq, fill_after, overflow)}."""
+    res, seq, fill = {}, 0, 0
+    for pos, (key, tok) in enumerate(items, start=1):
+        t = max(tok or 0, 0)
+        if pos == 1:
+            fill = t
+        elif fill + t > cap:
+            seq, fill = seq + 1, t
+        else:
+            fill += t
+        res[key] = (pos, seq, fill, t > cap)
+    return res
+
+
+def test_greedy_nosplit_matches_python_fold(spark, docs):
+    out = pack_greedy_nosplit(docs, "tok", "doc_id", CAP, seed=3, n_shards=4)
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"], r["seq"], r["seq_fill"], r["overflow"])
+        for r in out.collect()
+    }
+    assert len(got) == docs.count()
+    per_shard = {}
+    for r in docs.collect():
+        sh, ok = _perm(r["doc_id"], 3, 4)
+        per_shard.setdefault(sh, []).append((ok, r["doc_id"], r["tok"]))
+    for sh, lst in per_shard.items():
+        ref = _greedy_ref([(d, t) for _, d, t in sorted(lst)], CAP)
+        for did, (pos, seq, fill, over) in ref.items():
+            assert got[did] == (sh, pos, seq, fill, over), did
+
+
+def test_greedy_nosplit_capacity_invariant(spark, docs):
+    """No sequence exceeds capacity unless it holds exactly one
+    oversized (flagged) document."""
+    out = pack_greedy_nosplit(docs, "tok", "doc_id", CAP, seed=3, n_shards=4)
+    agg = (
+        out.groupBy("shard", "seq")
+        .agg(
+            F.sum(F.greatest(F.coalesce(F.col("tok"), F.lit(0)), F.lit(0))).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("overflow").cast("int")).alias("has_overflow"),
+        )
+        .collect()
+    )
+    for r in agg:
+        if r["total"] > CAP:
+            assert r["has_overflow"] == 1 and r["n"] == 1, dict(r.asDict())
+
+
+def test_greedy_nosplit_partition_invariance(spark, docs):
+    a = pack_greedy_nosplit(docs, "tok", "doc_id", CAP, seed=3, n_shards=4)
+    b = pack_greedy_nosplit(
+        docs.repartition(17), "tok", "doc_id", CAP, seed=3, n_shards=4
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_packing_rejects_bad_params(spark, docs):
+    for fn in (pack_concat_cut, pack_greedy_nosplit):
+        with pytest.raises(ValueError, match="capacity"):
+            fn(docs, "tok", "doc_id", 0)
+        with pytest.raises(ValueError, match="n_shards"):
+            fn(docs, "tok", "doc_id", 8, n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def strata(spark):
+    rows = [(i, "big") for i in range(900)]
+    rows += [(1000 + i, "mid") for i in range(90)]
+    rows += [(2000 + i, "tiny") for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+def test_temperature_targets_sum_exactly(spark, strata):
+    for alpha in (1.0, 0.5, 0.25):
+        w = temperature_weights(strata, "source", 997, alpha=alpha)
+        assert w.agg(F.sum("target_n")).head()[0] == 997, alpha
+
+
+def test_temperature_alpha1_is_proportional_reference(spark, strata):
+    """alpha=1 apportionment must equal a pure-Python largest-remainder
+    apportionment on the raw counts."""
+    got = {
+        r["stratum"]: r["target_n"]
+        for r in temperature_weights(strata, "source", 100, alpha=1.0).collect()
+    }
+    counts = {"big": 900, "mid": 90, "tiny": 10}
+    tot = sum(counts.values())
+    base = {k: (100 * v) // tot for k, v in counts.items()}
+    rem = {k: (100 * v) % tot for k, v in counts.items()}
+    leftover = 100 - sum(base.values())
+    for k in sorted(counts, key=lambda k: (-rem[k], k))[:leftover]:
+        base[k] += 1
+    assert got == base
+
+
+def test_temperature_flattens_toward_small_domains(spark, strata):
+    p1 = {
+        r["stratum"]: r["target_n"]
+        for r in temperature_weights(strata, "source", 1000, alpha=1.0).collect()
+    }
+    p5 = {
+        r["stratum"]: r["target_n"]
+        for r in temperature_weights(strata, "source", 1000, alpha=0.5).collect()
+    }
+    p25 = {
+        r["stratum"]: r["target_n"]
+        for r in temperature_weights(strata, "source", 1000, alpha=0.25).collect()
+    }
+    assert p5["tiny"] > p1["tiny"] and p25["tiny"] > p5["tiny"]
+    assert p5["big"] < p1["big"] and p25["big"] < p5["big"]
+
+
+def test_temperature_mixture_delivers_take_n(spark, strata):
+    out = temperature_mixture(strata, "source", "doc_id", 500, alpha=0.5)
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    want = {
+        r["stratum"]: r["take_n"]
+        for r in temperature_weights(strata, "source", 500, alpha=0.5).collect()
+        if r["take_n"] > 0
+    }
+    assert got == want
+    # deterministic membership: re-run picks the identical rows
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mixture(
+            strata.repartition(7), "source", "doc_id", 500, alpha=0.5
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_rejects_bad_params(spark, strata):
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(strata, "source", 10, alpha=0.3)
+    with pytest.raises(ValueError, match="total_n"):
+        temperature_weights(strata, "source", -1)

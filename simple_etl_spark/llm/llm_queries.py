@@ -3683,3 +3683,79 @@ def llm_domain_mixture(cat: Catalog) -> DataFrame:
     return temperature_weights(
         cat["documents"], "source", 1000, alpha=0.5
     ).orderBy("stratum")
+
+
+@query(
+    "llm_epoch_mixture",
+    # twin of sampling.epoch_expanded_mixture: the llm_domain_mixture
+    # apportionment CTEs piped into per-doc copy counts (full epochs +
+    # md5-rank-first remainder) and unnested into (doc, epoch) rows.
+    # total_n=1307 makes every stratum's target exceed its population
+    # (multi-epoch path) AND ties every cross-strata remainder, so the
+    # stratum-name tie-break itself is hash-verified
+    oracle="""
+    WITH c AS (
+        SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT stratum, n_docs,
+               CAST(CAST(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(16,6))
+                    AS DECIMAL(26,6)) * 1000000 AS HUGEINT) AS wv
+        FROM c
+    ),
+    s AS (SELECT *, sum(wv) OVER () AS wsum FROM w),
+    a AS (
+        SELECT stratum, n_docs,
+               (1307 * wv) // wsum AS base,
+               (1307 * wv) % wsum AS rem
+        FROM s
+    ),
+    r AS (
+        SELECT *, sum(base) OVER () AS basesum,
+               row_number() OVER (ORDER BY rem DESC, stratum ASC NULLS LAST)
+                   AS rrank
+        FROM a
+    ),
+    t AS (
+        SELECT stratum, n_docs,
+               base + CASE WHEN rrank <= 1307 - basesum THEN 1 ELSE 0 END
+                   AS target
+        FROM r
+    ),
+    d AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(cast(doc_id as varchar)), doc_id)
+                   AS sample_rank
+        FROM documents
+    ),
+    j AS (
+        SELECT d.doc_id, d.source, d.sample_rank,
+               CAST(t.target // t.n_docs AS BIGINT)
+                 + CASE WHEN d.sample_rank <= t.target % t.n_docs
+                        THEN 1 ELSE 0 END AS copies
+        FROM d JOIN t ON t.stratum = d.source
+    )
+    SELECT doc_id, source, cast(sample_rank as bigint) AS sample_rank,
+           CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+    FROM j WHERE copies >= 1
+    ORDER BY doc_id, epoch
+    """,
+    survey="LLM selection: multi-epoch temperature mixture — per-doc "
+    "copy counts deliver exactly target_n rows per stratum, repeats "
+    "spread within one epoch of each other, deterministic membership",
+)
+def llm_epoch_mixture(cat: Catalog) -> DataFrame:
+    """The deliverable form of the temperature mixture: exactly
+    target_n rows per source, repeating documents across epochs where
+    the target exceeds the population
+    (llm/sampling.py:epoch_expanded_mixture, alpha=0.5, N=1307)."""
+    from simple_etl_spark.llm.sampling import epoch_expanded_mixture
+
+    return (
+        epoch_expanded_mixture(
+            cat["documents"], "source", "doc_id", 1307, alpha=0.5
+        )
+        .select("doc_id", "source", "sample_rank", "epoch")
+        .orderBy("doc_id", "epoch")
+    )

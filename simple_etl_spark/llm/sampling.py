@@ -423,3 +423,59 @@ def temperature_mixture(
         .filter(F.col("sample_rank") <= F.col("take_n"))
         .drop("take_n")
     )
+
+
+def epoch_expanded_mixture(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    total_n: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Multi-epoch materialization of :func:`temperature_weights`:
+    deliver EXACTLY ``target_n`` rows per stratum by repeating
+    documents across epochs when the target exceeds the population —
+    the standard up-sampling semantics for small domains under
+    temperature rebalancing (a stratum with target 25 and 10 docs
+    yields 2 full epochs of everything plus the md5-rank-first 5 docs
+    a third time).
+
+    Adds ``epoch`` (1-based copy index) and ``sample_rank`` (the
+    stratified md5 rank); a document's copy count is
+    ``target div n_docs`` (+1 for ranks ≤ ``target mod n_docs``), so
+    per-doc repeats within a stratum never differ by more than one
+    and membership/order is engine-deterministic.
+
+    Scale shape: weights are |strata|-sized and broadcast; the rank
+    window is the stratified-sample plan; the explode multiplies rows
+    only by each doc's own copy count (output-sized — no join blowup
+    beyond the requested sample itself)."""
+    from pyspark.sql.window import Window
+
+    weights = temperature_weights(df, strata_col, total_n, alpha)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    joined = (
+        df.join(
+            F.broadcast(weights.select("stratum", "n_docs", "target_n")),
+            F.col(strata_col) == F.col("stratum"),
+        )
+        .drop("stratum")
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "_copies",
+            F.expr("target_n div n_docs")
+            + F.when(
+                F.col("sample_rank") <= F.expr("target_n % n_docs"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        joined.filter(F.col("_copies") >= 1)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(1), F.col("_copies")))
+        )
+        .withColumn("epoch", F.col("epoch").cast("bigint"))
+        .drop("_copies", "n_docs", "target_n")
+    )

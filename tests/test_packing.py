@@ -226,3 +226,58 @@ def test_temperature_rejects_bad_params(spark, strata):
         temperature_weights(strata, "source", 10, alpha=0.3)
     with pytest.raises(ValueError, match="total_n"):
         temperature_weights(strata, "source", -1)
+
+
+def test_epoch_mixture_delivers_exact_targets(spark, strata):
+    from simple_etl_spark.llm.sampling import epoch_expanded_mixture
+
+    out = epoch_expanded_mixture(strata, "source", "doc_id", 2000, alpha=0.25)
+    targets = {
+        r["stratum"]: r["target_n"]
+        for r in temperature_weights(strata, "source", 2000, alpha=0.25).collect()
+    }
+    got = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == {k: v for k, v in targets.items() if v > 0}
+    # per-doc copies within a stratum differ by at most one, and the
+    # extra copy goes to the md5-rank-first docs
+    per_doc = (
+        out.groupBy("source", "doc_id", "sample_rank")
+        .agg(F.count(F.lit(1)).alias("copies"))
+        .collect()
+    )
+    by_src = {}
+    for r in per_doc:
+        by_src.setdefault(r["source"], []).append((r["sample_rank"], r["copies"]))
+    for src, lst in by_src.items():
+        lst.sort()
+        cs = [c for _, c in lst]
+        assert max(cs) - min(cs) <= 1, src
+        # the +1 copies are a prefix of the rank order
+        boundary_seen = False
+        for _, c in lst:
+            if c == min(cs):
+                boundary_seen = True
+            else:
+                assert not boundary_seen, src
+    # epochs are 1..copies per doc (dense)
+    dense = (
+        out.groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("epoch").alias("mx"),
+             F.min("epoch").alias("mn"))
+        .filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1))
+        .count()
+    )
+    assert dense == 0
+
+
+def test_epoch_mixture_partition_invariance(spark, strata):
+    from simple_etl_spark.llm.sampling import epoch_expanded_mixture
+
+    a = epoch_expanded_mixture(strata, "source", "doc_id", 777, alpha=0.5)
+    b = epoch_expanded_mixture(
+        strata.repartition(11), "source", "doc_id", 777, alpha=0.5
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -3759,3 +3759,67 @@ def llm_epoch_mixture(cat: Catalog) -> DataFrame:
         .select("doc_id", "source", "sample_rank", "epoch")
         .orderBy("doc_id", "epoch")
     )
+
+
+@query(
+    "llm_pack_manifest",
+    # llm_sequence_pack's layout CTEs exploded into per-(doc, seq)
+    # slices: unnest(generate_series(first_seq, last_seq)) + clamp
+    # arithmetic — all non-negative bigint, // == div
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               greatest(coalesce(
+                   cast(len(string_split_regex(trim(text), '\s+')) as bigint),
+                   0), 0) AS tok,
+               md5('7|' || cast(doc_id as varchar)) AS dg
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, tok,
+               ('0x' || substr(dg, 1, 15))::bigint % 8 AS shard,
+               substr(dg, 16, 17) AS ok
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, tok, shard,
+               cast(row_number() OVER w as bigint) AS pos,
+               CAST(sum(tok) OVER (PARTITION BY shard ORDER BY ok, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - tok AS start_tok
+        FROM o
+        WINDOW w AS (PARTITION BY shard ORDER BY ok, doc_id)
+    ),
+    m AS (
+        SELECT doc_id, shard, pos, start_tok, tok,
+               CAST(unnest(generate_series(start_tok // 512,
+                    (start_tok + greatest(tok, 1) - 1) // 512)) AS BIGINT)
+                   AS seq
+        FROM c WHERE tok >= 1
+    )
+    SELECT doc_id, cast(shard as bigint) AS shard, pos, seq,
+           greatest(seq * 512 - start_tok, 0) AS from_tok,
+           least((seq + 1) * 512 - start_tok, tok) AS to_tok
+    FROM m ORDER BY shard, seq, pos
+    """,
+    survey="LLM curation: packed-sequence manifest — per-(document, "
+    "sequence) token slices; each sequence's slices concatenate to "
+    "exactly `capacity` tokens (loader-side view of the layout)",
+)
+def llm_pack_manifest(cat: Catalog) -> DataFrame:
+    """The data-loader view of llm_sequence_pack's layout: which
+    half-open token range of each document composes each training
+    sequence (llm/packing.py:pack_manifest; capacity 512, 8 shards,
+    seed 7)."""
+    from simple_etl_spark.llm.packing import pack_concat_cut, pack_manifest
+    from simple_etl_spark.llm.textstats import whitespace_token_count
+
+    d = cat["documents"].select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_concat_cut(d, "n_tok", "doc_id", capacity=512, seed=7, n_shards=8)
+    return (
+        pack_manifest(packed, capacity=512)
+        .select("doc_id", "shard", "pos", "seq", "from_tok", "to_tok")
+        .orderBy("shard", "seq", "pos")
+    )

@@ -62,6 +62,9 @@ def pack_concat_cut(
       document lands in (``last_seq > first_seq`` ⇔ the document
       straddles a cut).
     * ``n_seqs`` — sequences spanned (``last_seq - first_seq + 1``).
+    * ``tok_packed`` — the clamped token count actually laid out
+      (``greatest(coalesce(tokens, 0), 0)``), which
+      :func:`pack_manifest` needs to slice documents into sequences.
 
     NULL or negative token counts count as 0 (a 0-token document
     occupies no stream space; it reports the sequence its offset sits
@@ -96,7 +99,8 @@ def pack_concat_cut(
             F.expr(f"(start_tok + greatest(_tok, 1) - 1) div {capacity}"),
         )
         .withColumn("n_seqs", F.col("last_seq") - F.col("first_seq") + F.lit(1))
-        .drop("order_key", "_tok")
+        .withColumnRenamed("_tok", "tok_packed")
+        .drop("order_key")
     )
 
 
@@ -181,3 +185,47 @@ def pack_greedy_nosplit(
     return df.join(
         packed, F.col(key_col).cast("string") == F.col("pack_key")
     ).drop("pack_key")
+
+
+def pack_manifest(packed: DataFrame, capacity: int) -> DataFrame:
+    """The loader-side view of a :func:`pack_concat_cut` layout: one
+    row per (document, sequence) intersection, with the half-open
+    token slice ``[from_tok, to_tok)`` of the DOCUMENT that lands in
+    that sequence — exactly what a packed-pretraining data loader
+    materializes per training sequence (read the manifest rows of a
+    (shard, seq), concatenate the slices, get precisely ``capacity``
+    tokens, boundary-straddling documents split across rows).
+
+    ``packed`` is pack_concat_cut's output (needs ``shard``, ``pos``,
+    ``start_tok``, ``first_seq``, ``last_seq``, ``tok_packed`` and the
+    caller's key column). Zero-token documents contribute no slices
+    and are dropped. Every sequence's slice lengths sum to exactly
+    ``capacity`` except each shard's final partial sequence (tested).
+
+    Scale shape: a per-row explode of ``first_seq..last_seq`` — sized
+    by the output manifest itself (a document adds one row per
+    sequence it touches, almost always 1-2), no shuffle beyond the
+    layout's own."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    return (
+        packed.filter(F.col("tok_packed") >= 1)
+        .withColumn(
+            "seq", F.explode(F.sequence(F.col("first_seq"), F.col("last_seq")))
+        )
+        .withColumn(
+            "from_tok",
+            F.greatest(F.col("seq") * F.lit(capacity) - F.col("start_tok"),
+                       F.lit(0)),
+        )
+        .withColumn(
+            "to_tok",
+            F.least(
+                (F.col("seq") + F.lit(1)) * F.lit(capacity)
+                - F.col("start_tok"),
+                F.col("tok_packed"),
+            ),
+        )
+        .withColumn("from_tok", F.col("from_tok").cast("bigint"))
+        .withColumn("to_tok", F.col("to_tok").cast("bigint"))
+    )

@@ -281,3 +281,48 @@ def test_epoch_mixture_partition_invariance(spark, strata):
         strata.repartition(11), "source", "doc_id", 777, alpha=0.5
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_manifest_sequences_are_capacity_exact(spark, docs):
+    from simple_etl_spark.llm.packing import pack_manifest
+
+    packed = pack_concat_cut(docs, "tok", "doc_id", CAP, seed=3, n_shards=4)
+    man = pack_manifest(packed, CAP)
+    rows = man.collect()
+    # per-doc coverage: slices are contiguous [0, tok) partitions
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["seq"], r["from_tok"], r["to_tok"])
+        )
+    toks = {r["doc_id"]: max(r["tok"] or 0, 0) for r in docs.collect()}
+    for did, slices in by_doc.items():
+        slices.sort()
+        assert slices[0][1] == 0
+        assert slices[-1][2] == toks[did]
+        for (s1, _, t1), (s2, f2, _) in zip(slices, slices[1:]):
+            assert s2 == s1 + 1 and f2 == t1
+    # zero-token docs contribute no slices
+    assert all(toks[d] >= 1 for d in by_doc)
+    assert set(by_doc) == {d for d, t in toks.items() if t >= 1}
+    # per-(shard, seq) totals: exactly CAP except each shard's last seq
+    per_seq = {}
+    for r in rows:
+        per_seq.setdefault((r["shard"], r["seq"]), 0)
+        per_seq[(r["shard"], r["seq"])] += r["to_tok"] - r["from_tok"]
+    last = {}
+    for (sh, sq) in per_seq:
+        last[sh] = max(last.get(sh, -1), sq)
+    for (sh, sq), total in per_seq.items():
+        if sq < last[sh]:
+            assert total == CAP, (sh, sq, total)
+        else:
+            assert 1 <= total <= CAP, (sh, sq, total)
+
+
+def test_pack_manifest_rejects_bad_capacity(spark, docs):
+    from simple_etl_spark.llm.packing import pack_manifest
+
+    packed = pack_concat_cut(docs, "tok", "doc_id", CAP)
+    with pytest.raises(ValueError, match="capacity"):
+        pack_manifest(packed, 0)

@@ -3823,3 +3823,45 @@ def llm_pack_manifest(cat: Catalog) -> DataFrame:
         .select("doc_id", "shard", "pos", "seq", "from_tok", "to_tok")
         .orderBy("shard", "seq", "pos")
     )
+
+
+@query(
+    "llm_oov_rate",
+    # twin of textstats.oov_stats: same single-space/lowercase word
+    # basis as the vocabulary op; the head's (cnt DESC, w ASC)
+    # tie-break is total so LIMIT is deterministic on both engines
+    oracle="""
+    WITH wds AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS cnt FROM wds GROUP BY 1),
+    v AS (SELECT w FROM wc ORDER BY cnt DESC, w ASC LIMIT 500),
+    per AS (
+        SELECT wds.doc_id,
+               count(*) AS n_words,
+               sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM wds LEFT JOIN v ON v.w = wds.w
+        GROUP BY 1
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+           CAST((coalesce(n_oov, 0) * 1000)
+                // greatest(coalesce(n_words, 0), 1) AS BIGINT)
+               AS oov_permille
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    survey="LLM curation: per-doc out-of-vocabulary rate vs the "
+    "corpus's own top-N word vocabulary — lexical-coverage screen; "
+    "broadcast vocab head, integral permille",
+)
+def llm_oov_rate(cat: Catalog) -> DataFrame:
+    """OOV-rate report over the documents table against its own
+    top-500 word vocabulary (llm/textstats.py:oov_stats)."""
+    from simple_etl_spark.llm.textstats import oov_stats
+
+    return oov_stats(cat["documents"], top_n=500).orderBy("doc_id")

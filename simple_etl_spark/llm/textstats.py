@@ -567,3 +567,64 @@ def normalized_fingerprint(col: Column | str) -> Column:
     fingerprint stay valid."""
     c = F.col(col) if isinstance(col, str) else col
     return doc_fingerprint(nfc_normalize(c))
+
+
+def oov_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 500,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's OWN
+    top-``top_n`` word vocabulary — the lexical-coverage screen run
+    before committing to a tokenizer vocab size ("which documents are
+    mostly words the vocabulary head doesn't cover?" — OCR noise,
+    code, foreign-language contamination all light up here).
+
+    Word basis is :func:`vocabulary`'s (lowercase, single-space split,
+    empties dropped), so the two reports compose. Returns one row per
+    input document: (id, n_words, n_oov, oov_permille) with
+    ``oov_permille = (n_oov·1000) div max(n_words, 1)`` — integral
+    permille, engine-exact. Wordless documents (empty/NULL text)
+    report (0, 0, 0) via the closing left join.
+
+    Scale shape: one explode → map-side-combined word count for the
+    vocabulary (TakeOrderedAndProject for the head), the head is
+    |vocab|-sized and BROADCAST against the exploded corpus (no
+    shuffle on the fact side beyond the per-doc rollup), then one
+    keyed aggregation on the doc id. The vocabulary tie-break
+    (count desc, word asc) is total, so the head — and therefore
+    every count — is deterministic on any engine."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    words = df.select(
+        F.col(id_col).alias("_oid"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(top_n)
+        .select(F.col("w").alias("_vw"))
+    )
+    per = (
+        words.join(F.broadcast(vocab), words["w"] == vocab["_vw"], "left")
+        .groupBy("_oid")
+        .agg(
+            F.count(F.lit(1)).alias("_nw"),
+            F.sum(F.when(F.col("_vw").isNull(), 1).otherwise(0)).alias("_no"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_oid"))
+        .join(per, "_oid", "left")
+        .select(
+            F.col("_oid").alias(id_col),
+            F.coalesce("_nw", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("_no", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.expr(
+                "(coalesce(_no, 0) * 1000) div greatest(coalesce(_nw, 0), 1)"
+            ).cast("bigint").alias("oov_permille"),
+        )
+    )

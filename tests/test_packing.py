@@ -326,3 +326,40 @@ def test_pack_manifest_rejects_bad_capacity(spark, docs):
     packed = pack_concat_cut(docs, "tok", "doc_id", CAP)
     with pytest.raises(ValueError, match="capacity"):
         pack_manifest(packed, 0)
+
+
+# ---------------------------------------------------------------------------
+# OOV rate
+# ---------------------------------------------------------------------------
+
+
+def test_oov_stats_planted_outlier_and_wordless(spark):
+    from simple_etl_spark.llm.textstats import oov_stats
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "the cat sat on the mat"),
+        (4, "zzq qqz zqz"),          # pure OOV vs top-6 vocab
+        (5, ""),                      # wordless
+        (6, None),                    # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_oov"], r["oov_permille"])
+        for r in oov_stats(df, top_n=6).collect()
+    }
+    # vocab = 6 most frequent: the(x6) cat sat on mat (ties by word) +
+    # one of the zz-words; the repeated sentence is fully in-vocab
+    assert out[1] == (6, 0, 0) and out[2] == out[1] and out[3] == out[1]
+    n_words, n_oov, pm = out[4]
+    assert n_words == 3 and n_oov == 2 and pm == 666
+    assert out[5] == (0, 0, 0) and out[6] == (0, 0, 0)
+
+
+def test_oov_stats_rejects_bad_top_n(spark):
+    from simple_etl_spark.llm.textstats import oov_stats
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="top_n"):
+        oov_stats(df, top_n=0)

@@ -3865,3 +3865,31 @@ def llm_oov_rate(cat: Catalog) -> DataFrame:
     from simple_etl_spark.llm.textstats import oov_stats
 
     return oov_stats(cat["documents"], top_n=500).orderBy("doc_id")
+
+
+@query(
+    "llm_pack_greedy",
+    # the first-fit fold is sequential by construction (each bin
+    # depends on every prior row in the shard) — not expressible as
+    # one SQL statement; rows-only driver check. Exactness is locked
+    # by tests/test_packing.py against a pure-Python fold reference,
+    # plus capacity and partition-invariance invariants.
+    oracle=None,
+    survey="LLM curation: greedy no-split sequence packing "
+    "(finetune layout — first-fit fold, one Arrow pass per shard)",
+)
+def llm_pack_greedy(cat: Catalog) -> DataFrame:
+    """Greedy no-split packing of the documents table (whitespace
+    tokens, capacity 512, 8 shards, seed 7) —
+    llm/packing.py:pack_greedy_nosplit."""
+    from simple_etl_spark.llm.packing import pack_greedy_nosplit
+    from simple_etl_spark.llm.textstats import whitespace_token_count
+
+    d = cat["documents"].select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        pack_greedy_nosplit(d, "n_tok", "doc_id", 512, seed=7, n_shards=8)
+        .select("doc_id", "shard", "pos", "seq", "seq_fill", "overflow")
+        .orderBy("shard", "pos")
+    )

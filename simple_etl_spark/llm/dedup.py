@@ -1239,3 +1239,65 @@ def contamination_report(
         )
         .orderBy(set_col)
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for every pair of
+    sources, how many distinct document fingerprints they share and
+    the resulting Jaccard similarity — the corpus-planning report that
+    reveals which crawls/dumps mirror each other BEFORE a full dedup
+    pass is ordered (two sources with permille-level overlap dedup
+    independently; a 600‰ pair should be ingested as one).
+
+    Fingerprints are :func:`~simple_etl_spark.llm.textstats.
+    doc_fingerprint` (md5 of lowercased whitespace-collapsed text —
+    exact dedup's key, oracle-reproducible). Returns one row per
+    unordered source pair (source_a < source_b): (n_a, n_b — distinct
+    fingerprints per side, n_common, jaccard_permille =
+    (n_common·1000) div (n_a + n_b − n_common) — integral, engine-
+    exact). Zero-overlap pairs are reported (a 0 is the answer, not
+    an absence).
+
+    Scale shape: one (source, fp) DISTINCT shuffle; the intersection
+    is a fingerprint-keyed equi-join whose output is bounded by the
+    actual duplicates (matching fps per source are distinct, so a fp
+    shared by k sources yields k·(k−1)/2 pair rows, not a blowup);
+    the per-source totals are a |sources|-sized frame, broadcast for
+    the closing pair matrix."""
+    from simple_etl_spark.llm.textstats import doc_fingerprint
+
+    fps = df.select(
+        F.col(group_col).alias("grp"), doc_fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    n = fps.groupBy("grp").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col("grp").alias("source_a"), F.col("fp").alias("fp_a"))
+    b = fps.select(F.col("grp").alias("source_b"), F.col("fp").alias("fp_b"))
+    inter = (
+        a.join(b, (F.col("fp_a") == F.col("fp_b"))
+               & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = n.select(F.col("grp").alias("source_a"), F.col("n_fp").alias("n_a"))
+    nb = n.select(F.col("grp").alias("source_b"), F.col("n_fp").alias("n_b"))
+    pairs = na.join(
+        F.broadcast(nb), F.col("source_a") < F.col("source_b")
+    )
+    return (
+        pairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.expr(
+                "(coalesce(n_common, 0) * 1000)"
+                " div (n_a + n_b - coalesce(n_common, 0))"
+            ).cast("bigint").alias("jaccard_permille"),
+        )
+    )

@@ -3893,3 +3893,61 @@ def llm_pack_greedy(cat: Catalog) -> DataFrame:
         .select("doc_id", "shard", "pos", "seq", "seq_fill", "overflow")
         .orderBy("shard", "pos")
     )
+
+
+@query(
+    "llm_source_overlap",
+    # twin of dedup.source_overlap over a planted-overlap corpus
+    # (every 10th doc mirrored into a synthetic 'mirror' source, the
+    # _DUP_CORPUS_SQL convention) — fingerprint = exact-dedup's md5
+    # of lowercased whitespace-collapsed text
+    oracle=r"""
+    WITH corpus AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    fps AS (
+        SELECT DISTINCT source,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM corpus
+    ),
+    n AS (SELECT source, count(*) AS n_fp FROM fps GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_common
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT x.source AS source_a, y.source AS source_b,
+               x.n_fp AS n_a, y.n_fp AS n_b
+        FROM n x JOIN n y ON x.source < y.source
+    )
+    SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+           CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+           CAST((coalesce(i.n_common, 0) * 1000)
+                // (p.n_a + p.n_b - coalesce(i.n_common, 0)) AS BIGINT)
+               AS jaccard_permille
+    FROM pairs p LEFT JOIN inter i
+      ON i.source_a = p.source_a AND i.source_b = p.source_b
+    ORDER BY p.source_a, p.source_b
+    """,
+    survey="LLM dedup: cross-source duplicate-overlap matrix — "
+    "distinct-fingerprint Jaccard per source pair, the ingest-"
+    "planning report run before a full dedup pass",
+)
+def llm_source_overlap(cat: Catalog) -> DataFrame:
+    """Source-pair overlap over the documents table with a planted
+    'mirror' source (every 10th doc re-attributed), so real non-zero
+    intersections are hash-verified alongside the zero pairs
+    (llm/dedup.py:source_overlap)."""
+    from simple_etl_spark.llm.dedup import source_overlap
+
+    d = cat["documents"]
+    planted = d.select("source", "text").unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            F.lit("mirror").alias("source"), "text"
+        )
+    )
+    return source_overlap(planted).orderBy("source_a", "source_b")

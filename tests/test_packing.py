@@ -363,3 +363,33 @@ def test_oov_stats_rejects_bad_top_n(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="top_n"):
         oov_stats(df, top_n=0)
+
+
+# ---------------------------------------------------------------------------
+# source overlap
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_planted_mirror_and_zero_pairs(spark):
+    from simple_etl_spark.llm.dedup import source_overlap
+
+    rows = [
+        (1, "a", "alpha beta"),
+        (2, "a", "gamma delta"),
+        (3, "a", "Alpha   BETA"),     # same fingerprint as doc 1
+        (4, "b", "alpha beta"),       # shared with a
+        (5, "b", "epsilon zeta"),
+        (6, "c", "eta theta"),        # no overlap with anyone
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"], r["n_b"], r["n_common"], r["jaccard_permille"]
+        )
+        for r in source_overlap(df).collect()
+    }
+    # a has 2 distinct fps (docs 1/3 collapse), b has 2, c has 1
+    assert out[("a", "b")] == (2, 2, 1, 333)   # 1/(2+2-1)
+    assert out[("a", "c")] == (2, 1, 0, 0)
+    assert out[("b", "c")] == (2, 1, 0, 0)
+    assert len(out) == 3

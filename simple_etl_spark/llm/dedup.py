@@ -1260,7 +1260,9 @@ def source_overlap(
     fingerprints per side, n_common, jaccard_permille =
     (n_common·1000) div (n_a + n_b − n_common) — integral, engine-
     exact). Zero-overlap pairs are reported (a 0 is the answer, not
-    an absence).
+    an absence). NULL-text documents carry no fingerprint and are
+    excluded from the counts; a source consisting only of NULL texts
+    has nothing to overlap on and drops out of the matrix.
 
     Scale shape: one (source, fp) DISTINCT shuffle; the intersection
     is a fingerprint-keyed equi-join whose output is bounded by the
@@ -1270,9 +1272,19 @@ def source_overlap(
     the closing pair matrix."""
     from simple_etl_spark.llm.textstats import doc_fingerprint
 
-    fps = df.select(
-        F.col(group_col).alias("grp"), doc_fingerprint(F.col(text_col)).alias("fp")
-    ).distinct()
+    fps = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            doc_fingerprint(F.col(text_col)).alias("fp"),
+        )
+        # a NULL text has no fingerprint: without this filter the NULL
+        # fp would count toward n_a/n_b but could never match in the
+        # intersection, silently deflating every Jaccard of a source
+        # containing NULL-text docs (a source of ONLY NULL texts drops
+        # out of the matrix entirely — it has nothing to overlap on)
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
     n = fps.groupBy("grp").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.select(F.col("grp").alias("source_a"), F.col("fp").alias("fp_a"))
     b = fps.select(F.col("grp").alias("source_b"), F.col("fp").alias("fp_b"))

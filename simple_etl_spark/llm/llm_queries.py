@@ -3908,9 +3908,10 @@ def llm_pack_greedy(cat: Catalog) -> DataFrame:
         SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 10 = 0
     ),
     fps AS (
+        -- NULL texts carry no fingerprint (mirrors the engine)
         SELECT DISTINCT source,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        FROM corpus
+        FROM corpus WHERE text IS NOT NULL
     ),
     n AS (SELECT source, count(*) AS n_fp FROM fps GROUP BY 1),
     inter AS (

@@ -15,7 +15,7 @@ Two industry-standard layouts:
   shard order once, start a new sequence whenever the next document
   would overflow the current one. A sequential fold (each bin depends
   on every prior row), so it runs as one Arrow pass per shard via
-  ``applyInPandas``; pinned against a pure-Python reference in pytest
+  ``mapInPandas``; pinned against a pure-Python reference in pytest
   rather than a SQL oracle (the recursion is not window-expressible).
 
 Scale shape (both): the permutation machinery is
@@ -123,44 +123,68 @@ def pack_greedy_nosplit(
     ``overflow``.
 
     The fold is sequential by construction (bin state threads through
-    every row), so each shard packs in one Arrow batch stream —
-    per-shard state is two ints, memory is O(batch). Determinism: the
-    walk order is the md5 permutation, independent of partitioning;
-    pinned against a pure-Python fold in pytest. NULL/negative token
-    counts count as 0, like :func:`pack_concat_cut`."""
+    every row), so each shard packs in one Arrow batch stream via
+    ``mapInPandas`` — per-shard state is two ints, memory is
+    O(batch), and the caller's columns ride THROUGH the fold (no
+    rejoin: the layout costs exactly ONE shuffle, the shard
+    repartition — so NULL or duplicate keys pass through like any
+    other row). Determinism: the walk order is the md5 permutation,
+    independent of partitioning; pinned against a pure-Python fold in
+    pytest. Rows sharing a key value (or with NULL keys) share a
+    digest, so only their RELATIVE order — and hence their pos/seq —
+    is unpinned; unique keys, the documented contract of every
+    permutation op here, make the full layout deterministic. NULL/negative token counts count as 0, like
+    :func:`pack_concat_cut`; the clamped count is exposed as
+    ``tokens_packed``. The input must not already carry the output
+    column names (``tokens_packed``, ``shard``, ``pos``, ``seq``,
+    ``seq_fill``, ``overflow``)."""
     _validated(capacity, n_shards)
-    prepared = df.select(
-        F.col(key_col).cast("string").alias("pack_key"),
-        F.greatest(
-            F.coalesce(F.col(token_col).cast("bigint"), F.lit(0)), F.lit(0)
-        ).alias("tokens_packed"),
-    )
-    shard, order_key = _perm_parts("pack_key", seed, n_shards)
-    prepared = prepared.withColumn("shard", shard).withColumn(
-        "order_key", order_key
-    )
-    # one partition per shard so the fold sees each shard's rows as a
-    # single ordered stream (repartition by the fold key, sort within;
-    # the projection after the sort is narrow — order is preserved)
+    reserved = {"tokens_packed", "shard", "pos", "seq", "seq_fill", "overflow"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries output column(s) {sorted(clash)}"
+        )
+    shard, order_key = _perm_parts(key_col, seed, n_shards)
     prepared = (
-        prepared.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "order_key", "pack_key")
+        df.withColumn(
+            "tokens_packed",
+            F.greatest(
+                F.coalesce(F.col(token_col).cast("bigint"), F.lit(0)), F.lit(0)
+            ),
+        )
+        .withColumn("shard", shard)
+        .withColumn("order_key", order_key)
+        # one partition per shard so the fold sees each shard's rows
+        # as a single ordered stream (repartition by the fold key,
+        # sort within; the projection after the sort is narrow —
+        # order is preserved)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "order_key", key_col)
         .drop("order_key")
     )
-    out_schema = (
-        "pack_key string, tokens_packed bigint, shard bigint, pos bigint, "
-        "seq bigint, seq_fill bigint, overflow boolean"
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        prepared.schema.fields
+        + [
+            StructField("pos", LongType()),
+            StructField("seq", LongType()),
+            StructField("seq_fill", LongType()),
+            StructField("overflow", BooleanType()),
+        ]
     )
 
     def _fold(pdf_iter):
-        import pandas as pd
-
-        # rows arrive shard-sorted; two-int state resets at shard change
+        # rows arrive shard-sorted; two-int state resets at shard
+        # change and persists across Arrow batches within a partition
         cur_shard = None
         seq = fill = pos = 0
         for pdf in pdf_iter:
-            rows = []
-            for key, t, sh in pdf.itertuples(index=False, name=None):
+            pos_l, seq_l, fill_l, of_l = [], [], [], []
+            for sh, t in zip(pdf["shard"], pdf["tokens_packed"]):
                 if sh != cur_shard:
                     cur_shard, seq, fill, pos = sh, 0, 0, 0
                 pos += 1
@@ -172,19 +196,16 @@ def pack_greedy_nosplit(
                     fill = t
                 else:
                     fill += t
-                rows.append((key, t, sh, pos, seq, fill, t > capacity))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "pack_key", "tokens_packed", "shard", "pos", "seq",
-                    "seq_fill", "overflow",
-                ],
-            )
+                pos_l.append(pos)
+                seq_l.append(seq)
+                fill_l.append(fill)
+                of_l.append(t > capacity)
+            out = pdf.copy()
+            out["pos"], out["seq"] = pos_l, seq_l
+            out["seq_fill"], out["overflow"] = fill_l, of_l
+            yield out
 
-    packed = prepared.mapInPandas(_fold, out_schema)
-    return df.join(
-        packed, F.col(key_col).cast("string") == F.col("pack_key")
-    ).drop("pack_key")
+    return prepared.mapInPandas(_fold, out_schema)
 
 
 def pack_manifest(packed: DataFrame, capacity: int) -> DataFrame:

@@ -406,7 +406,11 @@ def temperature_mixture(
 
     Scale shape: the weights frame is |strata|-sized and broadcast;
     the ranking window partitions by the stratum — one shuffle on the
-    stratum key, the same plan as stratified_sample."""
+    stratum key, the same plan as stratified_sample. The join back is
+    NULL-SAFE: a NULL stratum is a real group to temperature_weights
+    (it holds quota), so its rows must not be silently dropped here;
+    the underscore-prefixed carry columns cannot collide with caller
+    columns."""
     from pyspark.sql.window import Window
 
     weights = temperature_weights(df, strata_col, total_n, alpha)
@@ -415,13 +419,18 @@ def temperature_mixture(
     )
     return (
         df.join(
-            F.broadcast(weights.select("stratum", "take_n")),
-            F.col(strata_col) == F.col("stratum"),
+            F.broadcast(
+                weights.select(
+                    F.col("stratum").alias("_mx_stratum"),
+                    F.col("take_n").alias("_mx_take"),
+                )
+            ),
+            F.col(strata_col).eqNullSafe(F.col("_mx_stratum")),
         )
-        .drop("stratum")
+        .drop("_mx_stratum")
         .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("sample_rank") <= F.col("take_n"))
-        .drop("take_n")
+        .filter(F.col("sample_rank") <= F.col("_mx_take"))
+        .drop("_mx_take")
     )
 
 
@@ -449,7 +458,9 @@ def epoch_expanded_mixture(
     Scale shape: weights are |strata|-sized and broadcast; the rank
     window is the stratified-sample plan; the explode multiplies rows
     only by each doc's own copy count (output-sized — no join blowup
-    beyond the requested sample itself)."""
+    beyond the requested sample itself). NULL-safe join + prefixed
+    carry columns, same contract notes as
+    :func:`temperature_mixture`."""
     from pyspark.sql.window import Window
 
     weights = temperature_weights(df, strata_col, total_n, alpha)
@@ -458,16 +469,22 @@ def epoch_expanded_mixture(
     )
     joined = (
         df.join(
-            F.broadcast(weights.select("stratum", "n_docs", "target_n")),
-            F.col(strata_col) == F.col("stratum"),
+            F.broadcast(
+                weights.select(
+                    F.col("stratum").alias("_mx_stratum"),
+                    F.col("n_docs").alias("_mx_n"),
+                    F.col("target_n").alias("_mx_t"),
+                )
+            ),
+            F.col(strata_col).eqNullSafe(F.col("_mx_stratum")),
         )
-        .drop("stratum")
+        .drop("_mx_stratum")
         .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .withColumn(
             "_copies",
-            F.expr("target_n div n_docs")
+            F.expr("_mx_t div _mx_n")
             + F.when(
-                F.col("sample_rank") <= F.expr("target_n % n_docs"), F.lit(1)
+                F.col("sample_rank") <= F.expr("_mx_t % _mx_n"), F.lit(1)
             ).otherwise(F.lit(0)),
         )
     )
@@ -477,5 +494,5 @@ def epoch_expanded_mixture(
             "epoch", F.explode(F.sequence(F.lit(1), F.col("_copies")))
         )
         .withColumn("epoch", F.col("epoch").cast("bigint"))
-        .drop("_copies", "n_docs", "target_n")
+        .drop("_copies", "_mx_n", "_mx_t")
     )

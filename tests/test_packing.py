@@ -393,3 +393,90 @@ def test_source_overlap_planted_mirror_and_zero_pairs(spark):
     assert out[("a", "c")] == (2, 1, 0, 0)
     assert out[("b", "c")] == (2, 1, 0, 0)
     assert len(out) == 3
+
+
+def test_mixture_null_stratum_rows_are_delivered(spark):
+    """Regression: the weights→rows join must be NULL-SAFE — a NULL
+    stratum holds real quota in temperature_weights, so its rows must
+    be delivered, not silently dropped (which would leave the total
+    short of N with no error)."""
+    from simple_etl_spark.llm.sampling import epoch_expanded_mixture
+
+    rows = [(i, "en") for i in range(90)] + [(100 + i, None) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = epoch_expanded_mixture(df, "source", "doc_id", 100, alpha=1.0)
+    assert out.count() == 100
+    per = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    targets = {
+        r["stratum"]: r["target_n"]
+        for r in temperature_weights(df, "source", 100, alpha=1.0).collect()
+    }
+    assert per == targets and None in per
+
+    sel = temperature_mixture(df, "source", "doc_id", 50, alpha=1.0)
+    got = {
+        r["source"]: r["cnt"]
+        for r in sel.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    takes = {
+        r["stratum"]: r["take_n"]
+        for r in temperature_weights(df, "source", 50, alpha=1.0).collect()
+        if r["take_n"] > 0
+    }
+    assert got == takes
+
+
+def test_mixture_tolerates_caller_n_docs_column(spark):
+    """Regression: the carry columns are underscore-prefixed, so an
+    input frame already holding n_docs/target_n/take_n must not
+    collide."""
+    from simple_etl_spark.llm.sampling import (
+        epoch_expanded_mixture,
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a", 7) for i in range(10)] + [(100 + i, "b", 7) for i in range(5)],
+        "doc_id bigint, source string, n_docs int",
+    )
+    assert epoch_expanded_mixture(df, "source", "doc_id", 20).count() == 20
+    assert temperature_mixture(df, "source", "doc_id", 6).count() == 6
+
+
+def test_greedy_nosplit_null_and_duplicate_keys_pass_through(spark):
+    """Regression: the fold threads the caller's columns through
+    mapInPandas (no rejoin), so NULL-key and duplicate-key rows stay
+    in the output and the per-shard pos is dense."""
+    from simple_etl_spark.llm.packing import pack_greedy_nosplit
+
+    rows = [(1, 10), (1, 20), (None, 30), (2, 40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, tok int")
+    out = pack_greedy_nosplit(df, "tok", "doc_id", 64, seed=1, n_shards=2)
+    assert out.count() == 4
+    per_shard = {}
+    for r in out.collect():
+        per_shard.setdefault(r["shard"], []).append(r["pos"])
+    for sh, poss in per_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), sh
+
+
+def test_source_overlap_null_text_carries_no_fingerprint(spark):
+    from simple_etl_spark.llm.dedup import source_overlap
+
+    rows = [
+        (1, "a", None),
+        (2, "a", "shared doc"),
+        (3, "b", "shared doc"),
+        (4, "c", None),            # only NULL texts: drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_a"], r["n_b"], r["n_common"],
+                                         r["jaccard_permille"])
+        for r in source_overlap(df).collect()
+    }
+    # true Jaccard a-b is 1/1 — the NULL text must not deflate it
+    assert out == {("a", "b"): (1, 1, 1, 1000)}

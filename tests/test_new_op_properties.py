@@ -242,3 +242,97 @@ def test_curriculum_order_is_partition_invariant(spark, n, seed, n_shards):
         df.repartition(4), "bucket", ["head", "tail"], "doc_id", seed, n_shards
     ).collect()))
     assert a == b
+
+
+# --- packing: layout vs a pure-Python reference on random tokens -----
+
+TOKS = st.lists(
+    st.one_of(st.none(), st.integers(-3, 120)), min_size=1, max_size=40
+)
+
+
+@SET
+@given(toks=TOKS, cap=st.integers(1, 64))
+def test_concat_cut_matches_sequential_reference(spark, toks, cap):
+    import hashlib
+
+    from simple_etl_spark.llm.packing import pack_concat_cut
+
+    df = spark.createDataFrame(
+        list(enumerate(toks)), "doc_id bigint, tok int"
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"], r["start_tok"], r["first_seq"],
+                      r["last_seq"])
+        for r in pack_concat_cut(df, "tok", "doc_id", cap, seed=9,
+                                 n_shards=3).collect()
+    }
+    per_shard: dict[int, list] = {}
+    for did, t in enumerate(toks):
+        dg = hashlib.md5(f"9|{did}".encode()).hexdigest()
+        sh = int(dg[:15], 16) % 3
+        per_shard.setdefault(sh, []).append((dg[15:32], did, max(t or 0, 0)))
+    want = {}
+    for sh, lst in per_shard.items():
+        stream = 0
+        for pos, (_, did, t) in enumerate(sorted(lst), start=1):
+            want[did] = (sh, pos, stream, stream // cap,
+                         (stream + max(t, 1) - 1) // cap)
+            stream += t
+    assert got == want
+
+
+@SET
+@given(toks=TOKS, cap=st.integers(1, 64))
+def test_greedy_nosplit_matches_sequential_reference(spark, toks, cap):
+    import hashlib
+
+    from simple_etl_spark.llm.packing import pack_greedy_nosplit
+
+    df = spark.createDataFrame(
+        list(enumerate(toks)), "doc_id bigint, tok int"
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"], r["seq"], r["seq_fill"])
+        for r in pack_greedy_nosplit(df, "tok", "doc_id", cap, seed=9,
+                                     n_shards=3).collect()
+    }
+    per_shard: dict[int, list] = {}
+    for did, t in enumerate(toks):
+        dg = hashlib.md5(f"9|{did}".encode()).hexdigest()
+        sh = int(dg[:15], 16) % 3
+        per_shard.setdefault(sh, []).append((dg[15:32], did, max(t or 0, 0)))
+    want = {}
+    for sh, lst in per_shard.items():
+        seq = fill = 0
+        for pos, (_, did, t) in enumerate(sorted(lst), start=1):
+            if pos == 1:
+                fill = t
+            elif fill + t > cap:
+                seq, fill = seq + 1, t
+            else:
+                fill += t
+            want[did] = (sh, pos, seq, fill)
+    assert got == want
+
+
+# --- apportionment: targets always sum to N on random strata ---------
+
+
+@SET
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=6),
+    total=st.integers(0, 200),
+    alpha=st.sampled_from([1.0, 0.5, 0.25]),
+)
+def test_temperature_targets_always_sum(spark, counts, total, alpha):
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.llm.sampling import temperature_weights
+
+    rows = [
+        (1000 * s + i, f"s{s}") for s, c in enumerate(counts) for i in range(c)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    w = temperature_weights(df, "source", total, alpha=alpha)
+    assert w.agg(F.sum("target_n")).head()[0] == total

@@ -560,3 +560,52 @@ def test_contamination_join_carries_no_decimal_dot(spark):
             "decimal dot arithmetic leaked into a join condition on the "
             "contamination path — the pushdown barrier is gone:\n" + ln
         )
+
+
+def test_greedy_packing_costs_exactly_one_exchange(spark):
+    """The greedy fold's selling point is ONE shuffle (the shard
+    repartition) — the r7 review removed a second full-corpus rejoin;
+    this pins it out for good."""
+    from simple_etl_spark.llm.packing import pack_greedy_nosplit
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(50)], "doc_id bigint, tok int"
+    )
+    plan = (
+        pack_greedy_nosplit(df, "tok", "doc_id", 64, n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_oov_vocab_join_is_broadcast(spark):
+    """The |vocab|-sized head must broadcast against the exploded
+    corpus — a shuffle of the fact side on the word key would be the
+    100 TB regression. (The closing doc-keyed re-attach join is a
+    legitimate SMJ: both sides are corpus-sized.)"""
+    from simple_etl_spark.llm.textstats import oov_stats
+
+    docs = spark.createDataFrame(
+        [(i, "hello world foo") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    plan = (
+        oov_stats(docs, top_n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mixture_weights_join_is_broadcast_only(spark):
+    """The |strata|-sized weights frame must broadcast back onto the
+    corpus — no sort-merge join anywhere in the mixture plan."""
+    from simple_etl_spark.llm.sampling import epoch_expanded_mixture
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(50)], "doc_id bigint, source string"
+    )
+    plan = (
+        epoch_expanded_mixture(df, "source", "doc_id", 30)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan

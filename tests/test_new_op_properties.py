@@ -336,3 +336,43 @@ def test_temperature_targets_always_sum(spark, counts, total, alpha):
     df = spark.createDataFrame(rows, "doc_id bigint, source string")
     w = temperature_weights(df, "source", total, alpha=alpha)
     assert w.agg(F.sum("target_n")).head()[0] == total
+
+
+# --- near-dup membership vs the integer reference on random vectors --
+
+# magnitudes straddle the prune-bypass cutoff (norm ~0.32): tiny
+# vectors exercise the small-norm bypass, unit-ish ones the band prune
+ELEM = st.one_of(
+    st.floats(-1.0, 1.0, allow_nan=False, allow_infinity=False),
+    st.floats(-1e-4, 1e-4, allow_nan=False, allow_infinity=False),
+)
+VEC = st.lists(ELEM, min_size=3, max_size=3)
+
+
+@SET
+@given(vecs=st.lists(VEC, min_size=2, max_size=5),
+       thr=st.sampled_from([0.5, 0.9, 0.99]))
+def test_near_dup_membership_matches_integer_reference(spark, vecs, thr):
+    from tests.test_similarity_exact import _ref_pair_key
+
+    from simple_etl_spark.llm.similarity import (
+        embedding_near_dups,
+        threshold_key,
+    )
+
+    rows = [(i, 0, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["score2_e12"]
+        for r in embedding_near_dups(df, threshold=thr).collect()
+    }
+    tk = threshold_key(thr)
+    want = {}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            ref = _ref_pair_key(vecs[i], vecs[j])
+            if ref is not None and ref["score2_e12"] >= tk:
+                want[(i, j)] = ref["score2_e12"]
+    assert got == want

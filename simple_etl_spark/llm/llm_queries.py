@@ -3952,3 +3952,88 @@ def llm_source_overlap(cat: Catalog) -> DataFrame:
         )
     )
     return source_overlap(planted).orderBy("source_a", "source_b")
+
+
+@query(
+    "llm_cluster_canonical",
+    # the shared cluster CTE chain composed with the quality-buckets
+    # integral score: the canonical member of each near-dup cluster is
+    # the HIGHEST-QUALITY one (stopword permyriad, ties by id), not an
+    # arbitrary min-id — what production dedup actually keeps. DESC
+    # NULLS LAST pinned explicitly (Spark desc defaults nulls-last;
+    # SQL engines vary)
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_CORPUS_SQL.strip().rstrip()},
+    {_SHINGLE_SQL.strip()},
+    {_CLUSTER_CTES.strip()},
+    clusters AS (
+        SELECT node AS id, min(label) AS cluster_id FROM walk GROUP BY node
+    ),
+    q AS (
+        SELECT id,
+               (cast(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> list_contains(['the','and','of','a'], w)))
+                     as bigint) * 10000)
+                 // greatest(cast(len(string_split_regex(trim(text), '\\s+'))
+                                  as bigint), 1) AS score
+        FROM corpus
+    ),
+    r AS (
+        SELECT c.cluster_id, c.id, q.score,
+               row_number() OVER (PARTITION BY c.cluster_id
+                   ORDER BY q.score DESC NULLS LAST, c.id ASC) AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN q ON q.id = c.id
+    )
+    SELECT cluster_id, id AS canonical_id, score AS canonical_score,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1 ORDER BY cluster_id
+    """,
+    survey="LLM dedup: quality-canonical cluster representative — keep "
+    "each near-dup cluster's highest-quality member (integral stopword "
+    "score, deterministic tie-break), not an arbitrary min-id",
+)
+def llm_cluster_canonical(cat: Catalog) -> DataFrame:
+    """Per near-dup cluster: the highest-quality member (quality =
+    the integral stopword permyriad of llm_quality_buckets), its
+    score, and the cluster size — dedup that keeps the BEST copy
+    (composes dedup.dedup_clusters with the textstats score; one
+    cluster-keyed window after the clustering's own shuffles)."""
+    from pyspark.sql.window import Window
+
+    from simple_etl_spark.llm.dedup import dedup_clusters
+    from simple_etl_spark.llm.textstats import (
+        LANG_MARKERS,
+        stopword_hits,
+        whitespace_token_count,
+    )
+
+    corpus = _near_corpus(cat)
+    pairs = near_dedup_minhash(corpus, "id", "text", threshold=0.5)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"), corpus.select("id"))
+    q = corpus.select(
+        "id",
+        stopword_hits(F.col("text"), LANG_MARKERS["en"]).alias("_stops"),
+        whitespace_token_count(F.col("text")).alias("_ntok"),
+    ).withColumn(
+        "score", F.expr("(_stops * 10000) div greatest(_ntok, 1)").cast("bigint")
+    ).select("id", "score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("score"), F.asc("id")
+    )
+    return (
+        clusters.join(q, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id").alias("canonical_id"),
+            F.col("score").alias("canonical_score"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )

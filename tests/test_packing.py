@@ -480,3 +480,56 @@ def test_source_overlap_null_text_carries_no_fingerprint(spark):
     }
     # true Jaccard a-b is 1/1 — the NULL text must not deflate it
     assert out == {("a", "b"): (1, 1, 1, 1000)}
+
+
+def test_cluster_canonical_prefers_quality_over_min_id(spark):
+    """The canonical member must be the highest-quality doc, not the
+    min id: a cluster where the LATER id has the better stopword score
+    must elect the later id."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql.window import Window
+
+    from simple_etl_spark.llm.dedup import dedup_clusters
+    from simple_etl_spark.llm.textstats import (
+        LANG_MARKERS,
+        stopword_hits,
+        whitespace_token_count,
+    )
+
+    # ids 1,2 are near-dups; 2 has the richer stopword profile
+    corpus = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps high"),
+            (2, "the quick brown fox and the dog"),
+            (3, "unrelated text entirely"),
+        ],
+        "id bigint, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    clusters = dedup_clusters(pairs, corpus.select("id"))
+    q = corpus.select(
+        "id",
+        F.expr(
+            "(cast(size(filter(split(trim(text), '\\\\s+'), "
+            "w -> w in ('the','and','of','a'))) as bigint) * 10000)"
+        ).alias("_s"),
+        whitespace_token_count(F.col("text")).alias("_n"),
+    ).select(
+        "id", F.expr("_s div greatest(_n, 1)").cast("bigint").alias("score")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("score"), F.asc("id")
+    )
+    best = {
+        r["cluster_id"]: r["id"]
+        for r in clusters.join(q, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    # cluster {1,2} labeled by min id 1; canonical member is 2
+    assert best[1] == 2
+    assert best[3] == 3
+    # sanity: the scores really order 2 above 1
+    s = {r["id"]: r["score"] for r in q.collect()}
+    assert s[2] > s[1]

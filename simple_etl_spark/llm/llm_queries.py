@@ -1167,6 +1167,23 @@ _CLUSTER_CTES = """
 """
 
 
+
+def _near_clusters(cat: Catalog):
+    """(corpus, verified pairs, cluster labels) for the shared
+    near-dup pipeline: the planted near-copy corpus -> minhash-LSH
+    pairs at 0.5 -> connected components. Four queries (clusters,
+    apply, leakage-safe split, quality-canonical) compose exactly
+    this lineage against the shared _CLUSTER_CTES oracle chain — one
+    place owns the threshold and signatures so they cannot drift
+    apart."""
+    from simple_etl_spark.llm.dedup import dedup_clusters
+
+    corpus = _near_corpus(cat)
+    pairs = near_dedup_minhash(corpus, "id", "text", threshold=0.5)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"), corpus.select("id"))
+    return corpus, pairs, clusters
+
+
 @query(
     "llm_dedup_clusters",
     oracle=f"""
@@ -1181,11 +1198,8 @@ def llm_dedup_clusters(cat: Catalog) -> DataFrame:
     """Near-dup clustering: every doc labeled with its component's min
     id over the verified minhash-pair graph (injected copies cluster
     with their originals; everything else is a singleton)."""
-    from simple_etl_spark.llm.dedup import dedup_clusters
-
-    corpus = _near_corpus(cat)
-    pairs = near_dedup_minhash(corpus, "id", "text", threshold=0.5)
-    return dedup_clusters(pairs.select("id_a", "id_b"), corpus.select("id"))
+    _, _, clusters = _near_clusters(cat)
+    return clusters
 
 
 @query(
@@ -1209,11 +1223,9 @@ def llm_dedup_apply(cat: Catalog) -> DataFrame:
     cluster's min-id representative and report how many members it
     absorbed (singletons report 1). Downstream training reads exactly
     these ids."""
-    from simple_etl_spark.llm.dedup import apply_dedup, dedup_clusters
+    from simple_etl_spark.llm.dedup import apply_dedup
 
-    corpus = _near_corpus(cat)
-    pairs = near_dedup_minhash(corpus, "id", "text", threshold=0.5)
-    clusters = dedup_clusters(pairs.select("id_a", "id_b"), corpus.select("id"))
+    _, _, clusters = _near_clusters(cat)
     return apply_dedup(clusters)
 
 
@@ -3231,12 +3243,9 @@ def llm_leakage_safe_split(cat: Catalog) -> DataFrame:
     endpoints landed in different splits — structurally zero here
     (split is a function of the cluster key), and provably nonzero for
     the per-doc split on the same corpus (pytest)."""
-    from simple_etl_spark.llm.dedup import dedup_clusters
     from simple_etl_spark.llm.sampling import cluster_safe_split
 
-    corpus = _near_corpus(cat)
-    pairs = near_dedup_minhash(corpus, "id", "text", threshold=0.5)
-    clusters = dedup_clusters(pairs.select("id_a", "id_b"), corpus.select("id"))
+    corpus, pairs, clusters = _near_clusters(cat)
     assigned = cluster_safe_split(
         corpus.select("id"), clusters, id_col="id", cluster_col="cluster_id"
     )
@@ -4001,16 +4010,13 @@ def llm_cluster_canonical(cat: Catalog) -> DataFrame:
     cluster-keyed window after the clustering's own shuffles)."""
     from pyspark.sql.window import Window
 
-    from simple_etl_spark.llm.dedup import dedup_clusters
     from simple_etl_spark.llm.textstats import (
         LANG_MARKERS,
         stopword_hits,
         whitespace_token_count,
     )
 
-    corpus = _near_corpus(cat)
-    pairs = near_dedup_minhash(corpus, "id", "text", threshold=0.5)
-    clusters = dedup_clusters(pairs.select("id_a", "id_b"), corpus.select("id"))
+    corpus, _, clusters = _near_clusters(cat)
     q = corpus.select(
         "id",
         stopword_hits(F.col("text"), LANG_MARKERS["en"]).alias("_stops"),

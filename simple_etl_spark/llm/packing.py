@@ -43,6 +43,18 @@ def _validated(capacity: int, n_shards: int) -> None:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
 
 
+def _check_reserved(df: DataFrame, reserved: set[str]) -> None:
+    """Output/working column names must not exist on the input —
+    silent clobbering is a bug, never an update (incl. the transient
+    ``order_key``, which would otherwise be overwritten and then
+    dropped without a trace)."""
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries output column(s) {sorted(clash)}"
+        )
+
+
 def pack_concat_cut(
     df: DataFrame,
     token_col: str,
@@ -77,6 +89,10 @@ def pack_concat_cut(
     ``first_seq..last_seq`` per document — output-sized, no extra
     shuffle."""
     _validated(capacity, n_shards)
+    _check_reserved(
+        df, {"shard", "pos", "start_tok", "first_seq", "last_seq", "n_seqs",
+             "tok_packed", "order_key", "_tok"}
+    )
     shard, order_key = _perm_parts(key_col, seed, n_shards)
     tok = F.greatest(F.coalesce(F.col(token_col).cast("bigint"), F.lit(0)), F.lit(0))
     w = Window.partitionBy("shard").orderBy("order_key", key_col)
@@ -139,12 +155,10 @@ def pack_greedy_nosplit(
     column names (``tokens_packed``, ``shard``, ``pos``, ``seq``,
     ``seq_fill``, ``overflow``)."""
     _validated(capacity, n_shards)
-    reserved = {"tokens_packed", "shard", "pos", "seq", "seq_fill", "overflow"}
-    clash = reserved & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"input already carries output column(s) {sorted(clash)}"
-        )
+    _check_reserved(
+        df, {"tokens_packed", "shard", "pos", "seq", "seq_fill", "overflow",
+             "order_key"}
+    )
     shard, order_key = _perm_parts(key_col, seed, n_shards)
     prepared = (
         df.withColumn(

@@ -388,6 +388,20 @@ def temperature_weights(
     )
 
 
+
+def _check_mx_reserved(df: DataFrame) -> None:
+    """The mixture materializers carry ``_mx_*`` working columns
+    through a broadcast join — an input frame already using one of
+    those names would make the join condition or filter ambiguous, so
+    refuse loudly instead (silent clobbering is a bug, never an
+    update)."""
+    clash = {"_mx_stratum", "_mx_take", "_mx_n", "_mx_t"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries reserved column(s) {sorted(clash)}"
+        )
+
+
 def temperature_mixture(
     df: DataFrame,
     strata_col: str,
@@ -409,10 +423,11 @@ def temperature_mixture(
     stratum key, the same plan as stratified_sample. The join back is
     NULL-SAFE: a NULL stratum is a real group to temperature_weights
     (it holds quota), so its rows must not be silently dropped here;
-    the underscore-prefixed carry columns cannot collide with caller
-    columns."""
+    an input frame already carrying one of the ``_mx_*`` working
+    names is refused loudly rather than joined ambiguously."""
     from pyspark.sql.window import Window
 
+    _check_mx_reserved(df)
     weights = temperature_weights(df, strata_col, total_n, alpha)
     w = Window.partitionBy(strata_col).orderBy(
         F.md5(F.col(key_col).cast("string")), F.col(key_col)
@@ -458,11 +473,12 @@ def epoch_expanded_mixture(
     Scale shape: weights are |strata|-sized and broadcast; the rank
     window is the stratified-sample plan; the explode multiplies rows
     only by each doc's own copy count (output-sized — no join blowup
-    beyond the requested sample itself). NULL-safe join + prefixed
-    carry columns, same contract notes as
+    beyond the requested sample itself). NULL-safe join + refused
+    ``_mx_*`` collisions, same contract notes as
     :func:`temperature_mixture`."""
     from pyspark.sql.window import Window
 
+    _check_mx_reserved(df)
     weights = temperature_weights(df, strata_col, total_n, alpha)
     w = Window.partitionBy(strata_col).orderBy(
         F.md5(F.col(key_col).cast("string")), F.col(key_col)

@@ -507,12 +507,11 @@ def test_cluster_canonical_prefers_quality_over_min_id(spark):
     )
     pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
     clusters = dedup_clusters(pairs, corpus.select("id"))
+    # the PRODUCTION scoring expression (not a hand-rolled copy that
+    # could silently diverge from what llm_cluster_canonical runs)
     q = corpus.select(
         "id",
-        F.expr(
-            "(cast(size(filter(split(trim(text), '\\\\s+'), "
-            "w -> w in ('the','and','of','a'))) as bigint) * 10000)"
-        ).alias("_s"),
+        (stopword_hits(F.col("text"), LANG_MARKERS["en"]) * 10000).alias("_s"),
         whitespace_token_count(F.col("text")).alias("_n"),
     ).select(
         "id", F.expr("_s div greatest(_n, 1)").cast("bigint").alias("score")
@@ -533,3 +532,25 @@ def test_cluster_canonical_prefers_quality_over_min_id(spark):
     # sanity: the scores really order 2 above 1
     s = {r["id"]: r["score"] for r in q.collect()}
     assert s[2] > s[1]
+
+
+def test_packing_and_mixture_refuse_reserved_columns(spark):
+    from simple_etl_spark.llm.packing import pack_concat_cut, pack_greedy_nosplit
+    from simple_etl_spark.llm.sampling import (
+        epoch_expanded_mixture,
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, "x")], "doc_id bigint, tok int, order_key string"
+    )
+    for fn in (pack_concat_cut, pack_greedy_nosplit):
+        with pytest.raises(ValueError, match="order_key"):
+            fn(df, "tok", "doc_id", 8)
+    dm = spark.createDataFrame(
+        [(1, "a", 9)], "doc_id bigint, source string, _mx_take int"
+    )
+    with pytest.raises(ValueError, match="_mx_take"):
+        temperature_mixture(dm, "source", "doc_id", 1)
+    with pytest.raises(ValueError, match="_mx_take"):
+        epoch_expanded_mixture(dm, "source", "doc_id", 1)

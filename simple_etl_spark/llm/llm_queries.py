@@ -4043,3 +4043,110 @@ def llm_cluster_canonical(cat: Catalog) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "llm_curation_pack_funnel",
+    # end-to-end curation composition: the llm_domain_mixture
+    # apportionment (N=300, alpha=0.5) selects the md5-rank-first
+    # take_n per source, and the selection flows straight into the
+    # llm_sequence_pack layout (capacity 256, 4 shards, seed 11) —
+    # every stage is the same library operator its standalone query
+    # grades, here hash-verified as ONE lineage
+    oracle=r"""
+    WITH c AS (
+        SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT stratum, n_docs,
+               CAST(CAST(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(16,6))
+                    AS DECIMAL(26,6)) * 1000000 AS HUGEINT) AS wv
+        FROM c
+    ),
+    s AS (SELECT *, sum(wv) OVER () AS wsum FROM w),
+    a AS (
+        SELECT stratum, n_docs,
+               (300 * wv) // wsum AS base,
+               (300 * wv) % wsum AS rem
+        FROM s
+    ),
+    r AS (
+        SELECT *, sum(base) OVER () AS basesum,
+               row_number() OVER (ORDER BY rem DESC, stratum ASC NULLS LAST)
+                   AS rrank
+        FROM a
+    ),
+    tt AS (
+        SELECT stratum,
+               least(base + CASE WHEN rrank <= 300 - basesum THEN 1 ELSE 0 END,
+                     n_docs) AS take_n
+        FROM r
+    ),
+    d AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(cast(doc_id as varchar)), doc_id)
+                   AS sample_rank
+        FROM documents
+    ),
+    sel AS (
+        SELECT d.doc_id, d.source, d.sample_rank
+        FROM d JOIN tt ON tt.stratum = d.source
+        WHERE d.sample_rank <= tt.take_n
+    ),
+    tok AS (
+        SELECT sel.doc_id, sel.source, sel.sample_rank,
+               greatest(coalesce(
+                   cast(len(string_split_regex(trim(doc.text), '\s+'))
+                        as bigint), 0), 0) AS tok,
+               md5('11|' || cast(sel.doc_id as varchar)) AS dg
+        FROM sel JOIN documents doc ON doc.doc_id = sel.doc_id
+    ),
+    o AS (
+        SELECT doc_id, source, sample_rank, tok,
+               ('0x' || substr(dg, 1, 15))::bigint % 4 AS shard,
+               substr(dg, 16, 17) AS ok
+        FROM tok
+    ),
+    p AS (
+        SELECT doc_id, source, sample_rank, tok, shard,
+               cast(row_number() OVER w2 as bigint) AS pos,
+               CAST(sum(tok) OVER (PARTITION BY shard ORDER BY ok, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - tok AS start_tok
+        FROM o
+        WINDOW w2 AS (PARTITION BY shard ORDER BY ok, doc_id)
+    )
+    SELECT doc_id, source, cast(sample_rank as bigint) AS sample_rank,
+           cast(shard as bigint) AS shard, pos, start_tok,
+           start_tok // 256 AS first_seq
+    FROM p ORDER BY shard, pos
+    """,
+    survey="LLM curation funnel v3 (composition): temperature-mixture "
+    "selection feeding concat-and-cut sequence packing — one "
+    "hash-verified end-to-end lineage from corpus to packed layout",
+)
+def llm_curation_pack_funnel(cat: Catalog) -> DataFrame:
+    """The whole last mile in one lineage: apportion a 300-doc mix at
+    alpha=0.5 over sources, select deterministically, and pack the
+    selection into 256-token training sequences (4 shards, seed 11).
+    Composes sampling.temperature_mixture with packing.pack_concat_cut
+    — each stage is the operator its standalone query grades."""
+    from simple_etl_spark.llm.packing import pack_concat_cut
+    from simple_etl_spark.llm.sampling import temperature_mixture
+    from simple_etl_spark.llm.textstats import whitespace_token_count
+
+    sel = temperature_mixture(
+        cat["documents"], "source", "doc_id", 300, alpha=0.5
+    ).select(
+        "doc_id", "source", "sample_rank",
+        whitespace_token_count(F.col("text")).alias("n_tok"),
+    )
+    return (
+        pack_concat_cut(sel, "n_tok", "doc_id", 256, seed=11, n_shards=4)
+        .select(
+            "doc_id", "source", "sample_rank", "shard", "pos", "start_tok",
+            "first_seq",
+        )
+        .orderBy("shard", "pos")
+    )

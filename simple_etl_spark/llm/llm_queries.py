@@ -4150,3 +4150,83 @@ def llm_curation_pack_funnel(cat: Catalog) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+@query(
+    "llm_hot_ngrams",
+    oracle=r"""
+    WITH dw AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS ngram
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+              FROM dw) t
+        WHERE len(w) >= 3
+    ),
+    per AS (
+        SELECT doc_id, ngram, count(*) AS c FROM grams GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT ngram, cast(count(*) AS BIGINT) AS doc_freq,
+               cast(sum(c) AS BIGINT) AS occurrences
+        FROM per GROUP BY 1
+    ),
+    tot AS (SELECT cast(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT ngram, doc_freq, occurrences,
+           cast((doc_freq * 1000) // n_docs AS BIGINT) AS df_permille
+    FROM agg, tot
+    WHERE doc_freq >= 3
+    ORDER BY doc_freq DESC, occurrences DESC, ngram ASC
+    LIMIT 40
+    """,
+    survey="LLM curation: corpus-wide hot-phrase discovery — top word "
+    "trigrams by document frequency with occurrence counts and integral "
+    "df permille (the review queue that feeds boilerplate-phrase removal)",
+)
+def llm_hot_ngrams(cat: Catalog) -> DataFrame:
+    """The 40 most document-frequent word trigrams (min_df=3) with
+    occurrence totals — licence blurbs, banners, and SEO padding all
+    surface here before anyone writes a removal rule for them."""
+    from simple_etl_spark.llm.textstats import hot_ngrams
+
+    return hot_ngrams(
+        cat["documents"], "doc_id", "text", n=3, top_k=40, min_df=3
+    )
+
+
+@query(
+    "llm_token_fertility",
+    oracle=r"""
+    SELECT source, lang,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(length(text)) AS BIGINT) AS total_chars,
+           cast(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS total_ws_tokens,
+           cast(sum(len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
+               AS total_bpe_tokens,
+           cast((cast(sum(length(text)) AS BIGINT) * 1000)
+               // nullif(cast(sum(len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT), 0)
+               AS BIGINT) AS chars_per_bpe_permille,
+           cast((cast(sum(len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) * 1000)
+               // nullif(cast(sum(len(string_split_regex(trim(text),
+                   '\s+'))) AS BIGINT), 0)
+               AS BIGINT) AS bpe_per_ws_permille
+    FROM documents
+    GROUP BY source, lang
+    """,
+    survey="LLM text analysis: per-(source, lang) token economics — "
+    "chars-per-BPE-token and BPE-per-word fertility as integral permille "
+    "(the mixture designer's pre-tokenizer readout)",
+)
+def llm_token_fertility(cat: Catalog) -> DataFrame:
+    """Token economics per (source, lang): how many characters buy a
+    BPE pre-token in each stratum, and how far whitespace words
+    splinter — NULL (not 0) where a stratum has no tokens at all."""
+    from simple_etl_spark.llm.textstats import token_fertility
+
+    return token_fertility(cat["documents"], ("source", "lang"), "text")

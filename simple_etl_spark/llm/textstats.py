@@ -628,3 +628,139 @@ def oov_stats(
             ).cast("bigint").alias("oov_permille"),
         )
     )
+
+
+def word_ngrams(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(ids..., ngram) rows — every adjacent ``n``-word phrase of the
+    lowercased whitespace-split text, one output row per occurrence
+    (not deduplicated). Documents shorter than ``n`` words contribute
+    nothing. Generalizes the :func:`_word_bigrams` shifted-array trick
+    through a transform-over-sequence projection: one array build +
+    one explode per document, no per-gram re-tokenization.
+
+    ``sequence(1, m)`` DESCENDS when m < 1 (Spark yields [1, 0]), so
+    the gram list is explicitly emptied for short documents instead of
+    trusting the range to be empty."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = _words(F.lower(F.col(text_col)))
+    m = F.size(words) - F.lit(n - 1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(*id_cols, F.explode(grams).alias("ngram"))
+
+
+def hot_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 50,
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-wide frequent-phrase discovery: the ``top_k`` word
+    ``n``-grams by DOCUMENT frequency, with total occurrence counts
+    and an integral document-frequency permille. This is the
+    discovery step that FEEDS phrase/boilerplate removal (dedup.py's
+    boilerplate pass removes known-bad *lines*; this finds the
+    repeated phrases worth reviewing in the first place — licence
+    blurbs, cookie banners, SEO padding).
+
+    Returns (ngram, doc_freq, occurrences, df_permille) ordered by
+    (doc_freq desc, occurrences desc, ngram asc) — a total order, so
+    the LIMIT head is deterministic on any engine. ``df_permille =
+    doc_freq·1000 div n_docs`` is integral division over bigints:
+    engine-exact, no IEEE lineage.
+
+    Scale shape: one explode, then TWO keyed aggregations that both
+    map-side combine — (doc, ngram) pairs collapse inside their input
+    partition before the first shuffle (each document lives in one
+    partition, so the shuffle carries per-document phrase counts, not
+    raw gram rows), and the second collapses per-phrase across
+    documents. The corpus total is a broadcast 1-row aggregate
+    (scalar-subquery pattern) and the head is TakeOrderedAndProject —
+    no global sort materializes."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    per_doc = (
+        word_ngrams(df, [id_col], text_col, n)
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = per_doc.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        F.sum("_c").cast("bigint").alias("occurrences"),
+    )
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n_docs"))
+    return (
+        agg.filter(F.col("doc_freq") >= F.lit(min_df))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ngram",
+            "doc_freq",
+            "occurrences",
+            F.expr("(doc_freq * 1000) div _n_docs")
+            .cast("bigint")
+            .alias("df_permille"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("occurrences"), F.asc("ngram"))
+        .limit(top_k)
+    )
+
+
+def token_fertility(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token economics — the numbers a mixture designer
+    reads before fixing a tokenizer or a sampling temperature: how
+    many characters buy one BPE pre-token in each (source, lang)
+    stratum, and how many pre-tokens each whitespace word splinters
+    into (fertility; high = the tokenizer fragments this stratum's
+    script, so its token budget buys fewer words).
+
+    Returns one row per group: n_docs, total_chars, total_ws_tokens,
+    total_bpe_tokens, chars_per_bpe_permille (= chars·1000 div bpe),
+    bpe_per_ws_permille (= bpe·1000 div ws). Ratios are integral
+    permille over bigint sums — engine-exact — and NULL when the
+    denominator is zero (nullif), never a fake 0. NULL texts count
+    toward n_docs but contribute NULL to every sum (skipped), the
+    same contract as the SQL twin.
+
+    Scale shape: ONE codegen projection (length + two regex token
+    counts) feeding one keyed aggregation with map-side combine; the
+    group key is |sources|×|langs|-sized, so the shuffle is tiny
+    regardless of corpus size."""
+    c = F.col(text_col)
+    grouped = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length(c).cast("bigint")).alias("total_chars"),
+        F.sum(whitespace_token_count(c)).alias("total_ws_tokens"),
+        F.sum(bpe_token_count(c)).alias("total_bpe_tokens"),
+    )
+    return grouped.select(
+        *group_cols,
+        "n_docs",
+        "total_chars",
+        "total_ws_tokens",
+        "total_bpe_tokens",
+        F.expr("(total_chars * 1000) div nullif(total_bpe_tokens, 0)")
+        .cast("bigint")
+        .alias("chars_per_bpe_permille"),
+        F.expr("(total_bpe_tokens * 1000) div nullif(total_ws_tokens, 0)")
+        .cast("bigint")
+        .alias("bpe_per_ws_permille"),
+    )

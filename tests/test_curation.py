@@ -860,3 +860,108 @@ def test_curriculum_and_buckets_parity_with_null_text(spark, tmp_path):
         assert r3["bucket"] is None and r3["phase_idx"] == 3
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# hot_ngrams / word_ngrams / token_fertility (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_word_ngrams_short_and_empty_docs_contribute_nothing(spark):
+    """sequence(1, m) DESCENDS for m < 1 in Spark — the guard must
+    empty the gram list for docs shorter than n, and '' / NULL text
+    must yield zero rows, not a [''] phantom gram."""
+    from simple_etl_spark.llm.textstats import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, None), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = word_ngrams(df, ["doc_id"], "text", n=3).collect()
+    assert {(r.doc_id, r.ngram) for r in out} == {
+        (4, "a b c"), (4, "b c d"),
+    }
+
+
+def test_word_ngrams_counts_occurrences_not_distinct(spark):
+    from simple_etl_spark.llm.textstats import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y")], "doc_id long, text string"
+    )
+    grams = [r.ngram for r in word_ngrams(df, ["doc_id"], "text", n=2).collect()]
+    assert sorted(grams) == ["x y", "x y", "x y", "y x", "y x"]
+
+
+def test_hot_ngrams_doc_freq_vs_occurrences_and_min_df(spark):
+    """A phrase repeated 5x inside ONE doc has doc_freq 1 (filtered by
+    min_df=2) while occurrences still counts every repeat for phrases
+    that do clear the bar."""
+    from simple_etl_spark.llm.textstats import hot_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner here cookie banner here"),
+            (2, "cookie banner here"),
+            (3, "only in this doc only in this doc only in this doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.ngram: r for r in hot_ngrams(
+        df, "doc_id", "text", n=3, top_k=10, min_df=2
+    ).collect()}
+    assert "only in this" not in out  # doc_freq 1 < min_df
+    r = out["cookie banner here"]
+    assert (r.doc_freq, r.occurrences) == (2, 3)
+    assert r.df_permille == 666  # 2*1000 div 3 — integral, floor
+
+
+def test_hot_ngrams_head_is_deterministic_total_order(spark):
+    """(doc_freq desc, occurrences desc, ngram asc) is a total order,
+    so a LIMIT cutting through a tie group is still value-stable."""
+    from simple_etl_spark.llm.textstats import hot_ngrams
+
+    rows = [(i, "alpha beta gamma") for i in range(3)]
+    rows += [(10 + i, "delta epsilon zeta") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hot_ngrams(df, "doc_id", "text", n=3, top_k=1, min_df=1).collect()
+    assert [r.ngram for r in out] == ["alpha beta gamma"]  # tie → asc name
+
+
+def test_token_fertility_null_text_and_zero_denominators(spark):
+    """NULL texts count toward n_docs but are skipped by every sum;
+    an all-NULL stratum reports NULL ratios (nullif), never 0."""
+    from simple_etl_spark.llm.textstats import token_fertility
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "en", "ab cd"),      # 5 chars, 2 words, 2 bpe tokens
+            ("s1", "en", None),
+            ("s2", "de", None),
+        ],
+        "source string, lang string, text string",
+    )
+    out = {(r.source, r.lang): r for r in
+           token_fertility(df, ("source", "lang"), "text").collect()}
+    s1 = out[("s1", "en")]
+    assert (s1.n_docs, s1.total_chars, s1.total_ws_tokens,
+            s1.total_bpe_tokens) == (2, 5, 2, 2)
+    assert s1.chars_per_bpe_permille == 2500
+    assert s1.bpe_per_ws_permille == 1000
+    s2 = out[("s2", "de")]
+    assert s2.n_docs == 1
+    assert s2.total_chars is None
+    assert s2.chars_per_bpe_permille is None
+    assert s2.bpe_per_ws_permille is None
+
+
+def test_hot_ngrams_rejects_bad_params(spark):
+    from simple_etl_spark.llm.textstats import hot_ngrams, word_ngrams
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        hot_ngrams(df, "doc_id", "text", top_k=0)
+    with pytest.raises(ValueError):
+        hot_ngrams(df, "doc_id", "text", min_df=0)
+    with pytest.raises(ValueError):
+        word_ngrams(df, ["doc_id"], "text", n=0)

@@ -1313,3 +1313,87 @@ def source_overlap(
             ).cast("bigint").alias("jaccard_permille"),
         )
     )
+
+
+def prefix_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_chars: int = 32,
+    min_chars: int = 32,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Truncation-duplicate pairs: documents whose normalized text is
+    a STRICT prefix of another document's — the re-crawl shape no
+    other dedup tier reliably catches (a page cut mid-body is not an
+    exact dup, and a truncation keeping <threshold of the shingles
+    slips past MinHash/SimHash too).
+
+    Normalization is doc_fingerprint's (lower → collapse whitespace →
+    trim), so verdicts compose with the exact-dedup tier. Returns one
+    row per ordered pair (short_id, long_id, short_len, long_len);
+    equal-length identicals are exact dups and deliberately excluded
+    (strict ``<`` on length).
+
+    Scale shape: band on md5 of the first ``band_chars`` normalized
+    characters — a true prefix of length >= band_chars shares its
+    band with every extension, so candidate pairing is O(Σ|bucket|²),
+    never all-pairs. Docs shorter than ``min_chars`` (>= band_chars)
+    are out of scope BY CONSTRUCTION, not silently: a shorter doc's
+    full-text band key can never equal its extension's first-32 key,
+    and short-doc dedup belongs to the exact/minhash tiers anyway.
+    ``max_bucket`` drops degenerate bands (a corpus-wide banner as the
+    leading 32 chars) exactly like linkage's ``max_block`` — those
+    prefixes are boilerplate, which is hot_ngrams/boilerplate_lines
+    territory, and a dropped band costs recall only there. The strict
+    prefix check is one substring-compare per surviving candidate
+    pair."""
+    if band_chars < 1:
+        raise ValueError(f"band_chars must be >= 1, got {band_chars}")
+    if min_chars < band_chars:
+        raise ValueError(
+            f"min_chars ({min_chars}) must be >= band_chars ({band_chars}): "
+            "a doc shorter than the band cannot share its extension's key"
+        )
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    base = (
+        df.select(
+            F.col(id_col).alias("_pid"),
+            norm.alias("_norm"),
+        )
+        .withColumn("_ln", F.length("_norm").cast("bigint"))
+        .filter(F.col("_ln") >= min_chars)
+        .withColumn("_band", F.md5(F.substring("_norm", 1, band_chars)))
+    )
+    if max_bucket is not None:
+        sizes = base.groupBy("_band").agg(F.count(F.lit(1)).alias("_bc"))
+        base = base.join(
+            sizes.filter(F.col("_bc") <= max_bucket), "_band"
+        ).drop("_bc")
+    a = base.select(
+        F.col("_band"),
+        F.col("_pid").alias("short_id"),
+        F.col("_norm").alias("_norm_a"),
+        F.col("_ln").alias("short_len"),
+    )
+    b = base.select(
+        F.col("_band").alias("_band_b"),
+        F.col("_pid").alias("long_id"),
+        F.col("_norm").alias("_norm_b"),
+        F.col("_ln").alias("long_len"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_band") == F.col("_band_b"))
+            & (F.col("short_len") < F.col("long_len")),
+        )
+        .filter(
+            F.col("_norm_b").substr(F.lit(1), F.col("short_len"))
+            == F.col("_norm_a")
+        )
+        .select("short_id", "long_id", "short_len", "long_len")
+        .orderBy("short_id", "long_id")
+    )

@@ -4230,3 +4230,54 @@ def llm_token_fertility(cat: Catalog) -> DataFrame:
     from simple_etl_spark.llm.textstats import token_fertility
 
     return token_fertility(cat["documents"], ("source", "lang"), "text")
+
+
+@query(
+    "llm_prefix_dups",
+    oracle=r"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 80) AS text
+        FROM documents WHERE doc_id % 37 = 0 AND length(text) >= 160
+    ),
+    n AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM aug
+    ),
+    f AS (
+        SELECT doc_id, norm, cast(length(norm) AS BIGINT) AS ln,
+               md5(substr(norm, 1, 32)) AS band
+        FROM n WHERE length(norm) >= 32
+    ),
+    b AS (SELECT band, count(*) AS bc FROM f GROUP BY 1),
+    g AS (SELECT f.* FROM f JOIN b USING (band) WHERE bc <= 1000)
+    SELECT a.doc_id AS short_id, c.doc_id AS long_id,
+           a.ln AS short_len, c.ln AS long_len
+    FROM g a JOIN g c ON a.band = c.band AND a.ln < c.ln
+    WHERE substr(c.norm, 1, cast(a.ln AS INT)) = a.norm
+    ORDER BY short_id, long_id
+    """,
+    survey="LLM dedup: truncation-duplicate detection — strict-prefix "
+    "pairs via first-32-char banding with a degenerate-band cap (the "
+    "re-crawl shape exact/MinHash/SimHash tiers all miss)",
+)
+def llm_prefix_dups(cat: Catalog) -> DataFrame:
+    """Truncation dups over the corpus augmented with a deterministic
+    truncated twin of every 37th long document (planted-pair pattern,
+    cf. llm_source_overlap) — each twin must pair with its original,
+    and the originals must not pair with each other."""
+    from simple_etl_spark.llm.dedup import prefix_duplicates
+
+    docs = cat["documents"]
+    trunc = docs.filter(
+        (F.col("doc_id") % 37 == 0) & (F.length("text") >= 160)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring("text", 1, 80).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(trunc)
+    return prefix_duplicates(
+        aug, "doc_id", "text", band_chars=32, min_chars=32, max_bucket=1000
+    )

@@ -965,3 +965,73 @@ def test_hot_ngrams_rejects_bad_params(spark):
         hot_ngrams(df, "doc_id", "text", min_df=0)
     with pytest.raises(ValueError):
         word_ngrams(df, ["doc_id"], "text", n=0)
+
+
+# ---------------------------------------------------------------------------
+# prefix_duplicates (round 7)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pfx_docs(spark):
+    long = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    rows = [
+        (1, long),
+        (2, long[:100]),                 # truncated re-crawl of 1
+        (3, long.upper()),               # case-variant: SAME normalized text
+        (4, "tiny doc"),                 # below min_chars: out of scope
+        (5, "a completely different long document about spark plans here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_duplicates_finds_truncation_and_strict_only(spark, pfx_docs):
+    """The truncated doc pairs with BOTH full-length variants; the two
+    equal-length normalized-identical docs do NOT pair (strict < —
+    that's the exact-dedup tier's case), and short docs are skipped."""
+    from simple_etl_spark.llm.dedup import prefix_duplicates
+
+    out = prefix_duplicates(pfx_docs, "doc_id", "text").collect()
+    pairs = {(r.short_id, r.long_id) for r in out}
+    assert pairs == {(2, 1), (2, 3)}
+    for r in out:
+        assert r.short_len < r.long_len
+
+
+def test_prefix_duplicates_whitespace_run_cut_still_pairs(spark):
+    """A truncation landing inside a whitespace run must still pair:
+    normalization (collapse + trim) is prefix-monotone."""
+    from simple_etl_spark.llm.dedup import prefix_duplicates
+
+    full = "alpha beta gamma delta epsilon zeta   \t eta theta iota kappa"
+    cut = full[:38]  # ends inside the whitespace run
+    assert cut != cut.rstrip()
+    df = spark.createDataFrame(
+        [(1, full), (2, cut)], "doc_id long, text string"
+    )
+    out = prefix_duplicates(df, "doc_id", "text").collect()
+    assert {(r.short_id, r.long_id) for r in out} == {(2, 1)}
+
+
+def test_prefix_duplicates_degenerate_band_dropped(spark):
+    """A band over max_bucket is dropped whole — the shared-banner
+    corpus cannot go quadratic."""
+    from simple_etl_spark.llm.dedup import prefix_duplicates
+
+    banner = "this exact cookie banner opens every single page here "
+    rows = [(i, banner + f"unique tail number {i} " * 3) for i in range(6)]
+    rows.append((100, banner))  # a strict prefix of every other row
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = prefix_duplicates(df, "doc_id", "text", max_bucket=5).collect()
+    assert capped == []
+    uncapped = prefix_duplicates(df, "doc_id", "text", max_bucket=None)
+    assert {r.short_id for r in uncapped.collect()} == {100}
+
+
+def test_prefix_duplicates_rejects_min_below_band(spark, pfx_docs):
+    from simple_etl_spark.llm.dedup import prefix_duplicates
+
+    with pytest.raises(ValueError):
+        prefix_duplicates(pfx_docs, "doc_id", "text", band_chars=32, min_chars=16)
+    with pytest.raises(ValueError):
+        prefix_duplicates(pfx_docs, "doc_id", "text", band_chars=0, min_chars=0)

@@ -56,6 +56,10 @@ def test_musts_inside_driver_window():
         # (took m_weighted_search's slot — F21 keeps its graded cover
         # via m_search_bm25).
         "llm_quantized_topk",
+        # r7: truncation-duplicate detection's driver row (took
+        # user_activity_having's slot — A9 keeps its graded cover via
+        # m_entity_rollup, the r6 verdict's own co-cover).
+        "llm_prefix_dups",
     ]
     out = [n for n in musts if n not in window]
     assert not out, f"must-grade queries outside the 50-query window: {out}"

@@ -834,11 +834,11 @@ def winnow_fingerprints(
     recomputation. Separate Projects survive CollapseProject because
     the duplicated expressions are non-cheap and multiply referenced.
     """
+    from simple_etl_spark.llm.textstats import normalized_text
+
     s = df.select(
         F.col(id_col),
-        F.trim(
-            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-        ).alias("_s"),
+        normalized_text(F.col(text_col)).alias("_s"),
     )
     t, n = F.col("_s"), F.length(F.col("_s"))
     g = s.select(
@@ -1355,13 +1355,12 @@ def prefix_duplicates(
             f"min_chars ({min_chars}) must be >= band_chars ({band_chars}): "
             "a doc shorter than the band cannot share its extension's key"
         )
-    norm = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    )
+    from simple_etl_spark.llm.textstats import normalized_text
+
     base = (
         df.select(
             F.col(id_col).alias("_pid"),
-            norm.alias("_norm"),
+            normalized_text(F.col(text_col)).alias("_norm"),
         )
         .withColumn("_ln", F.length("_norm").cast("bigint"))
         .filter(F.col("_ln") >= min_chars)

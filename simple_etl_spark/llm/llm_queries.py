@@ -4202,8 +4202,9 @@ def llm_hot_ngrams(cat: Catalog) -> DataFrame:
     SELECT source, lang,
            cast(count(*) AS BIGINT) AS n_docs,
            cast(sum(length(text)) AS BIGINT) AS total_chars,
-           cast(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-               AS total_ws_tokens,
+           cast(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END)
+               AS BIGINT) AS total_ws_tokens,
            cast(sum(len(regexp_extract_all(text,
                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT)
                AS total_bpe_tokens,
@@ -4213,8 +4214,9 @@ def llm_hot_ngrams(cat: Catalog) -> DataFrame:
                AS BIGINT) AS chars_per_bpe_permille,
            cast((cast(sum(len(regexp_extract_all(text,
                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) * 1000)
-               // nullif(cast(sum(len(string_split_regex(trim(text),
-                   '\s+'))) AS BIGINT), 0)
+               // nullif(cast(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END)
+                   AS BIGINT), 0)
                AS BIGINT) AS bpe_per_ws_permille
     FROM documents
     GROUP BY source, lang

@@ -88,12 +88,23 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("predicted_lang", F.when(best > 0, pred).otherwise("und"))
 
 
+def normalized_text(col: Column | str) -> Column:
+    """THE dedup-tier text normalization: lower → collapse whitespace
+    runs to one space → trim. Every operator whose verdicts must
+    compose with the exact-dedup tier (doc_fingerprint, shingling,
+    prefix_duplicates) builds on this one expression — keep them on
+    this helper so the byte-identical-normalization guarantee can't
+    drift copy by copy. (The NFC variant is normalized_fingerprint's,
+    deliberately separate.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Normalization-stable fingerprint: md5 over lowercased,
     whitespace-collapsed text (rolling-hash stand-in; md5 keeps it
     oracle-reproducible)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+    return F.md5(normalized_text(col))
 
 
 def vocabulary(
@@ -645,13 +656,15 @@ def word_ngrams(
 
     ``sequence(1, m)`` DESCENDS when m < 1 (Spark yields [1, 0]), so
     the gram list is explicitly emptied for short documents instead of
-    trusting the range to be empty."""
+    trusting the range to be empty. Empty/whitespace-only text splits
+    to the [''] artifact — size 1, which at n=1 would emit a phantom
+    '' gram — so that shape is excluded explicitly too."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     words = _words(F.lower(F.col(text_col)))
     m = F.size(words) - F.lit(n - 1)
     grams = F.when(
-        m >= 1,
+        (m >= 1) & (words != F.array(F.lit(""))),
         F.transform(
             F.sequence(F.lit(1), m),
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
@@ -738,17 +751,25 @@ def token_fertility(
     permille over bigint sums — engine-exact — and NULL when the
     denominator is zero (nullif), never a fake 0. NULL texts count
     toward n_docs but contribute NULL to every sum (skipped), the
-    same contract as the SQL twin.
+    same contract as the SQL twin. Empty/whitespace-only texts
+    contribute 0 whitespace tokens, not the phantom 1 the ['']
+    split artifact would count — so an all-empty stratum's
+    denominators really are zero and its ratios really are NULL.
 
     Scale shape: ONE codegen projection (length + two regex token
     counts) feeding one keyed aggregation with map-side combine; the
     group key is |sources|×|langs|-sized, so the shuffle is tiny
     regardless of corpus size."""
     c = F.col(text_col)
+    ws = (
+        F.when(F.length(F.trim(c)) == 0, F.lit(0))
+        .otherwise(whitespace_token_count(c))
+        .cast("bigint")
+    )
     grouped = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.length(c).cast("bigint")).alias("total_chars"),
-        F.sum(whitespace_token_count(c)).alias("total_ws_tokens"),
+        F.sum(ws).alias("total_ws_tokens"),
         F.sum(bpe_token_count(c)).alias("total_bpe_tokens"),
     )
     return grouped.select(

@@ -1035,3 +1035,35 @@ def test_prefix_duplicates_rejects_min_below_band(spark, pfx_docs):
         prefix_duplicates(pfx_docs, "doc_id", "text", band_chars=32, min_chars=16)
     with pytest.raises(ValueError):
         prefix_duplicates(pfx_docs, "doc_id", "text", band_chars=0, min_chars=0)
+
+
+def test_word_ngrams_n1_has_no_phantom_empty_gram(spark):
+    """The [''] split artifact for empty/whitespace-only text must not
+    surface as a phantom '' unigram (review finding, r7)."""
+    from simple_etl_spark.llm.textstats import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = word_ngrams(df, ["doc_id"], "text", n=1).collect()
+    assert {(r.doc_id, r.ngram) for r in out} == {(4, "solo")}
+
+
+def test_token_fertility_all_empty_stratum_reports_null_not_zero(spark):
+    """Empty texts contribute 0 whitespace tokens (not the phantom 1),
+    so an all-empty stratum's ratios are NULL — the docstring's
+    never-a-fake-0 contract (review finding, r7)."""
+    from simple_etl_spark.llm.textstats import token_fertility
+
+    df = spark.createDataFrame(
+        [("s1", "en", ""), ("s1", "en", "   "), ("s2", "en", "ab cd")],
+        "source string, lang string, text string",
+    )
+    out = {(r.source, r.lang): r for r in
+           token_fertility(df, ("source", "lang"), "text").collect()}
+    s1 = out[("s1", "en")]
+    assert (s1.total_chars, s1.total_ws_tokens, s1.total_bpe_tokens) == (3, 0, 0)
+    assert s1.chars_per_bpe_permille is None
+    assert s1.bpe_per_ws_permille is None
+    assert out[("s2", "en")].bpe_per_ws_permille == 1000

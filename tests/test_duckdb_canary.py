@@ -18,3 +18,28 @@ def test_duckdb_invariants_hold():
         f"DuckDB {duckdb.__version__} broke oracle invariants:\n"
         + "\n".join(failures)
     )
+
+
+def test_corpus_has_no_regex_whitespace_divergence_chars():
+    """Java regex \\s (Spark) is [ \\t\\n\\x0B\\f\\r]; RE2 \\s (DuckDB)
+    is [\\t\\n\\f\\r ] — vertical tab \\x0B is whitespace to exactly one
+    of the two engines. Every text-normalizing oracle ('\\s+' collapse,
+    whitespace tokenization) silently diverges on a document containing
+    it, and llm_prefix_dups put that normalization INSIDE the graded
+    window in r7. Pin that the graded corpus is \\x0B-free so the day
+    testdata grows one, THIS test names the failure instead of a bare
+    driver hash mismatch."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    # the canary guards the GRADED scale regardless of the bench env var
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT count(*) FROM '{d}/documents.parquet' "
+            "WHERE contains(text, chr(11))"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{d}/documents.parquet has {n} docs containing \\x0B — "
+            "Spark and DuckDB will tokenize them differently"
+        )

@@ -52,6 +52,7 @@ def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 50,
+    max_vocab_rows: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -62,13 +63,26 @@ def train_bpe(
     driver-side over that collected vocabulary: per-iteration state is
     |vocab| symbol lists, orders of magnitude below the corpus, and a
     driver loop beats ``n_merges`` Spark jobs on both latency and
-    shuffle count. For web-scale vocabularies cap the collect first
-    (top-1M words carry >99.9% of token mass) — the merge quality loss
-    is in the tail the cap drops."""
-    vocab = [
-        (list(r["word"]) + [END], int(r["freq"]))
-        for r in _word_freqs(df, text_col).collect()
-    ]
+    shuffle count.
+
+    ``max_vocab_rows`` is the driver-OOM guard on that collect: a
+    pathological corpus (unsegmented text, binary junk) whose collapsed
+    vocabulary exceeds the bound fails LOUDLY with the measured size
+    instead of OOMing the driver. For legitimately web-scale
+    vocabularies, cap the relation first (top-1M words carry >99.9% of
+    token mass — ``freqs.orderBy(F.desc("freq")).limit(cap)``) and
+    raise the bound deliberately; the merge-quality loss is in the
+    tail the cap drops."""
+    # guard via limit(bound+1), not count(): one job instead of two,
+    # and driver memory is bounded by the cap we already accept
+    rows = _word_freqs(df, text_col).limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"collapsed vocabulary exceeds the driver collect bound "
+            f"max_vocab_rows={max_vocab_rows}; cap the frequency "
+            "relation (top-N by freq) or raise the bound deliberately"
+        )
+    vocab = [(list(r["word"]) + [END], int(r["freq"])) for r in rows]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}

@@ -3878,14 +3878,14 @@ def llm_oov_rate(cat: Catalog) -> DataFrame:
 
 @query(
     "llm_pack_greedy",
-    # the first-fit fold is sequential by construction (each bin
+    # the next-fit fold is sequential by construction (each bin
     # depends on every prior row in the shard) — not expressible as
     # one SQL statement; rows-only driver check. Exactness is locked
     # by tests/test_packing.py against a pure-Python fold reference,
     # plus capacity and partition-invariance invariants.
     oracle=None,
     survey="LLM curation: greedy no-split sequence packing "
-    "(finetune layout — first-fit fold, one Arrow pass per shard)",
+    "(finetune layout — next-fit fold, one Arrow pass per shard)",
 )
 def llm_pack_greedy(cat: Catalog) -> DataFrame:
     """Greedy no-split packing of the documents table (whitespace

@@ -128,9 +128,11 @@ def pack_greedy_nosplit(
     seed: str | int = 0,
     n_shards: int = 16,
 ) -> DataFrame:
-    """Greedy first-fit no-split packing: walk the shard's seeded
+    """Greedy next-fit no-split packing: walk the shard's seeded
     order once; a document opens a new sequence iff adding it would
-    push the current sequence past ``capacity``. Documents larger than
+    push the CURRENT sequence past ``capacity`` (next-fit, not
+    first-fit: earlier sequences with remaining room are never
+    revisited — one open bin, O(1) state). Documents larger than
     ``capacity`` get a sequence of their own, flagged ``overflow``
     (the caller decides to truncate, chunk — see
     :func:`~simple_etl_spark.llm.textstats.chunk_documents` — or

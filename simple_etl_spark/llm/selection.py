@@ -255,6 +255,11 @@ def quality_percentile_buckets(
         raise ValueError(
             f"need 0 < head < middle <= 1000, got {head_permille}, {middle_permille}"
         )
+    clash = {"permille", "bucket", "_cnt", "_better", "_n"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries output/working column(s) {sorted(clash)}"
+        )
     # NULL scores are unrankable and must not inflate the group's
     # denominator — they are kept (unbucketed) by the closing left join
     hist = (

@@ -1076,13 +1076,16 @@ def stored_corpus_codes(
         if stored is None:
             ts.write_table(codes, base)
             stored = ts.read_table(embeddings.sparkSession, base)
-            # prune stale digests only after the new snapshot is
-            # committed and readable — a concurrent reader holding the
-            # old digest lazily had its window; anything still open on
-            # it is best-effort (rmtree ignores errors)
-            for sib in os.listdir(src_base) if os.path.isdir(src_base) else []:
-                if sib != digest:
-                    shutil.rmtree(os.path.join(src_base, sib), ignore_errors=True)
+        # prune stale digests only after the current snapshot is
+        # committed and readable — a concurrent reader holding the old
+        # digest lazily had its window; anything still open on it is
+        # best-effort (rmtree ignores errors). Runs on cache HITS too
+        # (a no-op when nothing is stale): a crash between write_table
+        # and the prune loop must not leave the orphaned old digest
+        # unpruned forever just because every later resolve is a hit.
+        for sib in os.listdir(src_base) if os.path.isdir(src_base) else []:
+            if sib != digest:
+                shutil.rmtree(os.path.join(src_base, sib), ignore_errors=True)
         return stored
     except Exception:
         # cache resolution is correctness-neutral (stored ≡ inline by

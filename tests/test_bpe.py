@@ -83,3 +83,18 @@ def test_unseen_chars_fall_back_to_chars(spark):
     apply_df = spark.createDataFrame([("zzz",)], "text string")
     out = bpe_encode(apply_df, merges).head()
     assert out["bpe_tokens"] == ["z", "z", "z", END]
+
+
+def test_vocab_bound_guard_raises(spark):
+    """Driver-OOM guard: a collapsed vocabulary over max_vocab_rows
+    must raise with an actionable message BEFORE collecting the full
+    relation, not OOM the driver (VERDICT r7 #7)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(f"w{i} w{i} shared",) for i in range(20)], "text string"
+    )
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        train_bpe(df, n_merges=3, max_vocab_rows=10)
+    # at/under the bound trains normally (21 distinct words)
+    assert train_bpe(df, n_merges=3, max_vocab_rows=21)

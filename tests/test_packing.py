@@ -81,7 +81,7 @@ def test_concat_cut_matches_permutation_reference(spark, docs):
 
 
 def _greedy_ref(items, cap):
-    """Pure-Python first-fit no-split fold: items = [(key, tok)] in
+    """Pure-Python next-fit no-split fold: items = [(key, tok)] in
     walk order; returns {key: (pos, seq, fill_after, overflow)}."""
     res, seq, fill = {}, 0, 0
     for pos, (key, tok) in enumerate(items, start=1):

@@ -1345,9 +1345,18 @@ def prefix_duplicates(
     ``max_bucket`` drops degenerate bands (a corpus-wide banner as the
     leading 32 chars) exactly like linkage's ``max_block`` — those
     prefixes are boilerplate, which is hot_ngrams/boilerplate_lines
-    territory, and a dropped band costs recall only there. The strict
-    prefix check is one substring-compare per surviving candidate
-    pair."""
+    territory, and a dropped band costs recall only there.
+
+    Shuffle payload: every band-keyed exchange (the cap join and the
+    candidate self-join) moves a SLIM relation — id, length, band
+    key, full-text md5 — never document bodies (band keys are skewed
+    by nature; text ×2 through that exchange was r7's one flagged
+    payload). The strict-prefix verdict is then hash-equality,
+    ``md5(substr(long_norm, 1, short_len)) == md5(short_norm)``,
+    computed by ONE id-keyed join back to the normalized text (ids
+    are uniform, so the only exchange that carries text is the
+    well-distributed one, and only for docs that are candidate
+    longs)."""
     if band_chars < 1:
         raise ValueError(f"band_chars must be >= 1, got {band_chars}")
     if min_chars < band_chars:
@@ -1357,41 +1366,50 @@ def prefix_duplicates(
         )
     from simple_etl_spark.llm.textstats import normalized_text
 
-    base = (
-        df.select(
-            F.col(id_col).alias("_pid"),
-            normalized_text(F.col(text_col)).alias("_norm"),
-        )
-        .withColumn("_ln", F.length("_norm").cast("bigint"))
-        .filter(F.col("_ln") >= min_chars)
-        .withColumn("_band", F.md5(F.substring("_norm", 1, band_chars)))
+    norm = df.select(
+        F.col(id_col).alias("_pid"),
+        normalized_text(F.col(text_col)).alias("_norm"),
+    ).filter(F.length("_norm") >= min_chars)
+    # slim banded relation — ids + lengths + hashes ONLY; this is the
+    # side every band-keyed exchange moves
+    slim = norm.select(
+        "_pid",
+        F.length("_norm").cast("bigint").alias("_ln"),
+        F.md5(F.substring("_norm", 1, band_chars)).alias("_band"),
+        F.md5("_norm").alias("_fh"),
     )
     if max_bucket is not None:
-        sizes = base.groupBy("_band").agg(F.count(F.lit(1)).alias("_bc"))
-        base = base.join(
+        sizes = slim.groupBy("_band").agg(F.count(F.lit(1)).alias("_bc"))
+        slim = slim.join(
             sizes.filter(F.col("_bc") <= max_bucket), "_band"
         ).drop("_bc")
-    a = base.select(
+    a = slim.select(
         F.col("_band"),
         F.col("_pid").alias("short_id"),
-        F.col("_norm").alias("_norm_a"),
         F.col("_ln").alias("short_len"),
+        F.col("_fh").alias("_sfh"),
     )
-    b = base.select(
+    b = slim.select(
         F.col("_band").alias("_band_b"),
         F.col("_pid").alias("long_id"),
-        F.col("_norm").alias("_norm_b"),
         F.col("_ln").alias("long_len"),
     )
+    cand = a.join(
+        b,
+        (F.col("_band") == F.col("_band_b"))
+        & (F.col("short_len") < F.col("long_len")),
+    ).select("short_id", "long_id", "short_len", "long_len", "_sfh")
+    # hash-ladder verify: md5 the long doc's first short_len chars and
+    # compare to the short doc's full-text md5 — one id-keyed join is
+    # the only exchange that ever carries document text
+    longs = norm.select(
+        F.col("_pid").alias("long_id"), F.col("_norm").alias("_vnorm")
+    )
     return (
-        a.join(
-            b,
-            (F.col("_band") == F.col("_band_b"))
-            & (F.col("short_len") < F.col("long_len")),
-        )
+        cand.join(longs, "long_id")
         .filter(
-            F.col("_norm_b").substr(F.lit(1), F.col("short_len"))
-            == F.col("_norm_a")
+            F.md5(F.col("_vnorm").substr(F.lit(1), F.col("short_len")))
+            == F.col("_sfh")
         )
         .select("short_id", "long_id", "short_len", "long_len")
         .orderBy("short_id", "long_id")

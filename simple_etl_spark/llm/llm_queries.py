@@ -4258,7 +4258,10 @@ def llm_token_fertility(cat: Catalog) -> DataFrame:
     SELECT a.doc_id AS short_id, c.doc_id AS long_id,
            a.ln AS short_len, c.ln AS long_len
     FROM g a JOIN g c ON a.band = c.band AND a.ln < c.ln
-    WHERE substr(c.norm, 1, cast(a.ln AS INT)) = a.norm
+    -- hash-ladder verdict, mirroring the engine symbol-for-symbol:
+    -- md5 of the long doc's first short_len chars vs md5 of the
+    -- short doc's full norm (the engine's band exchange is slim)
+    WHERE md5(substr(c.norm, 1, cast(a.ln AS INT))) = md5(a.norm)
     ORDER BY short_id, long_id
     """,
     survey="LLM dedup: truncation-duplicate detection — strict-prefix "

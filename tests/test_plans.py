@@ -609,3 +609,36 @@ def test_mixture_weights_join_is_broadcast_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_prefix_dup_band_exchange_carries_no_text(spark):
+    """r7's one flagged shuffle payload: prefix_duplicates used to
+    ship full normalized document text through both sides of the
+    skew-prone band exchange. The fix verifies candidates with a
+    prefix-hash ladder, so every band-keyed Exchange must move only
+    ids + lengths + hashes; the sole exchange allowed to carry text
+    is the uniform id-keyed verify join."""
+    import re
+
+    from simple_etl_spark.llm.dedup import prefix_duplicates
+
+    df = spark.createDataFrame(
+        [(i, ("abcdefgh " * 8)[: 40 + i]) for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    out = prefix_duplicates(df, "doc_id", "text", band_chars=32)
+    plan = _plan(out)
+    band_exchanges = [
+        blk
+        for blk in re.split(r"\n\(\d+\) ", plan)
+        if blk.startswith("Exchange")
+        and "hashpartitioning(_band" in blk
+    ]
+    assert band_exchanges, f"expected band-keyed exchanges in:\n{plan}"
+    for blk in band_exchanges:
+        inp = next(
+            (ln for ln in blk.splitlines() if ln.startswith("Input")), ""
+        )
+        assert "_norm" not in inp and "_vnorm" not in inp, (
+            f"document text crosses a band exchange:\n{blk}"
+        )

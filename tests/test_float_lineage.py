@@ -26,6 +26,8 @@ import re
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from simple_etl_spark import queries as q
 
 # Expression markers that mean "this value is the RESULT of IEEE
@@ -165,3 +167,176 @@ def test_quantized_topk_exposure_is_pure_bigint(spark, sf_dir):
             "permits only divide+round; roots/transcendentals would "
             "reintroduce the cross-engine ulp class"
         )
+
+
+# ---------------------------------------------------------------------------
+# Typed analyzed-plan walk: order-dependent IEEE reductions.
+#
+# The textual probe above admits a blind spot — a raw double SUM with
+# no decimal-cast marker would slip past it. This closes the class
+# structurally: the analyzed plan's JSON form carries dataType on
+# every typed node, so we reconstruct each aggregate's CHILD type and
+# enforce the engine's actual discipline, verified over the full
+# registry: every Sum accumulates integral or decimal units (exact,
+# order-insensitive), and no Average/Welford-family aggregate exists
+# at all (avg is always lavg/davg — exact sum, then one deterministic
+# double division). A sum/avg over double or float is an
+# order-dependent reduction whose ulps differ between Spark and any
+# oracle, the exact class that broke llm_cosine_topk in rounds 2-5.
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+_REDUCERS = {"Sum", "TrySum"}
+_FORBIDDEN_AGGS = {
+    "Average", "TryAverage", "StddevPop", "StddevSamp", "VariancePop",
+    "VarianceSamp", "Skewness", "Kurtosis", "Corr", "CovPopulation",
+    "CovSample",
+}
+_BOOL_CLS = {
+    "GreaterThan", "GreaterThanOrEqual", "LessThan", "LessThanOrEqual",
+    "EqualTo", "EqualNullSafe", "And", "Or", "Not", "IsNull", "IsNotNull",
+    "In", "InSet", "StartsWith", "EndsWith", "Contains", "Like", "RLike",
+    "IsNaN",
+}
+_ARITH_CLS = {
+    "Add", "Subtract", "Multiply", "UnaryMinus", "Abs", "Pmod",
+    "Remainder", "UnaryPositive", "Least", "Greatest", "Coalesce", "If",
+    "CaseWhen", "Nvl", "NullIf",
+}
+_INTEGRAL_CLS = {
+    "IntegralDivide", "Length", "Size", "BitLength", "OctetLength",
+    "Count", "BitCount", "Crc32", "Hash", "XxHash64", "Levenshtein",
+    "Ascii", "ShiftRight", "ShiftLeft", "BitwiseAnd", "BitwiseOr",
+    "BitwiseXor", "StringInstr", "StringLocate", "FindInSet", "Extract",
+    "DatePart", "UnixTimestamp", "DateDiff", "Year", "Month",
+    "DayOfMonth", "Hour", "Minute", "Second", "WeekOfYear", "DayOfWeek",
+    "DayOfYear", "Quarter",
+}
+
+
+def _cls(node: dict) -> str:
+    return node["class"].rsplit(".", 1)[-1]
+
+
+def _dtype(v) -> str:
+    d = v if isinstance(v, str) else str(v)
+    if d in ("double", "float"):
+        return d
+    if d.startswith("decimal"):
+        return "decimal"
+    if d in ("long", "integer", "short", "byte"):
+        return "integral"
+    if d == "boolean":
+        return "bool"
+    return "other"
+
+
+def _subtree_type(nodes: list, i: int) -> tuple[str, int]:
+    """Infer the value type of the flattened pre-order subtree at i.
+
+    Returns (type, next_index); type is one of double/float/decimal/
+    integral/bool/other, or '?<Class>' for a node the rules don't
+    cover — unknowns FAIL the audit (extend the rules deliberately
+    rather than let a new double lineage slip through).
+    """
+    n = nodes[i]
+    cls = _cls(n)
+    j = i + 1
+    ct = []
+    for _ in range(int(n.get("num-children", 0))):
+        t, j = _subtree_type(nodes, j)
+        ct.append(t)
+    if "dataType" in n:  # AttributeReference / Literal / Cast
+        return _dtype(n["dataType"]), j
+    if cls in ("Floor", "Ceil"):
+        return ("decimal" if ct and ct[0] == "decimal" else "integral"), j
+    if cls in ("Round", "BRound"):
+        return (ct[0] if ct else "?Round"), j
+    if cls == "Divide":
+        if "double" in ct or "float" in ct:
+            return "double", j
+        return ("decimal" if "decimal" in ct else "double"), j
+    if cls in _BOOL_CLS:
+        return "bool", j
+    if cls in _INTEGRAL_CLS:
+        return "integral", j
+    if cls in _ARITH_CLS:
+        vals = [t for t in ct if t != "bool"]
+        for p in ("double", "float", "decimal", "integral"):
+            if p in vals:
+                return p, j
+        return ("other" if vals else f"?{cls}"), j
+    # unknown expression: a function OF a double may mint a double —
+    # surface it rather than guess
+    for p in ("double", "float"):
+        if p in ct:
+            return f"?{cls}<{p}", j
+    return f"?{cls}", j
+
+
+def _scan_tree(nodes: list, out: list) -> None:
+    for i, n in enumerate(nodes):
+        cls = _cls(n)
+        if cls in _REDUCERS:
+            t, _ = _subtree_type(nodes, i + 1)
+            if t not in ("integral", "decimal"):
+                out.append(f"{cls} over {t}")
+        elif cls in _FORBIDDEN_AGGS:
+            out.append(f"{cls} (IEEE-incremental aggregate)")
+
+
+def _scan_json(obj, out: list) -> None:
+    if isinstance(obj, list):
+        if obj and all(isinstance(x, dict) and "class" in x for x in obj):
+            _scan_tree(obj, out)
+            for x in obj:
+                for v in x.values():
+                    _scan_json(v, out)
+        else:
+            for x in obj:
+                _scan_json(x, out)
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            _scan_json(v, out)
+
+
+def _reduction_offenders(df) -> list[str]:
+    out: list[str] = []
+    _scan_json(
+        _json.loads(df._jdf.queryExecution().analyzed().toJSON()), out
+    )
+    return out
+
+
+def _all_specs():
+    q._load_all()
+    return list(q.REGISTRY.values())
+
+
+@pytest.mark.parametrize("spec", _all_specs(), ids=lambda s: s.name)
+def test_no_order_dependent_ieee_reduction(spark, sf_dir, spec):
+    offenders = _reduction_offenders(spec.fn(spark, sf_dir))
+    assert not offenders, (
+        f"{spec.name} reduces IEEE floats (order-dependent ulps — the "
+        f"r2-r5 cross-engine hash-fail class; use exactness.lsum/lavg "
+        f"integer-unit accumulation instead): {offenders}"
+    )
+
+
+def test_reduction_probe_catches_raw_double_sum(spark):
+    """Self-test for the class the textual probe admitted it missed:
+    a raw SUM/AVG over doubles with no decimal cast anywhere."""
+    base = spark.range(10).selectExpr(
+        "cast(id as double) AS v", "id % 2 AS g"
+    )
+    raw_sum = base.groupBy("g").agg(F.sum("v").alias("s"))
+    assert _reduction_offenders(raw_sum) == ["Sum over double"]
+    raw_avg = base.groupBy("g").agg(F.avg("v").alias("a"))
+    assert "Average (IEEE-incremental aggregate)" in _reduction_offenders(
+        raw_avg
+    )
+    # ...and the engine's exact integer-unit form passes clean
+    from simple_etl_spark.exactness import dsum
+
+    assert _reduction_offenders(base.groupBy("g").agg(dsum("v", "s"))) == []

@@ -3880,10 +3880,51 @@ def llm_oov_rate(cat: Catalog) -> DataFrame:
     "llm_pack_greedy",
     # the next-fit fold is sequential by construction (each bin
     # depends on every prior row in the shard) — not expressible as
-    # one SQL statement; rows-only driver check. Exactness is locked
-    # by tests/test_packing.py against a pure-Python fold reference,
-    # plus capacity and partition-invariance invariants.
-    oracle=None,
+    # one SQL statement, but it IS expressible as a per-shard
+    # recursive CTE: the anchor is every shard's pos=1 row, each
+    # iteration advances every shard's (seq, fill) state by one
+    # position, and the recursion depth is max rows-per-shard. Same
+    # md5(seed|key) permutation and whitespace token count as the
+    # llm_sequence_pack oracle; all state arithmetic is non-negative
+    # bigint. (Also pytest-locked against a pure-Python fold with
+    # capacity + partition-invariance invariants.)
+    oracle=r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               greatest(coalesce(
+                   cast(len(string_split_regex(trim(text), '\s+'))
+                        as bigint), 0), 0) AS tok,
+               md5('7|' || cast(doc_id as varchar)) AS dg
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, tok,
+               ('0x' || substr(dg, 1, 15))::bigint % 8 AS shard,
+               substr(dg, 16, 17) AS ok
+        FROM t
+    ),
+    i AS (
+        SELECT doc_id, tok, shard,
+               cast(row_number() OVER (PARTITION BY shard
+                        ORDER BY ok, doc_id) as bigint) AS pos
+        FROM o
+    ),
+    st AS (
+        SELECT doc_id, shard, pos, tok,
+               CAST(0 AS BIGINT) AS seq, tok AS sfill
+        FROM i WHERE pos = 1
+        UNION ALL
+        SELECT i.doc_id, i.shard, i.pos, i.tok,
+               CASE WHEN s.sfill + i.tok > 512 THEN s.seq + 1
+                    ELSE s.seq END,
+               CASE WHEN s.sfill + i.tok > 512 THEN i.tok
+                    ELSE s.sfill + i.tok END
+        FROM st s JOIN i ON i.shard = s.shard AND i.pos = s.pos + 1
+    )
+    SELECT doc_id, cast(shard as bigint) AS shard, pos, seq,
+           sfill AS seq_fill, (tok > 512) AS overflow
+    FROM st ORDER BY shard, pos
+    """,
     survey="LLM curation: greedy no-split sequence packing "
     "(finetune layout — next-fit fold, one Arrow pass per shard)",
 )

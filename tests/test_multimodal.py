@@ -1,0 +1,167 @@
+"""Real image decode for uncompressed formats (VERDICT r7 #5).
+
+decode_image was the multimodal tier's one stub; it now really
+decodes PPM (P6) / PGM (P5) / BI_RGB BMP (24/32-bit) with zero
+dependencies. These tests build fixture images byte-by-byte (no
+codec library exists to build them for us), verify the decoded
+pixels against independently-constructed expectations (NumPy for the
+resize path), and drive the decode through the Spark mapInPandas
+plumbing (image_features / resize_image).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from simple_etl_spark.llm.multimodal import (
+    decode_image,
+    encode_ppm,
+    image_features,
+    resize_image,
+)
+
+# -- fixture builders -------------------------------------------------------
+
+# 3x2 RGB: two rows of (red, green, blue) / (white, gray, black)
+RGB_PIXELS = bytes(
+    [255, 0, 0, 0, 255, 0, 0, 0, 255,
+     255, 255, 255, 128, 128, 128, 0, 0, 0]
+)
+PPM_3x2 = b"P6\n3 2\n255\n" + RGB_PIXELS
+PPM_COMMENTED = b"P6\n# a comment\n3 # trailing\n2\n# more\n255\n" + RGB_PIXELS
+PGM_4x1 = b"P5\n4 1\n255\n" + bytes([0, 64, 128, 255])
+
+
+def _bmp(w: int, h: int, pixels_rgb: bytes, bpp: int = 24,
+         top_down: bool = False) -> bytes:
+    """Uncompressed BI_RGB BMP from row-major top-down RGB(A) bytes."""
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = []
+    for r in range(h):
+        row = bytearray()
+        for c in range(w):
+            px = pixels_rgb[(r * w + c) * nch : (r * w + c) * nch + nch]
+            row += bytes([px[2], px[1], px[0]]) + (px[3:4] if nch == 4 else b"")
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    if not top_down:
+        rows.reverse()
+    data = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    return head + dib + data
+
+
+# -- decode correctness -----------------------------------------------------
+
+def test_ppm_decode_exact():
+    assert decode_image(PPM_3x2) == (3, 2, 3, RGB_PIXELS)
+
+
+def test_ppm_header_comments():
+    assert decode_image(PPM_COMMENTED) == (3, 2, 3, RGB_PIXELS)
+
+
+def test_pgm_decode_exact():
+    assert decode_image(PGM_4x1) == (4, 1, 1, bytes([0, 64, 128, 255]))
+
+
+def test_bmp24_bottom_up_decodes_to_topdown_rgb():
+    assert decode_image(_bmp(3, 2, RGB_PIXELS)) == (3, 2, 3, RGB_PIXELS)
+
+
+def test_bmp32_top_down():
+    rgba = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16])
+    assert decode_image(_bmp(2, 2, rgba, bpp=32, top_down=True)) == (
+        2, 2, 4, rgba,
+    )
+
+
+def test_ppm_roundtrip_through_encode():
+    w, h, nch, px = decode_image(PPM_3x2)
+    assert encode_ppm(w, h, nch, px) == PPM_3x2
+    assert decode_image(encode_ppm(w, h, nch, px)) == (w, h, nch, px)
+
+
+def test_compressed_formats_stay_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+
+
+@pytest.mark.parametrize("junk", [
+    b"", b"notanimage", b"P6\n3 2\n255\n\x00\x00",      # truncated pixels
+    b"P6\n0 2\n255\n", b"P6\n3 2\n65535\n" + RGB_PIXELS,  # bad dims / 16-bit
+    b"BM" + b"\x00" * 10,                                 # truncated header
+])
+def test_malformed_payloads_raise_value_error(junk):
+    with pytest.raises(ValueError):
+        decode_image(junk)
+
+
+def test_rle_bmp_needs_codec():
+    bad = bytearray(_bmp(3, 2, RGB_PIXELS))
+    bad[30] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(bad))
+
+
+# -- Spark plumbing over real decode ---------------------------------------
+
+def _binary_df(spark, payloads: dict[int, bytes]):
+    return spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(payloads.items())],
+        "doc_id bigint, payload binary",
+    )
+
+
+def test_image_features_real_decode(spark):
+    df = _binary_df(spark, {
+        1: PPM_3x2,
+        2: _bmp(3, 2, RGB_PIXELS),
+        3: PGM_4x1,
+        4: b"\x89PNG\r\n\x1a\n" + b"\x00" * 16,  # gated -> NULL features
+        5: b"garbage",                            # junk  -> NULL features
+    })
+    rows = {r["doc_id"]: r for r in image_features(df).collect()}
+    mean_rgb = sum(RGB_PIXELS) // len(RGB_PIXELS)
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"],
+            rows[1]["mean_px"]) == (3, 2, 3, mean_rgb)
+    # BMP of the same pixels decodes to the identical features
+    assert rows[2] == rows[1].__class__(**{**rows[1].asDict(), "doc_id": 2})
+    assert (rows[3]["width"], rows[3]["channels"],
+            rows[3]["mean_px"]) == (4, 1, (0 + 64 + 128 + 255) // 4)
+    for did in (4, 5):
+        assert rows[did]["width"] is None and rows[did]["mean_px"] is None
+
+
+def test_resize_image_nearest_neighbor_matches_numpy(spark):
+    # 4x4 gradient, resized to 2x2 — reference via NumPy integer
+    # index maps, independent of the engine's loop
+    w = h = 4
+    px = bytes(range(w * h * 3))
+    payload = encode_ppm(w, h, 3, px)
+    out = {r["doc_id"]: r for r in
+           resize_image(_binary_df(spark, {7: payload}), 2, 2).collect()}[7]
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(2) * h) // 2
+    xs = (np.arange(2) * w) // 2
+    expected = encode_ppm(2, 2, 3, arr[np.ix_(ys, xs)].tobytes())
+    assert out["orig_bytes"] == len(payload)
+    assert out["out_bytes"] == len(expected)
+    assert out["out_md5"] == hashlib.md5(expected).hexdigest()
+
+
+def test_resize_image_null_for_undecodable(spark):
+    out = resize_image(_binary_df(spark, {9: b"junk"}), 2, 2).collect()[0]
+    assert out["orig_bytes"] == 4
+    assert out["out_bytes"] is None and out["out_md5"] is None

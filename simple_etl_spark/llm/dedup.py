@@ -341,12 +341,28 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on (band_index, band_key):
     docs sharing any band are candidate near-dups. Returns distinct
     (id_a < id_b) pairs. The band join shuffles on the band key —
-    collision groups, not the corpus, drive the cost."""
+    collision groups, not the corpus, drive the cost.
+
+    The default keeps every collision group because each candidate is
+    Jaccard-VERIFIED downstream (dropping a group silently lowers
+    recall); on template-heavy corpora where one band key collects
+    thousands of near-identical docs (|group|² candidates), pass
+    ``max_bucket`` to drop degenerate groups — same recall trade as
+    :func:`simhash_hamming_pairs`/:func:`prefix_duplicates` — or use
+    :func:`lsh_star_edges` when only connectivity is needed."""
     banded = band_keys(sig, id_col, num_hashes, band_size)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_bc")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("_bc") <= max_bucket), ["band", "key"]
+        ).drop("_bc")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -643,6 +659,7 @@ def simhash_hamming_pairs(
     text_col: str,
     max_distance: int = 3,
     persist: bool = True,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``max_distance`` over the
     64-bit SimHash, without an all-pairs join.
@@ -653,6 +670,19 @@ def simhash_hamming_pairs(
     band-value), cost driven by collision groups, not corpus². Each
     candidate is then verified with the exact distance
     Σ bit_count(xor(p_a, p_b)) over the packed band words.
+
+    ``max_bucket`` drops degenerate (band, value) collision groups
+    before the self-join, exactly like :func:`prefix_duplicates`'s
+    band cap and linkage's ``max_block``: on a template-heavy corpus
+    (boilerplate pages, tiny effective vocabulary) thousands of
+    near-identical documents share a band value and the group's
+    candidate clique is |group|² — the r8 scale sweep measured the
+    uncapped join superlinear from sf1 and disk-exhausting at sf10 on
+    exactly such a corpus. A pair within budget survives unless EVERY
+    band it agrees on is degenerate — and an all-bands-degenerate
+    pair is template boilerplate, which belongs to exact-dedup /
+    boilerplate_lines, not the Hamming tier. Pass ``None`` to restore
+    the lossless-but-unbounded join.
 
     ``max_distance`` must stay < SIMHASH_BANDS for the banding to be
     lossless (raise bands for larger budgets)."""
@@ -677,6 +707,13 @@ def simhash_hamming_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "val").agg(
+            F.count(F.lit(1)).alias("_bc")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("_bc") <= max_bucket), ["band", "val"]
+        ).drop("_bc")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -1083,10 +1083,18 @@ def llm_simhash(cat: Catalog) -> DataFrame:
 
 @query(
     "llm_simhash_hamming",
+    # the degenerate-group cap (bc <= 1000) mirrors the engine's
+    # max_bucket default — a no-op at sf0.01 group sizes, load-bearing
+    # on template corpora (see simhash_hamming_pairs docstring)
     oracle=f"""
     WITH {_NEAR_CORPUS_SQL},
     {_SIMHASH_CORE},
-    banded AS ({_SIMHASH_BANDED}),
+    banded0 AS ({_SIMHASH_BANDED}),
+    bsz AS (SELECT band, val, count(*) AS bc FROM banded0 GROUP BY 1, 2),
+    banded AS (
+        SELECT banded0.* FROM banded0 JOIN bsz USING (band, val)
+        WHERE bc <= 1000
+    ),
     cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM banded a JOIN banded b
@@ -1098,7 +1106,8 @@ def llm_simhash(cat: Catalog) -> DataFrame:
     JOIN fp fb ON fb.id = c.id_b
     WHERE {_SIMHASH_HAMMING} <= 3
     """,
-    survey="LLM dedup: banded Hamming<=3 SimHash join (pigeonhole over 4x16-bit bands)",
+    survey="LLM dedup: banded Hamming<=3 SimHash join (pigeonhole over "
+    "4x16-bit bands, degenerate-band cap)",
 )
 def llm_simhash_hamming(cat: Catalog) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ 3 over the 64-bit SimHash:

@@ -250,3 +250,36 @@ def test_screen_tolerates_duplicate_store_shingles(spark):
         docs, store, "doc_id", "text", n=3, min_hits=2
     ).collect()[0]
     assert r["n_overlap"] == 1 and not r["is_contaminated"]
+
+
+def test_simhash_degenerate_band_cap(spark):
+    """r8 scale-sweep fix: a template corpus putting thousands of
+    docs on one (band, value) made the uncapped candidate self-join
+    |group|^2 (superlinear from sf1, disk-exhausting at sf10). The
+    max_bucket default drops degenerate groups; a small genuine
+    near-pair must survive, an over-cap clique of identical docs must
+    not, and max_bucket=None must restore the unbounded join."""
+    from simple_etl_spark.llm import dedup
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(12)]  # one degenerate clique
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+
+    capped = dedup.simhash_hamming_pairs(
+        docs, "id", "text", persist=False, max_bucket=10
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert all(a >= 100 for a, _ in ids), ids  # clique fully dropped
+    # pigeonhole still finds the real near-pair iff within distance 3
+    # (whether 100-101 lands within budget depends on the hash; the
+    # invariant here is the CAP, so assert against the uncapped run)
+    uncapped = dedup.simhash_hamming_pairs(
+        docs, "id", "text", persist=False, max_bucket=None
+    ).collect()
+    un_ids = {(r["id_a"], r["id_b"]) for r in uncapped}
+    assert {(a, b) for a, b in un_ids if a < 12 and b < 12}, (
+        "expected the identical-doc clique in the uncapped join"
+    )
+    assert ids == {p for p in un_ids if p[0] >= 100}, (ids, un_ids)

@@ -67,8 +67,8 @@ def train_bpe(
 
     ``max_vocab_rows`` is the driver-OOM guard on that collect: a
     pathological corpus (unsegmented text, binary junk) whose collapsed
-    vocabulary exceeds the bound fails LOUDLY with the measured size
-    instead of OOMing the driver. For legitimately web-scale
+    vocabulary exceeds the bound fails LOUDLY (reporting the bound as
+    a lower bound on the size) instead of OOMing the driver. For legitimately web-scale
     vocabularies, cap the relation first (top-1M words carry >99.9% of
     token mass — ``freqs.orderBy(F.desc("freq")).limit(cap)``) and
     raise the bound deliberately; the merge-quality loss is in the
@@ -77,10 +77,12 @@ def train_bpe(
     # and driver memory is bounded by the cap we already accept
     rows = _word_freqs(df, text_col).limit(max_vocab_rows + 1).collect()
     if len(rows) > max_vocab_rows:
+        # the true size is unknowable from a bounded collect — report
+        # the bound as a lower bound rather than pretending to know
         raise ValueError(
-            f"collapsed vocabulary exceeds the driver collect bound "
-            f"max_vocab_rows={max_vocab_rows}; cap the frequency "
-            "relation (top-N by freq) or raise the bound deliberately"
+            f"collapsed vocabulary has > {max_vocab_rows} rows "
+            f"(max_vocab_rows bound); cap the frequency relation "
+            "(top-N by freq) or raise the bound deliberately"
         )
     vocab = [(list(r["word"]) + [END], int(r["freq"])) for r in rows]
     merges: list[tuple[str, str]] = []

@@ -336,6 +336,17 @@ def band_keys(
     )
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop degenerate collision groups: remove every row whose
+    ``keys`` group exceeds ``max_bucket`` members — the shared guard
+    of the banded self-joins (a group's candidate clique is |group|²,
+    and an over-cap group is template boilerplate, not near-dup
+    signal). One keyed aggregate + join on the already-slim banded
+    relation."""
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bc"))
+    return df.join(sizes.filter(F.col("_bc") <= max_bucket), keys).drop("_bc")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -357,12 +368,7 @@ def lsh_candidate_pairs(
     :func:`lsh_star_edges` when only connectivity is needed."""
     banded = band_keys(sig, id_col, num_hashes, band_size)
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("_bc")
-        )
-        banded = banded.join(
-            sizes.filter(F.col("_bc") <= max_bucket), ["band", "key"]
-        ).drop("_bc")
+        banded = _cap_buckets(banded, ["band", "key"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -708,12 +714,7 @@ def simhash_hamming_pairs(
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "val").agg(
-            F.count(F.lit(1)).alias("_bc")
-        )
-        banded = banded.join(
-            sizes.filter(F.col("_bc") <= max_bucket), ["band", "val"]
-        ).drop("_bc")
+        banded = _cap_buckets(banded, ["band", "val"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -1416,10 +1417,7 @@ def prefix_duplicates(
         F.md5("_norm").alias("_fh"),
     )
     if max_bucket is not None:
-        sizes = slim.groupBy("_band").agg(F.count(F.lit(1)).alias("_bc"))
-        slim = slim.join(
-            sizes.filter(F.col("_bc") <= max_bucket), "_band"
-        ).drop("_bc")
+        slim = _cap_buckets(slim, ["_band"], max_bucket)
     a = slim.select(
         F.col("_band"),
         F.col("_pid").alias("short_id"),

@@ -176,6 +176,10 @@ def image_features(binary_df: DataFrame) -> DataFrame:
             out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
                    "channels": [], "mean_px": []}
             for payload in pdf["payload"]:
+                if payload is None:  # NULL payload is data, not an error
+                    for k in ("width", "height", "channels", "mean_px"):
+                        out[k].append(None)
+                    continue
                 try:
                     w, h, nch, px = decode_image(bytes(payload))
                     out["width"].append(w)
@@ -197,8 +201,10 @@ def resize_image(
     decodable payload to ``target_w``×``target_h`` and re-encode as
     PNM; same output schema as the byte-budget :func:`resize_payload`
     stub (orig_bytes, out_bytes, out_md5), so downstream manifests do
-    not care which tier produced a row. Undecodable payloads yield
-    NULL out columns. Nearest-neighbor sampling is pure integer index
+    not care which tier produced a row. Undecodable or NULL payloads
+    yield NULL out columns; RGBA inputs (32-bit BMP) drop alpha and
+    re-encode as P6 RGB (PNM carries no alpha plane).
+    Nearest-neighbor sampling is pure integer index
     arithmetic (``(i*src)//dst``), so the resampled bytes — and hence
     out_md5 — are engine- and platform-exact."""
     if target_w < 1 or target_h < 1:
@@ -210,10 +216,20 @@ def resize_image(
             out = {"doc_id": pdf["doc_id"], "orig_bytes": [], "out_bytes": [],
                    "out_md5": []}
             for payload in pdf["payload"]:
+                if payload is None:  # NULL payload is data, not an error
+                    out["orig_bytes"].append(None)
+                    out["out_bytes"].append(None)
+                    out["out_md5"].append(None)
+                    continue
                 data = bytes(payload)
                 out["orig_bytes"].append(len(data))
                 try:
                     w, h, nch, px = decode_image(data)
+                    if nch == 4:  # PNM has no alpha: RGBA resamples to RGB
+                        px = bytes(
+                            b for i, b in enumerate(px) if i % 4 != 3
+                        )
+                        nch = 3
                     buf = bytearray(target_w * target_h * nch)
                     pos = 0
                     for ty in range(target_h):

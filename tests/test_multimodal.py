@@ -165,3 +165,31 @@ def test_resize_image_null_for_undecodable(spark):
     out = resize_image(_binary_df(spark, {9: b"junk"}), 2, 2).collect()[0]
     assert out["orig_bytes"] == 4
     assert out["out_bytes"] is None and out["out_md5"] is None
+
+
+def test_null_payload_yields_null_features_not_task_failure(spark):
+    """A NULL payload cell (e.g. encode(NULL text)) must produce NULL
+    features, not a TypeError that kills the executor task."""
+    df = spark.createDataFrame(
+        [(1, bytearray(PPM_3x2)), (2, None)], "doc_id bigint, payload binary"
+    )
+    feats = {r["doc_id"]: r for r in image_features(df).collect()}
+    assert feats[1]["width"] == 3 and feats[2]["width"] is None
+    res = {r["doc_id"]: r for r in resize_image(df, 2, 2).collect()}
+    assert res[1]["out_md5"] is not None
+    assert res[2]["orig_bytes"] is None and res[2]["out_md5"] is None
+
+
+def test_resize_rgba_drops_alpha_to_p6(spark):
+    """32-bit BMPs decode to RGBA; resize re-encodes as P6 RGB
+    (alpha dropped) instead of silently yielding NULLs."""
+    rgba = bytes(range(2 * 2 * 4))
+    bmp = _bmp(2, 2, rgba, bpp=32, top_down=True)
+    out = resize_image(
+        _binary_df(spark, {5: bmp}), 2, 2
+    ).collect()[0]
+    rgb = bytes(b for i, b in enumerate(rgba) if i % 4 != 3)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(2, 2, 3)
+    expected = encode_ppm(2, 2, 3, arr.tobytes())  # identity resize
+    assert out["out_bytes"] == len(expected)
+    assert out["out_md5"] == hashlib.md5(expected).hexdigest()

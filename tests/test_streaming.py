@@ -724,9 +724,11 @@ def test_crash_recovery_mid_drain_conserves_and_never_duplicates(spark, workdir)
     # run 1: dies inside micro-batch 2, between the two sink commits
     open(sentinel, "w").close()
     q = start()
-    with pytest.raises(Exception, match="injected crash"):
+    with pytest.raises(Exception, match="injected crash: after bronze"):
         q.awaitTermination(120)
-        raise AssertionError("query survived the injected crash")
+        # guard message deliberately does NOT match the raises pattern,
+        # so a regression where the injection stops firing fails here
+        raise AssertionError("stream query survived — injection never fired")
     # the crash landed after ≥1 COMMITTED micro-batch (a real
     # mid-drain interruption, not a failure on the first batch)
     committed = os.listdir(f"{ckpt}/commits")

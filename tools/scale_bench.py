@@ -129,8 +129,13 @@ def main() -> None:
             if entry["queries"].get(name) is None and name not in too_slow:
                 noop(fn(spark, data_dir))
         for name, fn, reps in suites:
-            if entry["queries"].get(name) is not None:
-                continue  # resumed
+            if name in entry["queries"]:
+                # resumed — a recorded None means "deliberately skipped
+                # as too slow", which must NOT re-run the multi-hour
+                # query the skip flag exists to avoid
+                if entry["queries"][name] is None:
+                    too_slow.add(name)
+                continue
             if name in too_slow:
                 entry["queries"][name] = None
                 continue

@@ -70,6 +70,9 @@ def main() -> None:
     ap.add_argument("--skip-heavy-over", type=float, default=float("inf"),
                     help="skip a heavy query at later dirs once a single "
                     "rep exceeded this many seconds")
+    ap.add_argument("--concurrent", action="store_true",
+                    help="also time the headline suite submitted "
+                    "concurrently (workload throughput)")
     a = ap.parse_args()
 
     from bench import _layout_cache
@@ -161,9 +164,32 @@ def main() -> None:
             print(f"[{tag}] {name}: {best:.3f}s", flush=True)
             flush()
 
+        if a.concurrent and "concurrent_s" not in entry:
+            # workload throughput: the whole headline suite submitted
+            # at once (bench.py's cluster-realistic headline number)
+            from concurrent.futures import ThreadPoolExecutor
+
+            dfs = [spec.fn(spark, data_dir)
+                   for spec in bench_queries().values()]
+            best = min(
+                _concurrent_round(dfs, noop) for _ in range(3)
+            )
+            entry["concurrent_s"] = round(best, 3)
+            print(f"[{tag}] concurrent headline: {best:.3f}s", flush=True)
+            flush()
+
     flush()
     print(f"wrote {a.out}", flush=True)
     spark.stop()
+
+
+def _concurrent_round(dfs, noop) -> float:
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(len(dfs)) as ex:
+        list(ex.map(noop, dfs))
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

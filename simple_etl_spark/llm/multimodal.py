@@ -67,16 +67,19 @@ def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an uncompressed image with zero dependencies: binary
-    PPM (``P6``, 3 channels), binary PGM (``P5``, 1 channel), and
-    uncompressed BI_RGB BMP (24-bit → RGB, 32-bit → RGBA; bottom-up
-    or top-down). Returns ``(width, height, channels, pixels)`` with
-    ``pixels`` row-major top-down, channels interleaved.
+    """Decode an image with zero dependencies: binary PPM (``P6``, 3
+    channels), binary PGM (``P5``, 1 channel), uncompressed BI_RGB BMP
+    (24-bit → RGB, 32-bit → RGBA; bottom-up or top-down), and
+    non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA — DEFLATE via
+    stdlib ``zlib`` plus the five scanline filters). Returns
+    ``(width, height, channels, pixels)`` with ``pixels`` row-major
+    top-down, channels interleaved.
 
-    Compressed formats raise ``NotImplementedError`` — entropy coders
-    belong to a codec library (PIL/libvips on executors), which this
-    environment lacks; the dispatch below is where a deployment plugs
-    one in. Malformed payloads raise ``ValueError``."""
+    JPEG (and PNG variants needing a real codec: palette, 16-bit,
+    Adam7) raise ``NotImplementedError`` — entropy coders belong to a
+    codec library (PIL/libvips on executors), which this environment
+    lacks; the dispatch below is where a deployment plugs one in.
+    Malformed payloads raise ``ValueError``."""
     if payload[:2] in (b"P6", b"P5"):
         channels = 3 if payload[:2] == b"P6" else 1
         (w, h, maxval), off = _ppm_tokens(payload, 3)
@@ -95,6 +98,20 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         if len(payload) < 54:
             raise ValueError("BMP header truncated")
         data_off = struct.unpack_from("<I", payload, 10)[0]
+        dib_size = struct.unpack_from("<I", payload, 14)[0]
+        # The field offsets below are BITMAPINFOHEADER layout; a
+        # BITMAPCOREHEADER (12-byte DIB) file would read bpp/compression
+        # from the wrong bytes and return garbage, so reject it loudly.
+        if dib_size < 40:
+            raise NotImplementedError(
+                f"BMP DIB header size {dib_size} (BITMAPCOREHEADER?) "
+                "unsupported; need BITMAPINFOHEADER (>= 40)"
+            )
+        if data_off < 14 + dib_size or data_off > len(payload):
+            raise ValueError(
+                f"BMP pixel offset {data_off} inside header/out of range "
+                f"(DIB size {dib_size}, payload {len(payload)})"
+            )
         w, raw_h = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         compression = struct.unpack_from("<I", payload, 30)[0]
@@ -125,11 +142,104 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
                     out[pos + 3] = row[c + 3]
                 pos += nch
         return w, h, nch, bytes(out)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "PNG/JPEG decode requires a codec library on executors"
+            "JPEG decode requires a codec library on executors"
         )
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decode: non-interlaced 8-bit gray / gray+alpha /
+    RGB / RGBA. PNG compression is DEFLATE (``zlib`` is stdlib) plus a
+    per-row predictive filter (None/Sub/Up/Average/Paeth) — both fully
+    decodable with zero dependencies. Palette (color type 3),
+    sub-8/16-bit depths, and Adam7 interlace stay codec-gated: they are
+    rare in ML corpora and each multiplies the surface without changing
+    the Spark-side plumbing this module exists to prove."""
+    import struct
+    import zlib
+
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("PNG chunk truncated")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG requires a codec")
+    if depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} requires a codec (only 8 supported)"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise NotImplementedError(
+            f"PNG color type {color} (palette?) requires a codec"
+        )
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG scanline data length {len(raw)} != {(stride + 1) * h}"
+        )
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    for r in range(h):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                row[i] = (row[i] + row[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - nch] if i >= nch else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                row[i] = (row[i] + _png_paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r * stride : (r + 1) * stride] = row
+        prev = row
+    return w, h, nch, bytes(out)
 
 
 def byte_features(payload: bytes) -> tuple[int, int]:
@@ -225,11 +335,11 @@ def resize_image(
                 out["orig_bytes"].append(len(data))
                 try:
                     w, h, nch, px = decode_image(data)
-                    if nch == 4:  # PNM has no alpha: RGBA resamples to RGB
+                    if nch in (2, 4):  # PNM has no alpha plane: drop it
                         px = bytes(
-                            b for i, b in enumerate(px) if i % 4 != 3
+                            b for i, b in enumerate(px) if i % nch != nch - 1
                         )
-                        nch = 3
+                        nch -= 1
                     buf = bytearray(target_w * target_h * nch)
                     pos = 0
                     for ty in range(target_h):

@@ -1041,6 +1041,7 @@ def stored_corpus_codes(
     source_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prune_grace_s: float = 900.0,
 ) -> DataFrame:
     """Resolve the corpus's int8 code relation from a table_store
     snapshot, materializing it on first call — the at-scale contract
@@ -1058,7 +1059,14 @@ def stored_corpus_codes(
     Stale sibling digests of the same source are pruned AFTER the new
     snapshot commits (no unbounded accumulation across data
     regenerations, and a concurrent lazy reader of the old digest is
-    never raced before the new one is readable). Quantization is
+    never raced before the new one is readable) — but only siblings
+    untouched for ``prune_grace_s`` seconds (ADVICE r8): two live
+    sessions can legitimately observe different (size, mtime) states
+    of the same source file mid-regeneration, and unconditional
+    hit-path pruning would have them rmtree each other's snapshots in
+    a rebuild-thrash loop. A fresh sibling inside the grace window is
+    presumed to be another writer's live snapshot; it becomes
+    prunable once it ages out. Quantization is
     deterministic (HALF_UP integer rounding), so a stored code table
     is value-identical to an inline re-quantize; if the warehouse is
     unwritable (read-only checkout), this degrades to exactly that
@@ -1083,9 +1091,21 @@ def stored_corpus_codes(
         # (a no-op when nothing is stale): a crash between write_table
         # and the prune loop must not leave the orphaned old digest
         # unpruned forever just because every later resolve is a hit.
+        # The grace window keeps a concurrent writer's fresh snapshot
+        # alive (see docstring).
+        import time
+
+        now = time.time()
         for sib in os.listdir(src_base) if os.path.isdir(src_base) else []:
-            if sib != digest:
-                shutil.rmtree(os.path.join(src_base, sib), ignore_errors=True)
+            if sib == digest:
+                continue
+            sib_path = os.path.join(src_base, sib)
+            try:
+                age = now - os.stat(sib_path).st_mtime
+            except OSError:
+                continue
+            if age >= prune_grace_s:
+                shutil.rmtree(sib_path, ignore_errors=True)
         return stored
     except Exception:
         # cache resolution is correctness-neutral (stored ≡ inline by

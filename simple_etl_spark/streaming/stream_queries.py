@@ -28,6 +28,32 @@ from simple_etl_spark.streaming.stateful import first_seen_dedupe, running_total
 DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
 
+def _env_positive_int(name: str, default: int) -> int:
+    """Read a positive-int sizing knob from the environment, falling
+    back LOUDLY (stderr warning) on malformed or non-positive values
+    (ADVICE r8): a typo'd ``SPARK_GRAFT_DRAIN_TIMEOUT_S`` must not
+    raise an opaque ValueError mid-drain, and a zero/negative timeout
+    would make ``awaitTermination`` return immediately — misreporting
+    a healthy drain as a timeout."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+    except ValueError:
+        val = -1
+    if val <= 0:
+        import sys
+
+        print(
+            f"warning: ignoring {name}={raw!r} (need a positive integer); "
+            f"using default {default}",
+            file=sys.stderr,
+        )
+        return default
+    return val
+
+
 def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(DOC_SCHEMA)
@@ -68,9 +94,9 @@ def _drain(build, spark: SparkSession, name_prefix: str,
     # env without touching the graded path
     s2.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_DRAIN_PARTITIONS", "8"),
+        str(_env_positive_int("SPARK_GRAFT_DRAIN_PARTITIONS", 8)),
     )
-    timeout_s = int(os.environ.get("SPARK_GRAFT_DRAIN_TIMEOUT_S", "300"))
+    timeout_s = _env_positive_int("SPARK_GRAFT_DRAIN_TIMEOUT_S", 300)
     q = (
         build(s2)
         .writeStream.format("memory")

@@ -255,10 +255,11 @@ def test_screen_tolerates_duplicate_store_shingles(spark):
 def test_simhash_degenerate_band_cap(spark):
     """r8 scale-sweep fix: a template corpus putting thousands of
     docs on one (band, value) made the uncapped candidate self-join
-    |group|^2 (superlinear from sf1, disk-exhausting at sf10). The
-    max_bucket default drops degenerate groups; a small genuine
-    near-pair must survive, an over-cap clique of identical docs must
-    not, and max_bucket=None must restore the unbounded join."""
+    |group|^2 (superlinear from sf1, disk-exhausting at sf10).
+    max_bucket (opt-in since r9; the library default is lossless)
+    drops degenerate groups; a small genuine near-pair must survive,
+    an over-cap clique of identical docs must not, and
+    max_bucket=None must restore the unbounded join."""
     from simple_etl_spark.llm import dedup
 
     template = "the quick brown fox jumps over the lazy dog again and again"
@@ -283,3 +284,92 @@ def test_simhash_degenerate_band_cap(spark):
         "expected the identical-doc clique in the uncapped join"
     )
     assert ids == {p for p in un_ids if p[0] >= 100}, (ids, un_ids)
+
+
+def test_simhash_default_is_lossless(spark):
+    """ADVICE r8: the library default must not silently trade recall —
+    defaults and max_bucket=None produce identical pairs; the cap is
+    the query layer's explicit opt-in."""
+    from simple_etl_spark.llm import dedup
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(12)]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+    default_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_hamming_pairs(
+            docs, "id", "text", persist=False
+        ).collect()
+    }
+    lossless_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_hamming_pairs(
+            docs, "id", "text", persist=False, max_bucket=None
+        ).collect()
+    }
+    assert default_pairs == lossless_pairs and len(default_pairs) == 66
+
+
+def test_cap_stats_reports_drop_counts(spark):
+    """VERDICT r8 #6: a production cap must surface what it dropped.
+    cap_stats yields a lazy one-row audit relation over the over-cap
+    group set (Dataset.observe was tried and rejected: the banded
+    self-join duplicates the CollectMetrics node and Spark 4.1 then
+    returns NULL metrics or crashes Observation.get — see
+    dedup._cap_buckets's docstring). 12 identical docs -> every one
+    of the 4 (band, value) groups is degenerate at max_bucket=10, so
+    capped_groups=4 and dropped_rows=48 (12 banded rows x 4 bands)."""
+    from simple_etl_spark.llm import dedup
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(12)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta")]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+
+    stats: dict = {}
+    out = dedup.simhash_hamming_pairs(
+        docs, "id", "text", persist=False, max_bucket=10, cap_stats=stats,
+    )
+    assert out.count() == 0  # clique dropped, lone doc pairs with nobody
+    got = stats["stats"].first()
+    assert got["capped_groups"] == 4, got
+    assert got["dropped_rows"] == 48, got
+
+    # an uncapping cap reports zeros, not NULLs
+    stats_none: dict = {}
+    dedup.simhash_hamming_pairs(
+        docs, "id", "text", persist=False, max_bucket=1000,
+        cap_stats=stats_none,
+    ).count()
+    z = stats_none["stats"].first()
+    assert (z["capped_groups"], z["dropped_rows"]) == (0, 0), z
+
+    # prefix_duplicates threads the same metric
+    pdocs = spark.createDataFrame(
+        [(i, "shared banner prefix thirty-two!! chars then tail %d" % i)
+         for i in range(8)]
+        + [(50, "shared banner prefix thirty-two!! chars then tail 3 more")],
+        "doc_id bigint, text string",
+    )
+    pstats: dict = {}
+    pout = dedup.prefix_duplicates(
+        pdocs, "doc_id", "text", max_bucket=5, cap_stats=pstats
+    )
+    assert pout.count() == 0
+    got2 = pstats["stats"].first()
+    assert got2["capped_groups"] == 1, got2
+    assert got2["dropped_rows"] == 9, got2
+
+    # lsh_candidate_pairs threads it too
+    from simple_etl_spark.llm.dedup import minhash_signature
+
+    sig = minhash_signature(
+        spark.createDataFrame(rows, "id bigint, text string"), "id", "text"
+    )
+    lstats: dict = {}
+    dedup.lsh_candidate_pairs(
+        sig, "id", max_bucket=5, cap_stats=lstats
+    ).count()
+    lg = lstats["stats"].first()
+    assert lg["capped_groups"] == 4, lg  # 4 bands, all degenerate
+    assert lg["dropped_rows"] == 48, lg

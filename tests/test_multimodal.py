@@ -1,8 +1,8 @@
-"""Real image decode for uncompressed formats (VERDICT r7 #5).
+"""Real image decode with zero dependencies (VERDICT r7 #5, r8 #4).
 
 decode_image was the multimodal tier's one stub; it now really
-decodes PPM (P6) / PGM (P5) / BI_RGB BMP (24/32-bit) with zero
-dependencies. These tests build fixture images byte-by-byte (no
+decodes PPM (P6) / PGM (P5) / BI_RGB BMP (24/32-bit) / non-interlaced
+8-bit PNG (stdlib zlib DEFLATE + the five scanline filters). These tests build fixture images byte-by-byte (no
 codec library exists to build them for us), verify the decoded
 pixels against independently-constructed expectations (NumPy for the
 resize path), and drive the decode through the Spark mapInPandas
@@ -91,9 +91,7 @@ def test_ppm_roundtrip_through_encode():
     assert decode_image(encode_ppm(w, h, nch, px)) == (w, h, nch, px)
 
 
-def test_compressed_formats_stay_gated():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+def test_jpeg_stays_gated():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
 
@@ -113,6 +111,116 @@ def test_rle_bmp_needs_codec():
     bad[30] = 1  # BI_RLE8
     with pytest.raises(NotImplementedError):
         decode_image(bytes(bad))
+
+
+def test_bmp_core_header_rejected_not_misread():
+    """A BITMAPCOREHEADER (12-byte DIB) file must raise, not silently
+    read bpp/compression from BITMAPINFOHEADER offsets (ADVICE r8)."""
+    # 2x1 24-bit BITMAPCOREHEADER BMP: 14-byte file header + 12-byte DIB
+    dib = struct.pack("<IHHHH", 12, 2, 1, 1, 24)
+    data = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"  # one padded row
+    head = struct.pack("<2sIHHI", b"BM", 14 + 12 + len(data), 0, 0, 26)
+    payload = head + dib + data + b"\x00" * 40  # pad past 54 so parsing starts
+    with pytest.raises(NotImplementedError):
+        decode_image(payload)
+
+
+def test_bmp_data_offset_inside_header_rejected():
+    bad = bytearray(_bmp(3, 2, RGB_PIXELS))
+    struct.pack_into("<I", bad, 10, 20)  # pixel offset inside the DIB
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad))
+
+
+# -- PNG (stdlib zlib DEFLATE + scanline filters) ---------------------------
+
+def _png(w: int, h: int, color: int, pixels: bytes, filters=None,
+         depth: int = 8, interlace: int = 0) -> bytes:
+    """Build a PNG byte-by-byte, forward-applying the per-row filter
+    types in ``filters`` (default all 0/None) so decode must invert
+    Sub/Up/Average/Paeth to recover ``pixels``."""
+    import zlib
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = w * nch
+    filters = filters or [0] * h
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        row = pixels[r * stride : (r + 1) * stride]
+        f = filters[r]
+        raw.append(f)
+        for i in range(stride):
+            left = row[i - nch] if i >= nch else 0
+            up = prev[i]
+            ul = prev[i - nch] if i >= nch else 0
+            if f == 0:
+                raw.append(row[i])
+            elif f == 1:
+                raw.append((row[i] - left) & 0xFF)
+            elif f == 2:
+                raw.append((row[i] - up) & 0xFF)
+            elif f == 3:
+                raw.append((row[i] - ((left + up) >> 1)) & 0xFF)
+            elif f == 4:
+                raw.append((row[i] - paeth(left, up, ul)) & 0xFF)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_rgb_all_filters_roundtrip():
+    """5 rows, one per filter type — decode must invert each."""
+    # 3 wide x 5 tall RGB = 45 bytes, deterministic non-trivial values
+    px = bytes((i * 37 + 11) % 256 for i in range(3 * 5 * 3))
+    payload = _png(3, 5, 2, px, filters=[0, 1, 2, 3, 4])
+    assert decode_image(payload) == (3, 5, 3, px)
+
+
+def test_png_grayscale_and_rgba():
+    gray = bytes([0, 64, 128, 255])
+    assert decode_image(_png(4, 1, 0, gray, filters=[1])) == (4, 1, 1, gray)
+    rgba = bytes((i * 53 + 7) % 256 for i in range(2 * 2 * 4))
+    assert decode_image(_png(2, 2, 6, rgba, filters=[4, 3])) == (2, 2, 4, rgba)
+
+
+def test_png_gray_alpha():
+    ga = bytes([10, 255, 20, 128, 30, 0])
+    assert decode_image(_png(3, 1, 4, ga, filters=[2])) == (3, 1, 2, ga)
+
+
+def test_png_crc_mismatch_raises():
+    # flip a byte inside the IDAT payload region (after IHDR's 8+25 bytes)
+    bad = bytearray(_png(2, 1, 0, bytes([1, 2])))
+    bad[8 + 25 + 8 + 2] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad))
+
+
+def test_png_codec_gates():
+    gray = bytes([0, 255])
+    with pytest.raises(NotImplementedError):
+        decode_image(_png(2, 1, 0, gray, interlace=1))  # Adam7
+    with pytest.raises(NotImplementedError):
+        decode_image(_png(2, 1, 3, gray))  # palette
+    with pytest.raises(NotImplementedError):
+        # depth-16 declared; scanline bytes won't match but gate fires first
+        decode_image(_png(2, 1, 0, gray, depth=16))
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # junk chunks
 
 
 # -- Spark plumbing over real decode ---------------------------------------

@@ -153,8 +153,10 @@ def test_stored_corpus_codes_lifecycle_staleness(spark, tmp_path):
     """End-to-end code-store lifecycle: resolve codes for a corpus,
     overwrite the corpus (new mtime/size → new digest), resolve again
     and assert (a) a FRESH digest directory was minted, (b) the stale
-    sibling was pruned after the new snapshot committed, and (c) the
-    new codes match an inline re-quantization of the new data."""
+    sibling survives inside the prune grace window (ADVICE r8: two
+    live sessions must not rmtree each other's snapshots) but is
+    pruned once aged out, and (c) the new codes match an inline
+    re-quantization of the new data."""
     import os
 
     from simple_etl_spark.llm.similarity import (
@@ -188,7 +190,12 @@ def test_stored_corpus_codes_lifecycle_staleness(spark, tmp_path):
     base2 = code_table_base(src)
     assert base2 != base1, "regenerated source must mint a fresh digest"
     assert os.path.isdir(base2)
-    assert not os.path.isdir(base1), "stale sibling digest must be pruned"
+    # within the default grace window the old digest could be another
+    # live writer's snapshot — it must NOT be pruned yet
+    assert os.path.isdir(base1), "fresh sibling must survive the grace window"
+    # aged out (grace 0) it is stale and goes
+    stored_corpus_codes(emb2, src, prune_grace_s=0.0).count()
+    assert not os.path.isdir(base1), "aged-out sibling digest must be pruned"
     # same source key: both digests live under one source directory
     assert os.path.dirname(base2) == os.path.dirname(base1)
     inline = {

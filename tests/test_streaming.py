@@ -777,3 +777,21 @@ def test_crash_recovery_mid_drain_conserves_and_never_duplicates(spark, workdir)
     assert sorted(tuple(r) for r in silver.collect()) == sorted(
         tuple(r) for r in ref_silver.collect()
     )
+
+
+def test_env_positive_int_validates_and_falls_back(monkeypatch, capsys):
+    """ADVICE r8: malformed or non-positive drain sizing env vars must
+    fall back to the default with a warning, never raise mid-drain or
+    turn awaitTermination into an instant fake timeout."""
+    from simple_etl_spark.streaming.stream_queries import _env_positive_int
+
+    monkeypatch.delenv("X_DRAIN_KNOB", raising=False)
+    assert _env_positive_int("X_DRAIN_KNOB", 300) == 300
+
+    monkeypatch.setenv("X_DRAIN_KNOB", "120")
+    assert _env_positive_int("X_DRAIN_KNOB", 300) == 120
+
+    for bad in ("12s", "", "0", "-5", "3.5"):
+        monkeypatch.setenv("X_DRAIN_KNOB", bad)
+        assert _env_positive_int("X_DRAIN_KNOB", 300) == 300
+        assert "X_DRAIN_KNOB" in capsys.readouterr().err

@@ -98,3 +98,28 @@ def test_vocab_bound_guard_raises(spark):
         train_bpe(df, n_merges=3, max_vocab_rows=10)
     # at/under the bound trains normally (21 distinct words)
     assert train_bpe(df, n_merges=3, max_vocab_rows=21)
+
+
+def test_fixed_merges_are_sf001_training_output(spark, sf_dir):
+    """Pin BPE_FIXED_MERGES (the graded apply query's literal merge
+    list, mirrored verbatim in its DuckDB oracle) to what train_bpe
+    actually produces on the sf0.01 corpus — the literal cannot drift
+    from training without this failing. Runs on the sf0.01 driver
+    data when available, else the configured sf_dir."""
+    import os
+
+    from simple_etl_spark.llm.bpe import train_bpe
+    from simple_etl_spark.llm.llm_queries import BPE_FIXED_MERGES
+
+    sf001 = "/root/testdata/sf0.01"
+    src = sf001 if os.path.isdir(sf001) else sf_dir
+    d = spark.read.parquet(os.path.join(src, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    got = train_bpe(d, n_merges=30)
+    if src == sf001:
+        assert got == BPE_FIXED_MERGES
+    else:
+        # foreign sf_dir: can only assert shape, the literal is
+        # sf0.01-specific
+        assert len(got) == 30

@@ -562,7 +562,12 @@ def m_search_fuzzy(cat: Catalog) -> DataFrame:
 
 
 def _entities(cat: Catalog) -> DataFrame:
-    return extract_entities(_gold(cat))
+    # pinned to the oracle-twinned extractor: ENTITIES_CTE is the SQL
+    # of deterministic_extractor; the production default
+    # (gazetteer_extractor) has its own pipeline tests
+    from simple_etl_spark.operators.entities import deterministic_extractor
+
+    return extract_entities(_gold(cat), extractor=deterministic_extractor)
 
 
 @query(

@@ -143,6 +143,55 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             pass
 
 
+def ship_package(spark: SparkSession) -> str | None:
+    """Ship ``simple_etl_spark`` to executor Python workers.
+
+    On ``local[*]`` the workers fork from the driver process and
+    inherit its ``sys.path``, so every closure that pickles an engine
+    function by reference just works. On ANY multi-JVM master
+    (``local-cluster``, standalone, YARN, k8s) executor JVMs spawn
+    their own Python workers with no view of the driver's checkout,
+    and the first ``mapInPandas`` that references an engine module
+    dies with ``ModuleNotFoundError: simple_etl_spark`` — found live
+    by the round-9 local-cluster window replay, where every
+    Python-surface query failed exactly this way.
+
+    The fix is the standard deployment step: zip the package and
+    ``addPyFile`` it (Spark's file server distributes the archive and
+    prepends it to every worker's path). Idempotent per session;
+    returns the archive path, or None on local masters where shipping
+    is unnecessary."""
+    master = spark.conf.get("spark.master", "")
+    if master.startswith("local[") or master == "local":
+        return None
+    if getattr(ship_package, "_shipped", None) is spark.sparkContext:
+        return getattr(ship_package, "_zip", None)
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(),
+        f"simple_etl_spark-{os.getpid()}.zip",
+    )
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "simple_etl_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    ship_package._shipped = spark.sparkContext
+    ship_package._zip = zpath
+    return zpath
+
+
 class Catalog:
     """Lazy table catalog over a directory of parquet tables.
 
@@ -157,6 +206,9 @@ class Catalog:
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
         ensure_runtime_confs(spark)
+        # multi-JVM masters need the package on executor python
+        # workers (no-op on local[*]; see ship_package)
+        ship_package(spark)
 
     def __getitem__(self, name: str) -> DataFrame:
         if name not in self._cache:

@@ -205,10 +205,17 @@ def gap_session_finalizer(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        def row(s: int, e: int, n: int) -> pd.DataFrame:
+        def rows(ivs: list[list[int]]) -> pd.DataFrame:
+            # ONE frame for all of this key's expired sessions — the
+            # r9 sf10 profile showed the timer batch spending ~80% of
+            # the whole drain constructing a single-row DataFrame per
+            # emitted session (9.5M frames for 10M events); batching
+            # per key cuts that to one frame per firing key
             return pd.DataFrame(
-                {"key": [key[0]], "start_ms": [s], "end_ms": [e],
-                 "n_events": [n]}
+                {"key": [key[0]] * len(ivs),
+                 "start_ms": [iv[0] for iv in ivs],
+                 "end_ms": [iv[1] for iv in ivs],
+                 "n_events": [iv[2] for iv in ivs]}
             )
 
         def held_sessions() -> list[list[int]]:
@@ -227,8 +234,8 @@ def gap_session_finalizer(
             wm = state.getCurrentWatermarkMs()
             expired = [iv for iv in sessions if iv[1] + gap_ms < wm]
             held = [iv for iv in sessions if iv[1] + gap_ms >= wm]
-            for s, e, n in expired:
-                yield row(s, e, n)
+            if expired:
+                yield rows(expired)
             if held:
                 state.update(
                     (

@@ -5,12 +5,14 @@ columns with a metadata struct; decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so payload bytes never round-trip
 through Python row-at-a-time.
 
-:func:`decode_image` REALLY decodes the uncompressed formats a
-stdlib-only executor can handle — PPM (P6), PGM (P5), and
-BI_RGB BMP (24/32-bit) — returning raw row-major pixels;
-compressed formats (PNG/JPEG) still raise ``NotImplementedError``
-(codec libraries are not in this environment — a real deployment
-plugs PIL/libvips into the same dispatch). Graded queries use
+:func:`decode_image` REALLY decodes the formats a stdlib-only
+executor can handle — PPM (P6), PGM (P5), BI_RGB BMP (24/32-bit),
+and non-interlaced 8-bit PNG (DEFLATE via ``zlib`` + the five
+scanline filters) — returning raw row-major pixels; JPEG and the
+PNG variants that need a real codec (palette, 16-bit, Adam7) raise
+``NotImplementedError`` (codec libraries are not in this
+environment — a real deployment plugs PIL/libvips into the same
+dispatch). Graded queries use
 :func:`byte_features`, a deterministic extractor with the same batch
 shape, so grading never depends on payload format; the decode path is
 exercised in pytest over generated fixture images
@@ -208,11 +210,24 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         )
     if w < 1 or h < 1:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
-    raw = zlib.decompress(b"".join(idat))
     stride = w * nch
-    if len(raw) != (stride + 1) * h:
+    expected = (stride + 1) * h
+    # bound the inflate by the size the header promises BEFORE
+    # allocating: DEFLATE ratios reach ~1000:1, so an unbounded
+    # zlib.decompress on a hostile/corrupt blob would OOM the
+    # executor task instead of raising. zlib.error is also mapped to
+    # ValueError here — decode_image's contract is that malformed
+    # payloads raise ValueError (image_features turns that into NULL
+    # features; a leaked zlib.error would kill the whole task).
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
+        raw += d.flush(1)  # surface trailing bytes as a length error
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT is not a valid zlib stream: {exc}") from exc
+    if len(raw) != expected:
         raise ValueError(
-            f"PNG scanline data length {len(raw)} != {(stride + 1) * h}"
+            f"PNG scanline data length {len(raw)}+ != {expected}"
         )
     out = bytearray(stride * h)
     prev = bytearray(stride)

@@ -126,13 +126,24 @@ _WORD_RE = None  # compiled lazily; keeps import time flat
 def _gazetteer_tokens(text: str) -> list[tuple[str, int, int]]:
     """(token, start, end) over the text — word characters plus the
     dots/dashes names carry ("Dr.", "Joko-Wi"), offsets in the raw
-    string so entity positions are exact."""
+    string so entity positions are exact. TRAILING dots are stripped
+    from the token (end offset adjusted): the regex would otherwise
+    swallow a sentence-final period into the token ("Jakarta."), and
+    every sentence-final entity would silently miss the gazetteer
+    (code-review r9 finding, reproduced). Interior dots ("Dr.", kept
+    mid-token) survive because only the trailing run is stripped."""
     global _WORD_RE
     if _WORD_RE is None:
         import re
 
         _WORD_RE = re.compile(r"[^\W\d_][\w.'-]*", re.UNICODE)
-    return [(m.group(0), m.start(), m.end()) for m in _WORD_RE.finditer(text)]
+    out = []
+    for m in _WORD_RE.finditer(text):
+        tok, start, end = m.group(0), m.start(), m.end()
+        stripped = tok.rstrip(".")
+        if stripped:
+            out.append((stripped, start, start + len(stripped)))
+    return out
 
 
 def _is_capitalized(tok: str) -> bool:

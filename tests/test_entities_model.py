@@ -155,3 +155,24 @@ def test_gazetteer_drives_full_entity_pipeline(spark):
     )
     assert {r["entity_type"] for r in rollup} <= {"PER", "ORG", "LOC"}
     assert sum(r["count"] for r in rollup) == len(rows)
+
+
+def test_gazetteer_sentence_final_period():
+    """A sentence-final period must not hide the entity (code-review
+    r9, reproduced): the token regex swallows trailing dots, so
+    tokenization strips them with offsets intact."""
+    from simple_etl_spark.operators.entities import gazetteer_extractor
+
+    text = "Presiden berkunjung ke Jakarta."
+    ents = gazetteer_extractor(text)
+    assert [(e[0], e[1]) for e in ents] == [("Jakarta", "LOC")]
+    e = ents[0]
+    assert text[e[3]:e[4]] == "Jakarta"  # dot excluded from the span
+
+    ents2 = gazetteer_extractor("rapat di Bank Indonesia.")
+    assert [(x[0], x[1], x[2]) for x in ents2] == [
+        ("Bank Indonesia", "ORG", 0.95)
+    ]
+    # interior dots survive (title abbreviations still classify)
+    ents3 = gazetteer_extractor("Dr. Sri Mulyani hadir.")
+    assert ("Sri Mulyani", "PER") in {(x[0], x[1]) for x in ents3}

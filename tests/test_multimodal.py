@@ -301,3 +301,59 @@ def test_resize_rgba_drops_alpha_to_p6(spark):
     expected = encode_ppm(2, 2, 3, arr.tobytes())  # identity resize
     assert out["out_bytes"] == len(expected)
     assert out["out_md5"] == hashlib.md5(expected).hexdigest()
+
+
+def test_png_invalid_zlib_stream_raises_value_error():
+    """zlib.error must surface as ValueError (decode_image's contract;
+    a leaked zlib.error would kill the mapInPandas task instead of
+    yielding NULL features — code-review r9, reproduced)."""
+    import struct as _s
+    import zlib
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", b"notzlib") + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_image(bad)
+
+
+def test_png_decompression_bomb_is_bounded():
+    """The inflate is bounded by the header's promised size BEFORE
+    allocating: a tiny IDAT inflating to 10 MB against declared 2x1
+    dims must raise ValueError without materializing the 10 MB."""
+    import struct as _s
+    import zlib
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)  # gray 2x1: 3 bytes raw
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_image(bomb)
+
+
+def test_image_features_null_for_bad_idat(spark):
+    """End-to-end: an invalid-zlib PNG payload yields NULL features,
+    not a task failure."""
+    import struct as _s
+    import zlib
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", b"notzlib") + chunk(b"IEND", b""))
+    df = _binary_df(spark, {1: bad, 2: PPM_3x2})
+    rows = {r["doc_id"]: r for r in image_features(df).collect()}
+    assert rows[1]["width"] is None
+    assert rows[2]["width"] == 3

@@ -155,8 +155,15 @@ def main() -> None:
         run_window(spark, done)
     if what in ("sweep", "all"):
         run_sweep(spark, done)
-    # summary
-    recs = [json.loads(l) for l in open(OUT)]
+    # summary — tolerant of a partial line from a killed _emit, same
+    # as _done(): the resume path already skipped it, so the summary
+    # must not crash on it after hours of re-executed work
+    recs = []
+    for line in open(OUT):
+        try:
+            recs.append(json.loads(line))
+        except ValueError:
+            continue
     for phase in ("window", "sweep"):
         sub = [r for r in recs if r["phase"] == phase]
         ok = sum(1 for r in sub if r["ok"])

@@ -55,7 +55,11 @@ CELL = textwrap.dedent(
     n = e.queries()[{name!r}](spark, {sf!r}).count()
     sec = round(time.time() - t0, 1)
     app = spark.sparkContext.applicationId
-    url = f"http://localhost:4059/api/v1/applications/{{app}}/stages?status=complete"
+    # uiWebUrl, not the configured port: Spark port-retries to 4060+
+    # if 4059 is busy, and a wrong-port fetch would record an
+    # hour-long completed cell as FAILED
+    base = spark.sparkContext.uiWebUrl
+    url = f"{{base}}/api/v1/applications/{{app}}/stages?status=complete"
     stages = json.loads(urllib.request.urlopen(url, timeout=30).read())
     mem_spill = sum(s.get("memoryBytesSpilled", 0) for s in stages)
     disk_spill = sum(s.get("diskBytesSpilled", 0) for s in stages)

@@ -594,25 +594,111 @@ def llm_label_outliers(cat: Catalog) -> DataFrame:
 
 @query(
     "llm_ann_ivf",
-    # k-means training is iterative and not reasonably expressible in
-    # one SQL statement — rows-only driver check; exactness is locked
-    # by tests/test_ivf.py (probes == n_centroids ≡ brute force, and
-    # training matches a NumPy reference implementation).
-    oracle=None,
+    # DuckDB twin of the IVF SEARCH pipeline over the PINNED centroid
+    # matrix (the llm_bpe_tokens pattern: grade apply, pytest-lock
+    # training): the literal normalized centroids ride in the VALUES
+    # list; assignment is float64 argmax cosine (engine-independent
+    # here because the min top1-top2 margin on this corpus is ~2.4e-4,
+    # ten orders above float64 reduction-order drift — guarded by
+    # tests/test_ivf.py::test_assignment_margins_dwarf_float_drift);
+    # candidates are (query 2-probe cells) x (corpus cell); rescore is
+    # the engine's exact-decimal dot/norms (decimal(12,10) elements,
+    # decimal(30,20) accumulator) with the double-division cosine
+    # exposed at the 6-dp discipline. k-means TRAINING stays
+    # pytest-locked (NumPy reference + drift pin of the literal).
+    oracle=r"""WITH
+cents(cid, ce) AS (VALUES
+        (0, [0.023642688312305073, 0.008970353845036803, 0.15521838595011123, -0.31688650409950625, 0.03147180818974308, -0.06923718378019929, -0.04111496695050159, 0.03304561464567617, 0.19809020310280234, -0.07604641445042652, -0.05993346203725498, 0.03524526175201056, -0.15423989799778312, -0.04869930096952214, -0.051785594007274505, -0.017256828299132245, 0.2124682287110797, 0.13975899409274506, 0.07031622344500697, 0.11057425385105235, -0.20695498523294822, 0.04500777018933122, -0.04133901124880827, -0.06997847358777305, 0.016129559740749762, 0.26942198738334433, 0.32803110878397485, -0.023292251444356777, -0.052340032520319525, 0.2440254735180953, -0.10532720640859354, 0.2223049705941523, 0.01853989076119037, -0.13914296058793044, 0.04808791278650299, -0.18073793952723213, -0.015770322738916227, 0.07340451138739942, 0.08730750690431253, 0.018284979026431062, 0.0017939301041925916, -0.009037097917831536, 0.013883600011845522, 0.006364735814950957, 0.0625854023422517, 0.10434608954003388, 0.10390646962573073, -0.18806953505263566, 0.02011670478922705, -0.1694245195559578, 0.00714783164727109, 0.08618913181104998, 0.03205694863291529, -0.1977882327549795, 0.08220013661748572, 0.06649508316024262, -0.03562918657323097, 0.02187512325642322, -0.247006575490941, -0.056647123840614606, -0.059750641598646466, 0.1323994865548135, 0.1458516166637642, -0.15606812257836922]::DOUBLE[]),
+        (1, [-0.05948388140677254, -0.06296094835143778, 0.03590825247899053, -0.002625701820582873, 0.03770163787660806, 0.12437012260170893, -0.3299422834475696, -0.0650667553486238, -0.010622348819947914, -0.012947529431045674, -0.21219649734491441, 0.16006111796415676, 0.2513264914868802, -0.3077772989859233, 0.12862088407601033, -0.003933102815629401, -0.03264798659454915, -0.06804467078784318, 0.1404168588410578, -0.14702571638033798, 0.12278116445754127, 0.06081285051794635, -0.005305999540987739, -0.08675266594771605, 0.14920201056723625, 0.25294566721605993, -0.04439077762230428, -0.08214639254933553, -0.01844444502995847, 0.039877461088916266, -0.051886824770074155, 0.024538476538426595, 0.03092395202267272, -0.013035318688639679, 0.025286889089193097, 0.0054963355642670825, -0.17941613718344127, 0.05788558834173358, 0.06366834888701321, -0.2700838919350661, 0.03462342522438384, -0.14899207654051402, 0.07379339404249069, 0.0508003611081616, 0.10011201309028879, 0.06441271153076063, -0.12768916641676242, -0.050130397281033114, -0.22365466707706164, -0.30756140404718674, -0.07720547518902633, 0.03723346233398374, -0.07504590562392256, 0.013068979982851553, -0.0682789708200986, 0.13541350553894915, 0.17253773824031474, -0.012442062592246604, 0.14050868588883303, 0.0378126527775482, -0.06952114794648387, -0.02451677724539573, -0.15853025301898324, -0.03347048797013653]::DOUBLE[]),
+        (2, [0.012359956488395513, 0.025081091574494487, -0.17510628246641008, 0.18607990156223345, 0.1525043886366575, -0.028099927282421593, -0.03735402693852645, 0.06059022774491074, -0.010571692445777336, -0.26221829819613934, -0.05249944364773578, -0.08038615126811129, -0.20914311565346771, 0.2501560442376934, 0.0029052907278399424, 0.025638899895874173, -0.09679634627264717, 0.14890574236562157, -0.024618341304272207, -0.1071880128408435, -0.010124455076493297, 0.03133845497553839, 0.2653729413278345, -0.08483216614356903, 0.021299147363058032, -0.18485294921922749, 0.02103898129709148, -0.007073238745623519, 0.02768653867420206, 0.008346145874629033, -0.057854932156349986, -0.34349970601014695, 0.02311387434169948, -0.0019765129555379345, 0.03006254812015549, 0.0029846747261547267, 0.05694710447158412, 0.2211766566174401, 0.19161406738487305, 0.2125565443616176, -0.018314375277030885, -0.04786204623249172, 0.034264511930785176, 0.08588374005603111, -0.03801994199305207, -0.06412780077817713, -0.04575857703866699, -0.017135937402108156, 0.18022014068887282, 0.155610218518867, 0.194267009192847, -0.23146656613569408, -0.046249019769445884, -0.12108978824663827, 0.18128689669543563, -0.0010625316740612036, 0.07790953557757463, -0.07006695459619, 0.06643735075902098, 0.19457202970518084, 0.1724633407340668, 0.025330442147165864, 0.06427199571931588, 0.0057470132299291665]::DOUBLE[]),
+        (3, [-0.10667605094802399, 0.07841694821778147, -0.0495385702639834, -0.05333966091492817, -0.05926761455289196, 0.05732141908864, 0.10510864973348515, 0.04550152246674461, -0.10980989234665631, 0.01802392276249315, 0.009805708290494491, 0.1652924842466541, 0.06026337110150093, 0.3719326968438858, 0.0400645830249021, -0.007004081181601194, -0.1588489841775021, -0.1921940602277017, 0.02633244572606185, 0.11753210409895547, 0.02866402810663532, -0.024708221690000167, -0.08346863073694485, 0.06277349957438079, -0.07239569032662813, 0.10802938325394469, -0.09997191585668079, -0.03883094365349354, -0.25135299208854883, -0.16706183592733, -0.04089168039424048, -0.047949125370164776, 0.28168513299074754, -0.020590656786521708, 0.02364879259357019, -0.07965571753596616, 0.04546783423099404, -0.14654507822725635, -0.13149609421211925, -0.11154678986764915, -0.013719665603761082, -0.13006614741747513, -0.2854767105077675, -0.12594880678743078, -0.00013585253925662828, 0.027057733452124914, -0.04185378577241725, -0.1433842879762208, 0.26797832449257475, -0.19781607492702802, 0.07024147476518687, -0.05938199156111925, 0.06304023433376142, 0.08852861527663058, -0.1684044480368163, -0.13392983059520658, 0.04363662931673858, -0.016040285604886108, 0.09672437693443899, -0.2032693290062683, 0.09450054047869834, 0.03228242088932708, -0.043730735009588184, -0.20408486109763602]::DOUBLE[]),
+        (4, [0.10239146272023127, 0.010321069527804611, 0.24706772349486655, -0.09006175128715567, -0.1358338829418157, -0.2408132369242847, 0.14563852093072754, -0.0025904205406952698, 0.03774476592267127, 0.12376908050418951, 0.07720638963207377, -0.2507243543674313, 0.12368308619319712, -0.14824385380525426, 0.06328507150290745, -0.08871632015576383, 0.19221791850133807, 0.062473015966127525, 0.03550455712034222, 0.11648490169467683, -0.06628646536175274, 0.13565481280121222, -0.08693987564049893, 0.03162473852727113, -0.08708743979402733, 0.01053465806766073, 0.06272131054196942, 0.02709299416453233, 0.12886978530574295, -0.16310744711392186, 0.14394718409580792, -0.10099236795594979, 0.05188859258261941, 0.08942907205980047, 0.14564365750876385, -0.2215728216141865, 0.062207375444519784, -0.28437805993896315, -0.1349366837515732, 0.0566968814891345, 0.06871432552030647, 0.006001718818951257, -0.03692040728770969, 0.03382807548696637, -0.10455570466245323, -0.051261581374043234, -0.1492400291347983, 0.21389573345479237, -0.11379996659895189, -0.006542874738545071, -0.029433053616829744, -0.017042037715792744, 0.09827394955759214, 0.029307560861158113, 0.34538433915349054, -0.07478879363497025, -0.008557177223081101, -0.06713017308436527, 0.11547375619923922, -0.0043751794122298075, -0.22724911919688812, -0.04997645774833976, 0.12854252282885878, 0.014000650449173889]::DOUBLE[]),
+        (5, [-0.1271652897906608, -0.05899563380342928, 0.11019148977358524, 0.015512413254180414, 0.20679203536680027, -0.04349313938797374, -0.19809819663398723, 0.2523816532016083, -0.08628166431321514, 0.05680316125535086, 0.11031307675506173, -0.047020833824258264, 0.014246778664080613, 0.03995920043985555, -0.06507121427371233, 0.029954043418810524, -0.0042731160210154875, -0.16984376694337697, -0.05574370809230719, 0.1234456700821308, 0.027695096312350953, -0.08875438021213572, 0.12254898723584078, -0.030177977215156377, 0.08693692215937983, 0.18213873000934913, -0.11157020236637742, 0.009229482323326415, 0.019871926622539282, 0.08658290224585226, 0.041629494732748296, -0.09429215719664484, 0.0063429946600640965, -0.025685673396261207, -0.027530891349888415, 0.20767937781466664, 0.036494361772819034, 0.23091168445119845, -0.09257272481320272, 0.05400587457824266, -0.17201601092726407, 0.21980885298375433, 0.04315514570959283, 0.10461750384637702, -0.3376651811503844, -0.16975504531041674, 0.05330003918197077, -0.09079421870670816, -0.07074269352315182, 0.0986318346038179, 0.14274650873735975, 0.1600139938504557, 0.034607390295925966, 0.1272588143712688, -0.15578627514341223, -0.29000366510916226, 0.12172641556095364, -0.15375914868336726, 0.020203668797685294, -0.028479046933948916, -0.009108001078632022, 0.17579946506893376, -0.14552462725632573, 0.10555966146788814]::DOUBLE[]),
+        (6, [-0.09057725517414883, -0.16423801736376206, -0.03950485612905424, -0.05792361041827154, 0.1787378365607728, 0.26541385592295597, -0.10802581511559, -0.18359586678042072, 0.03235029683045801, 0.17319334995504587, 0.21067968534772988, 0.06587987227790254, 0.031147112285908746, 0.17245426184751797, -0.05967910490565425, 0.16479442546661302, 0.09192074056300686, 0.21413518691856562, -0.22985848038739523, -0.1735064481695267, 0.008964139945889897, -0.042668866340541234, -0.00977610628605549, -0.2130354385464587, -0.16759336717468068, -0.05742725500768946, -0.034687040841381925, 0.17981769262313582, 0.11048131678661406, -0.1489854103662304, 0.011623211221439647, 0.015183527160800717, -0.052077570224178645, -0.18052250084875104, -0.09255369448655583, 0.17477162764419596, 0.07207780646143018, -0.05347914287216567, -0.04697190217591194, -0.014451985828943635, 0.11694640156954596, -0.14466801896072568, 0.0084199540768624, -0.09398892270089186, 0.01118416950182122, 0.049046596134847596, 0.11309596779967208, 0.17853980459358937, 0.0398091609594376, 0.07694959789716405, -0.10721184578808376, -0.007029778742002932, 0.17704881569952155, -0.00870123872829988, 0.08725612154058447, 0.13093431263457614, -0.23704142875898646, 0.19487209736944083, -0.07774801381615822, -0.1416535956757213, 0.06474523644990578, -0.04360411301368922, -0.014857800285614328, 0.09600358606490716]::DOUBLE[]),
+        (7, [0.3267062497085507, 0.04843531504338826, -0.13363872983987898, 0.1436506860789938, -0.12860662376608922, 0.10165087056783974, -0.05007779989773493, 0.15147483227214734, -0.09333401331596647, -0.07485166037160876, 0.08548378106627338, 0.014058071985193932, -0.22452330567845688, -0.26359973310162577, -0.05791493746781746, 0.047330372337107914, -0.07197063786150956, 0.06219306998120731, 0.05113483968205368, 0.027841571283214135, -0.0563292715634064, -0.019094642734450933, -0.027038865563740418, 0.15242915463763235, -2.3101150256403736e-05, -0.17925220983255388, -0.10854871944692115, 0.23043944332464927, -0.0008989711869877646, 0.13032152060855942, 0.2146536151256078, 0.13085320115602098, -0.0918772605054556, 0.09702848450849728, 0.033812741004285024, 0.056081497857842846, -0.2228112591301253, -0.1456356197677896, 0.052180503593663954, 0.05310560794469776, -0.06854581137481826, -0.09233818862861103, 0.14871147947099433, -0.06022254988019928, -0.03823259008788961, 0.1504194864326229, 0.05818349297864279, 0.24960155778489174, -0.19228046180612868, 0.031144912983506662, 0.10131551110120263, -0.030520239253786607, -0.05350820519120049, -0.08126542396587987, -0.09695439780805355, 0.05073176967446222, 0.023543278463303615, 0.004503119414356436, -0.2594954041684171, -0.03554504883932095, 0.006882550428039402, -0.08152998141255466, 0.03541234262084175, -0.2462949396445594]::DOUBLE[])),
+cl AS (
+    SELECT cid, unnest(ce) AS cval, unnest(range(1, 65)) AS pos FROM cents
+),
+rv AS (
+    SELECT vec_id, unnest(cast(embedding as double[])) AS dval,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM embeddings
+),
+sims AS (
+    SELECT rv.vec_id, cl.cid, sum(rv.dval * cl.cval) AS sim
+    FROM rv JOIN cl USING (pos) GROUP BY 1, 2
+),
+assigned AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS pr
+    FROM sims
+),
+corpus_cell AS (SELECT vec_id, cid FROM assigned WHERE pr = 1),
+query_cells AS (SELECT vec_id, cid FROM assigned WHERE pr <= 2 AND vec_id < 10),
+cand AS (
+    SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+    FROM query_cells qc JOIN corpus_cell cc ON cc.cid = qc.cid
+    WHERE cc.vec_id <> qc.vec_id
+),
+dv AS (
+    SELECT vec_id,
+           unnest(list_transform(cast(embedding as double[]),
+                                 x -> CAST(x AS DECIMAL(12,10)))) AS val,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM embeddings
+),
+n2s AS (
+    SELECT vec_id, sum(CAST(val * val AS DECIMAL(30,20))) AS n2
+    FROM dv GROUP BY vec_id
+    HAVING sum(CAST(val * val AS DECIMAL(30,20))) > 0
+),
+dots AS (
+    SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+           sum(CAST(qa.val * ca.val AS DECIMAL(30,20))) AS dp
+    FROM dv qa
+    JOIN dv ca ON ca.pos = qa.pos
+    JOIN cand ON cand.query_id = qa.vec_id AND cand.neighbor_id = ca.vec_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           cast(d.dp as double)
+             / (sqrt(cast(qn.n2 as double)) * sqrt(cast(cn.n2 as double)))
+               AS score
+    FROM dots d
+    JOIN n2s qn ON qn.vec_id = d.query_id
+    JOIN n2s cn ON cn.vec_id = d.neighbor_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cast(score as decimal(18,6)) AS score_q,
+       cast(rnk as bigint) AS rnk
+FROM ranked WHERE rnk <= 3""",
     survey="LLM similarity: trained-IVF ANN (spherical k-means "
-    "centroids + multi-probe cell search)",
+    "centroids + multi-probe cell search) — search graded over the "
+    "pinned centroid matrix; training pytest-locked",
 )
 def llm_ann_ivf(cat: Catalog) -> DataFrame:
-    """Trained-IVF ANN: 8 spherical-k-means cells over the corpus,
-    2-probe search for the first 10 vectors."""
+    """Trained-IVF ANN search with the canonical (pinned) 8-cell
+    centroid matrix: 2-probe top-3 for the first 10 vectors. The
+    matrix is literally what ``train_ivf_centroids(embeddings@sf0.01,
+    8, iters=3)`` produces (drift-pinned in tests/test_ivf.py), so
+    search is graded hash-exact while training keeps its pytest lock
+    against the NumPy reference — the production shape as well:
+    train once, search many."""
+    from simple_etl_spark.llm.ivf_centroids_sf001 import IVF_FIXED_CENTROIDS
+
     emb = cat["embeddings"]
     return ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 10),
         k=3,
-        n_centroids=8,
-        iters=3,
         probes=2,
+        centroids=IVF_FIXED_CENTROIDS,
     )
 
 

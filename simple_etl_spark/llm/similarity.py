@@ -797,13 +797,25 @@ def assign_ivf(
     k·dim floats broadcast with the task, no join against a centroid
     relation and therefore no shuffle."""
     cn = _normalized_rows(np.asarray(centroids, dtype=np.float64))
+
+    def _checked(vecs: "np.ndarray") -> "np.ndarray":
+        # a pinned/pre-trained matrix can silently mismatch a
+        # regenerated corpus; fail with the dims named instead of a
+        # cryptic numpy broadcast error deep in the Arrow batch
+        if vecs.shape[1] != cn.shape[1]:
+            raise ValueError(
+                f"embedding vector length {vecs.shape[1]} != centroid "
+                f"dimension {cn.shape[1]}"
+            )
+        return vecs
+
     if probes == 1:
 
         @F.pandas_udf("int")
         def _assign(s: pd.Series) -> pd.Series:
-            vecs = _normalized_rows(
+            vecs = _checked(_normalized_rows(
                 np.stack(s.to_numpy()).astype(np.float64)
-            )
+            ))
             return pd.Series(np.argmax(vecs @ cn.T, axis=1))
 
         return df.withColumn(out_col, _assign(F.col(vec_col)))
@@ -812,7 +824,9 @@ def assign_ivf(
 
     @F.pandas_udf("array<int>")
     def _assign_multi(s: pd.Series) -> pd.Series:
-        vecs = _normalized_rows(np.stack(s.to_numpy()).astype(np.float64))
+        vecs = _checked(
+            _normalized_rows(np.stack(s.to_numpy()).astype(np.float64))
+        )
         sims = vecs @ cn.T
         # stable sort keeps ties on lowest centroid index, matching
         # the probes=1 argmax tie-break

@@ -227,3 +227,80 @@ def test_assignment_margins_dwarf_float_drift(spark):
     top = -np.sort(-sims, axis=1)
     assert (top[:, 0] - top[:, 1]).min() > 1e-9
     assert (top[:, 1] - top[:, 2]).min() > 1e-9
+
+
+def test_rescore_margins_and_quantization_boundaries(spark):
+    """Review r9: the graded rescore ranks on a double whose
+    decimal->double cast differs by 1 ulp between DuckDB and Spark
+    (~25% of values), so cross-engine rank/score_q parity rests on
+    score margins. Guard them the way assignment margins are guarded:
+    for every graded query, (a) adjacent candidate scores around the
+    top-3 cut are separated by far more than 1 ulp, and (b) the
+    exposed top-3 scores sit far from a 6-dp rounding midpoint, so a
+    1-ulp disagreement can never flip rnk or score_q."""
+    import os
+    from decimal import Decimal
+
+    from simple_etl_spark.llm.ivf_centroids_sf001 import IVF_FIXED_CENTROIDS
+
+    sf001 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf001):
+        pytest.skip("sf0.01 driver data not present")
+    emb = spark.read.parquet(os.path.join(sf001, "embeddings.parquet"))
+    rows = {r["vec_id"]: list(r["embedding"])
+            for r in emb.orderBy("vec_id").collect()}
+    arr = np.array(IVF_FIXED_CENTROIDS, dtype=np.float64)
+
+    def norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    ids = sorted(rows)
+    mat = np.array([rows[i] for i in ids], dtype=np.float64)
+    sims = norm(mat) @ norm(arr).T
+    cell = {i: int(np.argmax(sims[j])) for j, i in enumerate(ids)}
+    order = np.argsort(-sims, axis=1, kind="stable")
+    probes = {i: set(order[j][:2]) for j, i in enumerate(ids) if i < 10}
+
+    # engine-exact candidate scores: decimal(12,10) elements, exact
+    # integer dot/norm sums, then one float division — the same value
+    # both engines' decimal lifts produce before their double casts
+    q10 = Decimal("0.0000000001")
+
+    def ivec(v):
+        return [int(Decimal(repr(x)).quantize(q10) / q10) for x in v]
+
+    iv = {i: ivec(rows[i]) for i in ids}
+    n2 = {i: sum(x * x for x in iv[i]) for i in ids}
+    for qid, cells in probes.items():
+        scores = []
+        for nid in ids:
+            if nid == qid or cell[nid] not in cells or n2[nid] == 0:
+                continue
+            dp = sum(a * b for a, b in zip(iv[qid], iv[nid]))
+            scores.append(dp / (np.sqrt(float(n2[qid])) * np.sqrt(float(n2[nid]))))
+        scores.sort(reverse=True)
+        # (a) rank stability around the cut: every adjacent gap in the
+        # top-4 dwarfs double noise
+        for a, b in zip(scores[:4], scores[1:5]):
+            assert a - b > 1e-9, (qid, a, b)
+        # (b) 6-dp exposure: distance from the nearest rounding
+        # midpoint (k + 0.5) * 1e-6 dwarfs a 1-ulp cast disagreement
+        for s in scores[:3]:
+            frac = abs(s) * 1e6 % 1.0
+            assert abs(frac - 0.5) > 1e-6, (qid, s)
+
+
+def test_pinned_centroids_reject_wrong_dim(spark):
+    """Review r9: a pinned matrix against a mismatched-dim corpus must
+    fail with the dims named, not a numpy broadcast error."""
+    from simple_etl_spark.llm.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(6)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="vector length"):
+        ivf_topk(
+            emb, emb.filter("vec_id < 2"), k=1, probes=2,
+            centroids=[[1.0, 0.0], [0.0, 1.0]],
+        ).collect()

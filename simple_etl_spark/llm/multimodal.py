@@ -7,12 +7,13 @@ through Python row-at-a-time.
 
 :func:`decode_image` REALLY decodes the formats a stdlib-only
 executor can handle — PPM (P6), PGM (P5), BI_RGB BMP (24/32-bit),
-and non-interlaced 8-bit PNG (DEFLATE via ``zlib`` + the five
-scanline filters) — returning raw row-major pixels; JPEG and the
-PNG variants that need a real codec (palette, 16-bit, Adam7) raise
-``NotImplementedError`` (codec libraries are not in this
-environment — a real deployment plugs PIL/libvips into the same
-dispatch). Graded queries use
+non-interlaced 8-bit PNG (DEFLATE via ``zlib`` + the five scanline
+filters), and BASELINE JPEG (SOF0: canonical Huffman + dequant +
+float64 IDCT + YCbCr, sampling factors ≤ 2) — returning raw
+row-major pixels; the variants that genuinely need a codec library
+(progressive/arithmetic/12-bit JPEG; palette/16-bit/Adam7 PNG)
+raise ``NotImplementedError`` (a real deployment plugs PIL/libvips
+into the same dispatch). Graded queries use
 :func:`byte_features`, a deterministic extractor with the same batch
 shape, so grading never depends on payload format; the decode path is
 exercised in pytest over generated fixture images
@@ -71,17 +72,18 @@ def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image with zero dependencies: binary PPM (``P6``, 3
     channels), binary PGM (``P5``, 1 channel), uncompressed BI_RGB BMP
-    (24-bit → RGB, 32-bit → RGBA; bottom-up or top-down), and
+    (24-bit → RGB, 32-bit → RGBA; bottom-up or top-down),
     non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA — DEFLATE via
-    stdlib ``zlib`` plus the five scanline filters). Returns
-    ``(width, height, channels, pixels)`` with ``pixels`` row-major
-    top-down, channels interleaved.
+    stdlib ``zlib`` plus the five scanline filters), and baseline
+    JPEG (gray → 1 channel, YCbCr → RGB; see :func:`_decode_jpeg`).
+    Returns ``(width, height, channels, pixels)`` with ``pixels``
+    row-major top-down, channels interleaved.
 
-    JPEG (and PNG variants needing a real codec: palette, 16-bit,
-    Adam7) raise ``NotImplementedError`` — entropy coders belong to a
-    codec library (PIL/libvips on executors), which this environment
-    lacks; the dispatch below is where a deployment plugs one in.
-    Malformed payloads raise ``ValueError``."""
+    The variants that genuinely need a codec library — progressive /
+    arithmetic-coded / 12-bit JPEG, palette / 16-bit / Adam7 PNG —
+    raise ``NotImplementedError``; the dispatch below is where a
+    deployment plugs PIL/libvips in. Malformed payloads raise
+    ``ValueError``."""
     if payload[:2] in (b"P6", b"P5"):
         channels = 3 if payload[:2] == b"P6" else 1
         (w, h, maxval), off = _ppm_tokens(payload, 3)
@@ -147,9 +149,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires a codec library on executors"
-        )
+        return _decode_jpeg(payload)
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")
 
 
@@ -255,6 +255,331 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         out[r * stride : (r + 1) * stride] = row
         prev = row
     return w, h, nch, bytes(out)
+
+
+# JPEG zigzag order: zigzag index -> natural (row-major) coefficient
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_BASIS = None  # 64x64 float basis, built once per process
+
+
+def _jpeg_idct_basis() -> list[list[float]]:
+    """pixel[p] = Σ_k basis[p][k] · coeff[k] — the type-III 8x8 DCT as
+    one precomputed 64×64 float matrix (ITU T.81 A.3.3). Pure float64
+    arithmetic in a fixed order, so decode is bit-deterministic."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import math
+
+        basis = []
+        for x in range(8):
+            for y in range(8):
+                row = []
+                for u in range(8):
+                    cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+                    for v in range(8):
+                        cv = (1 / math.sqrt(2)) if v == 0 else 1.0
+                        row.append(
+                            0.25 * cu * cv
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                basis.append(row)
+        _IDCT_BASIS = basis
+    return _IDCT_BASIS
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded JPEG data: un-stuffs
+    0xFF 0x00, stops at any real marker (restart handling is the MCU
+    loop's job via :meth:`at_restart`)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos = buf, pos
+        self.acc, self.nbits = 0, 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG entropy data ended at a marker mid-symbol")
+        if self.pos >= len(self.buf):
+            raise ValueError("JPEG entropy data truncated")
+        b = self.buf[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG entropy data truncated at 0xFF")
+            nxt = self.buf[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed data byte 0xFF
+            else:
+                self.marker = nxt  # real marker: no more data bits
+                self.pos += 1
+                raise ValueError(
+                    f"JPEG entropy data ended at marker 0x{nxt:02x} mid-symbol"
+                )
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def read_huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker between restart
+        intervals (predictors reset by the caller)."""
+        self.acc, self.nbits = 0, 0
+        if self.marker is None:
+            while self.pos + 1 < len(self.buf) and self.buf[self.pos] == 0xFF:
+                m = self.buf[self.pos + 1]
+                if m == 0x00:
+                    break
+                self.marker = m
+                self.pos += 2
+                break
+        if self.marker != 0xD0 + (n & 7):
+            raise ValueError(
+                f"expected RST{n & 7}, found "
+                + (f"0x{self.marker:02x}" if self.marker else "data")
+            )
+        self.marker = None
+
+
+def _jpeg_canonical_huffman(counts: list[int], symbols: bytes) -> dict:
+    """(length, code) -> symbol for a DHT's canonical code set."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib BASELINE JPEG decode (ITU T.81 SOF0): canonical
+    Huffman entropy decoding with byte un-stuffing and restart
+    markers, dequantization, float64 IDCT via a precomputed basis,
+    replication chroma upsampling, and JFIF YCbCr→RGB. Grayscale and
+    3-component frames with sampling factors ≤ 2 are supported —
+    which covers the overwhelming majority of real-world baseline
+    files. Progressive (SOF2), arithmetic-coded, hierarchical, and
+    12-bit frames raise ``NotImplementedError`` — those are the
+    variants where a codec library earns its keep.
+
+    Everything here is integer or fixed-order float64 arithmetic, so
+    the decoded bytes are deterministic across hosts (tested against
+    an independent NumPy coefficient-domain pipeline and analytic
+    flat-block values in tests/test_multimodal.py)."""
+    import struct
+
+    pos = 2  # past SOI
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless markers
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG segment length truncated")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        data = payload[pos + 2 : pos + seglen]
+        if len(data) != seglen - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tbl = [0] * 64
+                for z in range(64):
+                    tbl[_JPEG_ZIGZAG[z]] = data[i + 1 + z]
+                qt[tq] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                counts = list(data[i + 1 : i + 17])
+                n = sum(counts)
+                syms = data[i + 17 : i + 17 + n]
+                huff[(tc, th)] = _jpeg_canonical_huffman(counts, syms)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            comps = []
+            for ci in range(nc):
+                cid = data[6 + ci * 3]
+                hv = data[7 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 15, data[8 + ci * 3]))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG frame (SOF marker 0x{marker:02x})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan = []
+            for si in range(ns):
+                cs = data[1 + si * 2]
+                tt = data[2 + si * 2]
+                scan.append((cs, tt >> 4, tt & 15))
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+    if w < 1 or h < 1:
+        raise ValueError(f"bad JPEG dimensions {w}x{h}")
+    if len(comps) not in (1, 3) or len(scan) != len(comps):
+        raise NotImplementedError(
+            f"{len(comps)}-component / multi-scan JPEG"
+        )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1 for c in comps):
+        raise NotImplementedError("JPEG sampling factors > 2")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    basis = _jpeg_idct_basis()
+    # per-component pixel planes at subsampled resolution
+    planes = []
+    for _cid, hc, vc, _tq in comps:
+        planes.append(bytearray(mcux * hc * 8 * mcuy * vc * 8))
+    scan_tables = {cs: (dc, ac) for cs, dc, ac in scan}
+    br = _JpegBitReader(payload, pos)
+    preds = [0] * len(comps)
+    rst_n = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) & 7
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (cid, hc, vc, tq) in enumerate(comps):
+            if tq not in qt:
+                raise ValueError(f"JPEG quant table {tq} undefined")
+            dct, act = scan_tables[cid]
+            dc_tbl, ac_tbl = huff.get((0, dct)), huff.get((1, act))
+            if dc_tbl is None or ac_tbl is None:
+                raise ValueError("JPEG Huffman table undefined")
+            q = qt[tq]
+            for bv in range(vc):
+                for bh in range(hc):
+                    # entropy-decode one block (zigzag order)
+                    coeffs = [0.0] * 64
+                    s = br.read_huff(dc_tbl)
+                    preds[ci] += br.receive_extend(s)
+                    coeffs[0] = preds[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = br.read_huff(ac_tbl)
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        nat = _JPEG_ZIGZAG[k]
+                        coeffs[nat] = br.receive_extend(size) * q[nat]
+                        k += 1
+                    # IDCT + level shift into the component plane
+                    plane = planes[ci]
+                    pw = mcux * hc * 8
+                    ox = (mx * hc + bh) * 8
+                    oy = (my * vc + bv) * 8
+                    for p in range(64):
+                        val = 0.0
+                        brow = basis[p]
+                        for kk in range(64):
+                            c = coeffs[kk]
+                            if c:
+                                val += brow[kk] * c
+                        px = int(round(val)) + 128
+                        px = 0 if px < 0 else (255 if px > 255 else px)
+                        plane[(oy + p // 8) * pw + ox + p % 8] = px
+    # upsample to full resolution + color convert
+    nch = 1 if len(comps) == 1 else 3
+    out = bytearray(w * h * nch)
+    if nch == 1:
+        pw = mcux * comps[0][1] * 8
+        for y in range(h):
+            row = planes[0][y * pw : y * pw + w]
+            out[y * w : (y + 1) * w] = row
+        return w, h, 1, bytes(out)
+    full = []
+    for ci, (_cid, hc, vc, _tq) in enumerate(comps):
+        pw = mcux * hc * 8
+        fx, fy = hmax // hc, vmax // vc
+        plane = planes[ci]
+        if fx == 1 and fy == 1:
+            full.append((plane, pw))
+        else:
+            up = bytearray(w * h)
+            for y in range(h):
+                sy = y // fy
+                base = sy * pw
+                for x in range(w):
+                    up[y * w + x] = plane[base + x // fx]
+            full.append((up, w))
+    (yp, ypw), (cbp, cbpw), (crp, crpw) = full
+    for y in range(h):
+        for x in range(w):
+            yy = yp[y * ypw + x]
+            cb = cbp[y * cbpw + x] - 128
+            cr = crp[y * crpw + x] - 128
+            r = int(round(yy + 1.402 * cr))
+            g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+            b = int(round(yy + 1.772 * cb))
+            o = (y * w + x) * 3
+            out[o] = 0 if r < 0 else (255 if r > 255 else r)
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return w, h, 3, bytes(out)
 
 
 def byte_features(payload: bytes) -> tuple[int, int]:

@@ -1,0 +1,413 @@
+"""Baseline JPEG decode (the last codec gate).
+
+No codec library exists in this container to produce fixtures, so the
+tests carry their own minimal baseline encoder (standard ITU T.81
+Annex K quantization + Huffman tables). Decoder correctness is NOT
+checked encoder-vs-decoder roundtrip alone (shared-bug risk): the
+oracle is an INDEPENDENT NumPy pipeline run on the quantized
+coefficient blocks the encoder emitted — dequantize, NumPy-matrix
+IDCT, clamp, upsample, color-convert — compared byte-exactly to the
+engine decoder's output, plus analytic flat-block expectations where
+the math is closed-form (a flat 8x8 block is DC-only).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from simple_etl_spark.llm.multimodal import _JPEG_ZIGZAG, decode_image
+
+# --- ITU T.81 Annex K tables (public standard constants) -------------------
+
+QL = [  # luminance, natural order
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+QC = [  # chrominance
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+          list(range(12)))
+DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+          list(range(12)))
+AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# orthonormal 8x8 DCT-II matrix (NumPy-built — independent of the
+# engine's math.cos basis)
+_D = np.array([
+    [(math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8))
+     * math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+
+def _enc_huff(counts, symbols):
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.n = 0, 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # stuffing
+                self.acc, self.n = 0, 0
+
+    def pad(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _category(v):
+    a, s = abs(v), 0
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+def _bits_of(v, s):
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def encode_jpeg(pix, w, h, channels, subsample=False, restart=0):
+    """Minimal baseline encoder. Returns (jpeg_bytes, coeff_blocks)
+    where coeff_blocks[ci] is a dict (block_y, block_x) -> 64 QUANTIZED
+    coefficients in natural order — the independent oracle's input."""
+    if channels == 3:
+        rgb = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+        ycc = np.empty_like(rgb)
+        ycc[..., 0] = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        ycc[..., 1] = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        ycc[..., 2] = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        ycc = np.clip(np.round(ycc), 0, 255)
+        comp_pixels = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        if subsample:
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        quants = [QL, QC, QC]
+        tq = [0, 1, 1]
+        th = [0, 1, 1]
+    else:
+        comp_pixels = [np.frombuffer(bytes(pix), dtype=np.uint8)
+                       .reshape(h, w).astype(np.float64)]
+        samp, quants, tq, th = [(1, 1)], [QL], [0], [0]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # build padded, (optionally) subsampled planes
+    planes = []
+    for ci, p in enumerate(comp_pixels):
+        hc, vc = samp[ci]
+        if (hc, vc) != (hmax, vmax):
+            fy, fx = vmax // vc, hmax // hc
+            ph, pw = -(-h // fy), -(-w // fx)
+            sub = np.zeros((ph, pw))
+            for yy in range(ph):
+                for xx in range(pw):
+                    blkv = p[yy * fy : min((yy + 1) * fy, h),
+                             xx * fx : min((xx + 1) * fx, w)]
+                    sub[yy, xx] = np.round(blkv.mean())
+            p = sub
+        tgt_h, tgt_w = mcuy * vc * 8, mcux * hc * 8
+        pad = np.empty((tgt_h, tgt_w))
+        ph, pw = p.shape
+        pad[:ph, :pw] = p
+        pad[ph:, :pw] = p[ph - 1 : ph, :]  # edge-replicate
+        pad[:, pw:] = pad[:, pw - 1 : pw]
+        planes.append(pad)
+
+    # FDCT + quantize every block
+    coeff_blocks = []
+    for ci, p in enumerate(planes):
+        q = np.array(quants[ci]).reshape(8, 8)
+        blocks = {}
+        for by in range(p.shape[0] // 8):
+            for bx in range(p.shape[1] // 8):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                f = _D @ blk @ _D.T
+                blocks[(by, bx)] = np.round(f / q).astype(np.int64)
+        coeff_blocks.append(blocks)
+
+    # entropy-code
+    dc_tabs = [_enc_huff(*DC_LUM), _enc_huff(*DC_CHR)]
+    ac_tabs = [_enc_huff(*AC_LUM), _enc_huff(*AC_CHR)]
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    rst_n = 0
+    body_parts = []
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            bw.pad()
+            body_parts.append(bytes(bw.out))
+            body_parts.append(bytes([0xFF, 0xD0 + rst_n]))
+            bw = _BitWriter()
+            rst_n = (rst_n + 1) & 7
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci in range(len(planes)):
+            hc, vc = samp[ci]
+            dt, at = dc_tabs[th[ci]], ac_tabs[th[ci]]
+            for bv in range(vc):
+                for bh in range(hc):
+                    blk = coeff_blocks[ci][(my * vc + bv, mx * hc + bh)]
+                    zz = blk.flatten()[_JPEG_ZIGZAG]
+                    diff = int(zz[0]) - preds[ci]
+                    preds[ci] = int(zz[0])
+                    s = _category(diff)
+                    bw.put(*dt[s])
+                    if s:
+                        bw.put(_bits_of(diff, s), s)
+                    run = 0
+                    last_nz = max((i for i in range(1, 64) if zz[i]),
+                                  default=0)
+                    for i in range(1, last_nz + 1):
+                        v = int(zz[i])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            bw.put(*at[0xF0])
+                            run -= 16
+                        s = _category(v)
+                        bw.put(*at[(run << 4) | s])
+                        bw.put(_bits_of(v, s), s)
+                        run = 0
+                    if last_nz < 63:
+                        bw.put(*at[0x00])  # EOB
+    bw.pad()
+    body_parts.append(bytes(bw.out))
+    body = b"".join(body_parts)
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    out = bytearray(b"\xff\xd8")
+
+    def dqt_payload(tid, tbl):  # DQT rides in zigzag order
+        zz = bytes(tbl[_JPEG_ZIGZAG[z]] for z in range(64))
+        return bytes([tid]) + zz
+
+    if channels == 3:
+        out += seg(0xDB, dqt_payload(0, QL) + dqt_payload(1, QC))
+    else:
+        out += seg(0xDB, dqt_payload(0, QL))
+
+    def dht_payload(tc, tid, counts, symbols):
+        return bytes([(tc << 4) | tid]) + bytes(counts) + bytes(symbols)
+
+    if channels == 3:
+        out += seg(0xC4, dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM)
+                   + dht_payload(0, 1, *DC_CHR) + dht_payload(1, 1, *AC_CHR))
+    else:
+        out += seg(0xC4, dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
+    for ci in range(len(planes)):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], tq[ci]])
+    out += seg(0xC0, sof)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, (th[ci] << 4) | th[ci]])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body + b"\xff\xd9"
+    return bytes(out), coeff_blocks, samp
+
+
+def reference_decode(coeff_blocks, samp, w, h, channels):
+    """Independent NumPy pipeline: dequantize -> matrix IDCT -> clamp
+    -> replication upsample -> YCbCr->RGB, mirroring the documented
+    decode contract (not the decoder's code)."""
+    quants = [QL, QC, QC] if channels == 3 else [QL]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    planes = []
+    for ci, blocks in enumerate(coeff_blocks):
+        q = np.array(quants[ci]).reshape(8, 8)
+        nby = max(k[0] for k in blocks) + 1
+        nbx = max(k[1] for k in blocks) + 1
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
+        for (by, bx), blk in blocks.items():
+            f = blk.astype(np.float64) * q
+            s = _D.T @ f @ _D
+            px = np.clip(np.round(s).astype(np.int64) + 128, 0, 255)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        planes.append(plane)
+    if channels == 1:
+        return planes[0][:h, :w].astype(np.uint8).tobytes()
+    full = []
+    for ci, p in enumerate(planes):
+        fy, fx = vmax // samp[ci][1], hmax // samp[ci][0]
+        up = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        full.append(up[:h, :w].astype(np.float64))
+    yy, cb, cr = full
+    r = np.clip(np.round(yy + 1.402 * (cr - 128)), 0, 255)
+    g = np.clip(np.round(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)
+    b = np.clip(np.round(yy + 1.772 * (cb - 128)), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+
+
+def _gradient_rgb(w, h):
+    return bytes(
+        ((x * 255) // max(w - 1, 1), (y * 255) // max(h - 1, 1),
+         ((x + y) * 255) // max(w + h - 2, 1))[c]
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+
+
+# --- tests ------------------------------------------------------------------
+
+def test_flat_gray_block_decodes_analytically():
+    """A flat 8x8 gray image is DC-only: quantized DC round((v-128)*8/16)
+    -> decoded value is analytic."""
+    for v in (0, 77, 128, 200, 255):
+        pix = bytes([v] * 64)
+        jpg, blocks, samp = encode_jpeg(pix, 8, 8, 1)
+        w, h, nch, out = decode_image(jpg)
+        assert (w, h, nch) == (8, 8, 1)
+        dcq = round((v - 128) * 8 / 16)
+        expected = min(255, max(0, round(dcq * 16 / 8) + 128))
+        assert set(out) == {expected}, (v, set(out))
+
+
+def test_gray_gradient_matches_independent_reference():
+    w, h = 24, 16
+    pix = bytes(((x * 7 + y * 13) % 256) for y in range(h) for x in range(w))
+    jpg, blocks, samp = encode_jpeg(pix, w, h, 1)
+    gw, gh, nch, out = decode_image(jpg)
+    assert (gw, gh, nch) == (w, h, 1)
+    assert out == reference_decode(blocks, samp, w, h, 1)
+
+
+def test_rgb_444_matches_independent_reference():
+    w, h = 16, 8
+    pix = _gradient_rgb(w, h)
+    jpg, blocks, samp = encode_jpeg(pix, w, h, 3)
+    gw, gh, nch, out = decode_image(jpg)
+    assert (gw, gh, nch) == (w, h, 3)
+    assert out == reference_decode(blocks, samp, w, h, 3)
+
+
+def test_rgb_420_subsampled_matches_independent_reference():
+    w, h = 20, 12  # non-multiple of 16: exercises MCU padding + crop
+    pix = _gradient_rgb(w, h)
+    jpg, blocks, samp = encode_jpeg(pix, w, h, 3, subsample=True)
+    gw, gh, nch, out = decode_image(jpg)
+    assert (gw, gh, nch) == (w, h, 3)
+    assert out == reference_decode(blocks, samp, w, h, 3)
+
+
+def test_restart_markers_reset_predictors():
+    w, h = 32, 8
+    pix = bytes(((x * 11 + y * 3) % 256) for y in range(h) for x in range(w))
+    jpg, blocks, samp = encode_jpeg(pix, w, h, 1, restart=2)
+    assert b"\xff\xd0" in jpg  # a real RST0 landed in the stream
+    gw, gh, nch, out = decode_image(jpg)
+    assert out == reference_decode(blocks, samp, w, h, 1)
+
+
+def test_lossy_but_close_to_source():
+    """End-to-end sanity: decode(encode(x)) stays near x (quality is
+    the standard tables'), so the decoder isn't just consistent with
+    the reference but actually decodes the image."""
+    w, h = 16, 16
+    pix = bytes([60] * (w * h * 3))
+    jpg, _, _ = encode_jpeg(pix, w, h, 3)
+    _, _, _, out = decode_image(jpg)
+    err = np.abs(np.frombuffer(out, np.uint8).astype(int) - 60)
+    assert err.max() <= 4, err.max()
+
+
+def test_progressive_and_exotic_stay_gated():
+    w, h = 8, 8
+    jpg, _, _ = encode_jpeg(bytes([9] * 64), w, h, 1)
+    prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF0 -> SOF2
+    with pytest.raises(NotImplementedError):
+        decode_image(prog)
+    with pytest.raises(ValueError):
+        decode_image(jpg[: len(jpg) // 2])  # truncated entropy data
+
+
+def test_jpeg_flows_through_image_features(spark):
+    from simple_etl_spark.llm.multimodal import image_features
+
+    w, h = 8, 8
+    jpg, blocks, samp = encode_jpeg(bytes([200] * 64), w, h, 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(jpg))], "doc_id bigint, payload binary"
+    )
+    row = image_features(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (8, 8, 1)
+    ref = reference_decode(blocks, samp, w, h, 1)
+    assert row["mean_px"] == sum(ref) // len(ref)

@@ -91,8 +91,10 @@ def test_ppm_roundtrip_through_encode():
     assert decode_image(encode_ppm(w, h, nch, px)) == (w, h, nch, px)
 
 
-def test_jpeg_stays_gated():
-    with pytest.raises(NotImplementedError):
+def test_junk_jpeg_raises_value_error():
+    # baseline JPEG decodes for real since r9 (tests/test_jpeg.py);
+    # a junk payload behind the magic is malformed data, not a gate
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
 
 

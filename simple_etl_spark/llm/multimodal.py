@@ -210,6 +210,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         )
     if w < 1 or h < 1:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"PNG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
+        )
     stride = w * nch
     expected = (stride + 1) * h
     # bound the inflate by the size the header promises BEFORE
@@ -265,39 +269,43 @@ _JPEG_ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
-_IDCT_BASIS = None  # 64x64 float basis, built once per process
+# Ceiling on header-declared pixels for the compressed decoders: a
+# ~140-byte hostile PNG/JPEG can declare 65535x65535 and trigger
+# multi-GB plane allocations before any entropy data is validated —
+# the buffer-side sibling of the PNG inflate bound. 64 MPx (an
+# 8192x8192 RGBA frame ~ 256 MB decoded) is far above any fixture or
+# plausible corpus thumbnail while keeping the worst-case allocation
+# executor-safe.
+MAX_DECODE_PIXELS = 64_000_000
+
+_IDCT_1D = None  # 8x8 1-D IDCT basis, built once per process
 
 
-def _jpeg_idct_basis() -> list[list[float]]:
-    """pixel[p] = Σ_k basis[p][k] · coeff[k] — the type-III 8x8 DCT as
-    one precomputed 64×64 float matrix (ITU T.81 A.3.3). Pure float64
-    arithmetic in a fixed order, so decode is bit-deterministic."""
-    global _IDCT_BASIS
-    if _IDCT_BASIS is None:
+def _jpeg_idct_1d() -> list[list[float]]:
+    """A[x][u] = (c(u)/2)·cos((2x+1)uπ/16) — the 1-D type-III DCT
+    basis; the 2-D IDCT runs as two separable passes (A·F·Aᵀ, 1024
+    multiplies per dense block instead of 4096 for the flattened
+    64×64 form — review r9). Pure float64 arithmetic in a fixed
+    order, so decode is bit-deterministic."""
+    global _IDCT_1D
+    if _IDCT_1D is None:
         import math
 
-        basis = []
-        for x in range(8):
-            for y in range(8):
-                row = []
-                for u in range(8):
-                    cu = (1 / math.sqrt(2)) if u == 0 else 1.0
-                    for v in range(8):
-                        cv = (1 / math.sqrt(2)) if v == 0 else 1.0
-                        row.append(
-                            0.25 * cu * cv
-                            * math.cos((2 * x + 1) * u * math.pi / 16)
-                            * math.cos((2 * y + 1) * v * math.pi / 16)
-                        )
-                basis.append(row)
-        _IDCT_BASIS = basis
-    return _IDCT_BASIS
+        _IDCT_1D = [
+            [
+                (0.5 / math.sqrt(2) if u == 0 else 0.5)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    return _IDCT_1D
 
 
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded JPEG data: un-stuffs
     0xFF 0x00, stops at any real marker (restart handling is the MCU
-    loop's job via :meth:`at_restart`)."""
+    loop's job via :meth:`align_and_expect_rst`)."""
 
     def __init__(self, buf: bytes, pos: int):
         self.buf, self.pos = buf, pos
@@ -355,13 +363,15 @@ class _JpegBitReader:
         intervals (predictors reset by the caller)."""
         self.acc, self.nbits = 0, 0
         if self.marker is None:
-            while self.pos + 1 < len(self.buf) and self.buf[self.pos] == 0xFF:
-                m = self.buf[self.pos + 1]
-                if m == 0x00:
-                    break
-                self.marker = m
-                self.pos += 2
-                break
+            p = self.pos
+            # optional 0xFF fill bytes before a marker (T.81 B.1.1.2)
+            while (p + 1 < len(self.buf) and self.buf[p] == 0xFF
+                   and self.buf[p + 1] == 0xFF):
+                p += 1
+            if (p + 1 < len(self.buf) and self.buf[p] == 0xFF
+                    and self.buf[p + 1] != 0x00):
+                self.marker = self.buf[p + 1]
+                self.pos = p + 2
         if self.marker != 0xD0 + (n & 7):
             raise ValueError(
                 f"expected RST{n & 7}, found "
@@ -396,7 +406,19 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     Everything here is integer or fixed-order float64 arithmetic, so
     the decoded bytes are deterministic across hosts (tested against
     an independent NumPy coefficient-domain pipeline and analytic
-    flat-block values in tests/test_multimodal.py)."""
+    flat-block values in tests/test_jpeg.py)."""
+    import struct
+
+    try:
+        return _decode_jpeg_parsed(payload)
+    except (struct.error, KeyError, IndexError) as exc:
+        # decode_image's contract: malformed payloads raise ValueError
+        # (a leaked struct.error/KeyError would kill the mapInPandas
+        # task instead of yielding NULL features — review r9)
+        raise ValueError(f"malformed JPEG structure: {exc!r}") from exc
+
+
+def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
     import struct
 
     pos = 2  # past SOI
@@ -408,6 +430,9 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
+        # optional 0xFF fill bytes before the marker (T.81 B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before any scan
@@ -441,7 +466,11 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 huff[(tc, th)] = _jpeg_canonical_huffman(counts, syms)
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(data) < 6:
+                raise ValueError("JPEG SOF0 segment too short")
             prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF0 component list truncated")
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
             comps = []
@@ -456,8 +485,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 f"non-baseline JPEG frame (SOF marker 0x{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
+            if len(data) < 2:
+                raise ValueError("JPEG DRI segment too short")
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS
+            if len(data) < 1 or len(data) < 1 + 2 * data[0]:
+                raise ValueError("JPEG SOS segment too short")
             ns = data[0]
             scan = []
             for si in range(ns):
@@ -476,13 +509,25 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(
             f"{len(comps)}-component / multi-scan JPEG"
         )
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"JPEG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
+        )
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU in raster order over ceil(w/8)·ceil(h/8)
+        # blocks, sampling factors ignored (decoding it as 2x2 MCU
+        # clusters would scramble tiles and over-demand data units —
+        # review r9)
+        cid0, _h0, _v0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1 for c in comps):
         raise NotImplementedError("JPEG sampling factors > 2")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    basis = _jpeg_idct_basis()
+    a1 = _jpeg_idct_1d()
     # per-component pixel planes at subsampled resolution
     planes = []
     for _cid, hc, vc, _tq in comps:
@@ -500,7 +545,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         for ci, (cid, hc, vc, tq) in enumerate(comps):
             if tq not in qt:
                 raise ValueError(f"JPEG quant table {tq} undefined")
-            dct, act = scan_tables[cid]
+            tabs = scan_tables.get(cid)
+            if tabs is None:
+                raise ValueError(
+                    f"JPEG SOS references undeclared component {cid}"
+                )
+            dct, act = tabs
             dc_tbl, ac_tbl = huff.get((0, dct)), huff.get((1, act))
             if dc_tbl is None or ac_tbl is None:
                 raise ValueError("JPEG Huffman table undefined")
@@ -527,21 +577,37 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                         nat = _JPEG_ZIGZAG[k]
                         coeffs[nat] = br.receive_extend(size) * q[nat]
                         k += 1
-                    # IDCT + level shift into the component plane
+                    # separable IDCT (A·F·Aᵀ as two 8x8 passes — same
+                    # pairing order as the reference's (Dᵀ·F)·D) +
+                    # level shift into the component plane
                     plane = planes[ci]
                     pw = mcux * hc * 8
                     ox = (mx * hc + bh) * 8
                     oy = (my * vc + bv) * 8
-                    for p in range(64):
-                        val = 0.0
-                        brow = basis[p]
-                        for kk in range(64):
-                            c = coeffs[kk]
-                            if c:
-                                val += brow[kk] * c
-                        px = int(round(val)) + 128
-                        px = 0 if px < 0 else (255 if px > 255 else px)
-                        plane[(oy + p // 8) * pw + ox + p % 8] = px
+                    pass1 = [[0.0] * 8 for _ in range(8)]
+                    for x in range(8):
+                        ax = a1[x]
+                        row = pass1[x]
+                        for u in range(8):
+                            axu = ax[u]
+                            base_u = u * 8
+                            for v in range(8):
+                                c = coeffs[base_u + v]
+                                if c:
+                                    row[v] += axu * c
+                    for x in range(8):
+                        row = pass1[x]
+                        orow = (oy + x) * pw + ox
+                        for y in range(8):
+                            ay = a1[y]
+                            val = 0.0
+                            for v in range(8):
+                                pv = row[v]
+                                if pv:
+                                    val += pv * ay[v]
+                            px = int(round(val)) + 128
+                            px = 0 if px < 0 else (255 if px > 255 else px)
+                            plane[orow + y] = px
     # upsample to full resolution + color convert
     nch = 1 if len(comps) == 1 else 3
     out = bytearray(w * h * nch)

@@ -411,3 +411,92 @@ def test_jpeg_flows_through_image_features(spark):
     assert (row["width"], row["height"], row["channels"]) == (8, 8, 1)
     ref = reference_decode(blocks, samp, w, h, 1)
     assert row["mean_px"] == sum(ref) // len(ref)
+
+
+# --- review r9 regressions ---------------------------------------------------
+
+def test_truncated_segments_raise_value_error_not_struct_error():
+    """struct.error/KeyError must never escape decode_image's
+    ValueError contract (they would kill the Spark task instead of
+    yielding NULL features)."""
+    for payload in (
+        b"\xff\xd8\xff\xdd\x00\x02",          # DRI with empty body
+        b"\xff\xd8\xff\xc0\x00\x03\x08",      # SOF0 with 1-byte body
+    ):
+        with pytest.raises(ValueError):
+            decode_image(payload)
+
+
+def test_sos_with_unknown_component_raises_value_error():
+    jpg, _, _ = encode_jpeg(bytes([9] * 64), 8, 8, 1)
+    sos_at = jpg.index(b"\xff\xda")
+    bad = bytearray(jpg)
+    bad[sos_at + 5] = 9  # scan selector -> undeclared component id
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad))
+
+
+def test_jpeg_header_bomb_is_rejected_before_allocation():
+    """A tiny payload declaring 65535x65535 must raise, not allocate
+    multi-GB planes (the JPEG sibling of the PNG inflate bound)."""
+    import tracemalloc
+
+    jpg, _, _ = encode_jpeg(bytes([9] * 64), 8, 8, 1)
+    sof_at = jpg.index(b"\xff\xc0")
+    bad = bytearray(jpg)
+    struct.pack_into(">HH", bad, sof_at + 5, 65535, 65535)
+    tracemalloc.start()
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_image(bytes(bad))
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 50_000_000, peak
+
+
+def test_png_header_bomb_is_rejected():
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 6, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_image(bomb)
+
+
+def test_gray_with_nontrivial_sampling_factors_is_noninterleaved():
+    """T.81 A.2.2: sampling factors are ignored for single-component
+    scans — a grayscale file declaring H=V=2 carries exactly the same
+    raster-order data units as one declaring 1x1, so patching only the
+    SOF sampling byte must not change the decode."""
+    w, h = 24, 16  # not a multiple of 16: would over-demand data
+    pix = bytes(((x * 7 + y * 13) % 256) for y in range(h) for x in range(w))
+    jpg, blocks, samp = encode_jpeg(pix, w, h, 1)
+    sof_at = jpg.index(b"\xff\xc0")
+    patched = bytearray(jpg)
+    assert patched[sof_at + 11] == 0x11  # (H<<4)|V for component 1
+    patched[sof_at + 11] = 0x22
+    ref = decode_image(jpg)
+    got = decode_image(bytes(patched))
+    assert got == ref
+
+
+def test_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes — both in the header walk and at restart boundaries."""
+    w, h = 32, 8
+    pix = bytes(((x * 11 + y * 3) % 256) for y in range(h) for x in range(w))
+    jpg, blocks, samp = encode_jpeg(pix, w, h, 1, restart=2)
+    ref = decode_image(jpg)
+    # fill before a header marker (DQT)
+    dqt_at = jpg.index(b"\xff\xdb")
+    padded = jpg[:dqt_at] + b"\xff" + jpg[dqt_at:]
+    assert decode_image(padded) == ref
+    # fill before the first restart marker
+    rst_at = jpg.index(b"\xff\xd0")
+    padded2 = jpg[:rst_at] + b"\xff" + jpg[rst_at:]
+    assert decode_image(padded2) == ref

@@ -653,6 +653,121 @@ def byte_features(payload: bytes) -> tuple[int, int]:
     return len(payload), (payload[0] if payload else -1)
 
 
+def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Pure-stdlib WAV (RIFF) PCM decode: 8-bit unsigned and 16-bit
+    signed little-endian, any channel count. Returns ``(sample_rate,
+    channels, bits, samples)`` with ``samples`` interleaved SIGNED
+    ints (8-bit is re-centered by -128), so every downstream feature
+    is integer-exact regardless of bit depth.
+
+    Chunk-walks the RIFF container (extra chunks like LIST/fact are
+    skipped), requires one ``fmt `` and one ``data`` chunk, and caps
+    total samples at :data:`MAX_DECODE_PIXELS` — the same
+    header-declared-allocation ceiling the image decoders enforce.
+    IEEE-float (format 3) and compressed formats raise
+    ``NotImplementedError``; malformed payloads raise ``ValueError``."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:4]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"WAV chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("WAV fmt chunk too short")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt == 3:
+        raise NotImplementedError("IEEE-float WAV requires a codec")
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"compressed WAV (format {audio_fmt}) requires a codec"
+        )
+    if channels < 1 or rate < 1:
+        raise ValueError(f"bad WAV layout: {channels}ch @ {rate}Hz")
+    if bits not in (8, 16):
+        raise NotImplementedError(f"{bits}-bit PCM WAV")
+    width = bits // 8
+    n = len(data) // width
+    if len(data) % width:
+        raise ValueError("WAV data chunk is not a whole number of samples")
+    if n % channels:
+        raise ValueError("WAV data chunk is not a whole number of frames")
+    if n > MAX_DECODE_PIXELS:
+        raise ValueError(f"WAV declares {n} samples > MAX_DECODE_PIXELS")
+    if bits == 8:
+        samples = [b - 128 for b in data]
+    else:
+        samples = list(struct.unpack(f"<{n}h", data))
+    return rate, channels, bits, samples
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("mean_abs", LongType()),
+    ]
+)
+
+
+def audio_features(binary_df: DataFrame) -> DataFrame:
+    """Real decode-backed audio features, one Arrow pass: sample rate,
+    channel count, frame count, integer-floor duration in ms, and
+    amplitude stats over the signed samples — ``peak_abs`` = max |s|,
+    ``mean_abs`` = Σ|s| // n (exact integer division, no IEEE mean).
+    Undecodable or NULL payloads yield NULL features rather than
+    poisoning the batch, same contract as :func:`image_features`."""
+
+    cols = ["sample_rate", "channels", "n_frames", "duration_ms",
+            "peak_abs", "mean_abs"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], **{c: [] for c in cols}}
+            for payload in pdf["payload"]:
+                if payload is None:
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                try:
+                    rate, ch, _bits, samples = decode_audio(bytes(payload))
+                    frames = len(samples) // ch
+                    out["sample_rate"].append(rate)
+                    out["channels"].append(ch)
+                    out["n_frames"].append(frames)
+                    out["duration_ms"].append(frames * 1000 // rate)
+                    if samples:
+                        out["peak_abs"].append(max(abs(s) for s in samples))
+                        out["mean_abs"].append(
+                            sum(abs(s) for s in samples) // len(samples)
+                        )
+                    else:
+                        out["peak_abs"].append(0)
+                        out["mean_abs"].append(0)
+                except (NotImplementedError, ValueError, IndexError):
+                    for c in cols:
+                        out[c].append(None)
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
 def encode_ppm(w: int, h: int, channels: int, pixels: bytes) -> bytes:
     """Re-encode raw pixels as binary PNM (P6 for 3 channels, P5 for
     1) — the inverse of :func:`decode_image`'s PNM path, so

@@ -1,0 +1,118 @@
+"""WAV/PCM audio decode — the audio leg of the multimodal tier.
+
+Fixtures are built byte-by-byte (no audio library exists here), and
+features are verified against NumPy computations on the same sample
+values, plus closed-form expectations for synthetic tones.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from simple_etl_spark.llm.multimodal import audio_features, decode_audio
+
+
+def make_wav(samples, rate, channels, bits, extra_chunk=False):
+    """Interleaved SIGNED sample ints -> RIFF/WAVE bytes."""
+    if bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # LIST metadata chunk with odd length (pad byte)
+        meta = b"INFOx"
+        chunks += b"LIST" + struct.pack("<I", len(meta)) + meta + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_16bit_stereo_roundtrip():
+    samples = [0, 1000, -1000, 32767, -32768, 5, -5, 128]
+    rate, ch, bits, got = decode_audio(make_wav(samples, 44100, 2, 16))
+    assert (rate, ch, bits) == (44100, 2, 16)
+    assert got == samples
+
+
+def test_wav_8bit_mono_recentered():
+    samples = [-128, -1, 0, 1, 127]
+    rate, ch, bits, got = decode_audio(make_wav(samples, 8000, 1, 8))
+    assert (rate, ch, bits) == (8000, 1, 8)
+    assert got == samples
+
+
+def test_wav_extra_chunks_and_odd_padding_skipped():
+    samples = [7, -7, 7, -7]
+    payload = make_wav(samples, 16000, 1, 16, extra_chunk=True)
+    assert decode_audio(payload)[3] == samples
+
+
+def test_wav_sine_tone_peak_matches_numpy():
+    rate, n, amp = 16000, 1600, 20000
+    samples = [int(round(amp * math.sin(2 * math.pi * 440 * i / rate)))
+               for i in range(n)]
+    _, _, _, got = decode_audio(make_wav(samples, rate, 1, 16))
+    arr = np.abs(np.array(got))
+    assert arr.max() == max(abs(s) for s in samples)
+    assert int(arr.sum()) // n == sum(abs(s) for s in samples) // n
+
+
+@pytest.mark.parametrize("junk", [
+    b"", b"RIFFxxxx", b"RIFF\x00\x00\x00\x00WAVE",       # no chunks
+    b"RIFF\x00\x00\x00\x00WAVEdata\x04\x00\x00\x00abcd",  # no fmt
+])
+def test_malformed_wav_raises_value_error(junk):
+    with pytest.raises(ValueError):
+        decode_audio(junk)
+
+
+def test_wav_codec_gates():
+    good = bytearray(make_wav([0, 1], 8000, 1, 16))
+    fmt_at = good.index(b"fmt ") + 8
+    ieee = bytearray(good)
+    struct.pack_into("<H", ieee, fmt_at, 3)  # IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_audio(bytes(ieee))
+    ulaw = bytearray(good)
+    struct.pack_into("<H", ulaw, fmt_at, 7)  # mu-law
+    with pytest.raises(NotImplementedError):
+        decode_audio(bytes(ulaw))
+    b24 = bytearray(good)
+    struct.pack_into("<H", b24, fmt_at + 14, 24)  # 24-bit
+    with pytest.raises(NotImplementedError):
+        decode_audio(bytes(b24))
+
+
+def test_wav_ragged_data_raises():
+    good = make_wav([0, 1, 2, 3], 8000, 2, 16)
+    # chop one byte off the data chunk AND fix its declared length
+    bad = bytearray(good[:-1])
+    data_at = bytes(bad).index(b"data") + 4
+    struct.pack_into("<I", bad, data_at, 7)  # 7 bytes: not whole samples
+    with pytest.raises(ValueError):
+        decode_audio(bytes(bad))
+
+
+def test_audio_features_spark_path(spark):
+    tone = [int(round(10000 * math.sin(2 * math.pi * i / 50)))
+            for i in range(16000)]  # 1 s @ 16 kHz mono
+    wav = make_wav(tone, 16000, 1, 16)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio")), (3, None)],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_features(df).collect()}
+    r = rows[1]
+    assert (r["sample_rate"], r["channels"], r["n_frames"],
+            r["duration_ms"]) == (16000, 1, 16000, 1000)
+    assert r["peak_abs"] == max(abs(s) for s in tone)
+    assert r["mean_abs"] == sum(abs(s) for s in tone) // len(tone)
+    assert rows[2]["sample_rate"] is None  # junk -> NULL, not task death
+    assert rows[3]["sample_rate"] is None  # NULL payload is data

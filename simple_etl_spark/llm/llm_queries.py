@@ -1468,6 +1468,74 @@ def llm_multimodal_features(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "llm_audio_features",
+    # the WAV payload is SYNTHESIZED deterministically from each doc's
+    # characters (sample = min(codepoint,255) - 128, 8-bit mono 8 kHz),
+    # so the oracle can compute the decoded features straight from the
+    # text: per-character integer aggregates. The c <> '' filter kills
+    # DuckDB's phantom element from splitting the empty string (the
+    # same artifact class as Spark's split-of-empty phantom token).
+    oracle=r"""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        FROM documents
+    ),
+    vals AS (
+        SELECT doc_id, least(ascii(c), 255) - 128 AS v
+        FROM chars WHERE c <> ''
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n,
+               max(abs(v)) AS peak_abs,
+               sum(abs(v)) // count(*) AS mean_abs
+        FROM vals GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(coalesce(agg.n, 0) AS BIGINT) AS n_frames,
+           CAST(coalesce(agg.n, 0) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(coalesce(agg.peak_abs, 0) AS BIGINT) AS peak_abs,
+           CAST(coalesce(agg.mean_abs, 0) AS BIGINT) AS mean_abs
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """,
+    survey="LLM multimodal: audio tier — synthesized WAV payloads through "
+    "the real RIFF/PCM decoder to integer-exact amplitude features",
+)
+def llm_audio_features(cat: Catalog) -> DataFrame:
+    """Drive the REAL audio path end-to-end on the driver's corpus:
+    each document's characters become 8-bit PCM samples in a genuine
+    RIFF/WAVE container (encode_wav), and audio_features decodes them
+    back (decode_audio) to rate/frames/duration plus exact-integer
+    peak and mean absolute amplitude. The synthesis is deterministic
+    per character, so DuckDB verifies the whole decode+aggregate
+    pipeline from the text column alone."""
+    import pandas as pd
+
+    from simple_etl_spark.llm.multimodal import audio_features, encode_wav
+
+    docs = cat["documents"].select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                samples = (
+                    [] if text is None
+                    else [min(ord(c), 255) - 128 for c in text]
+                )
+                payloads.append(encode_wav(samples, 8000, 1, 8))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    wav_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return audio_features(wav_df).orderBy("doc_id")
+
+
+@query(
     "llm_normalize_probe",
     oracle="""
     WITH norm AS (

@@ -713,6 +713,30 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
     return rate, channels, bits, samples
 
 
+def encode_wav(
+    samples: list[int], rate: int, channels: int = 1, bits: int = 8
+) -> bytes:
+    """Re-encode signed integer samples as RIFF/WAVE PCM — the inverse
+    of :func:`decode_audio` (8-bit re-centers by +128), so
+    synth→decode round-trips losslessly in pytest and the graded
+    audio query can build deterministic payloads from table columns."""
+    import struct
+
+    if bits == 8:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    elif bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        raise ValueError(f"encode_wav writes 8/16-bit PCM, got {bits}")
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -116,3 +116,16 @@ def test_audio_features_spark_path(spark):
     assert r["mean_abs"] == sum(abs(s) for s in tone) // len(tone)
     assert rows[2]["sample_rate"] is None  # junk -> NULL, not task death
     assert rows[3]["sample_rate"] is None  # NULL payload is data
+
+
+def test_encode_wav_roundtrips_through_decode():
+    from simple_etl_spark.llm.multimodal import encode_wav
+
+    for bits in (8, 16):
+        samples = [0, 1, -1, (127 if bits == 8 else 32767),
+                   (-128 if bits == 8 else -32768)]
+        rate, ch, b, got = decode_audio(encode_wav(samples, 22050, 1, bits))
+        assert (rate, ch, b, got) == (22050, 1, bits, samples)
+    # empty payload round-trips to zero frames
+    rate, ch, b, got = decode_audio(encode_wav([], 8000, 1, 8))
+    assert got == []

@@ -678,8 +678,12 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
         if len(body) != clen:
             raise ValueError(f"WAV chunk {cid!r} truncated")
         if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError("WAV has more than one fmt chunk")
             fmt = body
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("WAV has more than one data chunk")
             data = body
         pos += 8 + clen + (clen & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
@@ -722,8 +726,14 @@ def encode_wav(
     audio query can build deterministic payloads from table columns."""
     import struct
 
+    lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+    if any(v < lo or v > hi for v in samples):
+        # an out-of-range 8-bit sample would otherwise wrap silently
+        # through (s+128)&0xFF while 16-bit raised struct.error —
+        # validate both the same way (review r9)
+        raise ValueError(f"sample out of {bits}-bit range [{lo}, {hi}]")
     if bits == 8:
-        data = bytes((s + 128) & 0xFF for s in samples)
+        data = bytes((v + 128) for v in samples)
     elif bits == 16:
         data = struct.pack(f"<{len(samples)}h", *samples)
     else:
@@ -732,8 +742,11 @@ def encode_wav(
         "<HHIIHH", 1, channels, rate,
         rate * channels * bits // 8, channels * bits // 8, bits,
     )
+    # RIFF chunks align to even offsets: pad an odd data chunk so the
+    # container stays spec-valid for strict consumers (review r9)
     chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
-              + b"data" + struct.pack("<I", len(data)) + data)
+              + b"data" + struct.pack("<I", len(data)) + data
+              + (b"\x00" if len(data) & 1 else b""))
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
@@ -776,14 +789,16 @@ def audio_features(binary_df: DataFrame) -> DataFrame:
                     out["channels"].append(ch)
                     out["n_frames"].append(frames)
                     out["duration_ms"].append(frames * 1000 // rate)
-                    if samples:
-                        out["peak_abs"].append(max(abs(s) for s in samples))
-                        out["mean_abs"].append(
-                            sum(abs(s) for s in samples) // len(samples)
-                        )
-                    else:
-                        out["peak_abs"].append(0)
-                        out["mean_abs"].append(0)
+                    peak = total = 0
+                    for v in samples:  # one pass: abs() once per sample
+                        a = -v if v < 0 else v
+                        if a > peak:
+                            peak = a
+                        total += a
+                    out["peak_abs"].append(peak)
+                    out["mean_abs"].append(
+                        total // len(samples) if samples else 0
+                    )
                 except (NotImplementedError, ValueError, IndexError):
                     for c in cols:
                         out[c].append(None)

@@ -129,3 +129,23 @@ def test_encode_wav_roundtrips_through_decode():
     # empty payload round-trips to zero frames
     rate, ch, b, got = decode_audio(encode_wav([], 8000, 1, 8))
     assert got == []
+
+
+def test_encode_wav_rejects_out_of_range_and_pads_odd_chunks():
+    from simple_etl_spark.llm.multimodal import encode_wav
+
+    with pytest.raises(ValueError, match="range"):
+        encode_wav([200], 8000, 1, 8)
+    with pytest.raises(ValueError, match="range"):
+        encode_wav([40000], 8000, 1, 16)
+    # odd-length data chunk gets its RIFF pad byte and still decodes
+    wav = encode_wav([1, 2, 3], 8000, 1, 8)
+    assert len(wav) % 2 == 0
+    assert decode_audio(wav)[3] == [1, 2, 3]
+
+
+def test_duplicate_chunks_rejected():
+    wav = make_wav([0, 1], 8000, 1, 16)
+    data_chunk = wav[wav.index(b"data"):]
+    with pytest.raises(ValueError, match="more than one"):
+        decode_audio(wav + data_chunk)

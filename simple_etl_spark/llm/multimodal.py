@@ -13,11 +13,14 @@ float64 IDCT + YCbCr, sampling factors ≤ 2) — returning raw
 row-major pixels; the variants that genuinely need a codec library
 (progressive/arithmetic/12-bit JPEG; palette/16-bit/Adam7 PNG)
 raise ``NotImplementedError`` (a real deployment plugs PIL/libvips
-into the same dispatch). Graded queries use
-:func:`byte_features`, a deterministic extractor with the same batch
-shape, so grading never depends on payload format; the decode path is
-exercised in pytest over generated fixture images
-(tests/test_multimodal.py).
+into the same dispatch). :func:`decode_audio` does the same for
+RIFF/WAV PCM. The image-graded queries use :func:`byte_features`, a
+deterministic extractor with the same batch shape, so their grading
+never depends on payload format; the audio tier is graded end-to-end
+through the real decoder (llm_audio_features synthesizes WAV from
+text deterministically). Decode paths are exercised in pytest over
+byte-built fixtures (tests/test_multimodal.py, tests/test_jpeg.py,
+tests/test_audio.py).
 """
 
 from __future__ import annotations

@@ -229,12 +229,18 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     try:
         d = zlib.decompressobj()
         raw = d.decompress(b"".join(idat), expected + 1)
-        raw += d.flush(1)  # surface trailing bytes as a length error
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT is not a valid zlib stream: {exc}") from exc
-    if len(raw) != expected:
+    # NEVER flush() the remainder to detect trailing data — flush
+    # ignores the cap and inflates everything left, re-opening the
+    # bomb this bound exists to close (review r9, reproduced); the
+    # decompressor's own state says whether the stream ended exactly
+    # where the header promised
+    if len(raw) != expected or d.unconsumed_tail or not d.eof:
         raise ValueError(
-            f"PNG scanline data length {len(raw)}+ != {expected}"
+            f"PNG scanline data length {len(raw)}"
+            f"{'+' if (d.unconsumed_tail or not d.eof) else ''}"
+            f" != {expected}"
         )
     out = bytearray(stride * h)
     prev = bytearray(stride)
@@ -334,8 +340,12 @@ class _JpegBitReader:
                 raise ValueError(
                     f"JPEG entropy data ended at marker 0x{nxt:02x} mid-symbol"
                 )
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+        # _fill only runs when nbits == 0 (read_bit's guard), so the
+        # accumulator is REPLACED, never extended — appending with
+        # (acc << 8) | b kept every consumed byte and made entropy
+        # decode quadratic in scan size (review r9, reproduced)
+        self.acc = b
+        self.nbits = 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:

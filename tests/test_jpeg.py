@@ -500,3 +500,35 @@ def test_fill_bytes_before_markers_are_legal():
     rst_at = jpg.index(b"\xff\xd0")
     padded2 = jpg[:rst_at] + b"\xff" + jpg[rst_at:]
     assert decode_image(padded2) == ref
+
+
+def test_bit_reader_accumulator_stays_bounded():
+    """Review r9 (reproduced): the accumulator must be REPLACED per
+    fill, not appended — appending kept every consumed byte and made
+    entropy decode quadratic in scan size."""
+    import time
+
+    from simple_etl_spark.llm.multimodal import _JpegBitReader
+
+    buf = bytes([0x55]) * 200_000
+    br = _JpegBitReader(buf, 0)
+    t0 = time.time()
+    for _ in range(len(buf) * 8):
+        br.read_bit()
+    assert time.time() - t0 < 2.0, "bit reader is superlinear"
+    assert br.acc.bit_length() <= 8
+
+
+def test_larger_jpeg_decodes_in_reasonable_time(spark=None):
+    """End-to-end guard for the same defect: a 160x96 4:2:0 image
+    (~300 blocks) must decode in well under a second, not minutes."""
+    import time
+
+    w, h = 160, 96
+    pix = _gradient_rgb(w, h)
+    jpg, blocks, samp = encode_jpeg(pix, w, h, 3, subsample=True)
+    t0 = time.time()
+    out = decode_image(jpg)
+    assert time.time() - t0 < 5.0
+    assert out[:3] == (w, h, 3)
+    assert out[3] == reference_decode(blocks, samp, w, h, 3)

@@ -359,3 +359,29 @@ def test_image_features_null_for_bad_idat(spark):
     rows = {r["doc_id"]: r for r in image_features(df).collect()}
     assert rows[1]["width"] is None
     assert rows[2]["width"] == 3
+
+
+def test_png_trailing_inflate_bomb_not_flushed():
+    """Review r9 (reproduced): detecting trailing IDAT data must NOT
+    flush-decompress it — flush ignores the cap and re-opens the bomb
+    the bound exists to close. A 1x1 gray PNG with megabytes of extra
+    compressed zeros must raise without inflating them."""
+    import struct as _s
+    import tracemalloc
+    import zlib
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # expected = 2 bytes
+    # one valid scanline (filter 0 + one pixel) followed by a bomb
+    payload_stream = zlib.compress(b"\x00\x07" + b"\x00" * 10_000_000)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", payload_stream) + chunk(b"IEND", b""))
+    tracemalloc.start()
+    with pytest.raises(ValueError):
+        decode_image(bomb)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 5_000_000, peak

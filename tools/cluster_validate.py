@@ -158,6 +158,10 @@ def main() -> None:
     # summary — tolerant of a partial line from a killed _emit, same
     # as _done(): the resume path already skipped it, so the summary
     # must not crash on it after hours of re-executed work
+    if not os.path.exists(OUT):
+        print("SUMMARY: no records emitted (unknown phase?)", flush=True)
+        spark.stop()
+        return
     recs = []
     for line in open(OUT):
         try:

@@ -87,11 +87,21 @@ def main() -> None:
             if (name, cap, threads) in done:
                 continue
             script = CELL.format(repo=REPO, cap=cap, name=name, sf=sf, threads=threads)
-            proc = subprocess.run(
-                [sys.executable, "-c", script],
-                capture_output=True, text=True, timeout=3600, cwd=REPO,
-            )
             rec = {"query": name, "cap": cap, "threads": int(threads), "sf": sf}
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", script],
+                    capture_output=True, text=True, timeout=3600, cwd=REPO,
+                )
+            except subprocess.TimeoutExpired:
+                # a thrashing cell must be RECORDED, not abort the
+                # sweep (and not re-wedge it on resume)
+                rec.update(completed=False, error="timeout after 3600s",
+                           oom=False)
+                with open(OUT, "a") as fh:
+                    fh.write(json.dumps(rec) + "\n")
+                print(f"{name} @ {cap}: TIMEOUT", flush=True)
+                continue
             out = [l for l in proc.stdout.splitlines() if "CELLRESULT" in l]
             if proc.returncode == 0 and out:
                 rec.update(json.loads(out[-1].split("CELLRESULT ", 1)[1]))

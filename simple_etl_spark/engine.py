@@ -170,10 +170,13 @@ def ship_package(spark: SparkSession) -> str | None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
-        tempfile.gettempdir(),
-        f"simple_etl_spark-{os.getpid()}.zip",
+    # mkstemp, not a pid-derived name: a predictable world-readable
+    # path in a shared tmpdir is pre-creatable/symlink-swappable by
+    # another local user before addPyFile distributes it (ADVICE r9)
+    fd, zpath = tempfile.mkstemp(
+        prefix="simple_etl_spark-", suffix=".zip"
     )
+    os.close(fd)
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:

@@ -8,13 +8,13 @@ through Python row-at-a-time.
 :func:`decode_image` REALLY decodes the formats a stdlib-only
 executor can handle — PPM (P6), PGM (P5), BI_RGB BMP (24/32-bit),
 non-interlaced 8-bit PNG (DEFLATE via ``zlib`` + the five scanline
-filters), and BASELINE JPEG (SOF0: canonical Huffman + dequant +
-float64 IDCT + YCbCr, sampling factors ≤ 2) — returning raw
-row-major pixels; the variants that genuinely need a codec library
-(progressive/arithmetic/12-bit JPEG; palette/16-bit/Adam7 PNG)
-raise ``NotImplementedError`` (a real deployment plugs PIL/libvips
-into the same dispatch). :func:`decode_audio` does the same for
-RIFF/WAV PCM. The image-graded queries use :func:`byte_features`, a
+filters) including 1/2/4/8-bit palette with tRNS, and BASELINE JPEG
+(SOF0: canonical Huffman + dequant + float64 IDCT + YCbCr, sampling
+factors ≤ 2) — returning raw row-major pixels; the variants that
+genuinely need a codec library (progressive/arithmetic/12-bit/RGB
+JPEG; 16-bit/Adam7 PNG) raise ``NotImplementedError`` (a real
+deployment plugs PIL/libvips into the same dispatch).
+:func:`decode_audio` does the same for RIFF/WAV PCM (8/16/24-bit). The image-graded queries use :func:`byte_features`, a
 deterministic extractor with the same batch shape, so their grading
 never depends on payload format; the audio tier is graded end-to-end
 through the real decoder (llm_audio_features synthesizes WAV from
@@ -77,15 +77,16 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     channels), binary PGM (``P5``, 1 channel), uncompressed BI_RGB BMP
     (24-bit → RGB, 32-bit → RGBA; bottom-up or top-down),
     non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA — DEFLATE via
-    stdlib ``zlib`` plus the five scanline filters), and baseline
-    JPEG (gray → 1 channel, YCbCr → RGB; see :func:`_decode_jpeg`).
-    Returns ``(width, height, channels, pixels)`` with ``pixels``
-    row-major top-down, channels interleaved.
+    stdlib ``zlib`` plus the five scanline filters) plus 1/2/4/8-bit
+    palette PNG (PLTE→RGB, tRNS→RGBA), and baseline JPEG (gray → 1
+    channel, YCbCr → RGB; see :func:`_decode_jpeg`). Returns
+    ``(width, height, channels, pixels)`` with ``pixels`` row-major
+    top-down, channels interleaved.
 
     The variants that genuinely need a codec library — progressive /
-    arithmetic-coded / 12-bit JPEG, palette / 16-bit / Adam7 PNG —
-    raise ``NotImplementedError``; the dispatch below is where a
-    deployment plugs PIL/libvips in. Malformed payloads raise
+    arithmetic-coded / 12-bit / RGB-colorspace JPEG, 16-bit / Adam7
+    PNG — raise ``NotImplementedError``; the dispatch below is where
+    a deployment plugs PIL/libvips in. Malformed payloads raise
     ``ValueError``."""
     if payload[:2] in (b"P6", b"P5"):
         channels = 3 if payload[:2] == b"P6" else 1
@@ -169,16 +170,20 @@ def _png_paeth(a: int, b: int, c: int) -> int:
 
 def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Pure-stdlib PNG decode: non-interlaced 8-bit gray / gray+alpha /
-    RGB / RGBA. PNG compression is DEFLATE (``zlib`` is stdlib) plus a
-    per-row predictive filter (None/Sub/Up/Average/Paeth) — both fully
-    decodable with zero dependencies. Palette (color type 3),
-    sub-8/16-bit depths, and Adam7 interlace stay codec-gated: they are
-    rare in ML corpora and each multiplies the surface without changing
-    the Spark-side plumbing this module exists to prove."""
+    RGB / RGBA, plus palette (color type 3) at depths 1/2/4/8 — PLTE
+    lookup to RGB after the inflate+unfilter pass, with tRNS expanding
+    to RGBA when present (indexed PNG is the most common web
+    screenshot format; prescription r9→r10). PNG compression is
+    DEFLATE (``zlib`` is stdlib) plus a per-row predictive filter
+    (None/Sub/Up/Average/Paeth) — both fully decodable with zero
+    dependencies. Sub-8/16-bit non-palette depths and Adam7 interlace
+    stay codec-gated: they are rare in ML corpora and each multiplies
+    the surface without changing the Spark-side plumbing this module
+    exists to prove."""
     import struct
     import zlib
 
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 12 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -190,6 +195,12 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            if plte is not None:
+                raise ValueError("PNG has more than one PLTE chunk")
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -202,22 +213,40 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG requires a codec")
-    if depth != 8:
-        raise NotImplementedError(
-            f"PNG bit depth {depth} requires a codec (only 8 supported)"
-        )
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None:
-        raise NotImplementedError(
-            f"PNG color type {color} (palette?) requires a codec"
-        )
+        raise NotImplementedError(f"PNG color type {color} requires a codec")
+    if color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bad palette PNG bit depth {depth}")
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        if len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError(f"bad PLTE length {len(plte)}")
+        if trns is not None and len(trns) > len(plte) // 3:
+            raise ValueError("PNG tRNS longer than palette")
+    else:
+        if depth != 8:
+            raise NotImplementedError(
+                f"PNG bit depth {depth} requires a codec "
+                "(8-bit, or 1/2/4/8-bit palette)"
+            )
+        if trns is not None:
+            # color-key transparency on gray/RGB is legal PNG but rare;
+            # fail loud rather than silently dropping the alpha
+            raise NotImplementedError("tRNS on non-palette PNG")
     if w < 1 or h < 1:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     if w * h > MAX_DECODE_PIXELS:
         raise ValueError(
             f"PNG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
         )
-    stride = w * nch
+    # scanline byte width; sub-8-bit palette rows pack MSB-first and
+    # pad to a whole byte. Filters operate on BYTES with a bpp offset
+    # of max(1, bits-per-pixel/8) (RFC 2083 §6.2) — for every 8-bit
+    # color type bpp == nch, so the non-palette paths are unchanged.
+    stride = (w * nch * depth + 7) // 8
+    bpp = max(1, nch * depth // 8)
     expected = (stride + 1) * h
     # bound the inflate by the size the header promises BEFORE
     # allocating: DEFLATE ratios reach ~1000:1, so an unbounded
@@ -249,25 +278,53 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         ftype = raw[base]
         row = bytearray(raw[base + 1 : base + 1 + stride])
         if ftype == 1:  # Sub
-            for i in range(nch, stride):
-                row[i] = (row[i] + row[i - nch]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = row[i - nch] if i >= nch else 0
+                left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                left = row[i - nch] if i >= nch else 0
-                ul = prev[i - nch] if i >= nch else 0
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + _png_paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[r * stride : (r + 1) * stride] = row
         prev = row
-    return w, h, nch, bytes(out)
+    if color != 3:
+        return w, h, nch, bytes(out)
+    # palette expansion: unpack indices, then PLTE (and tRNS) lookup
+    npal = len(plte) // 3
+    if depth == 8:
+        idx = out  # stride == w, one index byte per pixel
+    else:
+        idx = bytearray(w * h)
+        per = 8 // depth
+        mask = (1 << depth) - 1
+        for r in range(h):
+            base = r * stride
+            o = r * w
+            for x in range(w):
+                shift = 8 - depth * ((x % per) + 1)
+                idx[o + x] = (out[base + x // per] >> shift) & mask
+    nout = 3 if trns is None else 4
+    rgb = bytearray(w * h * nout)
+    for i, v in enumerate(idx):
+        if v >= npal:
+            raise ValueError(
+                f"PNG palette index {v} >= palette size {npal}"
+            )
+        p = v * 3
+        o = i * nout
+        rgb[o : o + 3] = plte[p : p + 3]
+        if nout == 4:
+            rgb[o + 3] = trns[v] if v < len(trns) else 255
+    return w, h, nout, bytes(rgb)
 
 
 # JPEG zigzag order: zigzag index -> natural (row-major) coefficient
@@ -440,6 +497,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
     frame = None
     restart_interval = 0
     scan = None
+    adobe_transform = None
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
@@ -501,6 +559,12 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             if len(data) < 2:
                 raise ValueError("JPEG DRI segment too short")
             (restart_interval,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xEE and data[:5] == b"Adobe" and len(data) >= 12:
+            # Adobe APP14: last byte is the color transform (0 = RGB /
+            # CMYK, 1 = YCbCr, 2 = YCCK). Without this, a transform=0
+            # baseline decodes "successfully" with scrambled colors
+            # through the unconditional YCbCr path (ADVICE r9).
+            adobe_transform = data[11]
         elif marker == 0xDA:  # SOS
             if len(data) < 1 or len(data) < 1 + 2 * data[0]:
                 raise ValueError("JPEG SOS segment too short")
@@ -522,6 +586,18 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(
             f"{len(comps)}-component / multi-scan JPEG"
         )
+    if len(comps) == 3:
+        # fail-loud policy parity with the other codec gates: only
+        # YCbCr 3-component frames are decodable here. Adobe APP14
+        # transform=0 means the components are literally R/G/B, as
+        # does the T.81 'R','G','B' component-ID convention — both
+        # previously fell through to the YCbCr matrix and decoded
+        # silently with scrambled colors (ADVICE r9).
+        cids = tuple(c[0] for c in comps)
+        if adobe_transform == 0 or cids == (0x52, 0x47, 0x42):
+            raise NotImplementedError(
+                "RGB (non-YCbCr) 3-component JPEG requires a codec"
+            )
     if w * h > MAX_DECODE_PIXELS:
         raise ValueError(
             f"JPEG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
@@ -666,12 +742,20 @@ def byte_features(payload: bytes) -> tuple[int, int]:
     return len(payload), (payload[0] if payload else -1)
 
 
-def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """Pure-stdlib WAV (RIFF) PCM decode: 8-bit unsigned and 16-bit
-    signed little-endian, any channel count. Returns ``(sample_rate,
-    channels, bits, samples)`` with ``samples`` interleaved SIGNED
-    ints (8-bit is re-centered by -128), so every downstream feature
-    is integer-exact regardless of bit depth.
+def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
+    """Pure-stdlib WAV (RIFF) PCM decode: 8-bit unsigned, 16-bit and
+    24-bit signed little-endian, any channel count. Returns
+    ``(sample_rate, channels, bits, samples)`` with ``samples`` an
+    interleaved SIGNED-int ``array.array`` (8-bit is re-centered by
+    -128), so every downstream feature is integer-exact regardless
+    of bit depth.
+
+    ``samples`` is a stdlib ``array`` (typecodes b/h/i), not a
+    ``list``: a list of boxed CPython ints costs ~28 bytes per sample
+    outside the small-int cache, a 20-30x amplification that would
+    let a ~128 MB hostile payload expand to multiple GB on an
+    executor (ADVICE r9); the array keeps decoded memory proportional
+    to the payload (1/2/4 bytes per sample).
 
     Chunk-walks the RIFF container (extra chunks like LIST/fact are
     skipped), requires one ``fmt `` and one ``data`` chunk, and caps
@@ -680,6 +764,8 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
     IEEE-float (format 3) and compressed formats raise
     ``NotImplementedError``; malformed payloads raise ``ValueError``."""
     import struct
+    import sys
+    from array import array
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE payload: {payload[:4]!r}")
@@ -713,7 +799,7 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
         )
     if channels < 1 or rate < 1:
         raise ValueError(f"bad WAV layout: {channels}ch @ {rate}Hz")
-    if bits not in (8, 16):
+    if bits not in (8, 16, 24):
         raise NotImplementedError(f"{bits}-bit PCM WAV")
     width = bits // 8
     n = len(data) // width
@@ -724,10 +810,27 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, list[int]]:
     if n > MAX_DECODE_PIXELS:
         raise ValueError(f"WAV declares {n} samples > MAX_DECODE_PIXELS")
     if bits == 8:
-        samples = [b - 128 for b in data]
-    else:
-        samples = list(struct.unpack(f"<{n}h", data))
+        # u8 - 128 == int8(u8 ^ 0x80): one translate pass, 1 byte/sample
+        samples = array("b", bytes.translate(data, _U8_RECENTER))
+    elif bits == 16:
+        samples = array("h")
+        samples.frombytes(data)
+        if sys.byteorder != "little":
+            samples.byteswap()
+    else:  # 24-bit: 3-byte little-endian signed frames (studio exports)
+        samples = array(
+            "i",
+            (
+                int.from_bytes(data[i : i + 3], "little", signed=True)
+                for i in range(0, len(data), 3)
+            ),
+        )
     return rate, channels, bits, samples
+
+
+# translate table implementing (byte - 128) & 0xFF == byte ^ 0x80 so the
+# 8-bit re-center is a single C-level pass instead of a Python loop
+_U8_RECENTER = bytes((b ^ 0x80) for b in range(256))
 
 
 def encode_wav(
@@ -739,18 +842,35 @@ def encode_wav(
     audio query can build deterministic payloads from table columns."""
     import struct
 
-    lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+    # validate the container fields up front: without these a caller
+    # could emit a WAV that encode_wav's own inverse rejects ("not a
+    # whole number of frames") or whose byte-rate field is nonsense
+    # (ADVICE r9)
+    if rate < 1 or channels < 1:
+        raise ValueError(f"bad WAV layout: {channels}ch @ {rate}Hz")
+    if len(samples) % channels:
+        raise ValueError(
+            f"{len(samples)} samples is not a whole number of "
+            f"{channels}-channel frames"
+        )
+    ranges = {8: (-128, 127), 16: (-32768, 32767),
+              24: (-8388608, 8388607)}
+    if bits not in ranges:
+        raise ValueError(f"encode_wav writes 8/16/24-bit PCM, got {bits}")
+    lo, hi = ranges[bits]
     if any(v < lo or v > hi for v in samples):
         # an out-of-range 8-bit sample would otherwise wrap silently
         # through (s+128)&0xFF while 16-bit raised struct.error —
-        # validate both the same way (review r9)
+        # validate all depths the same way (review r9)
         raise ValueError(f"sample out of {bits}-bit range [{lo}, {hi}]")
     if bits == 8:
         data = bytes((v + 128) for v in samples)
     elif bits == 16:
         data = struct.pack(f"<{len(samples)}h", *samples)
     else:
-        raise ValueError(f"encode_wav writes 8/16-bit PCM, got {bits}")
+        data = b"".join(
+            v.to_bytes(3, "little", signed=True) for v in samples
+        )
     fmt = struct.pack(
         "<HHIIHH", 1, channels, rate,
         rate * channels * bits // 8, channels * bits // 8, bits,

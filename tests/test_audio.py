@@ -38,20 +38,20 @@ def test_wav_16bit_stereo_roundtrip():
     samples = [0, 1000, -1000, 32767, -32768, 5, -5, 128]
     rate, ch, bits, got = decode_audio(make_wav(samples, 44100, 2, 16))
     assert (rate, ch, bits) == (44100, 2, 16)
-    assert got == samples
+    assert list(got) == samples
 
 
 def test_wav_8bit_mono_recentered():
     samples = [-128, -1, 0, 1, 127]
     rate, ch, bits, got = decode_audio(make_wav(samples, 8000, 1, 8))
     assert (rate, ch, bits) == (8000, 1, 8)
-    assert got == samples
+    assert list(got) == samples
 
 
 def test_wav_extra_chunks_and_odd_padding_skipped():
     samples = [7, -7, 7, -7]
     payload = make_wav(samples, 16000, 1, 16, extra_chunk=True)
-    assert decode_audio(payload)[3] == samples
+    assert list(decode_audio(payload)[3]) == samples
 
 
 def test_wav_sine_tone_peak_matches_numpy():
@@ -84,10 +84,10 @@ def test_wav_codec_gates():
     struct.pack_into("<H", ulaw, fmt_at, 7)  # mu-law
     with pytest.raises(NotImplementedError):
         decode_audio(bytes(ulaw))
-    b24 = bytearray(good)
-    struct.pack_into("<H", b24, fmt_at + 14, 24)  # 24-bit
+    f32 = bytearray(good)
+    struct.pack_into("<H", f32, fmt_at + 14, 32)  # 32-bit PCM
     with pytest.raises(NotImplementedError):
-        decode_audio(bytes(b24))
+        decode_audio(bytes(f32))
 
 
 def test_wav_ragged_data_raises():
@@ -121,14 +121,15 @@ def test_audio_features_spark_path(spark):
 def test_encode_wav_roundtrips_through_decode():
     from simple_etl_spark.llm.multimodal import encode_wav
 
-    for bits in (8, 16):
-        samples = [0, 1, -1, (127 if bits == 8 else 32767),
-                   (-128 if bits == 8 else -32768)]
+    ranges = {8: (-128, 127), 16: (-32768, 32767), 24: (-8388608, 8388607)}
+    for bits in (8, 16, 24):
+        lo, hi = ranges[bits]
+        samples = [0, 1, -1, hi, lo]
         rate, ch, b, got = decode_audio(encode_wav(samples, 22050, 1, bits))
-        assert (rate, ch, b, got) == (22050, 1, bits, samples)
+        assert (rate, ch, b, list(got)) == (22050, 1, bits, samples)
     # empty payload round-trips to zero frames
     rate, ch, b, got = decode_audio(encode_wav([], 8000, 1, 8))
-    assert got == []
+    assert list(got) == []
 
 
 def test_encode_wav_rejects_out_of_range_and_pads_odd_chunks():
@@ -141,7 +142,7 @@ def test_encode_wav_rejects_out_of_range_and_pads_odd_chunks():
     # odd-length data chunk gets its RIFF pad byte and still decodes
     wav = encode_wav([1, 2, 3], 8000, 1, 8)
     assert len(wav) % 2 == 0
-    assert decode_audio(wav)[3] == [1, 2, 3]
+    assert list(decode_audio(wav)[3]) == [1, 2, 3]
 
 
 def test_duplicate_chunks_rejected():
@@ -149,3 +150,59 @@ def test_duplicate_chunks_rejected():
     data_chunk = wav[wav.index(b"data"):]
     with pytest.raises(ValueError, match="more than one"):
         decode_audio(wav + data_chunk)
+
+
+def make_wav24(samples, rate, channels):
+    """Interleaved signed ints -> 24-bit PCM RIFF/WAVE bytes."""
+    data = b"".join(s.to_bytes(3, "little", signed=True) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate,
+        rate * channels * 3, channels * 3, 24,
+    )
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data
+              + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_24bit_sign_extension_and_extremes():
+    samples = [0, 1, -1, 8388607, -8388608, 65536, -65536, 0x7FFFFF - 1]
+    rate, ch, bits, got = decode_audio(make_wav24(samples, 48000, 2))
+    assert (rate, ch, bits) == (48000, 2, 24)
+    assert list(got) == samples
+
+
+def test_wav_24bit_ragged_frames_raise():
+    wav = bytearray(make_wav24([1, 2, 3], 48000, 1))
+    data_at = bytes(wav).index(b"data") + 4
+    struct.pack_into("<I", wav, data_at, 8)  # 8 bytes: not whole samples
+    with pytest.raises(ValueError, match="whole number of samples"):
+        decode_audio(bytes(wav))
+
+
+def test_decode_audio_returns_compact_arrays():
+    """Samples come back as stdlib array (1/2/4 bytes each), not a
+    list of boxed ints — the memory-amplification fix (ADVICE r9):
+    a ~128 MB hostile WAV must not expand to GBs of int objects."""
+    from array import array
+
+    for bits, code in ((8, "b"), (16, "h")):
+        got = decode_audio(make_wav([3, -3], 8000, 1, bits))[3]
+        assert isinstance(got, array) and got.typecode == code
+    got = decode_audio(make_wav24([3, -3], 8000, 1))[3]
+    assert isinstance(got, array) and got.typecode == "i"
+
+
+def test_encode_wav_validates_layout_up_front():
+    from simple_etl_spark.llm.multimodal import encode_wav
+
+    with pytest.raises(ValueError, match="bad WAV layout"):
+        encode_wav([0], 0, 1, 8)
+    with pytest.raises(ValueError, match="bad WAV layout"):
+        encode_wav([0], 8000, 0, 8)
+    with pytest.raises(ValueError, match="whole number"):
+        encode_wav([0, 1, 2], 8000, 2, 16)  # 3 samples, 2 channels
+    with pytest.raises(ValueError, match="8/16/24-bit"):
+        encode_wav([0], 8000, 1, 32)
+    with pytest.raises(ValueError, match="range"):
+        encode_wav([8388608], 8000, 1, 24)

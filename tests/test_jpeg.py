@@ -532,3 +532,35 @@ def test_larger_jpeg_decodes_in_reasonable_time(spark=None):
     assert time.time() - t0 < 5.0
     assert out[:3] == (w, h, 3)
     assert out[3] == reference_decode(blocks, samp, w, h, 3)
+
+
+def _app14(transform):
+    data = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
+    return bytes([0xFF, 0xEE]) + struct.pack(">H", len(data) + 2) + data
+
+
+def test_adobe_app14_rgb_gated_ycbcr_still_decodes():
+    """Adobe transform=0 (components literally RGB) must raise like the
+    other codec gates instead of decoding through the YCbCr matrix
+    with scrambled colors (ADVICE r9); transform=1 is explicit YCbCr
+    and must decode byte-identically to the unmarked JFIF file."""
+    jpg, _, _ = encode_jpeg(_gradient_rgb(8, 8), 8, 8, 3)
+    with pytest.raises(NotImplementedError, match="RGB"):
+        decode_image(jpg[:2] + _app14(0) + jpg[2:])
+    assert decode_image(jpg[:2] + _app14(1) + jpg[2:]) == decode_image(jpg)
+
+
+def test_rgb_component_ids_gated():
+    """T.81 'R','G','B' component IDs mark an RGB frame even without
+    APP14 — same fail-loud gate."""
+    jpg, _, _ = encode_jpeg(_gradient_rgb(8, 8), 8, 8, 3)
+    buf = bytearray(jpg)
+    sof = buf.index(b"\xff\xc0")
+    base = sof + 2 + 2 + 6  # marker + seglen + prec/h/w/nc
+    sos = buf.index(b"\xff\xda")
+    sbase = sos + 2 + 2 + 1  # marker + seglen + ns
+    for ci, cid in enumerate((0x52, 0x47, 0x42)):
+        buf[base + ci * 3] = cid
+        buf[sbase + ci * 2] = cid
+    with pytest.raises(NotImplementedError, match="RGB"):
+        decode_image(bytes(buf))

@@ -137,14 +137,17 @@ def test_bmp_data_offset_inside_header_rejected():
 # -- PNG (stdlib zlib DEFLATE + scanline filters) ---------------------------
 
 def _png(w: int, h: int, color: int, pixels: bytes, filters=None,
-         depth: int = 8, interlace: int = 0) -> bytes:
+         depth: int = 8, interlace: int = 0, plte: bytes = None,
+         trns: bytes = None) -> bytes:
     """Build a PNG byte-by-byte, forward-applying the per-row filter
     types in ``filters`` (default all 0/None) so decode must invert
-    Sub/Up/Average/Paeth to recover ``pixels``."""
+    Sub/Up/Average/Paeth to recover ``pixels``. For sub-8-bit palette
+    images ``pixels`` is the pre-packed scanline bytes (MSB-first,
+    rows byte-padded)."""
     import zlib
 
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    stride = w * nch
+    stride = (w * nch * depth + 7) // 8
     filters = filters or [0] * h
 
     def paeth(a, b, c):
@@ -158,7 +161,10 @@ def _png(w: int, h: int, color: int, pixels: bytes, filters=None,
         row = pixels[r * stride : (r + 1) * stride]
         f = filters[r]
         raw.append(f)
-        for i in range(stride):
+        # len(row), not stride: gate fixtures (e.g. declared depth 16)
+        # deliberately under-fill the scanline to prove the codec gate
+        # fires before any length check
+        for i in range(len(row)):
             left = row[i - nch] if i >= nch else 0
             up = prev[i]
             ul = prev[i - nch] if i >= nch else 0
@@ -179,7 +185,12 @@ def _png(w: int, h: int, color: int, pixels: bytes, filters=None,
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    mid = b""
+    if plte is not None:
+        mid += chunk(b"PLTE", plte)
+    if trns is not None:
+        mid += chunk(b"tRNS", trns)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + mid
             + chunk(b"IDAT", zlib.compress(bytes(raw)))
             + chunk(b"IEND", b""))
 
@@ -216,13 +227,80 @@ def test_png_codec_gates():
     gray = bytes([0, 255])
     with pytest.raises(NotImplementedError):
         decode_image(_png(2, 1, 0, gray, interlace=1))  # Adam7
-    with pytest.raises(NotImplementedError):
-        decode_image(_png(2, 1, 3, gray))  # palette
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_image(_png(2, 1, 3, gray))  # palette w/o palette chunk
     with pytest.raises(NotImplementedError):
         # depth-16 declared; scanline bytes won't match but gate fires first
         decode_image(_png(2, 1, 0, gray, depth=16))
+    with pytest.raises(NotImplementedError):
+        # color-key transparency on non-palette: legal PNG, honestly gated
+        decode_image(_png(2, 1, 0, gray, trns=b"\x00\x01"))
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # junk chunks
+
+
+PALETTE = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  7, 8, 9])  # 4 entries
+
+
+def test_png_palette_8bit_plte_lookup():
+    idx = bytes([0, 1, 2, 3, 3, 0])  # 3x2, every palette entry used
+    got = decode_image(_png(3, 2, 3, idx, filters=[1, 4], plte=PALETTE))
+    want = b"".join(PALETTE[i * 3 : i * 3 + 3] for i in idx)
+    assert got == (3, 2, 3, want)
+
+
+def test_png_palette_trns_expands_to_rgba():
+    idx = bytes([0, 1, 2, 3])
+    # tRNS shorter than the palette: entries past it are opaque (255)
+    got = decode_image(_png(4, 1, 3, idx, plte=PALETTE, trns=bytes([0, 128])))
+    alphas = [0, 128, 255, 255]
+    want = b"".join(
+        PALETTE[i * 3 : i * 3 + 3] + bytes([alphas[i]]) for i in idx
+    )
+    assert got == (4, 1, 4, want)
+
+
+@pytest.mark.parametrize("depth,packed,indices", [
+    # MSB-first bit packing, rows padded to whole bytes (w=5 here)
+    (1, bytes([0b10110_000]), [1, 0, 1, 1, 0]),
+    (2, bytes([0b00_01_10_11, 0b01_000000]), [0, 1, 2, 3, 1]),
+    (4, bytes([0x01, 0x23, 0x10]), [0, 1, 2, 3, 1]),
+])
+def test_png_palette_sub8bit_unpacks_msb_first(depth, packed, indices):
+    got = decode_image(_png(5, 1, 3, packed, depth=depth, plte=PALETTE))
+    want = b"".join(PALETTE[i * 3 : i * 3 + 3] for i in indices)
+    assert got == (5, 1, 3, want)
+
+
+def test_png_palette_sub8bit_multirow_filters_invert():
+    # 2 rows of packed 4-bit indices exercise Up/Sub with bpp=1
+    rows = bytes([0x01, 0x23]) + bytes([0x32, 0x10])
+    got = decode_image(
+        _png(4, 2, 3, rows, depth=4, filters=[1, 2], plte=PALETTE)
+    )
+    want = b"".join(
+        PALETTE[i * 3 : i * 3 + 3] for i in [0, 1, 2, 3, 3, 2, 1, 0]
+    )
+    assert got == (4, 2, 3, want)
+
+
+def test_png_palette_bad_structure_raises():
+    idx = bytes([0, 5])  # 5 >= 4 palette entries
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image(_png(2, 1, 3, idx, plte=PALETTE))
+    with pytest.raises(ValueError, match="PLTE length"):
+        decode_image(_png(2, 1, 3, bytes([0, 0]), plte=PALETTE[:4]))
+    with pytest.raises(ValueError, match="tRNS longer"):
+        decode_image(_png(2, 1, 3, bytes([0, 0]), plte=PALETTE[:3],
+                          trns=bytes([1, 2])))
+    with pytest.raises(ValueError, match="more than one PLTE"):
+        two = _png(2, 1, 3, bytes([0, 0]), plte=PALETTE)
+        at = two.index(b"PLTE") - 4
+        end = at + 4 + 4 + len(PALETTE) + 4
+        dup = two[:end] + two[at:end] + two[end:]
+        decode_image(dup)
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_image(_png(2, 1, 3, bytes([0, 0]), depth=3, plte=PALETTE))
 
 
 # -- Spark plumbing over real decode ---------------------------------------

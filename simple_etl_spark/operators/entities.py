@@ -156,10 +156,18 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
     1. **Gazetteer** (conf 0.95): longest-first case-insensitive match
        of known entities — works on cased AND lowercase text, so it
        still extracts from normalized corpora.
-    2. **Cue-classified capitalized span** (conf 0.85): a maximal run
-       of capitalized tokens starting with an ORG/LOC cue word
-       ("Universitas …", "Kota …") keeps the cue and takes its type;
-       a run preceded by a person title ("Presiden Joko Widodo")
+    2. **Cue-classified capitalized span** (conf 0.85): within a
+       maximal run of capitalized tokens, an ORG/LOC cue word
+       ("Universitas …", "Kota …") at ANY position starts a span that
+       keeps the cue and takes its type. ORG cues absorb contained
+       gazetteer matches — "Institut Teknologi Bandung" is ONE ORG,
+       not ORG+LOC — because the location is part of the org's name;
+       LOC cues yield to gazetteer matches — "Kota Semarang" extracts
+       the canonical city "Semarang" — because the cue merely
+       classifies it (both measured on the labeled fixture in
+       tests/test_ner_quality.py, which found the pre-r10 head-only
+       rule splitting org names and missing interior cues).
+       A run preceded by a person title ("Presiden Joko Widodo")
        drops the title and is PER.
     3. **Bare multi-word capitalized span** (conf 0.70): ≥ 2
        capitalized tokens with no cue default to PER (Indonesian
@@ -172,6 +180,9 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
     n = len(toks)
     out: list[tuple[str, str, float, int, int]] = []
     consumed = [False] * n
+
+    def norm(k: int) -> str:
+        return toks[k][0].lower().rstrip(".")
 
     # tier 1: gazetteer, longest window first (entries are ≤ 3 words)
     max_words = 3
@@ -187,7 +198,34 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
                 for j in range(i, i + width):
                     consumed[j] = True
 
-    # tiers 2-3: maximal runs of capitalized, unconsumed tokens
+    # tier 2a: ORG cue spans over capitalized runs IGNORING tier-1
+    # consumption — the org name extends over embedded gazetteer
+    # tokens ("PT Freeport Indonesia"), whose tier-1 entities are
+    # subsumed unless the tier-1 match IS the whole span ("Bank
+    # Indonesia" keeps its 0.95 gazetteer entry)
+    i = 0
+    while i < n:
+        if not _is_capitalized(toks[i][0]):
+            i += 1
+            continue
+        j = i
+        while j < n and _is_capitalized(toks[j][0]):
+            j += 1
+        k = next((k for k in range(i, j - 1) if norm(k) in _ORG_CUES), None)
+        if k is not None:
+            start, end = toks[k][1], toks[j - 1][2]
+            inside = [
+                e for e in out if start <= e[3] and e[4] <= end
+            ]
+            if not any(e[3] == start and e[4] == end for e in inside):
+                for e in inside:
+                    out.remove(e)
+                out.append((text[start:end], "ORG", 0.85, start, end))
+            for t in range(k, j):
+                consumed[t] = True
+        i = j
+
+    # tiers 2b-3: maximal runs of capitalized, unconsumed tokens
     i = 0
     while i < n:
         if consumed[i] or not _is_capitalized(toks[i][0]):
@@ -197,20 +235,32 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
         while j < n and not consumed[j] and _is_capitalized(toks[j][0]):
             j += 1
         run = toks[i:j]
-        head = run[0][0].lower().rstrip(".")
-        prev = toks[i - 1][0].lower().rstrip(".") if i > 0 else ""
-        if head in _ORG_CUES and len(run) >= 2:
-            etype, conf, span = "ORG", 0.85, run
-        elif head in _LOC_CUES and len(run) >= 2:
-            etype, conf, span = "LOC", 0.85, run
-        elif head in _PER_TITLES:
+        # a trailing LOC cue whose city was already taken by the
+        # gazetteer belongs to the city, not to a person name: "Warga
+        # Kota |Bandung|" must not yield PER "Warga Kota"
+        if j < n and consumed[j] and run and norm(i + len(run) - 1) in _LOC_CUES:
+            run = run[:-1]
+        # interior LOC cue splits the run: the prefix falls to the
+        # title/bare rules, the cue onward is the location span
+        # ("Warga Kota Depok" → skip "Warga", extract "Kota Depok")
+        kc = next(
+            (k for k in range(len(run) - 1) if norm(i + k) in _LOC_CUES),
+            None,
+        )
+        loc_span = None
+        if kc is not None:
+            loc_span = run[kc:]
+            run = run[:kc]
+        head = norm(i) if run else ""
+        prev = norm(i - 1) if i > 0 else ""
+        if head in _PER_TITLES:
             # strip leading title tokens; the remainder is the person
             k = 0
-            while k < len(run) and run[k][0].lower().rstrip(".") in _PER_TITLES:
+            while k < len(run) and norm(i + k) in _PER_TITLES:
                 k += 1
             span = run[k:]
             etype, conf = "PER", 0.85
-        elif prev in _PER_TITLES:
+        elif prev in _PER_TITLES and run:
             etype, conf, span = "PER", 0.85, run
         elif len(run) >= 2:
             etype, conf, span = "PER", 0.70, run
@@ -219,6 +269,9 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
         if span:
             start, end = span[0][1], span[-1][2]
             out.append((text[start:end], etype, conf, start, end))
+        if loc_span:
+            start, end = loc_span[0][1], loc_span[-1][2]
+            out.append((text[start:end], "LOC", 0.85, start, end))
         i = j
 
     out.sort(key=lambda e: (e[3], e[4]))

@@ -1499,3 +1499,51 @@ def prefix_duplicates(
         .select("short_id", "long_id", "short_len", "long_len")
         .orderBy("short_id", "long_id")
     )
+
+
+def cap_drop_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    simhash_bucket: int = 1000,
+    prefix_bucket: int = 1000,
+    band_chars: int = 32,
+    min_chars: int = 32,
+) -> DataFrame:
+    """Recall-loss audit for the opt-in degenerate-group caps: one row
+    per capped dedup tier, ``(op, capped_groups, dropped_rows)``.
+
+    The caps exist because a template-heavy corpus turns banded
+    self-joins superlinear (|group|² candidate cliques — measured
+    disk-exhausting at sf10, SCALE.md §4), but a cap that silently
+    discards recall is a production trap the other way (VERDICT r8
+    #6). ``_cap_buckets`` already records the drop as a lazy stats
+    frame; this surfaces it as a first-class relation a pipeline run
+    reports next to its dedup results, instead of an opt-in dict only
+    docstring readers know about (VERDICT r9 prescription 6).
+
+    Cost shape: builds the SAME banded relations the capped operators
+    build (by calling them — the audit can never drift from the real
+    capping logic) but executes ONLY the slim keyed aggregates; the
+    pair self-joins are constructed and discarded unexecuted. Two
+    map-side-combined aggregations over (id, band-key) relations —
+    corpus-linear, no join ever runs."""
+    sh_stats: dict = {}
+    simhash_hamming_pairs(
+        df, id_col, text_col,
+        max_bucket=simhash_bucket, cap_stats=sh_stats, persist=False,
+    )
+    pf_stats: dict = {}
+    prefix_duplicates(
+        df, id_col, text_col, band_chars=band_chars, min_chars=min_chars,
+        max_bucket=prefix_bucket, cap_stats=pf_stats,
+    )
+    out = None
+    for op, stats in (("prefix", pf_stats), ("simhash", sh_stats)):
+        row = stats["stats"].select(
+            F.lit(op).alias("op"),
+            F.col("capped_groups").cast("bigint").alias("capped_groups"),
+            F.col("dropped_rows").cast("bigint").alias("dropped_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("op")

@@ -373,3 +373,34 @@ def test_cap_stats_reports_drop_counts(spark):
     lg = lstats["stats"].first()
     assert lg["capped_groups"] == 4, lg  # 4 bands, all degenerate
     assert lg["dropped_rows"] == 48, lg
+
+
+def test_cap_drop_audit_relation(spark):
+    """VERDICT r9 prescription 6: the cap audit is a first-class
+    relation, not an opt-in dict. One row per capped tier, values
+    equal to the per-operator cap_stats numbers, and zero-valued (not
+    missing) rows when nothing tripped."""
+    from simple_etl_spark.llm import dedup
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(12)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta")]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+
+    out = dedup.cap_drop_audit(
+        docs, "id", "text", simhash_bucket=10, prefix_bucket=10
+    ).collect()
+    assert [r["op"] for r in out] == ["prefix", "simhash"]
+    by_op = {r["op"]: r for r in out}
+    # 12 identical docs: 4 degenerate simhash (band, value) groups of
+    # 12 banded rows each; one degenerate 12-member prefix band
+    assert (by_op["simhash"]["capped_groups"],
+            by_op["simhash"]["dropped_rows"]) == (4, 48)
+    assert (by_op["prefix"]["capped_groups"],
+            by_op["prefix"]["dropped_rows"]) == (1, 12)
+
+    quiet = dedup.cap_drop_audit(
+        docs, "id", "text", simhash_bucket=1000, prefix_bucket=1000
+    ).collect()
+    assert [(r["op"], r["capped_groups"], r["dropped_rows"])
+            for r in quiet] == [("prefix", 0, 0), ("simhash", 0, 0)]

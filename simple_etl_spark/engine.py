@@ -190,6 +190,14 @@ def ship_package(spark: SparkSession) -> str | None:
                     )
                     zf.write(full, rel)
     spark.sparkContext.addPyFile(zpath)
+    # the driver's file server streams the ORIGINAL path on demand
+    # (unlinking right here breaks executor fetches with "Stream ...
+    # was not found" — verified live), so clean up at driver exit
+    # instead: without this every session on a long-lived host leaks
+    # one uniquely-named zip in tmpdir forever (code-review r10)
+    import atexit
+
+    atexit.register(lambda p=zpath: os.path.exists(p) and os.unlink(p))
     ship_package._shipped = spark.sparkContext
     ship_package._zip = zpath
     return zpath

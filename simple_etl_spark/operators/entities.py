@@ -214,9 +214,18 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
         k = next((k for k in range(i, j - 1) if norm(k) in _ORG_CUES), None)
         if k is not None:
             start, end = toks[k][1], toks[j - 1][2]
-            inside = [
-                e for e in out if start <= e[3] and e[4] <= end
-            ]
+            touching = [e for e in out if e[3] < end and start < e[4]]
+            inside = [e for e in touching if start <= e[3] and e[4] <= end]
+            if len(touching) > len(inside):
+                # a tier-1 match STRADDLES the span boundary (the
+                # case-insensitive gazetteer can extend past the
+                # capitalized run: "Lembaga Bank indonesia" — 'Bank
+                # indonesia' ends beyond the run). Emitting the cue
+                # span would produce OVERLAPPING entities; the
+                # higher-confidence gazetteer match wins and the cue
+                # span is abandoned (code-review r10, reproduced).
+                i = j
+                continue
             if not any(e[3] == start and e[4] == end for e in inside):
                 for e in inside:
                     out.remove(e)

@@ -56,6 +56,12 @@ _SCRIPT = textwrap.dedent(
     from simple_etl_spark.engine import ship_package
     ship_package(spark)
 
+    # scope the pid scan to THIS app: another local-cluster on the
+    # host (a concurrent scale replay) contributes its own executor
+    # JVMs, and an unscoped scan waits forever for "exactly 2" or
+    # kills a bystander
+    app_id = spark.sparkContext.applicationId
+
     def exec_pids():
         out = subprocess.run(["ps", "-eo", "pid,comm,args"],
                              capture_output=True, text=True).stdout
@@ -63,7 +69,8 @@ _SCRIPT = textwrap.dedent(
         for line in out.splitlines():
             parts = line.split(None, 2)
             if (len(parts) == 3 and parts[1] == "java"
-                    and "CoarseGrainedExecutorBackend" in parts[2]):
+                    and "CoarseGrainedExecutorBackend" in parts[2]
+                    and app_id in parts[2]):
                 pids.append(int(parts[0]))
         return set(pids)
 
@@ -97,6 +104,20 @@ _SCRIPT = textwrap.dedent(
             time.sleep(0.5)
         raise AssertionError(f"cluster never back at 2 executors: {pids}")
 
+    def await_relaunch(before):
+        # poll, don't sleep a fixed 3 s: under load the standalone
+        # worker can take longer to respawn the executor
+        t0 = time.time()
+        while time.time() - t0 < 60:
+            after = exec_pids()
+            if after - before:
+                return after
+            time.sleep(0.5)
+        raise AssertionError(
+            f"no relaunched executor after 60 s: was the kill real? "
+            f"before={before}"
+        )
+
     def faulted_run(build_rows, stage_pred):
         before = await_two_executors()
         result = {}
@@ -111,10 +132,8 @@ _SCRIPT = textwrap.dedent(
         t.join(240)
         assert not t.is_alive(), "query hung after executor kill"
         assert "exc" not in result, result["exc"]
-        time.sleep(3)  # worker relaunch
-        after = exec_pids()
+        after = await_relaunch(before)
         assert victim in before and victim not in after, (victim, after)
-        assert after - before, "no relaunched executor: was the kill real?"
         return result["rows"]
 
     # --- batch legs -------------------------------------------------
@@ -164,9 +183,8 @@ _SCRIPT = textwrap.dedent(
              .trigger(availableNow=True).start())
         victim = kill_when(lambda i: True, before)
         q.awaitTermination(240)
-        time.sleep(3)
-        after = exec_pids()
-        assert victim not in after and after - before, (victim, after)
+        after = await_relaunch(before)
+        assert victim not in after, (victim, after)
         got = sorted((r["k"], r["s"]) for r in
                      spark.sql("SELECT * FROM faulted").collect())
         assert got == want, "streaming kill changed the sink contents"

@@ -463,3 +463,25 @@ def test_png_trailing_inflate_bomb_not_flushed():
     _cur, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     assert peak < 5_000_000, peak
+
+
+def test_image_features_palette_png_spark_path(spark):
+    """Palette PNG flows through the Arrow-batched mapInPandas feature
+    pass like every other decodable format (VERDICT r9 prescription
+    4): PLTE-expanded RGB drives the exact integer mean, and a
+    tRNS-bearing payload contributes its alpha bytes as a 4th
+    channel."""
+    idx = bytes([0, 1, 2, 3, 3, 0])
+    plain = _png(3, 2, 3, idx, filters=[1, 4], plte=PALETTE)
+    rgba = _png(4, 1, 3, bytes([0, 1, 2, 3]), plte=PALETTE,
+                trns=bytes([0, 128]))
+    df = _binary_df(spark, {1: plain, 2: rgba})
+    rows = {r["doc_id"]: r for r in image_features(df).collect()}
+    want = b"".join(PALETTE[i * 3 : i * 3 + 3] for i in idx)
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"],
+            rows[1]["mean_px"]) == (3, 2, 3, sum(want) // len(want))
+    alphas = [0, 128, 255, 255]
+    want4 = b"".join(PALETTE[i * 3 : i * 3 + 3] + bytes([alphas[i]])
+                     for i in [0, 1, 2, 3])
+    assert (rows[2]["width"], rows[2]["channels"],
+            rows[2]["mean_px"]) == (4, 4, sum(want4) // len(want4))

@@ -205,3 +205,19 @@ def test_type_mix_is_stable():
     assert total >= 50
     for e, c in counts.items():
         assert 0.10 <= c / total <= 0.60, (e, counts)
+
+
+def test_spans_never_overlap():
+    """Non-overlap invariant (code-review r10, reproduced): a
+    case-insensitive gazetteer match can extend past a capitalized
+    run ('Lembaga Bank indonesia'), and the ORG-cue span must yield
+    to it rather than emit two entities sharing a token."""
+    got = gazetteer_extractor("Lembaga Bank indonesia menggelar rapat.")
+    assert [(e[0], e[1], e[2]) for e in got] == [
+        ("Bank indonesia", "ORG", 0.95)
+    ]
+    for marked in SENTENCES:
+        text, _ = _parse(marked)
+        ents = sorted(gazetteer_extractor(text), key=lambda e: e[3])
+        for a, b in zip(ents, ents[1:]):
+            assert a[4] <= b[3], (text, a, b)

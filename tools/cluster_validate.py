@@ -31,7 +31,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-OUT = os.path.join(REPO, "CLUSTER_r9.jsonl")
+OUT = os.environ.get(
+    "SPARK_GRAFT_CLUSTER_OUT", os.path.join(REPO, "CLUSTER_r10.jsonl")
+)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 MASTER = os.environ.get("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,16,4096]")
 

@@ -1,0 +1,289 @@
+"""Round-10 executor-loss fault injection at scale (VERDICT r9 #1):
+kill a REAL executor JVM mid-query under ``local-cluster`` and verify
+task retry / stage resubmission / streaming state recovery reproduce
+the IDENTICAL canonical result hash the healthy cluster produced.
+
+tests/test_executor_loss.py pins the mechanism on a toy relation; this
+harness proves it on the engine's own heavyweights at generated-twin
+scale (tools/gen_scaledata.py twins in /tmp/scaledata): banded dedup
+self-joins whose shuffles actually span executors, and the stateful
+gap-session drain killed mid-micro-batch.
+
+Each (query × kill_point) row records the clean hash, the faulted
+hash, the killed pid, and whether the worker relaunched a replacement.
+Kill points: ``early`` (0.5 s after the first active task) and
+``late`` (~60% of the clean wall-clock). Records append to
+FAULT_r10.jsonl incrementally; re-runs resume by skipping recorded
+rows.
+
+Usage::
+
+    python tools/fault_inject.py [batch|stream|all]
+
+Env: SPARK_GRAFT_SF_DIR (default /tmp/scaledata/sf1),
+SPARK_GRAFT_CLUSTER_MASTER (default local-cluster[2,8,3072]).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+OUT = os.environ.get(
+    "SPARK_GRAFT_FAULT_OUT", os.path.join(REPO, "FAULT_r10.jsonl")
+)
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/scaledata/sf1")
+MASTER = os.environ.get(
+    "SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,8,3072]"
+)
+
+BATCH_QUERIES = [
+    "llm_dedup_clusters",      # minhash->LSH->verify->label propagation
+    "llm_simhash_hamming",     # banded Hamming self-join
+    "llm_prefix_dups",         # band + hash-ladder verify join
+    "llm_cap_audit",           # the new audit aggregates
+    "revenue_by_segment",      # broadcast-join rollup (headline shape)
+]
+STREAM_QUERIES = ["stream_gap_sessions", "stream_running_totals"]
+
+
+def _done() -> set[tuple[str, str]]:
+    done = set()
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                    done.add((rec["name"], rec["kill_point"]))
+                except (ValueError, KeyError):
+                    continue
+    return done
+
+
+def _emit(rec: dict) -> None:
+    with open(OUT, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+        fh.flush()
+
+
+APP_ID = None  # set once the session exists
+
+
+def exec_pids() -> set[int]:
+    """Executor JVM pids OF THIS APPLICATION — the args filter on the
+    Spark app id matters: another local-cluster on the same host (the
+    r10 window replay ran concurrently) contributes its own
+    CoarseGrainedExecutorBackend processes, and an unscoped scan
+    either waits forever for 'exactly 2 executors' or kills a
+    bystander (observed live)."""
+    out = subprocess.run(
+        ["ps", "-eo", "pid,comm,args"], capture_output=True, text=True
+    ).stdout
+    pids = set()
+    for line in out.splitlines():
+        parts = line.split(None, 2)
+        if (
+            len(parts) == 3
+            and parts[1] == "java"
+            and "CoarseGrainedExecutorBackend" in parts[2]
+            and (APP_ID is None or APP_ID in parts[2])
+        ):
+            pids.add(int(parts[0]))
+    return pids
+
+
+def await_executors(n: int, timeout: float = 120) -> set[int]:
+    t0 = time.time()
+    pids: set[int] = set()
+    while time.time() - t0 < timeout:
+        pids = exec_pids()
+        if len(pids) == n:
+            return pids
+        time.sleep(0.5)
+    raise AssertionError(f"cluster never at {n} executors: {pids}")
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(MASTER)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "6g")
+        .config("spark.task.maxFailures", "4")
+        .config("spark.sql.shuffle.partitions", "16")
+        .appName("fault_inject_r10")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from simple_etl_spark.engine import ship_package
+
+    ship_package(spark)
+    global APP_ID
+    APP_ID = spark.sparkContext.applicationId
+    return spark
+
+
+def _canonical_hash(df) -> tuple[str, int]:
+    from oracle_harness import canonicalize
+
+    rows = df.collect()
+    cols = df.columns
+    canon = canonicalize(cols, rows)
+    payload = repr(sorted(cols)) + "\n" + "\n".join(repr(r) for r in canon)
+    return hashlib.md5(payload.encode()).hexdigest(), len(rows)
+
+
+def _faulted_hash(spark, fn, kill_delay: float) -> dict:
+    """Run ``fn`` in a thread; 0.5 s after the first active task plus
+    ``kill_delay``, SIGKILL the lowest-pid executor; return the result
+    hash plus kill forensics."""
+    before = await_executors(2)
+    result: dict = {}
+
+    def run():
+        try:
+            result["hash"], result["rows"] = _canonical_hash(fn())
+        except Exception as exc:  # noqa: BLE001 — recorded by caller
+            result["exc"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    t = threading.Thread(target=run)
+    t.start()
+    st = spark.sparkContext.statusTracker()
+    t0 = time.time()
+    victim = None
+    while time.time() - t0 < 600 and t.is_alive():
+        active = [
+            st.getStageInfo(sid)
+            for sid in st.getActiveStageIds()
+        ]
+        if any(i and i.numActiveTasks > 0 for i in active):
+            time.sleep(0.5 + kill_delay)
+            if t.is_alive():  # don't kill after the query finished
+                victim = sorted(before)[0]
+                os.kill(victim, signal.SIGKILL)
+            break
+        time.sleep(0.05)
+    t.join(900)
+    if t.is_alive():
+        result["exc"] = "query hung after kill"
+    # poll for the worker respawn rather than snapshotting once: a
+    # query that finishes right after the kill joins before the
+    # standalone worker relaunches, and a single snapshot would
+    # misreport relaunched=false (code-review r10 — the sibling
+    # pytest's await_relaunch, applied here too)
+    after = exec_pids()
+    if victim is not None:
+        t0 = time.time()
+        while time.time() - t0 < 60 and not (after - before):
+            time.sleep(0.5)
+            after = exec_pids()
+    result["kill_pid"] = victim
+    result["killed"] = victim is not None and victim not in after
+    result["relaunched"] = bool(after - before)
+    return result
+
+
+def run_phase(spark, names: list[str], done: set) -> None:
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in names:
+        fn = lambda n=name: qs[n](spark, SF_DIR)  # noqa: E731
+        try:
+            cold_hash, _ = _canonical_hash(fn())
+            # warm re-run: the faulted runs below are warm too, so the
+            # 'late' kill delay must come from warm wall-clock (a cold
+            # first run reads 2-5x its steady state and the late kill
+            # would always land after completion)
+            t0 = time.time()
+            clean_hash, clean_rows = _canonical_hash(fn())
+            clean_sec = time.time() - t0
+            if cold_hash != clean_hash:
+                _emit({"name": name, "kill_point": "clean", "ok": False,
+                       "msg": "cold/warm clean hashes differ — "
+                              "nondeterministic query, cannot fault-test"})
+                continue
+        except Exception as exc:  # noqa: BLE001
+            _emit({"name": name, "kill_point": "clean", "ok": False,
+                   "msg": f"clean run failed: {exc}"[:300]})
+            continue
+        print(f"{name}: clean {clean_sec:.1f}s rows={clean_rows} "
+              f"hash={clean_hash[:12]}", flush=True)
+        for point, delay in (("early", 0.0), ("late", clean_sec * 0.6)):
+            if (name, point) in done:
+                continue
+            t0 = time.time()
+            res = _faulted_hash(spark, fn, delay)
+            if res.get("kill_pid") is None and "exc" not in res:
+                # the query beat the kill to the finish line — that is
+                # a non-result, not a pass or a failure
+                _emit({"name": name, "kill_point": point, "sf": SF_DIR,
+                       "ok": None,
+                       "msg": "finished before kill point (too fast)",
+                       "sec": round(time.time() - t0, 1)})
+                print(f"{name} × {point}: skipped (too fast)", flush=True)
+                continue
+            ok = (
+                res.get("hash") == clean_hash
+                and res.get("killed", False)
+            )
+            rec = {
+                "name": name, "kill_point": point, "sf": SF_DIR,
+                "ok": bool(ok),
+                "clean_hash": clean_hash, "fault_hash": res.get("hash"),
+                "rows": res.get("rows"), "clean_rows": clean_rows,
+                "kill_pid": res.get("kill_pid"),
+                "killed": res.get("killed"),
+                "relaunched": res.get("relaunched"),
+                "sec": round(time.time() - t0, 1),
+                "clean_sec": round(clean_sec, 1),
+            }
+            if "exc" in res:
+                rec["msg"] = res["exc"]
+            _emit(rec)
+            print(f"{name} × {point}: "
+                  f"{'ok' if ok else 'FAIL ' + str(rec.get('msg', 'hash/kill mismatch'))}",
+                  flush=True)
+
+
+def main() -> None:
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    done = _done()
+    spark = _session()
+    print(f"master={MASTER} sf={SF_DIR} resume={len(done)} records",
+          flush=True)
+    if what in ("batch", "all"):
+        run_phase(spark, BATCH_QUERIES, done)
+    if what in ("stream", "all"):
+        run_phase(spark, STREAM_QUERIES, done)
+    recs = []
+    if os.path.exists(OUT):
+        for line in open(OUT):
+            try:
+                recs.append(json.loads(line))
+            except ValueError:
+                continue
+    ok = sum(1 for r in recs if r.get("ok"))
+    skipped = sum(1 for r in recs if r.get("ok") is None)
+    print(f"SUMMARY: {ok}/{len(recs)} ok ({skipped} skipped-too-fast)",
+          flush=True)
+    for r in recs:
+        if r.get("ok") is False:
+            print("  FAIL", r["name"], r["kill_point"],
+                  r.get("msg", ""), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -121,7 +121,13 @@ def _session():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "6g")
         .config("spark.task.maxFailures", "4")
-        .config("spark.sql.shuffle.partitions", "16")
+        # width is a scale knob: 16 fits the sf1 twins; the sf10
+        # retries need 64+ or the banded self-join partitions outgrow
+        # a 768 MB-per-slot heap (observed java.lang.OutOfMemoryError)
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_FAULT_PARTITIONS", "16"),
+        )
         .appName("fault_inject_r10")
         .getOrCreate()
     )

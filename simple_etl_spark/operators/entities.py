@@ -224,6 +224,12 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
                 # span would produce OVERLAPPING entities; the
                 # higher-confidence gazetteer match wins and the cue
                 # span is abandoned (code-review r10, reproduced).
+                # The abandoned tokens are still CONSUMED: left loose,
+                # a ≥2-token fragment like "Lembaga Besar" resurfaces
+                # from the bare tier as a fake 0.70 PER (second
+                # review pass, reproduced).
+                for t in range(k, j):
+                    consumed[t] = True
                 i = j
                 continue
             if not any(e[3] == start and e[4] == end for e in inside):

@@ -182,7 +182,7 @@ _SCRIPT = textwrap.dedent(
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         victim = kill_when(lambda i: True, before)
-        q.awaitTermination(240)
+        assert q.awaitTermination(240), "drain hung after executor kill"
         after = await_relaunch(before)
         assert victim not in after, (victim, after)
         got = sorted((r["k"], r["s"]) for r in

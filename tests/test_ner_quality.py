@@ -221,3 +221,13 @@ def test_spans_never_overlap():
         ents = sorted(gazetteer_extractor(text), key=lambda e: e[3])
         for a, b in zip(ents, ents[1:]):
             assert a[4] <= b[3], (text, a, b)
+
+
+def test_abandoned_cue_fragment_does_not_become_per():
+    """Second review pass (reproduced): when an ORG-cue span yields to
+    a straddling gazetteer match, its leftover ≥2-token prefix must be
+    consumed, not resurface from the bare tier as a fake person."""
+    got = gazetteer_extractor("Lembaga Besar Bank indonesia menggelar rapat.")
+    assert [(e[0], e[1], e[2]) for e in got] == [
+        ("Bank indonesia", "ORG", 0.95)
+    ]

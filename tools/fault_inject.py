@@ -57,14 +57,21 @@ BATCH_QUERIES = [
 STREAM_QUERIES = ["stream_gap_sessions", "stream_running_totals"]
 
 
-def _done() -> set[tuple[str, str]]:
+def _done() -> set[tuple[str, str, str]]:
+    """Completed (name, kill_point, sf) keys. sf is part of the key —
+    the sf10 re-runs of the too-fast-at-sf1 rows would otherwise be
+    skipped as 'done' — and ok=None (finished-before-kill) rows do
+    NOT count: they are non-results a re-run at a bigger sf exists to
+    replace (code-review r10)."""
     done = set()
     if os.path.exists(OUT):
         with open(OUT) as fh:
             for line in fh:
                 try:
                     rec = json.loads(line)
-                    done.add((rec["name"], rec["kill_point"]))
+                    if rec.get("ok") is not None:
+                        done.add((rec["name"], rec["kill_point"],
+                                  rec.get("sf", "")))
                 except (ValueError, KeyError):
                     continue
     return done
@@ -176,13 +183,26 @@ def _faulted_hash(spark, fn, kill_delay: float) -> dict:
         if any(i and i.numActiveTasks > 0 for i in active):
             time.sleep(0.5 + kill_delay)
             if t.is_alive():  # don't kill after the query finished
-                victim = sorted(before)[0]
-                os.kill(victim, signal.SIGKILL)
+                # re-intersect with LIVE pids: a late kill_delay spans
+                # minutes, the snapshot victim can die on its own (sf10
+                # OOM observed), and an unguarded os.kill would either
+                # crash the matrix or, with pid reuse, hit a bystander
+                live = exec_pids() & before
+                if live:
+                    victim = sorted(live)[0]
+                    try:
+                        os.kill(victim, signal.SIGKILL)
+                    except ProcessLookupError:
+                        victim = None
             break
         time.sleep(0.05)
     t.join(900)
     if t.is_alive():
         result["exc"] = "query hung after kill"
+        # the hung collect's job would keep occupying both executors
+        # and poison every later (query x kill_point) cell on this
+        # shared session — cancel it before moving on
+        spark.sparkContext.cancelAllJobs()
     # poll for the worker respawn rather than snapshotting once: a
     # query that finishes right after the kill joins before the
     # standalone worker relaunches, and a single snapshot would
@@ -205,6 +225,8 @@ def run_phase(spark, names: list[str], done: set) -> None:
 
     qs = e.queries()
     for name in names:
+        if all((name, p, SF_DIR) in done for p in ("early", "late")):
+            continue  # don't pay two at-scale clean runs to skip both
         fn = lambda n=name: qs[n](spark, SF_DIR)  # noqa: E731
         try:
             cold_hash, _ = _canonical_hash(fn())
@@ -227,7 +249,7 @@ def run_phase(spark, names: list[str], done: set) -> None:
         print(f"{name}: clean {clean_sec:.1f}s rows={clean_rows} "
               f"hash={clean_hash[:12]}", flush=True)
         for point, delay in (("early", 0.0), ("late", clean_sec * 0.6)):
-            if (name, point) in done:
+            if (name, point, SF_DIR) in done:
                 continue
             t0 = time.time()
             res = _faulted_hash(spark, fn, delay)
@@ -282,7 +304,8 @@ def main() -> None:
                 continue
     ok = sum(1 for r in recs if r.get("ok"))
     skipped = sum(1 for r in recs if r.get("ok") is None)
-    print(f"SUMMARY: {ok}/{len(recs)} ok ({skipped} skipped-too-fast)",
+    print(f"SUMMARY (all sf in {os.path.basename(OUT)}): "
+          f"{ok}/{len(recs)} ok ({skipped} skipped-too-fast)",
           flush=True)
     for r in recs:
         if r.get("ok") is False:

@@ -757,12 +757,19 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
     executor (ADVICE r9); the array keeps decoded memory proportional
     to the payload (1/2/4 bytes per sample).
 
+    IEEE-float WAV (format 3, 32/64-bit) decodes too — stdlib
+    ``struct`` unpacks it, no codec needed — with samples quantized
+    into the signed-16-bit domain (round-half-even × 32767, clamped;
+    every op correctly-rounded IEEE, so the integers are
+    host-deterministic) to keep downstream features integer-exact.
+
     Chunk-walks the RIFF container (extra chunks like LIST/fact are
     skipped), requires one ``fmt `` and one ``data`` chunk, and caps
     total samples at :data:`MAX_DECODE_PIXELS` — the same
     header-declared-allocation ceiling the image decoders enforce.
-    IEEE-float (format 3) and compressed formats raise
-    ``NotImplementedError``; malformed payloads raise ``ValueError``."""
+    Compressed formats raise ``NotImplementedError``; malformed
+    payloads (including non-finite float samples) raise
+    ``ValueError``."""
     import struct
     import sys
     from array import array
@@ -791,15 +798,22 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
         raise ValueError("WAV fmt chunk too short")
     audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if audio_fmt == 3:
-        raise NotImplementedError("IEEE-float WAV requires a codec")
-    if audio_fmt != 1:
+    if audio_fmt not in (1, 3):
         raise NotImplementedError(
             f"compressed WAV (format {audio_fmt}) requires a codec"
         )
     if channels < 1 or rate < 1:
         raise ValueError(f"bad WAV layout: {channels}ch @ {rate}Hz")
-    if bits not in (8, 16, 24):
+    if audio_fmt == 3:
+        # IEEE-float PCM is pure-stdlib too (struct '<f'/'<d'); the
+        # nominal [-1.0, 1.0] samples quantize into the signed-16-bit
+        # domain (round-half-even × 32767, clamped) so every
+        # downstream feature stays integer-exact. float32→float64
+        # widening, the multiply, and round() are all correctly
+        # rounded IEEE ops — deterministic across hosts.
+        if bits not in (32, 64):
+            raise ValueError(f"bad IEEE-float WAV bit depth {bits}")
+    elif bits not in (8, 16, 24):
         raise NotImplementedError(f"{bits}-bit PCM WAV")
     width = bits // 8
     n = len(data) // width
@@ -809,7 +823,19 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
         raise ValueError("WAV data chunk is not a whole number of frames")
     if n > MAX_DECODE_PIXELS:
         raise ValueError(f"WAV declares {n} samples > MAX_DECODE_PIXELS")
-    if bits == 8:
+    if audio_fmt == 3:
+        import math
+
+        floats = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data)
+        samples = array("h")
+        for v in floats:
+            if not math.isfinite(v):
+                raise ValueError("non-finite IEEE-float WAV sample")
+            q = round(v * 32767.0)
+            samples.append(
+                -32768 if q < -32768 else (32767 if q > 32767 else q)
+            )
+    elif bits == 8:
         # u8 - 128 == int8(u8 ^ 0x80): one translate pass, 1 byte/sample
         samples = array("b", bytes.translate(data, _U8_RECENTER))
     elif bits == 16:

@@ -76,10 +76,10 @@ def test_malformed_wav_raises_value_error(junk):
 def test_wav_codec_gates():
     good = bytearray(make_wav([0, 1], 8000, 1, 16))
     fmt_at = good.index(b"fmt ") + 8
-    ieee = bytearray(good)
-    struct.pack_into("<H", ieee, fmt_at, 3)  # IEEE float
-    with pytest.raises(NotImplementedError):
-        decode_audio(bytes(ieee))
+    ieee16 = bytearray(good)
+    struct.pack_into("<H", ieee16, fmt_at, 3)  # IEEE float, 16-bit: bogus
+    with pytest.raises(ValueError, match="IEEE-float WAV bit depth"):
+        decode_audio(bytes(ieee16))
     ulaw = bytearray(good)
     struct.pack_into("<H", ulaw, fmt_at, 7)  # mu-law
     with pytest.raises(NotImplementedError):
@@ -206,3 +206,53 @@ def test_encode_wav_validates_layout_up_front():
         encode_wav([0], 8000, 1, 32)
     with pytest.raises(ValueError, match="range"):
         encode_wav([8388608], 8000, 1, 24)
+
+
+def make_wav_float(samples, rate, channels, bits=32):
+    """Float samples -> IEEE-float (format 3) RIFF/WAVE bytes."""
+    code = "f" if bits == 32 else "d"
+    data = struct.pack(f"<{len(samples)}{code}", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 3, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+@pytest.mark.parametrize("bits", [32, 64])
+def test_wav_ieee_float_quantizes_deterministically(bits):
+    """Format-3 WAV decodes via stdlib struct; samples land in the
+    signed-16-bit domain via round-half-even x 32767 with clamping
+    (1.0 -> 32767, 0.5 -> 16384 by banker's rounding of 16383.5,
+    out-of-range clamps, float32 widening is exact)."""
+    vals = [0.0, 1.0, -1.0, 0.5, -0.5, 1.5, -2.0]
+    rate, ch, b, got = decode_audio(
+        make_wav_float(vals, 48000, 1, bits=bits))
+    assert (rate, ch, b) == (48000, 1, bits)
+    assert list(got) == [0, 32767, -32767, 16384, -16384, 32767, -32768]
+    from array import array
+    assert isinstance(got, array) and got.typecode == "h"
+
+
+def test_wav_ieee_float_nonfinite_raises():
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            decode_audio(make_wav_float([0.0, bad], 8000, 2))
+
+
+def test_audio_features_ieee_float_spark_path(spark):
+    import math
+
+    tone = [math.sin(2 * math.pi * i / 50) for i in range(800)]
+    ints = [min(32767, max(-32768, round(v * 32767.0))) for v in tone]
+    wav = make_wav_float(tone, 8000, 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id bigint, payload binary",
+    )
+    r = audio_features(df).collect()[0]
+    assert (r["sample_rate"], r["channels"], r["n_frames"],
+            r["duration_ms"]) == (8000, 1, 800, 100)
+    assert r["peak_abs"] == max(abs(v) for v in ints)
+    assert r["mean_abs"] == sum(abs(v) for v in ints) // len(ints)

@@ -642,3 +642,26 @@ def test_prefix_dup_band_exchange_carries_no_text(spark):
         assert "_norm" not in inp and "_vnorm" not in inp, (
             f"document text crosses a band exchange:\n{blk}"
         )
+
+
+def test_cap_audit_plan_has_no_pair_join(spark):
+    """cap_drop_audit's cost claim (VERDICT r9 #6 close-out): the
+    audit builds the capped operators' banding by CALLING them but
+    executes only the slim keyed aggregates — the pair self-joins are
+    planned and discarded. The audit relation's physical plan must
+    therefore contain NO join at all: two aggregation chains over the
+    banded relations, a union, a sort — and nothing quadratic."""
+    from simple_etl_spark.llm.dedup import cap_drop_audit
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 4 + str(i)) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    out = cap_drop_audit(df, "doc_id", "text",
+                         simhash_bucket=5, prefix_bucket=5)
+    plan = _plan(out)
+    for join in ("SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct"):
+        assert join not in plan, f"{join} leaked into the audit:\n{plan}"
+    assert plan.count("HashAggregate") >= 4  # partial+final per tier

@@ -798,7 +798,23 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
         raise ValueError("WAV fmt chunk too short")
     audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
-    if audio_fmt not in (1, 3):
+    if audio_fmt == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (pro-audio containers): the real
+        # format is the first two bytes of the SubFormat GUID in the
+        # fmt extension (valid-bits and channel mask precede it).
+        # Unwrap and dispatch to the PCM / IEEE-float paths below.
+        if len(fmt) < 40:
+            raise ValueError("extensible WAV fmt chunk too short")
+        (cb,) = struct.unpack_from("<H", fmt, 16)
+        if cb < 22:
+            raise ValueError(f"extensible WAV extension size {cb} < 22")
+        (audio_fmt,) = struct.unpack_from("<H", fmt, 24)
+        if struct.unpack_from("<H", fmt, 26)[0] != 0x0000 or \
+                fmt[28:40] != _WAV_GUID_TAIL:
+            raise NotImplementedError(
+                "extensible WAV with a non-standard SubFormat GUID"
+            )
+    if audio_fmt not in (1, 3, 6, 7):
         raise NotImplementedError(
             f"compressed WAV (format {audio_fmt}) requires a codec"
         )
@@ -813,6 +829,12 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
         # rounded IEEE ops — deterministic across hosts.
         if bits not in (32, 64):
             raise ValueError(f"bad IEEE-float WAV bit depth {bits}")
+    elif audio_fmt in (6, 7):
+        # G.711 A-law / µ-law (telephony corpora): 8-bit log-companded
+        # samples expand to exact int16 by the ITU-T tables — integer
+        # arithmetic only, bit-exact by construction.
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
     elif bits not in (8, 16, 24):
         raise NotImplementedError(f"{bits}-bit PCM WAV")
     width = bits // 8
@@ -835,6 +857,9 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
             samples.append(
                 -32768 if q < -32768 else (32767 if q > 32767 else q)
             )
+    elif audio_fmt in (6, 7):
+        table = _g711_alaw_table() if audio_fmt == 6 else _g711_mulaw_table()
+        samples = array("h", map(table.__getitem__, data))
     elif bits == 8:
         # u8 - 128 == int8(u8 ^ 0x80): one translate pass, 1 byte/sample
         samples = array("b", bytes.translate(data, _U8_RECENTER))
@@ -857,6 +882,44 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
 # translate table implementing (byte - 128) & 0xFF == byte ^ 0x80 so the
 # 8-bit re-center is a single C-level pass instead of a Python loop
 _U8_RECENTER = bytes((b ^ 0x80) for b in range(256))
+
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail shared by the standard
+# KSDATAFORMAT_SUBTYPEs ({xxxx0000-0000-0010-8000-00AA00389B71}): the
+# first two GUID bytes are the wrapped format code, the next two must
+# be zero, and these twelve close it.
+_WAV_GUID_TAIL = bytes(
+    [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+)
+
+
+def _g711_mulaw_table() -> list[int]:
+    """ITU-T G.711 µ-law byte → linear int16 (the CCITT reference
+    expansion: invert, rebuild the mantissa with the 0x84 bias, shift
+    by the segment, re-bias) — integer-exact by construction."""
+    out = []
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        out.append(0x84 - t if u & 0x80 else t - 0x84)
+    return out
+
+
+def _g711_alaw_table() -> list[int]:
+    """ITU-T G.711 A-law byte → linear int16 (toggle the even bits
+    with 0x55, then per-segment linearization)."""
+    out = []
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out.append(t if a & 0x80 else -t)
+    return out
 
 
 def encode_wav(

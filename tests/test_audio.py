@@ -80,10 +80,10 @@ def test_wav_codec_gates():
     struct.pack_into("<H", ieee16, fmt_at, 3)  # IEEE float, 16-bit: bogus
     with pytest.raises(ValueError, match="IEEE-float WAV bit depth"):
         decode_audio(bytes(ieee16))
-    ulaw = bytearray(good)
-    struct.pack_into("<H", ulaw, fmt_at, 7)  # mu-law
+    adpcm = bytearray(good)
+    struct.pack_into("<H", adpcm, fmt_at, 2)  # MS ADPCM: truly compressed
     with pytest.raises(NotImplementedError):
-        decode_audio(bytes(ulaw))
+        decode_audio(bytes(adpcm))
     f32 = bytearray(good)
     struct.pack_into("<H", f32, fmt_at + 14, 32)  # 32-bit PCM
     with pytest.raises(NotImplementedError):
@@ -256,3 +256,81 @@ def test_audio_features_ieee_float_spark_path(spark):
             r["duration_ms"]) == (8000, 1, 800, 100)
     assert r["peak_abs"] == max(abs(v) for v in ints)
     assert r["mean_abs"] == sum(abs(v) for v in ints) // len(ints)
+
+
+def make_wav_fmt(fmt_payload, data):
+    chunks = (b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+              + b"data" + struct.pack("<I", len(data)) + data
+              + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_wav_g711(raw_bytes, rate, channels, law):
+    code = 6 if law == "alaw" else 7
+    fmt = struct.pack("<HHIIHH", code, channels, rate,
+                      rate * channels, channels, 8)
+    return make_wav_fmt(fmt, raw_bytes)
+
+
+def test_g711_known_values_and_extremes():
+    """ITU-T expansion pinned by literals (mu-law 0x00 -> -32124,
+    0xFF -> 0; A-law 0xAA -> +32256 full scale, 0x55 -> -8)."""
+    _, _, _, mu = decode_audio(
+        make_wav_g711(bytes([0x00, 0x7F, 0x80, 0xFF]), 8000, 1, "ulaw"))
+    assert list(mu) == [-32124, 0, 32124, 0]
+    _, _, _, al = decode_audio(
+        make_wav_g711(bytes([0x00, 0x55, 0xD5, 0xAA, 0x2A]), 8000, 1, "alaw"))
+    assert list(al) == [-5504, -8, 8, 32256, -32256]
+
+
+def test_g711_full_range_matches_audioop():
+    """All 256 code points vs the CPython audioop reference (present
+    through 3.12; skipped where removed — the literal pins above stay
+    unconditional)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        audioop = pytest.importorskip("audioop")
+    allb = bytes(range(256))
+    _, _, _, mu = decode_audio(make_wav_g711(allb, 8000, 1, "ulaw"))
+    assert list(mu) == list(struct.unpack("<256h", audioop.ulaw2lin(allb, 2)))
+    _, _, _, al = decode_audio(make_wav_g711(allb, 8000, 1, "alaw"))
+    assert list(al) == list(struct.unpack("<256h", audioop.alaw2lin(allb, 2)))
+
+
+def _extensible_fmt(code, channels, rate, bits):
+    guid_tail = bytes([0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+                       0x00, 0x38, 0x9B, 0x71])
+    return struct.pack(
+        "<HHIIHH", 0xFFFE, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    ) + struct.pack("<HHI", 22, bits, (1 << channels) - 1) \
+      + struct.pack("<HH", code, 0) + guid_tail
+
+
+def test_extensible_wav_unwraps_to_pcm_and_float():
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    data = struct.pack("<6h", *samples)
+    wav = make_wav_fmt(_extensible_fmt(1, 2, 44100, 16), data)
+    rate, ch, bits, got = decode_audio(wav)
+    assert (rate, ch, bits, list(got)) == (44100, 2, 16, samples)
+
+    vals = [0.0, 0.5, -1.0]
+    fwav = make_wav_fmt(_extensible_fmt(3, 1, 48000, 32),
+                        struct.pack("<3f", *vals))
+    rate, ch, bits, got = decode_audio(fwav)
+    assert (rate, ch, bits, list(got)) == (48000, 1, 32, [0, 16384, -32767])
+
+
+def test_extensible_wav_bad_guid_and_short_fmt_raise():
+    fmt = bytearray(_extensible_fmt(1, 1, 8000, 16))
+    fmt[-1] ^= 0x01  # corrupt the GUID tail
+    with pytest.raises(NotImplementedError, match="SubFormat"):
+        decode_audio(make_wav_fmt(bytes(fmt), b"\x00\x00"))
+    short = _extensible_fmt(1, 1, 8000, 16)[:20]
+    with pytest.raises(ValueError, match="too short|extension"):
+        decode_audio(make_wav_fmt(short, b"\x00\x00"))
+    with pytest.raises(ValueError, match="G.711 WAV must be 8-bit"):
+        bad = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+        decode_audio(make_wav_fmt(bad, b"\x00\x00"))

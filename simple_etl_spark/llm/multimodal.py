@@ -14,7 +14,9 @@ factors ≤ 2) — returning raw row-major pixels; the variants that
 genuinely need a codec library (progressive/arithmetic/12-bit/RGB
 JPEG; 16-bit/Adam7 PNG) raise ``NotImplementedError`` (a real
 deployment plugs PIL/libvips into the same dispatch).
-:func:`decode_audio` does the same for RIFF/WAV PCM (8/16/24-bit). The image-graded queries use :func:`byte_features`, a
+:func:`decode_audio` does the same for RIFF/WAV: integer PCM
+(8/16/24-bit), IEEE-float (32/64-bit, quantized to the int16 domain),
+G.711 A-law/µ-law, and WAVE_FORMAT_EXTENSIBLE containers. The image-graded queries use :func:`byte_features`, a
 deterministic extractor with the same batch shape, so their grading
 never depends on payload format; the audio tier is graded end-to-end
 through the real decoder (llm_audio_features synthesizes WAV from
@@ -762,6 +764,13 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
     into the signed-16-bit domain (round-half-even × 32767, clamped;
     every op correctly-rounded IEEE, so the integers are
     host-deterministic) to keep downstream features integer-exact.
+    G.711 A-law/µ-law (formats 6/7) expand by the ITU-T tables, and
+    WAVE_FORMAT_EXTENSIBLE containers unwrap their SubFormat code.
+
+    ``bits`` in the return is the CONTAINER's declared depth, not the
+    sample domain: float (32/64) and G.711 (8) payloads come back as
+    int16-domain samples. :func:`encode_wav` is the exact inverse for
+    the integer PCM depths (8/16/24) only.
 
     Chunk-walks the RIFF container (extra chunks like LIST/fact are
     skipped), requires one ``fmt `` and one ``data`` chunk, and caps
@@ -848,17 +857,26 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
     if audio_fmt == 3:
         import math
 
-        floats = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data)
         samples = array("h")
-        for v in floats:
+        # iter_unpack streams one sample at a time — a one-shot
+        # struct.unpack would box the whole payload as a tuple of
+        # Python floats, reintroducing the 10-30x transient
+        # amplification the array return exists to avoid (review r10)
+        for (v,) in struct.iter_unpack("<f" if bits == 32 else "<d", data):
             if not math.isfinite(v):
                 raise ValueError("non-finite IEEE-float WAV sample")
-            q = round(v * 32767.0)
+            # pre-clamp to ±2.0 BEFORE the multiply: a finite-but-huge
+            # float64 (1e308) would otherwise overflow to inf and
+            # round() would raise OverflowError, escaping the
+            # ValueError contract and killing the task (review r10,
+            # reproduced); anything beyond ±2 saturates identically
+            q = round((2.0 if v > 2.0 else (-2.0 if v < -2.0 else v))
+                      * 32767.0)
             samples.append(
                 -32768 if q < -32768 else (32767 if q > 32767 else q)
             )
     elif audio_fmt in (6, 7):
-        table = _g711_alaw_table() if audio_fmt == 6 else _g711_mulaw_table()
+        table = _G711_ALAW if audio_fmt == 6 else _G711_ULAW
         samples = array("h", map(table.__getitem__, data))
     elif bits == 8:
         # u8 - 128 == int8(u8 ^ 0x80): one translate pass, 1 byte/sample
@@ -922,13 +940,22 @@ def _g711_alaw_table() -> list[int]:
     return out
 
 
+# precomputed like _U8_RECENTER: rebuilding 256-entry tables per
+# decode call inside the Arrow feature pass is pure waste (review r10)
+_G711_ULAW = _g711_mulaw_table()
+_G711_ALAW = _g711_alaw_table()
+
+
 def encode_wav(
     samples: list[int], rate: int, channels: int = 1, bits: int = 8
 ) -> bytes:
     """Re-encode signed integer samples as RIFF/WAVE PCM — the inverse
-    of :func:`decode_audio` (8-bit re-centers by +128), so
-    synth→decode round-trips losslessly in pytest and the graded
-    audio query can build deterministic payloads from table columns."""
+    of :func:`decode_audio` for the integer PCM depths 8/16/24 (8-bit
+    re-centers by +128), so synth→decode round-trips losslessly in
+    pytest and the graded audio query can build deterministic payloads
+    from table columns. Float/G.711 payloads decode to int16-domain
+    samples, which re-encode at ``bits=16``, not at their container
+    depth."""
     import struct
 
     # validate the container fields up front: without these a caller

@@ -334,3 +334,14 @@ def test_extensible_wav_bad_guid_and_short_fmt_raise():
     with pytest.raises(ValueError, match="G.711 WAV must be 8-bit"):
         bad = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
         decode_audio(make_wav_fmt(bad, b"\x00\x00"))
+
+
+def test_ieee_float_huge_finite_saturates_not_crashes():
+    """A finite-but-huge float64 sample must saturate like any other
+    out-of-range value, not overflow to inf inside the quantizer and
+    escape the ValueError contract as OverflowError (review r10,
+    reproduced): one hostile payload would kill the whole Arrow batch
+    instead of yielding NULL features."""
+    _, _, _, got = decode_audio(
+        make_wav_float([1e308, -1e308, 0.25], 8000, 1, bits=64))
+    assert list(got) == [32767, -32768, 8192]

@@ -16,6 +16,21 @@ computation, no driver collect):
   idle because it runs many queries at once — exactly what the
   concurrent submission measures. The serial total is also reported.
 
+Self-calibration (round 11): the same process ALSO runs the DuckDB
+``oracle_sql()`` twins of the same 10 queries over the same parquet
+files under the identical protocol (warm-up rounds, per-query
+min-of-3 across 3 serial rounds, min-of-5 concurrent), plus a
+measured Spark job-launch floor (min of 10 × ``spark.range(1)
+.count()``).  Emitted as ``duckdb_queries`` / ``duckdb_serial`` /
+``duckdb_concurrent`` / ``spark_job_floor_sec`` and the two
+``ratio_*`` keys.  Host drift then shows up in BOTH engines'
+same-run numbers, so the judged quantity is the ratio, not an
+absolute second count that moves with the host (three rounds of
+monotonic driver-host drift with a byte-frozen posture motivated
+this — see BASELINE.md).  The Spark measurement path above is
+untouched: the twins run strictly AFTER every Spark number is
+taken, so they cannot perturb it.
+
 The session is sized to the input via ``tune_for_input`` (small
 inputs: 4 shuffle partitions, AQE coalescing, small scan bins;
 at-scale inputs keep cluster defaults), and the single-row-group
@@ -89,6 +104,59 @@ def _layout_cache(spark, sf_dir: str, cpus: int) -> str:
         return sf_dir
 
 
+def _duckdb_twin(data_dir: str, specs) -> tuple[dict, float, float]:
+    """Run the DuckDB ``oracle_sql()`` twins of the headline queries
+    under the same protocol as the Spark side (warm-up rounds, serial
+    min-of-3 across 3 rounds, concurrent min-of-5) and return
+    (per_query_serial, serial_total, concurrent).
+
+    Reads the SAME files Spark reads (the re-laid layout cache when it
+    exists — a directory of part files, so the view globs it).  Each
+    concurrent worker gets its own cursor: DuckDB cursors share the
+    catalog but a single connection is not safe across threads.
+    """
+    import duckdb
+
+    from simple_etl_spark.engine import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(data_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
+
+    sqls = {n: s.oracle for n, s in specs.items() if s.oracle is not None}
+
+    def run(cur, sql) -> float:
+        t0 = time.perf_counter()
+        cur.execute(sql).fetchall()
+        return time.perf_counter() - t0
+
+    for _ in range(6):  # unmeasured warm-up, mirroring the Spark side
+        for sql in sqls.values():
+            con.execute(sql).fetchall()
+
+    serial = {name: 9e9 for name in sqls}
+    for _ in range(3):
+        for name, sql in sqls.items():
+            serial[name] = min(
+                serial[name], run(con, sql), run(con, sql), run(con, sql)
+            )
+    serial = {name: round(t, 3) for name, t in serial.items()}
+
+    cursors = [(con.cursor(), sql) for sql in sqls.values()]
+    batch = 9e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(len(cursors)) as ex:
+            list(ex.map(lambda cs: cs[0].execute(cs[1]).fetchall(), cursors))
+        batch = min(batch, time.perf_counter() - t0)
+    for cur, _ in cursors:
+        cur.close()
+    con.close()
+    return serial, round(sum(serial.values()), 3), round(batch, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -135,20 +203,44 @@ def main() -> None:
             list(ex.map(noop, dfs.values()))
         batch = min(batch, time.perf_counter() - t0)
 
+    # ---- calibration (all Spark numbers above are already taken) ----
+    # Fixed per-job cost on THIS host right now: the floor every tiny
+    # query pays regardless of plan quality.  10 launches, min.
+    floor = 9e9
+    for _ in range(10):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        floor = min(floor, time.perf_counter() - t0)
+
+    duck_q, duck_serial, duck_batch = _duckdb_twin(data_dir, specs)
+
+    serial_total = round(sum(serial.values()), 3)
     print(
         json.dumps(
             {
                 "metric": (
                     "headline suite wall-clock, all queries submitted "
                     "concurrently (workload throughput); per-query serial "
-                    "latencies in 'queries'"
+                    "latencies in 'queries'; same-run DuckDB oracle twins "
+                    "and Spark job-launch floor in duckdb_*/"
+                    "spark_job_floor_sec (host-drift calibration)"
                 ),
                 "value": round(batch, 3),
                 "unit": "sec",
                 "queries": serial,
-                "serial_total_sec": round(sum(serial.values()), 3),
+                "serial_total_sec": serial_total,
                 "concurrency": len(dfs),
                 "sf": sf,
+                "duckdb_queries": duck_q,
+                "duckdb_serial": duck_serial,
+                "duckdb_concurrent": duck_batch,
+                "spark_job_floor_sec": round(floor, 3),
+                "ratio_concurrent": round(batch / duck_batch, 3)
+                if duck_batch
+                else None,
+                "ratio_serial": round(serial_total / duck_serial, 3)
+                if duck_serial
+                else None,
             }
         )
     )

@@ -166,6 +166,13 @@ def ship_package(spark: SparkSession) -> str | None:
         return None
     if getattr(ship_package, "_shipped", None) is spark.sparkContext:
         return getattr(ship_package, "_zip", None)
+    # A NEW context means the previous one is gone and its file server
+    # no longer streams the old archive — unlink it now instead of
+    # deferring to atexit, or a long-lived driver cycling sessions
+    # leaks one zip per session until interpreter exit (ADVICE r10).
+    prev = getattr(ship_package, "_zip", None)
+    if prev is not None and os.path.exists(prev):
+        os.unlink(prev)
     import tempfile
     import zipfile
 

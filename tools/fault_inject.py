@@ -29,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import signal
 import subprocess
 import sys
@@ -109,6 +110,23 @@ def exec_pids() -> set[int]:
     return pids
 
 
+def expected_executors() -> int:
+    """Executor count the configured master will launch.
+
+    Derived from the ``local-cluster[N,cores,mem]`` master string so a
+    non-default SPARK_GRAFT_CLUSTER_MASTER doesn't strand
+    ``await_executors`` on a hardcoded 2 (ADVICE r10); overridable via
+    SPARK_GRAFT_EXECUTORS for masters whose worker count isn't
+    encoded in the URL (standalone/YARN)."""
+    env = os.environ.get("SPARK_GRAFT_EXECUTORS")
+    if env:
+        return int(env)
+    m = re.match(r"local-cluster\[(\d+)\s*,", MASTER)
+    if m:
+        return int(m.group(1))
+    return 2
+
+
 def await_executors(n: int, timeout: float = 120) -> set[int]:
     t0 = time.time()
     pids: set[int] = set()
@@ -161,7 +179,7 @@ def _faulted_hash(spark, fn, kill_delay: float) -> dict:
     """Run ``fn`` in a thread; 0.5 s after the first active task plus
     ``kill_delay``, SIGKILL the lowest-pid executor; return the result
     hash plus kill forensics."""
-    before = await_executors(2)
+    before = await_executors(expected_executors())
     result: dict = {}
 
     def run():

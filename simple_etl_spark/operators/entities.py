@@ -119,6 +119,24 @@ _PER_TITLES = frozenset(
     "marsekal profesor prof dr dokter ustaz kiai haji sekjen ketua "
     "direktur komisaris".split()
 )
+# Reporting words that attribute a quote/claim to the following name
+# ("Menurut Budi", "kata Ani") — strong PER evidence in the news
+# register, strong enough to license even the single-token name the
+# bare tier skips as too noisy (r11: the labeled fixture's
+# "Menurut Budi" FP+FN pair was this class).
+_PER_REPORT_CUES = frozenset(
+    "menurut kata ujar ucap tutur imbuh papar ungkap sambung".split()
+)
+# Descriptor nouns that CLASSIFY the following name without being part
+# of it: "Stasiun Gambir" is the LOC "Gambir" at a station, "Harian
+# Kompas" is the ORG "Kompas" qualified as a daily. Unlike the
+# _LOC_CUES toponym heads ("Kota Depok" IS the toponym), the
+# descriptor is dropped from the emitted span (r11, same fixture:
+# both shapes were bare-tier PER false positives).
+_ORG_DESCRIPTORS = frozenset("harian majalah tabloid koran".split())
+_LOC_DESCRIPTORS = frozenset(
+    "stasiun bandara pelabuhan terminal bendungan".split()
+)
 
 _WORD_RE = None  # compiled lazily; keeps import time flat
 
@@ -168,7 +186,14 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
        tests/test_ner_quality.py, which found the pre-r10 head-only
        rule splitting org names and missing interior cues).
        A run preceded by a person title ("Presiden Joko Widodo")
-       drops the title and is PER.
+       or a reporting word ("Menurut Budi", "kata Ani") drops the
+       cue and is PER — the reporting register licenses even a
+       single-token name. A media/facility descriptor head
+       ("Harian Kompas", "Stasiun Gambir") classifies the remainder
+       as ORG/LOC *without* joining the span — unlike "Kota Depok",
+       where the cue is part of the toponym (all measured on the
+       labeled fixture in tests/test_ner_quality.py; the pre-r11
+       shapes surfaced as bare-tier PER false positives).
     3. **Bare multi-word capitalized span** (conf 0.70): ≥ 2
        capitalized tokens with no cue default to PER (Indonesian
        name shape); single capitalized words without any cue are too
@@ -179,7 +204,11 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
     toks = _gazetteer_tokens(text)
     n = len(toks)
     out: list[tuple[str, str, float, int, int]] = []
-    consumed = [False] * n
+    # why a token was consumed, not just whether: the trailing-LOC-cue
+    # trim below must fire only when the next token is a tier-1
+    # gazetteer LOC — a token absorbed by a tier-2a ORG span is not a
+    # city the cue could attach to (ADVICE r10)
+    consumed: list[str | None] = [None] * n
 
     def norm(k: int) -> str:
         return toks[k][0].lower().rstrip(".")
@@ -196,7 +225,7 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
             if etype is not None:
                 out.append((text[start:end], etype, 0.95, start, end))
                 for j in range(i, i + width):
-                    consumed[j] = True
+                    consumed[j] = "gaz:" + etype
 
     # tier 2a: ORG cue spans over capitalized runs IGNORING tier-1
     # consumption — the org name extends over embedded gazetteer
@@ -229,7 +258,7 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
                 # from the bare tier as a fake 0.70 PER (second
                 # review pass, reproduced).
                 for t in range(k, j):
-                    consumed[t] = True
+                    consumed[t] = "org"
                 i = j
                 continue
             if not any(e[3] == start and e[4] == end for e in inside):
@@ -237,7 +266,7 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
                     out.remove(e)
                 out.append((text[start:end], "ORG", 0.85, start, end))
             for t in range(k, j):
-                consumed[t] = True
+                consumed[t] = "org"
         i = j
 
     # tiers 2b-3: maximal runs of capitalized, unconsumed tokens
@@ -252,8 +281,15 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
         run = toks[i:j]
         # a trailing LOC cue whose city was already taken by the
         # gazetteer belongs to the city, not to a person name: "Warga
-        # Kota |Bandung|" must not yield PER "Warga Kota"
-        if j < n and consumed[j] and run and norm(i + len(run) - 1) in _LOC_CUES:
+        # Kota |Bandung|" must not yield PER "Warga Kota". Only a
+        # tier-1 LOC qualifies — an ORG-consumed follower means there
+        # is no city for the cue to attach to (ADVICE r10)
+        if (
+            j < n
+            and consumed[j] == "gaz:LOC"
+            and run
+            and norm(i + len(run) - 1) in _LOC_CUES
+        ):
             run = run[:-1]
         # interior LOC cue splits the run: the prefix falls to the
         # title/bare rules, the cue onward is the location span
@@ -268,14 +304,24 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
             run = run[:kc]
         head = norm(i) if run else ""
         prev = norm(i - 1) if i > 0 else ""
-        if head in _PER_TITLES:
-            # strip leading title tokens; the remainder is the person
+        if head in _ORG_DESCRIPTORS and len(run) >= 2:
+            # media descriptor classifies the remainder as the ORG
+            etype, conf, span = "ORG", 0.85, run[1:]
+        elif head in _LOC_DESCRIPTORS and len(run) >= 2:
+            # facility descriptor classifies the remainder as the LOC
+            etype, conf, span = "LOC", 0.85, run[1:]
+        elif head in _PER_TITLES or head in _PER_REPORT_CUES:
+            # strip leading title/reporting tokens; the rest is the
+            # person (a reporting cue licenses even a single token)
             k = 0
-            while k < len(run) and norm(i + k) in _PER_TITLES:
+            while k < len(run) and (
+                norm(i + k) in _PER_TITLES
+                or norm(i + k) in _PER_REPORT_CUES
+            ):
                 k += 1
             span = run[k:]
             etype, conf = "PER", 0.85
-        elif prev in _PER_TITLES and run:
+        elif (prev in _PER_TITLES or prev in _PER_REPORT_CUES) and run:
             etype, conf, span = "PER", 0.85, run
         elif len(run) >= 2:
             etype, conf, span = "PER", 0.70, run

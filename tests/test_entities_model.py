@@ -104,7 +104,19 @@ def test_gazetteer_bare_capitalized_span_defaults_per():
     ents = gazetteer_extractor("bertemu dengan Sri Mulyani kemarin sore")
     assert [(e[0], e[1]) for e in ents] == [("Sri Mulyani", "PER")]
     # single capitalized word with no cue is skipped (too noisy)
-    assert gazetteer_extractor("kata Budi kemarin") == []
+    assert gazetteer_extractor("bertemu Budi kemarin") == []
+    # ... but a reporting word licenses it (r11): quote attribution
+    # is strong PER evidence in the news register
+    assert [(e[0], e[1]) for e in gazetteer_extractor("kata Budi kemarin")] == [
+        ("Budi", "PER")
+    ]
+    # descriptor nouns classify the following name without joining it
+    assert [
+        (e[0], e[1]) for e in gazetteer_extractor("Stasiun Gambir ramai")
+    ] == [("Gambir", "LOC")]
+    assert [
+        (e[0], e[1]) for e in gazetteer_extractor("Harian Kompas terbit")
+    ] == [("Kompas", "ORG")]
 
 
 def test_gazetteer_is_deterministic_and_sorted():
@@ -176,3 +188,25 @@ def test_gazetteer_sentence_final_period():
     # interior dots survive (title abbreviations still classify)
     ents3 = gazetteer_extractor("Dr. Sri Mulyani hadir.")
     assert ("Sri Mulyani", "PER") in {(x[0], x[1]) for x in ents3}
+
+
+def test_gazetteer_trailing_loc_cue_trim_requires_tier1_loc():
+    """The trailing-LOC-cue trim keys on WHY the next token was
+    consumed (ADVICE r10): a tier-1 gazetteer LOC after the cue means
+    the cue belongs to the city and is trimmed from the bare run; a
+    follower consumed by anything else (here the gazetteer ORG
+    "Bank Indonesia") leaves the cue in the run for the normal tiers
+    to classify instead of silently deleting it."""
+    from simple_etl_spark.operators.entities import gazetteer_extractor
+
+    # follower is a tier-1 LOC: "Kota" trimmed, "Warga" alone skipped
+    ents = gazetteer_extractor("Warga Kota Bandung mengeluh.")
+    assert [(e[0], e[1]) for e in ents] == [("Bandung", "LOC")]
+
+    # follower is a tier-1 ORG: the cue is NOT trimmed — the bare
+    # tier then sees a two-token capitalized run and classifies it
+    ents2 = gazetteer_extractor("Delegasi Provinsi Bank Indonesia hadir.")
+    assert [(e[0], e[1]) for e in ents2] == [
+        ("Delegasi Provinsi", "PER"),
+        ("Bank Indonesia", "ORG"),
+    ]

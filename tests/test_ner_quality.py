@@ -170,13 +170,15 @@ def test_gold_offsets_slice_back_to_span_text():
 def test_per_type_precision_recall_floors():
     prec, rec, _, _ = _score()
     # floors sit ~5 points under measured so real regressions trip
-    # them while fixture tweaks don't; measured r10 (after the
-    # interior-cue and ORG-absorption fixes this fixture motivated):
-    # P = {PER .850, ORG 1.0, LOC 1.0}, R = {PER .895, ORG .964,
-    # LOC .958} — the remaining misses are the labeled known-hard
-    # shapes (mononyms, unknown single-word ORGs)
-    floors_p = {"PER": 0.80, "ORG": 0.95, "LOC": 0.95}
-    floors_r = {"PER": 0.84, "ORG": 0.90, "LOC": 0.90}
+    # them while fixture tweaks don't; measured r11 (after the
+    # reporting-cue PER class and the descriptor-noun ORG/LOC classes
+    # closed three of the four labeled known-hard shapes — VERDICT r10
+    # #2): P = {PER 1.0, ORG 1.0, LOC 1.0}, R = {PER .947, ORG 1.0,
+    # LOC 1.0} — the one remaining miss is the bare mononym
+    # ("Raisa"), which no cueless rule tier can license without
+    # flooding false positives; it stays as genuine headroom
+    floors_p = {"PER": 0.95, "ORG": 0.95, "LOC": 0.95}
+    floors_r = {"PER": 0.90, "ORG": 0.95, "LOC": 0.95}
     for e in ("PER", "ORG", "LOC"):
         assert prec[e] >= floors_p[e], (e, "precision", prec)
         assert rec[e] >= floors_r[e], (e, "recall", rec)

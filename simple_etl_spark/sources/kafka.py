@@ -73,6 +73,19 @@ def read_batch(
     ).select("j.*")
 
 
+# The reference's robust-producer contract
+# (services/kafka_services.py:23-33, producer_services.py:19-22):
+# every write ships with these passed through to the Kafka producer.
+PRODUCER_CONTRACT = {
+    "kafka.acks": "all",
+    "kafka.enable.idempotence": "true",
+    "kafka.compression.type": "snappy",
+    "kafka.linger.ms": "10",
+    "kafka.batch.size": "32768",
+    "kafka.retries": "5",
+}
+
+
 def write_batch(
     df: DataFrame,
     topic: str,
@@ -80,10 +93,13 @@ def write_batch(
     bootstrap: str = DEFAULT_BOOTSTRAP,
 ) -> None:
     """S3: JSON-serialize rows keyed by id — the producer's
-    `value_serializer=json.dumps`, `key=article id` contract. The
-    connector batches and compresses per partition (the reference's
-    linger/batch.size tuning is connector-side config)."""
-    (
+    `value_serializer=json.dumps`, `key=article id` contract
+    (`services/producer_services.py:14-58`). Producer-side delivery
+    settings carry the reference's robust contract
+    (:data:`PRODUCER_CONTRACT`: acks=all, idempotent, snappy,
+    linger 10 ms, batch 32 KB, retries 5) as `kafka.`-prefixed
+    connector pass-throughs."""
+    writer = (
         df.select(
             F.col(key_col).cast("string").alias("key"),
             F.to_json(F.struct("*")).alias("value"),
@@ -91,8 +107,10 @@ def write_batch(
         .write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("topic", topic)
-        .save()
     )
+    for k, v in PRODUCER_CONTRACT.items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def to_kafka_frame(df: DataFrame, key_col: str = "id") -> DataFrame:

@@ -46,6 +46,24 @@ def test_crawl_source_fanout(spark):
     assert all(r["content"].startswith("content of ") for r in rows)
 
 
+def test_kafka_producer_contract_matches_reference():
+    """The robust-producer contract every write_batch ships
+    (services/kafka_services.py:23-33, producer_services.py:19-22):
+    acks=all, idempotent, snappy, linger 10 ms, batch 32 KB,
+    retries 5 — pinned ungated so a broker is not needed to notice a
+    contract regression."""
+    from simple_etl_spark.sources.kafka import PRODUCER_CONTRACT
+
+    assert PRODUCER_CONTRACT == {
+        "kafka.acks": "all",
+        "kafka.enable.idempotence": "true",
+        "kafka.compression.type": "snappy",
+        "kafka.linger.ms": "10",
+        "kafka.batch.size": "32768",
+        "kafka.retries": "5",
+    }
+
+
 def test_kafka_serialization_roundtrip(spark):
     from simple_etl_spark.sources.kafka import to_kafka_frame
 

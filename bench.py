@@ -127,14 +127,20 @@ def _duckdb_twin(data_dir: str, specs) -> tuple[dict, float, float]:
 
     sqls = {n: s.oracle for n, s in specs.items() if s.oracle is not None}
 
+    # fetch_arrow_table, not fetchall: the Spark side measures a
+    # noop-sink write (full computation, no per-row driver boxing), so
+    # the twin must also pay full execution WITHOUT per-row Python
+    # tuple conversion — fetchall's boxing grows with result size and
+    # would silently bias the judged ratio as outputs grow
+    # (code-review r11)
     def run(cur, sql) -> float:
         t0 = time.perf_counter()
-        cur.execute(sql).fetchall()
+        cur.execute(sql).fetch_arrow_table()
         return time.perf_counter() - t0
 
     for _ in range(6):  # unmeasured warm-up, mirroring the Spark side
         for sql in sqls.values():
-            con.execute(sql).fetchall()
+            con.execute(sql).fetch_arrow_table()
 
     serial = {name: 9e9 for name in sqls}
     for _ in range(3):
@@ -149,7 +155,12 @@ def _duckdb_twin(data_dir: str, specs) -> tuple[dict, float, float]:
     for _ in range(5):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(len(cursors)) as ex:
-            list(ex.map(lambda cs: cs[0].execute(cs[1]).fetchall(), cursors))
+            list(
+                ex.map(
+                    lambda cs: cs[0].execute(cs[1]).fetch_arrow_table(),
+                    cursors,
+                )
+            )
         batch = min(batch, time.perf_counter() - t0)
     for cur, _ in cursors:
         cur.close()
@@ -204,15 +215,22 @@ def main() -> None:
         batch = min(batch, time.perf_counter() - t0)
 
     # ---- calibration (all Spark numbers above are already taken) ----
-    # Fixed per-job cost on THIS host right now: the floor every tiny
-    # query pays regardless of plan quality.  10 launches, min.
-    floor = 9e9
-    for _ in range(10):
-        t0 = time.perf_counter()
-        spark.range(1).count()
-        floor = min(floor, time.perf_counter() - t0)
-
-    duck_q, duck_serial, duck_batch = _duckdb_twin(data_dir, specs)
+    # Guarded: a calibration failure (broken duckdb install, an oracle
+    # the host's DuckDB rejects) must degrade to null duckdb_*/ratio_*
+    # fields, never discard the Spark measurements the run just paid
+    # for (code-review r11).
+    floor = duck_q = duck_serial = duck_batch = None
+    try:
+        # Fixed per-job cost on THIS host right now: the floor every
+        # tiny query pays regardless of plan quality. 10 launches, min.
+        floor = 9e9
+        for _ in range(10):
+            t0 = time.perf_counter()
+            spark.range(1).count()
+            floor = min(floor, time.perf_counter() - t0)
+        duck_q, duck_serial, duck_batch = _duckdb_twin(data_dir, specs)
+    except Exception as exc:  # noqa: BLE001 — calibration is best-effort
+        print(f"calibration failed: {exc!r}", file=sys.stderr)
 
     serial_total = round(sum(serial.values()), 3)
     print(
@@ -234,7 +252,9 @@ def main() -> None:
                 "duckdb_queries": duck_q,
                 "duckdb_serial": duck_serial,
                 "duckdb_concurrent": duck_batch,
-                "spark_job_floor_sec": round(floor, 3),
+                "spark_job_floor_sec": round(floor, 3)
+                if floor is not None
+                else None,
                 "ratio_concurrent": round(batch / duck_batch, 3)
                 if duck_batch
                 else None,

@@ -8,13 +8,14 @@ through Python row-at-a-time.
 :func:`decode_image` REALLY decodes the formats a stdlib-only
 executor can handle — PPM (P6), PGM (P5), BI_RGB BMP (24/32-bit),
 non-interlaced 8-bit PNG (DEFLATE via ``zlib`` + the five scanline
-filters) including 1/2/4/8-bit palette with tRNS, and BASELINE JPEG
-(SOF0: canonical Huffman + dequant + float64 IDCT + YCbCr, sampling
-factors ≤ 2) — returning raw row-major pixels; PNG covers 8/16-bit,
-palette 1/2/4/8-bit, and Adam7 interlace. The variants that
-genuinely need a codec library (progressive/arithmetic/12-bit/RGB
-JPEG; MP3-class audio) raise ``NotImplementedError`` (a real
-deployment plugs PIL/libvips into the same dispatch).
+filters) including 1/2/4/8-bit palette with tRNS, and JPEG (SOF0/1
+sequential AND SOF2 progressive: canonical Huffman + dequant +
+float64 IDCT + YCbCr, the full T.81 sampling-factor range 1-4) —
+returning raw row-major pixels; PNG covers 8/16-bit, palette
+1/2/4/8-bit, and Adam7 interlace. The variants that genuinely need
+a codec library (arithmetic-coded/hierarchical/12-bit/RGB JPEG;
+MP3-class audio) raise ``NotImplementedError`` (a real deployment
+plugs PIL/libvips into the same dispatch).
 :func:`decode_audio` does the same for RIFF/WAV: integer PCM
 (8/16/24-bit), IEEE-float (32/64-bit, quantized to the int16 domain),
 G.711 A-law/µ-law, IMA ADPCM, and WAVE_FORMAT_EXTENSIBLE containers. The image-graded queries use :func:`byte_features`, a
@@ -81,15 +82,16 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     (24-bit → RGB, 32-bit → RGBA; bottom-up or top-down),
     non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA — DEFLATE via
     stdlib ``zlib`` plus the five scanline filters) plus 1/2/4/8-bit
-    palette PNG (PLTE→RGB, tRNS→RGBA), and baseline JPEG (gray → 1
-    channel, YCbCr → RGB; see :func:`_decode_jpeg`). Returns
-    ``(width, height, channels, pixels)`` with ``pixels`` row-major
-    top-down, channels interleaved.
+    palette PNG (PLTE→RGB, tRNS→RGBA), and JPEG — sequential and
+    progressive (gray → 1 channel, YCbCr → RGB; see
+    :func:`_decode_jpeg`). Returns ``(width, height, channels,
+    pixels)`` with ``pixels`` row-major top-down, channels
+    interleaved.
 
-    The variants that genuinely need a codec library — progressive /
-    arithmetic-coded / 12-bit / RGB-colorspace JPEG, 16-bit / Adam7
-    PNG — raise ``NotImplementedError``; the dispatch below is where
-    a deployment plugs PIL/libvips in. Malformed payloads raise
+    The variants that genuinely need a codec library —
+    arithmetic-coded / hierarchical / 12-bit / RGB-colorspace JPEG —
+    raise ``NotImplementedError``; the dispatch below is where a
+    deployment plugs PIL/libvips in. Malformed payloads raise
     ``ValueError``."""
     if payload[:2] in (b"P6", b"P5"):
         channels = 3 if payload[:2] == b"P6" else 1
@@ -461,12 +463,18 @@ class _JpegBitReader:
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
+    def receive(self, n: int) -> int:
+        """n raw MSB-first bits as an unsigned int (T.81 RECEIVE —
+        progressive EOB-run lengths ride as raw bits, not EXTENDed)."""
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
     def receive_extend(self, s: int) -> int:
         if s == 0:
             return 0
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.read_bit()
+        v = self.receive(s)
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
     def read_huff(self, table: dict) -> int:
@@ -513,16 +521,457 @@ def _jpeg_canonical_huffman(counts: list[int], symbols: bytes) -> dict:
     return table
 
 
+def _jpeg_idct_block_into(plane, pw, ox, oy, coeffs, a1) -> None:
+    """Separable 8x8 IDCT (A·F·Aᵀ as two 8x8 passes — same pairing
+    order as the test oracle's (Dᵀ·F)·D), level shift, clamp, write
+    into the component plane at pixel offset (ox, oy). ``coeffs`` is
+    DEQUANTIZED, natural order. Shared by the sequential (streaming)
+    and progressive (coefficient-buffered) decode paths."""
+    pass1 = [[0.0] * 8 for _ in range(8)]
+    for x in range(8):
+        ax = a1[x]
+        row = pass1[x]
+        for u in range(8):
+            axu = ax[u]
+            base_u = u * 8
+            for v in range(8):
+                c = coeffs[base_u + v]
+                if c:
+                    row[v] += axu * c
+    for x in range(8):
+        row = pass1[x]
+        orow = (oy + x) * pw + ox
+        for y in range(8):
+            ay = a1[y]
+            val = 0.0
+            for v in range(8):
+                pv = row[v]
+                if pv:
+                    val += pv * ay[v]
+            px = int(round(val)) + 128
+            px = 0 if px < 0 else (255 if px > 255 else px)
+            plane[orow + y] = px
+
+
+def _jpeg_finish(
+    w: int, h: int, comps, planes, mcux: int, hmax: int, vmax: int
+) -> tuple[int, int, int, bytes]:
+    """Upsample decoded component planes to full resolution and apply
+    the JFIF YCbCr→RGB matrix. Upsampling is a nearest-sample index
+    map (src_x = x·hc//hmax) — exact pixel replication for the
+    divisible factor ratios (1:2, 1:4, 2:4) and spec-legal nearest
+    neighbour for the non-divisible ones T.81 permits (e.g. 2:3);
+    T.81 does not mandate an upsampling filter."""
+    nch = 1 if len(comps) == 1 else 3
+    out = bytearray(w * h * nch)
+    if nch == 1:
+        pw = mcux * comps[0][1] * 8
+        for y in range(h):
+            row = planes[0][y * pw : y * pw + w]
+            out[y * w : (y + 1) * w] = row
+        return w, h, 1, bytes(out)
+    full = []
+    for ci, (_cid, hc, vc, _tq) in enumerate(comps):
+        pw = mcux * hc * 8
+        plane = planes[ci]
+        if hc == hmax and vc == vmax:
+            full.append((plane, pw))
+        else:
+            up = bytearray(w * h)
+            for y in range(h):
+                base = (y * vc // vmax) * pw
+                o = y * w
+                for x in range(w):
+                    up[o + x] = plane[base + x * hc // hmax]
+            full.append((up, w))
+    (yp, ypw), (cbp, cbpw), (crp, crpw) = full
+    for y in range(h):
+        for x in range(w):
+            yy = yp[y * ypw + x]
+            cb = cbp[y * cbpw + x] - 128
+            cr = crp[y * crpw + x] - 128
+            r = int(round(yy + 1.402 * cr))
+            g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+            b = int(round(yy + 1.772 * cb))
+            o = (y * w + x) * 3
+            out[o] = 0 if r < 0 else (255 if r > 255 else r)
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return w, h, 3, bytes(out)
+
+
+def _jpeg_validate_frame(frame, adobe_transform):
+    """Shared frame-header validation for the sequential and
+    progressive paths: dimension sanity, component-count and RGB
+    gates, the header-declared-allocation ceiling, single-component
+    normalization (T.81 A.2.2: sampling factors are ignored in a
+    non-interleaved frame), and the spec range check on sampling
+    factors. Returns ``(w, h, comps, hmax, vmax, mcux, mcuy)``."""
+    h, w, comps = frame
+    if w < 1 or h < 1:
+        raise ValueError(f"bad JPEG dimensions {w}x{h}")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component JPEG")
+    if len(comps) == 3:
+        # fail-loud policy parity with the other codec gates: only
+        # YCbCr 3-component frames are decodable here. Adobe APP14
+        # transform=0 means the components are literally R/G/B, as
+        # does the T.81 'R','G','B' component-ID convention — both
+        # previously fell through to the YCbCr matrix and decoded
+        # silently with scrambled colors (ADVICE r9).
+        cids = tuple(c[0] for c in comps)
+        if adobe_transform == 0 or cids == (0x52, 0x47, 0x42):
+            raise NotImplementedError(
+                "RGB (non-YCbCr) 3-component JPEG requires a codec"
+            )
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"JPEG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
+        )
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU in raster order over ceil(w/8)·ceil(h/8)
+        # blocks, sampling factors ignored (decoding it as 2x2 MCU
+        # clusters would scramble tiles and over-demand data units —
+        # review r9)
+        cid0, _h0, _v0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
+    if any(not (1 <= c[1] <= 4 and 1 <= c[2] <= 4) for c in comps):
+        # T.81 B.2.2: Hi/Vi are 1-4; anything else is malformed
+        raise ValueError("JPEG sampling factors outside spec range 1-4")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return w, h, comps, hmax, vmax, mcux, mcuy
+
+
+class _JpegProgState:
+    """Progressive (SOF2) decode state — ITU T.81 Annex G, Huffman
+    entropy coding. Scans accumulate DCT coefficients into
+    per-component ZIGZAG-ORDER buffers (stdlib ``array('i')``: 4
+    bytes per coefficient keeps buffered memory proportional to the
+    header-declared pixel count, which MAX_DECODE_PIXELS already
+    bounds); dequantize + IDCT + upsample + color-convert run once at
+    EOI via the same helpers the sequential path uses, so a
+    progressive file and a baseline file carrying identical
+    coefficients produce byte-identical pixels (pinned in
+    tests/test_jpeg_progressive.py).
+
+    Scan-script bookkeeping is per coefficient (``band_al``): a first
+    scan (Ah=0) may only cover never-coded coefficients, a refinement
+    must satisfy Ah == previous Al and Al == Ah-1 (G.1.1.1.2), DC must
+    precede AC per component, and :meth:`finish` requires every
+    coefficient refined to Al=0 — partial/truncated scan scripts fail
+    loud rather than render a silently low-frequency image."""
+
+    def __init__(self, frame, adobe_transform):
+        from array import array
+
+        (self.w, self.h, self.comps, self.hmax, self.vmax,
+         self.mcux, self.mcuy) = _jpeg_validate_frame(frame, adobe_transform)
+        self.coef: list = []
+        self.geom: list[tuple[int, int, int, int]] = []
+        for _cid, hc, vc, _tq in self.comps:
+            bwp, bhp = self.mcux * hc, self.mcuy * vc
+            # non-interleaved dims: blocks covering the component's
+            # OWN sample grid (T.81 A.1.1), ≤ the MCU-padded dims
+            cbw = -(-(-(-self.w * hc // self.hmax)) // 8)
+            cbh = -(-(-(-self.h * vc // self.vmax)) // 8)
+            self.geom.append((bwp, bhp, cbw, cbh))
+            self.coef.append(array("i", bytes(4 * bwp * bhp * 64)))
+        self.band_al = [[None] * 64 for _ in self.comps]
+
+    # -- scan-header validation -------------------------------------
+
+    def _scan_comp_indices(self, scan):
+        by_id = {c[0]: i for i, c in enumerate(self.comps)}
+        idx = []
+        for cs, _td, _ta in scan:
+            if cs not in by_id:
+                raise ValueError(
+                    f"JPEG SOS references undeclared component {cs}"
+                )
+            idx.append(by_id[cs])
+        if len(set(idx)) != len(idx):
+            raise ValueError("JPEG SOS lists a component twice")
+        return idx
+
+    def _book_band(self, ci, ss, se, ah, al):
+        band = self.band_al[ci]
+        if ss > 0 and band[0] is None:
+            raise ValueError(
+                "progressive AC scan before the component's DC scan"
+            )
+        for k in range(ss, se + 1):
+            if ah == 0:
+                if band[k] is not None:
+                    raise ValueError(
+                        f"progressive first scan re-codes coefficient {k}"
+                    )
+            elif band[k] != ah:
+                raise ValueError(
+                    f"progressive refinement Ah={ah} does not match "
+                    f"coefficient {k}'s prior Al={band[k]}"
+                )
+            band[k] = al
+
+    # -- one scan ----------------------------------------------------
+
+    def decode_scan(self, payload, pos, scan, ss, se, ah, al,
+                    huff, restart_interval):
+        """Decode one scan's entropy data; returns the offset of the
+        next marker's 0xFF."""
+        if not (0 <= al <= 13) or not (0 <= ah <= 13):
+            raise ValueError(f"JPEG successive approximation {ah}/{al}")
+        if ah != 0 and al != ah - 1:
+            raise ValueError(
+                f"progressive refinement must step Al by 1 (Ah={ah} Al={al})"
+            )
+        if ss == 0:
+            if se != 0:
+                raise ValueError(
+                    "progressive DC scan must have Se=0 (T.81 G.1.1.1.1)"
+                )
+        else:
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            if not (ss <= se <= 63):
+                raise ValueError(f"bad spectral band {ss}..{se}")
+        idx = self._scan_comp_indices(scan)
+        if len(scan) > 1:
+            if sum(self.comps[i][1] * self.comps[i][2] for i in idx) > 10:
+                raise ValueError("interleaved scan exceeds 10 data units/MCU")
+        for ci in idx:
+            self._book_band(ci, ss, se, ah, al)
+        br = _JpegBitReader(payload, pos)
+        if ss == 0:
+            dc_tbls = []
+            for (_cs, td, _ta), ci in zip(scan, idx):
+                tbl = None
+                if ah == 0:  # refinement reads raw bits, no table
+                    tbl = huff.get((0, td))
+                    if tbl is None:
+                        raise ValueError("JPEG Huffman table undefined")
+                dc_tbls.append((ci, tbl))
+            if len(scan) > 1:
+                self._dc_scan_interleaved(br, dc_tbls, ah, al,
+                                          restart_interval)
+            else:
+                self._scan_noninterleaved(br, dc_tbls[0][1], idx[0],
+                                          0, 0, ah, al, restart_interval)
+        else:
+            atbl = huff.get((1, scan[0][2]))
+            if atbl is None:
+                raise ValueError("JPEG Huffman table undefined")
+            self._scan_noninterleaved(br, atbl, idx[0], ss, se, ah, al,
+                                      restart_interval)
+        return _jpeg_scan_end(br)
+
+    def _dc_scan_interleaved(self, br, dc_tbls, ah, al, restart_interval):
+        preds = [0] * len(self.comps)
+        rst = 0
+        for m in range(self.mcux * self.mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                br.align_and_expect_rst(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(self.comps)
+            my, mx = divmod(m, self.mcux)
+            for ci, tbl in dc_tbls:
+                _cid, hc, vc, _tq = self.comps[ci]
+                coef = self.coef[ci]
+                bwp = self.geom[ci][0]
+                for bv in range(vc):
+                    row = (my * vc + bv) * bwp
+                    for bh in range(hc):
+                        bi = (row + mx * hc + bh) * 64
+                        if ah == 0:
+                            s = br.read_huff(tbl)
+                            preds[ci] += br.receive_extend(s)
+                            coef[bi] = preds[ci] << al
+                        elif br.read_bit():
+                            coef[bi] |= 1 << al
+
+    def _scan_noninterleaved(self, br, tbl, ci, ss, se, ah, al,
+                             restart_interval):
+        coef = self.coef[ci]
+        bwp, _bhp, cbw, cbh = self.geom[ci]
+        pred = 0
+        eobrun = 0
+        rst = 0
+        n = 0
+        for by in range(cbh):
+            rowbase = by * bwp
+            for bx in range(cbw):
+                if restart_interval and n and n % restart_interval == 0:
+                    br.align_and_expect_rst(rst)
+                    rst = (rst + 1) & 7
+                    pred = 0
+                    eobrun = 0
+                n += 1
+                bi = (rowbase + bx) * 64
+                if ss == 0:
+                    if ah == 0:
+                        s = br.read_huff(tbl)
+                        pred += br.receive_extend(s)
+                        coef[bi] = pred << al
+                    elif br.read_bit():
+                        coef[bi] |= 1 << al
+                elif ah == 0:
+                    eobrun = _jpeg_ac_first_block(
+                        coef, bi, br, tbl, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _jpeg_ac_refine_block(
+                        coef, bi, br, tbl, ss, se, al, eobrun
+                    )
+        if eobrun:
+            raise ValueError("JPEG EOB run extends past the last block")
+
+    # -- output -------------------------------------------------------
+
+    def finish(self, qt) -> tuple[int, int, int, bytes]:
+        zig = _JPEG_ZIGZAG
+        for ci, band in enumerate(self.band_al):
+            if any(b != 0 for b in band):
+                raise ValueError(
+                    "progressive JPEG scan script incomplete: component "
+                    f"{self.comps[ci][0]} not fully refined to Al=0"
+                )
+        a1 = _jpeg_idct_1d()
+        planes = []
+        for ci, (_cid, hc, vc, tq) in enumerate(self.comps):
+            if tq not in qt:
+                raise ValueError(f"JPEG quant table {tq} undefined")
+            q = qt[tq]
+            bwp, bhp = self.geom[ci][0], self.geom[ci][1]
+            pw = bwp * 8
+            plane = bytearray(pw * bhp * 8)
+            coef = self.coef[ci]
+            for b in range(bwp * bhp):
+                bi = b * 64
+                coeffs = [0.0] * 64
+                for k in range(64):
+                    v = coef[bi + k]
+                    if v:
+                        nat = zig[k]
+                        coeffs[nat] = v * q[nat]
+                by, bx = divmod(b, bwp)
+                _jpeg_idct_block_into(plane, pw, bx * 8, by * 8, coeffs, a1)
+            planes.append(plane)
+        return _jpeg_finish(self.w, self.h, self.comps, planes,
+                            self.mcux, self.hmax, self.vmax)
+
+
+def _jpeg_ac_first_block(coef, bi, br, atbl, ss, se, al, eobrun):
+    """One block of a progressive AC FIRST scan (T.81 G.1.2.2 /
+    figure G.3 semantics): zero-run + magnitude codes shifted by Al,
+    EOBn codes start a run of end-of-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_huff(atbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL: sixteen zero coefficients
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.receive(r)
+            return eobrun - 1  # this block is the run's first member
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC run past band end")
+        coef[bi + k] = br.receive_extend(s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine_block(coef, bi, br, atbl, ss, se, al, eobrun):
+    """One block of a progressive AC REFINEMENT scan (T.81 G.1.2.3):
+    every already-nonzero coefficient in the band consumes one
+    correction bit as the scan passes over it; magnitude-1 symbols
+    insert newly-nonzero coefficients at ±1<<Al; EOBn runs still
+    consume correction bits for the remainder of each member block."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_huff(atbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break  # correction bits for k..se handled below
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG progressive refinement magnitude must be 1"
+                    )
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                c = coef[bi + k]
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        coef[bi + k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[bi + k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = coef[bi + k]
+            if c != 0:
+                if br.read_bit() and (c & p1) == 0:
+                    coef[bi + k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_scan_end(br) -> int:
+    """Offset of the next marker's 0xFF after a progressive scan's
+    entropy data. Whole unconsumed bytes here can only be 0xFF00
+    stuffed padding (a 1-bit-padded final byte is 0xFF, which the
+    encoder must stuff) or 0xFF fill bytes — anything else is
+    malformed."""
+    buf, p = br.buf, br.pos
+    while p + 1 < len(buf):
+        if buf[p] != 0xFF:
+            raise ValueError("JPEG marker expected after progressive scan")
+        if buf[p + 1] == 0x00:
+            p += 2  # stuffed pad byte the scan never consumed
+        elif buf[p + 1] == 0xFF:
+            p += 1  # fill byte
+        else:
+            return p
+    raise ValueError("JPEG entropy data ran past end of file")
+
+
 def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Pure-stdlib BASELINE JPEG decode (ITU T.81 SOF0): canonical
-    Huffman entropy decoding with byte un-stuffing and restart
-    markers, dequantization, float64 IDCT via a precomputed basis,
-    replication chroma upsampling, and JFIF YCbCr→RGB. Grayscale and
-    3-component frames with sampling factors ≤ 2 are supported —
-    which covers the overwhelming majority of real-world baseline
-    files. Progressive (SOF2), arithmetic-coded, hierarchical, and
-    12-bit frames raise ``NotImplementedError`` — those are the
-    variants where a codec library earns its keep.
+    """Pure-stdlib JPEG decode (ITU T.81): canonical Huffman entropy
+    decoding with byte un-stuffing and restart markers,
+    dequantization, float64 IDCT via a precomputed basis,
+    nearest-sample chroma upsampling, and JFIF YCbCr→RGB. Sequential
+    frames (SOF0 baseline and SOF1 extended at 8-bit precision) and
+    PROGRESSIVE frames (SOF2: spectral selection + successive
+    approximation, DC and AC first/refinement scans, EOB runs —
+    T.81 Annex G via :class:`_JpegProgState`) are supported, for
+    grayscale and 3-component YCbCr with the full spec range of
+    sampling factors (1-4, divisible or not). Arithmetic-coded,
+    hierarchical, lossless, and 12-bit frames raise
+    ``NotImplementedError`` — those are the variants where a codec
+    library earns its keep.
 
     Everything here is integer or fixed-order float64 arithmetic, so
     the decoded bytes are deterministic across hosts (tested against
@@ -549,6 +998,8 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     scan = None
     adobe_transform = None
+    progressive = False
+    prog: _JpegProgState | None = None
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
@@ -587,12 +1038,19 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 syms = data[i + 17 : i + 17 + n]
                 huff[(tc, th)] = _jpeg_canonical_huffman(counts, syms)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical
+            # Huffman decode procedure at 8-bit precision, T.81
+            # Annex F) / SOF2 progressive (coefficient-buffered
+            # multi-scan decode, T.81 Annex G)
+            if frame is not None:
+                raise ValueError("multiple JPEG frame headers")
+            progressive = marker == 0xC2
             if len(data) < 6:
-                raise ValueError("JPEG SOF0 segment too short")
+                raise ValueError("JPEG SOF segment too short")
             prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
             if len(data) < 6 + 3 * nc:
-                raise ValueError("JPEG SOF0 component list truncated")
+                raise ValueError("JPEG SOF component list truncated")
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
             comps = []
@@ -601,10 +1059,11 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 hv = data[7 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 15, data[8 + ci * 3]))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (SOF marker 0x{marker:02x})"
+                f"unsupported JPEG frame (SOF marker 0x{marker:02x}: "
+                "lossless/hierarchical/arithmetic-coded)"
             )
         elif marker == 0xDD:  # DRI
             if len(data) < 2:
@@ -617,7 +1076,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             # through the unconditional YCbCr path (ADVICE r9).
             adobe_transform = data[11]
         elif marker == 0xDA:  # SOS
-            if len(data) < 1 or len(data) < 1 + 2 * data[0]:
+            if len(data) < 1 or len(data) < 4 + 2 * data[0]:
                 raise ValueError("JPEG SOS segment too short")
             ns = data[0]
             scan = []
@@ -625,48 +1084,37 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 cs = data[1 + si * 2]
                 tt = data[2 + si * 2]
                 scan.append((cs, tt >> 4, tt & 15))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
             pos += seglen
-            break
+            if not progressive:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "sequential JPEG scan header must carry "
+                        f"Ss=0 Se=63 Ah=Al=0, got ({ss},{se},{ah},{al})"
+                    )
+                break
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if prog is None:
+                prog = _JpegProgState(frame, adobe_transform)
+            pos = prog.decode_scan(
+                payload, pos, scan, ss, se, ah, al, huff, restart_interval
+            )
+            scan = None
+            continue
         pos += seglen
+    if progressive:
+        if prog is None:
+            raise ValueError("progressive JPEG contains no scan")
+        return prog.finish(qt)
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    h, w, comps = frame
-    if w < 1 or h < 1:
-        raise ValueError(f"bad JPEG dimensions {w}x{h}")
-    if len(comps) not in (1, 3) or len(scan) != len(comps):
-        raise NotImplementedError(
-            f"{len(comps)}-component / multi-scan JPEG"
-        )
-    if len(comps) == 3:
-        # fail-loud policy parity with the other codec gates: only
-        # YCbCr 3-component frames are decodable here. Adobe APP14
-        # transform=0 means the components are literally R/G/B, as
-        # does the T.81 'R','G','B' component-ID convention — both
-        # previously fell through to the YCbCr matrix and decoded
-        # silently with scrambled colors (ADVICE r9).
-        cids = tuple(c[0] for c in comps)
-        if adobe_transform == 0 or cids == (0x52, 0x47, 0x42):
-            raise NotImplementedError(
-                "RGB (non-YCbCr) 3-component JPEG requires a codec"
-            )
-    if w * h > MAX_DECODE_PIXELS:
-        raise ValueError(
-            f"JPEG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
-        )
-    if len(comps) == 1:
-        # T.81 A.2.2: a single-component scan is NON-interleaved — one
-        # data unit per MCU in raster order over ceil(w/8)·ceil(h/8)
-        # blocks, sampling factors ignored (decoding it as 2x2 MCU
-        # clusters would scramble tiles and over-demand data units —
-        # review r9)
-        cid0, _h0, _v0, tq0 = comps[0]
-        comps = [(cid0, 1, 1, tq0)]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1 for c in comps):
-        raise NotImplementedError("JPEG sampling factors > 2")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    w, h, comps, hmax, vmax, mcux, mcuy = _jpeg_validate_frame(
+        frame, adobe_transform
+    )
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan sequential JPEG")
     a1 = _jpeg_idct_1d()
     # per-component pixel planes at subsampled resolution
     planes = []
@@ -717,75 +1165,12 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                         nat = _JPEG_ZIGZAG[k]
                         coeffs[nat] = br.receive_extend(size) * q[nat]
                         k += 1
-                    # separable IDCT (A·F·Aᵀ as two 8x8 passes — same
-                    # pairing order as the reference's (Dᵀ·F)·D) +
-                    # level shift into the component plane
-                    plane = planes[ci]
-                    pw = mcux * hc * 8
-                    ox = (mx * hc + bh) * 8
-                    oy = (my * vc + bv) * 8
-                    pass1 = [[0.0] * 8 for _ in range(8)]
-                    for x in range(8):
-                        ax = a1[x]
-                        row = pass1[x]
-                        for u in range(8):
-                            axu = ax[u]
-                            base_u = u * 8
-                            for v in range(8):
-                                c = coeffs[base_u + v]
-                                if c:
-                                    row[v] += axu * c
-                    for x in range(8):
-                        row = pass1[x]
-                        orow = (oy + x) * pw + ox
-                        for y in range(8):
-                            ay = a1[y]
-                            val = 0.0
-                            for v in range(8):
-                                pv = row[v]
-                                if pv:
-                                    val += pv * ay[v]
-                            px = int(round(val)) + 128
-                            px = 0 if px < 0 else (255 if px > 255 else px)
-                            plane[orow + y] = px
-    # upsample to full resolution + color convert
-    nch = 1 if len(comps) == 1 else 3
-    out = bytearray(w * h * nch)
-    if nch == 1:
-        pw = mcux * comps[0][1] * 8
-        for y in range(h):
-            row = planes[0][y * pw : y * pw + w]
-            out[y * w : (y + 1) * w] = row
-        return w, h, 1, bytes(out)
-    full = []
-    for ci, (_cid, hc, vc, _tq) in enumerate(comps):
-        pw = mcux * hc * 8
-        fx, fy = hmax // hc, vmax // vc
-        plane = planes[ci]
-        if fx == 1 and fy == 1:
-            full.append((plane, pw))
-        else:
-            up = bytearray(w * h)
-            for y in range(h):
-                sy = y // fy
-                base = sy * pw
-                for x in range(w):
-                    up[y * w + x] = plane[base + x // fx]
-            full.append((up, w))
-    (yp, ypw), (cbp, cbpw), (crp, crpw) = full
-    for y in range(h):
-        for x in range(w):
-            yy = yp[y * ypw + x]
-            cb = cbp[y * cbpw + x] - 128
-            cr = crp[y * crpw + x] - 128
-            r = int(round(yy + 1.402 * cr))
-            g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
-            b = int(round(yy + 1.772 * cb))
-            o = (y * w + x) * 3
-            out[o] = 0 if r < 0 else (255 if r > 255 else r)
-            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
-            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
-    return w, h, 3, bytes(out)
+                    _jpeg_idct_block_into(
+                        planes[ci], mcux * hc * 8,
+                        (mx * hc + bh) * 8, (my * vc + bv) * 8,
+                        coeffs, a1,
+                    )
+    return _jpeg_finish(w, h, comps, planes, mcux, hmax, vmax)
 
 
 def byte_features(payload: bytes) -> tuple[int, int]:

@@ -137,10 +137,14 @@ def _bits_of(v, s):
     return v if v >= 0 else v + (1 << s) - 1
 
 
-def encode_jpeg(pix, w, h, channels, subsample=False, restart=0):
-    """Minimal baseline encoder. Returns (jpeg_bytes, coeff_blocks)
-    where coeff_blocks[ci] is a dict (block_y, block_x) -> 64 QUANTIZED
-    coefficients in natural order — the independent oracle's input."""
+def jpeg_front_end(pix, w, h, channels, samp):
+    """Shared FDCT front end for the baseline and progressive test
+    encoders: RGB→YCbCr, box-mean subsample, edge-replicate pad,
+    float FDCT, quantize. Returns (coeff_blocks, samp, quants, tq,
+    th, mcux, mcuy) where coeff_blocks[ci] is a dict (block_y,
+    block_x) -> 64 QUANTIZED coefficients in natural order — the
+    independent oracle's input (reference_decode never sees the
+    bitstream, so encoder/decoder bitstream bugs cannot cancel)."""
     if channels == 3:
         rgb = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
         ycc = np.empty_like(rgb)
@@ -149,10 +153,6 @@ def encode_jpeg(pix, w, h, channels, subsample=False, restart=0):
         ycc[..., 2] = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
         ycc = np.clip(np.round(ycc), 0, 255)
         comp_pixels = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-        if subsample:
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
         quants = [QL, QC, QC]
         tq = [0, 1, 1]
         th = [0, 1, 1]
@@ -197,6 +197,55 @@ def encode_jpeg(pix, w, h, channels, subsample=False, restart=0):
                 f = _D @ blk @ _D.T
                 blocks[(by, bx)] = np.round(f / q).astype(np.int64)
         coeff_blocks.append(blocks)
+    return coeff_blocks, samp, quants, tq, th, mcux, mcuy
+
+
+def seg(marker, data):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+
+def dqt_payload(tid, tbl):  # DQT rides in zigzag order
+    zz = bytes(tbl[_JPEG_ZIGZAG[z]] for z in range(64))
+    return bytes([tid]) + zz
+
+
+def dht_payload(tc, tid, counts, symbols):
+    return bytes([(tc << 4) | tid]) + bytes(counts) + bytes(symbols)
+
+
+def jpeg_headers(w, h, channels, samp, tq, sof_marker, restart,
+                 dht_segments):
+    """SOI..DRI header bytes shared by the baseline and progressive
+    test encoders (quant tables, Huffman tables, SOFn, optional
+    DRI)."""
+    out = bytearray(b"\xff\xd8")
+    if channels == 3:
+        out += seg(0xDB, dqt_payload(0, QL) + dqt_payload(1, QC))
+    else:
+        out += seg(0xDB, dqt_payload(0, QL))
+    out += seg(0xC4, dht_segments)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([channels])
+    for ci in range(channels):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], tq[ci]])
+    out += seg(sof_marker, sof)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    return out
+
+
+def encode_jpeg(pix, w, h, channels, subsample=False, restart=0,
+                samp=None):
+    """Minimal baseline encoder. Returns (jpeg_bytes, coeff_blocks,
+    samp); ``samp`` overrides the subsample flag with an arbitrary
+    divisible sampling-factor list (e.g. [(4,1),(1,1),(1,1)] for
+    4:1:1)."""
+    if samp is None:
+        samp = ([(2, 2), (1, 1), (1, 1)] if subsample
+                else [(1, 1)] * channels)
+    coeff_blocks, samp, quants, tq, th, mcux, mcuy = jpeg_front_end(
+        pix, w, h, channels, samp
+    )
+    planes = coeff_blocks  # per-component block dicts
 
     # entropy-code
     dc_tabs = [_enc_huff(*DC_LUM), _enc_huff(*DC_CHR)]
@@ -248,34 +297,12 @@ def encode_jpeg(pix, w, h, channels, subsample=False, restart=0):
     body_parts.append(bytes(bw.out))
     body = b"".join(body_parts)
 
-    def seg(marker, data):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
-
-    out = bytearray(b"\xff\xd8")
-
-    def dqt_payload(tid, tbl):  # DQT rides in zigzag order
-        zz = bytes(tbl[_JPEG_ZIGZAG[z]] for z in range(64))
-        return bytes([tid]) + zz
-
     if channels == 3:
-        out += seg(0xDB, dqt_payload(0, QL) + dqt_payload(1, QC))
+        dhts = (dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM)
+                + dht_payload(0, 1, *DC_CHR) + dht_payload(1, 1, *AC_CHR))
     else:
-        out += seg(0xDB, dqt_payload(0, QL))
-
-    def dht_payload(tc, tid, counts, symbols):
-        return bytes([(tc << 4) | tid]) + bytes(counts) + bytes(symbols)
-
-    if channels == 3:
-        out += seg(0xC4, dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM)
-                   + dht_payload(0, 1, *DC_CHR) + dht_payload(1, 1, *AC_CHR))
-    else:
-        out += seg(0xC4, dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
-    for ci in range(len(planes)):
-        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], tq[ci]])
-    out += seg(0xC0, sof)
-    if restart:
-        out += seg(0xDD, struct.pack(">H", restart))
+        dhts = dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM)
+    out = jpeg_headers(w, h, channels, samp, tq, 0xC0, restart, dhts)
     sos = bytes([len(planes)])
     for ci in range(len(planes)):
         sos += bytes([ci + 1, (th[ci] << 4) | th[ci]])
@@ -368,6 +395,58 @@ def test_rgb_420_subsampled_matches_independent_reference():
     assert out == reference_decode(blocks, samp, w, h, 3)
 
 
+@pytest.mark.parametrize("samp", [
+    [(4, 1), (1, 1), (1, 1)],  # 4:1:1 — horizontal factor 4
+    [(1, 4), (1, 1), (1, 1)],  # vertical factor 4
+    [(2, 2), (2, 1), (1, 1)],  # mixed per-component ratios
+    [(3, 1), (1, 1), (1, 1)],  # factor 3 (legal, rarely emitted)
+    [(4, 2), (2, 1), (1, 1)],  # 2x ratios against a 4x max
+])
+def test_full_spec_sampling_factors_match_reference(samp):
+    """T.81 B.2.2 allows sampling factors 1-4; the decoder must
+    handle the whole range (r11 closed the old factors>2 gate).
+
+    Comparison is near-exact rather than byte-exact: the engine's
+    separable IDCT and the oracle's matrix IDCT can land on opposite
+    sides of an exact .5 tie (observed: -25.5 vs -25.4999... on this
+    image), which the byte-exact tests elsewhere avoid by
+    construction. A geometry/upsample bug produces errors of tens
+    across whole tiles, which the ≤2 / 99%-exact bound still
+    catches."""
+    w, h = 37, 21  # non-multiple of every MCU size: padding + crop
+    pix = _gradient_rgb(w, h)
+    jpg, blocks, sampo = encode_jpeg(pix, w, h, 3, samp=samp)
+    gw, gh, nch, out = decode_image(jpg)
+    assert (gw, gh, nch) == (w, h, 3)
+    ref = reference_decode(blocks, sampo, w, h, 3)
+    a = np.frombuffer(out, np.uint8).astype(int)
+    b = np.frombuffer(ref, np.uint8).astype(int)
+    d = np.abs(a - b)
+    assert d.max() <= 2, d.max()
+    assert (d == 0).mean() >= 0.99, (d == 0).mean()
+
+
+def test_sampling_factor_above_4_is_malformed():
+    w, h = 8, 8
+    jpg, _, _ = encode_jpeg(_gradient_rgb(w, h), w, h, 3)
+    # patch SOF0 component 0's Hi/Vi byte (5,1) — outside the spec range
+    i = jpg.index(b"\xff\xc0")
+    body = bytearray(jpg)
+    body[i + 12] = 0x51
+    with pytest.raises(ValueError):
+        decode_image(bytes(body))
+
+
+def test_sof1_extended_sequential_decodes_as_baseline():
+    """SOF1 (extended sequential, Huffman, 8-bit) uses the identical
+    decode procedure as SOF0 — accepted since r11."""
+    w, h = 16, 16
+    pix = _gradient_rgb(w, h)
+    jpg, blocks, samp = encode_jpeg(pix, w, h, 3)
+    sof1 = jpg.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    assert decode_image(sof1) == decode_image(jpg)
+
+
 def test_restart_markers_reset_predictors():
     w, h = 32, 8
     pix = bytes(((x * 11 + y * 3) % 256) for y in range(h) for x in range(w))
@@ -389,14 +468,21 @@ def test_lossy_but_close_to_source():
     assert err.max() <= 4, err.max()
 
 
-def test_progressive_and_exotic_stay_gated():
+def test_arithmetic_and_exotic_stay_gated():
+    """Progressive (SOF2) is decodable since r11 — the remaining
+    frame gates are arithmetic-coded / hierarchical / lossless."""
     w, h = 8, 8
     jpg, _, _ = encode_jpeg(bytes([9] * 64), w, h, 1)
-    prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF0 -> SOF2
+    arith = jpg.replace(b"\xff\xc0", b"\xff\xc9", 1)  # SOF0 -> SOF9
     with pytest.raises(NotImplementedError):
-        decode_image(prog)
+        decode_image(arith)
     with pytest.raises(ValueError):
         decode_image(jpg[: len(jpg) // 2])  # truncated entropy data
+    # a baseline body relabeled SOF2 is NOT silently decoded: the
+    # sequential scan header (Ss=0 Se=63) is invalid for progressive
+    prog = jpg.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        decode_image(prog)
 
 
 def test_jpeg_flows_through_image_features(spark):

@@ -1536,6 +1536,83 @@ def llm_audio_features(cat: Catalog) -> DataFrame:
 
 
 @query(
+    "llm_image_features",
+    # the PNG payload is SYNTHESIZED deterministically from each doc's
+    # characters (pixel = min(codepoint,255), 16 px wide, space-padded
+    # (32) to fill the last row; empty text becomes one padded row),
+    # and PNG is lossless, so the oracle computes the decoded features
+    # straight from the text — the image twin of llm_audio_features,
+    # driving the REAL zlib-inflate + unfilter decode path on every
+    # row. The c <> '' filter kills DuckDB's phantom empty-split
+    # element.
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        FROM documents
+    ),
+    vals AS (
+        SELECT doc_id, least(ascii(c), 255) AS v
+        FROM chars WHERE c <> ''
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n, sum(v) AS s
+        FROM vals GROUP BY doc_id
+    ),
+    dims AS (
+        SELECT d.doc_id,
+               greatest(coalesce(agg.n, 0), 1) AS n,
+               CASE WHEN coalesce(agg.n, 0) = 0 THEN 32
+                    ELSE agg.s END AS s
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST((n + 15) // 16 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST((s + (((n + 15) // 16) * 16 - n) * 32)
+                // (((n + 15) // 16) * 16) AS BIGINT) AS mean_px
+    FROM dims
+    ORDER BY doc_id
+    """,
+    survey="LLM multimodal: image tier — synthesized lossless PNG payloads "
+    "through the real inflate/unfilter decoder to exact pixel features",
+)
+def llm_image_features(cat: Catalog) -> DataFrame:
+    """Drive the REAL image path end-to-end on the driver's corpus:
+    each document's characters become grayscale pixels in a genuine
+    PNG container (encode_png: zlib IDAT, filtered scanlines, CRCs),
+    and image_features decodes them back (decode_image) to
+    dimensions plus the exact integer mean pixel value. PNG is
+    lossless and the synthesis is deterministic per character, so
+    DuckDB verifies the whole decode+aggregate pipeline from the
+    text column alone."""
+    import pandas as pd
+
+    from simple_etl_spark.llm.multimodal import encode_png, image_features
+
+    docs = cat["documents"].select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                px = [] if text is None else [min(ord(c), 255) for c in text]
+                if not px:
+                    px = [32]
+                w = 16
+                h = -(-len(px) // w)
+                px += [32] * (w * h - len(px))
+                payloads.append(encode_png(w, h, 1, bytes(px)))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    png_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return image_features(png_df).orderBy("doc_id")
+
+
+@query(
     "llm_normalize_probe",
     oracle="""
     WITH norm AS (

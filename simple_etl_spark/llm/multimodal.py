@@ -13,7 +13,7 @@ sequential AND SOF2 progressive: canonical Huffman + dequant +
 float64 IDCT + YCbCr, the full T.81 sampling-factor range 1-4) —
 returning raw row-major pixels; PNG covers 8/16-bit, palette
 1/2/4/8-bit, and Adam7 interlace. The variants that genuinely need
-a codec library (arithmetic-coded/hierarchical/12-bit/RGB JPEG;
+a codec library (arithmetic-coded/hierarchical/RGB JPEG;
 MP3-class audio) raise ``NotImplementedError`` (a real deployment
 plugs PIL/libvips into the same dispatch).
 :func:`decode_audio` does the same for RIFF/WAV: integer PCM
@@ -89,7 +89,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     interleaved.
 
     The variants that genuinely need a codec library —
-    arithmetic-coded / hierarchical / 12-bit / RGB-colorspace JPEG —
+    arithmetic-coded / hierarchical / lossless / RGB-colorspace JPEG —
     raise ``NotImplementedError``; the dispatch below is where a
     deployment plugs PIL/libvips in. Malformed payloads raise
     ``ValueError``."""
@@ -521,12 +521,17 @@ def _jpeg_canonical_huffman(counts: list[int], symbols: bytes) -> dict:
     return table
 
 
-def _jpeg_idct_block_into(plane, pw, ox, oy, coeffs, a1) -> None:
+def _jpeg_idct_block_into(plane, pw, ox, oy, coeffs, a1,
+                          level=128, maxval=255) -> None:
     """Separable 8x8 IDCT (A·F·Aᵀ as two 8x8 passes — same pairing
     order as the test oracle's (Dᵀ·F)·D), level shift, clamp, write
     into the component plane at pixel offset (ox, oy). ``coeffs`` is
     DEQUANTIZED, natural order. Shared by the sequential (streaming)
-    and progressive (coefficient-buffered) decode paths."""
+    and progressive (coefficient-buffered) decode paths. For 12-bit
+    frames (level=2048, maxval=4095) the clamped sample is scaled
+    into the 8-bit output domain with the same exact rounding the
+    16-bit PNG path uses ((v·255 + maxval//2) // maxval), so
+    downstream stays one byte per sample."""
     pass1 = [[0.0] * 8 for _ in range(8)]
     for x in range(8):
         ax = a1[x]
@@ -548,8 +553,10 @@ def _jpeg_idct_block_into(plane, pw, ox, oy, coeffs, a1) -> None:
                 pv = row[v]
                 if pv:
                     val += pv * ay[v]
-            px = int(round(val)) + 128
-            px = 0 if px < 0 else (255 if px > 255 else px)
+            px = int(round(val)) + level
+            px = 0 if px < 0 else (maxval if px > maxval else px)
+            if maxval != 255:
+                px = (px * 255 + (maxval >> 1)) // maxval
             plane[orow + y] = px
 
 
@@ -606,8 +613,8 @@ def _jpeg_validate_frame(frame, adobe_transform):
     gates, the header-declared-allocation ceiling, single-component
     normalization (T.81 A.2.2: sampling factors are ignored in a
     non-interleaved frame), and the spec range check on sampling
-    factors. Returns ``(w, h, comps, hmax, vmax, mcux, mcuy)``."""
-    h, w, comps = frame
+    factors. Returns ``(w, h, comps, hmax, vmax, mcux, mcuy, prec)``."""
+    h, w, comps, prec = frame
     if w < 1 or h < 1:
         raise ValueError(f"bad JPEG dimensions {w}x{h}")
     if len(comps) not in (1, 3):
@@ -643,7 +650,7 @@ def _jpeg_validate_frame(frame, adobe_transform):
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    return w, h, comps, hmax, vmax, mcux, mcuy
+    return w, h, comps, hmax, vmax, mcux, mcuy, prec
 
 
 class _JpegProgState:
@@ -669,7 +676,9 @@ class _JpegProgState:
         from array import array
 
         (self.w, self.h, self.comps, self.hmax, self.vmax,
-         self.mcux, self.mcuy) = _jpeg_validate_frame(frame, adobe_transform)
+         self.mcux, self.mcuy, self.prec) = _jpeg_validate_frame(
+            frame, adobe_transform
+        )
         self.coef: list = []
         self.geom: list[tuple[int, int, int, int]] = []
         for _cid, hc, vc, _tq in self.comps:
@@ -839,6 +848,8 @@ class _JpegProgState:
                     f"{self.comps[ci][0]} not fully refined to Al=0"
                 )
         a1 = _jpeg_idct_1d()
+        level = 1 << (self.prec - 1)
+        maxval = (1 << self.prec) - 1
         planes = []
         for ci, (_cid, hc, vc, tq) in enumerate(self.comps):
             if tq not in qt:
@@ -857,7 +868,8 @@ class _JpegProgState:
                         nat = zig[k]
                         coeffs[nat] = v * q[nat]
                 by, bx = divmod(b, bwp)
-                _jpeg_idct_block_into(plane, pw, bx * 8, by * 8, coeffs, a1)
+                _jpeg_idct_block_into(plane, pw, bx * 8, by * 8, coeffs,
+                                      a1, level, maxval)
             planes.append(plane)
         return _jpeg_finish(self.w, self.h, self.comps, planes,
                             self.mcux, self.hmax, self.vmax)
@@ -968,10 +980,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     approximation, DC and AC first/refinement scans, EOB runs —
     T.81 Annex G via :class:`_JpegProgState`) are supported, for
     grayscale and 3-component YCbCr with the full spec range of
-    sampling factors (1-4, divisible or not). Arithmetic-coded,
-    hierarchical, lossless, and 12-bit frames raise
-    ``NotImplementedError`` — those are the variants where a codec
-    library earns its keep.
+    sampling factors (1-4, divisible or not) at BOTH sample
+    precisions the DCT modes allow (8-bit, and 12-bit with 16-bit
+    quantization tables — samples scale into the 8-bit output domain
+    exactly like the 16-bit PNG path). Arithmetic-coded,
+    hierarchical, and lossless frames raise ``NotImplementedError``
+    — those are the variants where a codec library earns its keep.
 
     Everything here is integer or fixed-order float64 arithmetic, so
     the decoded bytes are deterministic across hosts (tested against
@@ -1022,13 +1036,22 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             i = 0
             while i < len(data):
                 pq, tq = data[i] >> 4, data[i] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
+                if pq not in (0, 1):
+                    raise ValueError(f"JPEG DQT precision field {pq}")
                 tbl = [0] * 64
-                for z in range(64):
-                    tbl[_JPEG_ZIGZAG[z]] = data[i + 1 + z]
+                if pq == 0:
+                    for z in range(64):
+                        tbl[_JPEG_ZIGZAG[z]] = data[i + 1 + z]
+                    i += 65
+                else:  # 16-bit entries (12-bit sample data, B.4.1)
+                    if i + 129 > len(data):
+                        raise ValueError("JPEG DQT 16-bit table truncated")
+                    for z in range(64):
+                        tbl[_JPEG_ZIGZAG[z]] = struct.unpack_from(
+                            ">H", data, i + 1 + 2 * z
+                        )[0]
+                    i += 129
                 qt[tq] = tbl
-                i += 65
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(data):
@@ -1051,14 +1074,18 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
             if len(data) < 6 + 3 * nc:
                 raise ValueError("JPEG SOF component list truncated")
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG")
+            if prec not in (8, 12):
+                # T.81 allows only 8 and 12 for DCT modes — anything
+                # else in a SOF0/1/2 frame is malformed, not a gate
+                raise ValueError(f"{prec}-bit JPEG DCT frame")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("baseline JPEG (SOF0) must be 8-bit")
             comps = []
             for ci in range(nc):
                 cid = data[6 + ci * 3]
                 hv = data[7 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 15, data[8 + ci * 3]))
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1110,11 +1137,13 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
         return prog.finish(qt)
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    w, h, comps, hmax, vmax, mcux, mcuy = _jpeg_validate_frame(
+    w, h, comps, hmax, vmax, mcux, mcuy, prec = _jpeg_validate_frame(
         frame, adobe_transform
     )
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan sequential JPEG")
+    level = 1 << (prec - 1)
+    maxval = (1 << prec) - 1
     a1 = _jpeg_idct_1d()
     # per-component pixel planes at subsampled resolution
     planes = []
@@ -1168,7 +1197,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                     _jpeg_idct_block_into(
                         planes[ci], mcux * hc * 8,
                         (mx * hc + bh) * 8, (my * vc + bv) * 8,
-                        coeffs, a1,
+                        coeffs, a1, level, maxval,
                     )
     return _jpeg_finish(w, h, comps, planes, mcux, hmax, vmax)
 

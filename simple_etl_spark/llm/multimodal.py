@@ -89,7 +89,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     interleaved.
 
     The variants that genuinely need a codec library —
-    arithmetic-coded / hierarchical / lossless / RGB-colorspace JPEG —
+    arithmetic-coded / hierarchical / RGB-colorspace JPEG —
     raise ``NotImplementedError``; the dispatch below is where a
     deployment plugs PIL/libvips in. Malformed payloads raise
     ``ValueError``."""
@@ -951,6 +951,115 @@ def _jpeg_ac_refine_block(coef, bi, br, atbl, ss, se, al, eobrun):
     return eobrun
 
 
+def _decode_jpeg_lossless(payload, pos, frame, scan, pred_sel, pt,
+                          huff, restart_interval):
+    """Lossless JPEG (SOF3, Huffman — T.81 Annex H): predictive DPCM
+    with the seven spec predictors, DC-style category+bits difference
+    coding (SSSS=16 codes a difference of exactly 32768, no extra
+    bits), modulo-2^16 arithmetic, and point transform Al=Pt
+    (reconstruction shifts left by Pt). Components are stored
+    DIRECTLY (no color transform): 1 component decodes to grayscale,
+    3 to RGB. Sample precisions 2-16 scale into the 8-bit output
+    domain by the same exact rounding as the 12-bit DCT and 16-bit
+    PNG paths.
+
+    Prediction rules (H.1.2.1): sample (0,0) predicts
+    1<<(P-Pt-1); the rest of the first line predicts from Ra (left);
+    the first sample of later lines from Rb (above); elsewhere the
+    scan-selected predictor 1-7. Restart markers and non-unit
+    sampling factors in lossless mode raise ``NotImplementedError``
+    (the spec's restart-reset interacts with the first-line rules in
+    a way this decoder does not claim to implement; DNG-class files
+    do not use either). decode(encode(x)) == x is pinned in
+    tests/test_jpeg_lossless.py for every predictor and precision
+    tier — lossless means the source pixels ARE the oracle."""
+    from array import array
+
+    h, w, comps, prec = frame
+    if w < 1 or h < 1:
+        raise ValueError(f"bad JPEG dimensions {w}x{h}")
+    if not (2 <= prec <= 16):
+        raise ValueError(f"{prec}-bit lossless JPEG precision")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component lossless JPEG")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"JPEG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
+        )
+    if any(c[1] != 1 or c[2] != 1 for c in comps):
+        raise NotImplementedError("lossless JPEG sampling factors != 1")
+    if restart_interval:
+        raise NotImplementedError("lossless JPEG restart intervals")
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan lossless JPEG")
+    if not (1 <= pred_sel <= 7):
+        raise ValueError(f"lossless predictor selector {pred_sel}")
+    if not (0 <= pt < prec):
+        raise ValueError(f"lossless point transform {pt}")
+    order = {c[0]: i for i, c in enumerate(comps)}
+    tbls = []
+    for cs, td, _ta in scan:
+        if cs not in order:
+            raise ValueError(f"JPEG SOS references undeclared component {cs}")
+        tbl = huff.get((0, td))
+        if tbl is None:
+            raise ValueError("JPEG Huffman table undefined")
+        tbls.append((order[cs], tbl))
+    if len({ci for ci, _ in tbls}) != len(tbls):
+        raise ValueError("JPEG SOS lists a component twice")
+    planes = [array("H", bytes(2 * w * h)) for _ in comps]
+    br = _JpegBitReader(payload, pos)
+    default = 1 << (prec - pt - 1)
+    for i in range(w * h):
+        x = i % w
+        for ci, tbl in tbls:
+            plane = planes[ci]
+            s = br.read_huff(tbl)
+            if s == 16:
+                diff = 32768
+            else:
+                diff = br.receive_extend(s)
+            if i == 0:
+                pred = default
+            elif i < w:  # rest of the first line: Ra
+                pred = plane[i - 1]
+            elif x == 0:  # first sample of later lines: Rb
+                pred = plane[i - w]
+            else:
+                ra, rb, rc = plane[i - 1], plane[i - w], plane[i - w - 1]
+                if pred_sel == 1:
+                    pred = ra
+                elif pred_sel == 2:
+                    pred = rb
+                elif pred_sel == 3:
+                    pred = rc
+                elif pred_sel == 4:
+                    pred = ra + rb - rc
+                elif pred_sel == 5:
+                    pred = ra + ((rb - rc) >> 1)
+                elif pred_sel == 6:
+                    pred = rb + ((ra - rc) >> 1)
+                else:
+                    pred = (ra + rb) >> 1
+            plane[i] = (pred + diff) & 0xFFFF
+    maxval = (1 << prec) - 1
+    half = maxval >> 1
+    nch = len(comps)
+    out = bytearray(w * h * nch)
+    for ci in range(nch):
+        plane = planes[ci]
+        for i in range(w * h):
+            v = (plane[i] << pt) & 0xFFFF
+            if v > maxval:
+                raise ValueError(
+                    "lossless JPEG sample exceeds the declared precision"
+                )
+            out[i * nch + ci] = v if maxval == 255 else (
+                (v * 255 + half) // maxval
+            )
+    return w, h, nch, bytes(out)
+
+
 def _jpeg_scan_end(br) -> int:
     """Offset of the next marker's 0xFF after a progressive scan's
     entropy data. Whole unconsumed bytes here can only be 0xFF00
@@ -983,9 +1092,11 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     sampling factors (1-4, divisible or not) at BOTH sample
     precisions the DCT modes allow (8-bit, and 12-bit with 16-bit
     quantization tables — samples scale into the 8-bit output domain
-    exactly like the 16-bit PNG path). Arithmetic-coded,
-    hierarchical, and lossless frames raise ``NotImplementedError``
-    — those are the variants where a codec library earns its keep.
+    exactly like the 16-bit PNG path), plus LOSSLESS (SOF3)
+    predictive frames at 2-16 bits (T.81 Annex H via
+    :func:`_decode_jpeg_lossless`). Arithmetic-coded and hierarchical
+    frames raise ``NotImplementedError`` — the variants where a codec
+    library earns its keep.
 
     Everything here is integer or fixed-order float64 arithmetic, so
     the decoded bytes are deterministic across hosts (tested against
@@ -1013,6 +1124,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
     scan = None
     adobe_transform = None
     progressive = False
+    lossless = False
     prog: _JpegProgState | None = None
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1061,24 +1173,29 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 syms = data[i + 17 : i + 17 + n]
                 huff[(tc, th)] = _jpeg_canonical_huffman(counts, syms)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
             # SOF0 baseline / SOF1 extended sequential (identical
             # Huffman decode procedure at 8-bit precision, T.81
             # Annex F) / SOF2 progressive (coefficient-buffered
-            # multi-scan decode, T.81 Annex G)
+            # multi-scan decode, T.81 Annex G) / SOF3 lossless
+            # (predictive DPCM, T.81 Annex H)
             if frame is not None:
                 raise ValueError("multiple JPEG frame headers")
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             if len(data) < 6:
                 raise ValueError("JPEG SOF segment too short")
             prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
             if len(data) < 6 + 3 * nc:
                 raise ValueError("JPEG SOF component list truncated")
-            if prec not in (8, 12):
+            if lossless:
+                if not (2 <= prec <= 16):
+                    raise ValueError(f"{prec}-bit lossless JPEG frame")
+            elif prec not in (8, 12):
                 # T.81 allows only 8 and 12 for DCT modes — anything
                 # else in a SOF0/1/2 frame is malformed, not a gate
                 raise ValueError(f"{prec}-bit JPEG DCT frame")
-            if prec == 12 and marker == 0xC0:
+            elif prec == 12 and marker == 0xC0:
                 raise ValueError("baseline JPEG (SOF0) must be 8-bit")
             comps = []
             for ci in range(nc):
@@ -1086,7 +1203,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 hv = data[7 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 15, data[8 + ci * 3]))
             frame = (h, w, comps, prec)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG frame (SOF marker 0x{marker:02x}: "
@@ -1114,6 +1231,17 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
             ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
             pos += seglen
+            if lossless:
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF")
+                if se != 0 or ah != 0:
+                    raise ValueError(
+                        "lossless JPEG scan header must carry Se=0 Ah=0"
+                    )
+                return _decode_jpeg_lossless(
+                    payload, pos, frame, scan, ss, al, huff,
+                    restart_interval,
+                )
             if not progressive:
                 if (ss, se, ah, al) != (0, 63, 0, 0):
                     raise ValueError(

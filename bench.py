@@ -148,8 +148,6 @@ def _duckdb_twin(data_dir: str, specs) -> tuple[dict, float, float]:
             serial[name] = min(
                 serial[name], run(con, sql), run(con, sql), run(con, sql)
             )
-    serial = {name: round(t, 3) for name, t in serial.items()}
-
     cursors = [(con.cursor(), sql) for sql in sqls.values()]
     batch = 9e9
     for _ in range(5):
@@ -165,7 +163,11 @@ def _duckdb_twin(data_dir: str, specs) -> tuple[dict, float, float]:
     for cur, _ in cursors:
         cur.close()
     con.close()
-    return serial, round(sum(serial.values()), 3), round(batch, 3)
+    # full precision out: the ratio_* keys divide by these, and
+    # rounding here both quantizes the judged ratio and turns a
+    # sub-0.5ms concurrent time into a spurious null ratio
+    # (code-review r11); rounding happens once, at JSON-emit time
+    return serial, sum(serial.values()), batch
 
 
 def main() -> None:
@@ -223,11 +225,14 @@ def main() -> None:
     try:
         # Fixed per-job cost on THIS host right now: the floor every
         # tiny query pays regardless of plan quality. 10 launches, min.
-        floor = 9e9
+        # floor only becomes non-None after a successful sample — if
+        # the first count() raises, the except must leave the null
+        # degrade, not leak a sentinel into the JSON (code-review r11)
         for _ in range(10):
             t0 = time.perf_counter()
             spark.range(1).count()
-            floor = min(floor, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            floor = dt if floor is None else min(floor, dt)
         duck_q, duck_serial, duck_batch = _duckdb_twin(data_dir, specs)
     except Exception as exc:  # noqa: BLE001 — calibration is best-effort
         print(f"calibration failed: {exc!r}", file=sys.stderr)
@@ -249,9 +254,15 @@ def main() -> None:
                 "serial_total_sec": serial_total,
                 "concurrency": len(dfs),
                 "sf": sf,
-                "duckdb_queries": duck_q,
-                "duckdb_serial": duck_serial,
-                "duckdb_concurrent": duck_batch,
+                "duckdb_queries": {n: round(t, 4) for n, t in duck_q.items()}
+                if duck_q is not None
+                else None,
+                "duckdb_serial": round(duck_serial, 4)
+                if duck_serial is not None
+                else None,
+                "duckdb_concurrent": round(duck_batch, 4)
+                if duck_batch is not None
+                else None,
                 "spark_job_floor_sec": round(floor, 3)
                 if floor is not None
                 else None,

@@ -320,7 +320,18 @@ def gazetteer_extractor(text: str) -> list[tuple[str, str, float, int, int]]:
             ):
                 k += 1
             span = run[k:]
-            etype, conf = "PER", 0.85
+            # re-dispatch the remainder through the descriptor rules:
+            # a reporting cue can introduce an ORG or a facility, not
+            # just a person — "Menurut Harian Kompas" attributes the
+            # quote to the newspaper and must yield ORG "Kompas", not
+            # PER "Harian Kompas" (code-review r11)
+            nhead = norm(i + k) if span else ""
+            if nhead in _ORG_DESCRIPTORS and len(span) >= 2:
+                etype, conf, span = "ORG", 0.85, span[1:]
+            elif nhead in _LOC_DESCRIPTORS and len(span) >= 2:
+                etype, conf, span = "LOC", 0.85, span[1:]
+            else:
+                etype, conf = "PER", 0.85
         elif (prev in _PER_TITLES or prev in _PER_REPORT_CUES) and run:
             etype, conf, span = "PER", 0.85, run
         elif len(run) >= 2:

@@ -210,3 +210,16 @@ def test_gazetteer_trailing_loc_cue_trim_requires_tier1_loc():
         ("Delegasi Provinsi", "PER"),
         ("Bank Indonesia", "ORG"),
     ]
+
+
+def test_gazetteer_reporting_cue_redispatches_descriptors():
+    """A reporting cue can attribute a quote to an ORG or facility,
+    not only a person: the remainder after cue-stripping re-dispatches
+    through the descriptor rules (code-review r11)."""
+    from simple_etl_spark.operators.entities import gazetteer_extractor
+
+    ents = gazetteer_extractor("Menurut Harian Kompas, harga naik.")
+    assert [(e[0], e[1]) for e in ents] == [("Kompas", "ORG")]
+    # a person after the cue still classifies as PER
+    ents2 = gazetteer_extractor("Menurut Budi Santoso, harga naik.")
+    assert [(e[0], e[1]) for e in ents2] == [("Budi Santoso", "PER")]

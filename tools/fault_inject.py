@@ -1,7 +1,11 @@
-"""Round-10 executor-loss fault injection at scale (VERDICT r9 #1):
-kill a REAL executor JVM mid-query under ``local-cluster`` and verify
-task retry / stage resubmission / streaming state recovery reproduce
-the IDENTICAL canonical result hash the healthy cluster produced.
+"""Executor-loss fault injection at scale (round 10, VERDICT r9 #1;
+round 11 added the graceful-decommission phase): kill a REAL executor
+JVM mid-query under ``local-cluster`` and verify task retry / stage
+resubmission / streaming state recovery reproduce the IDENTICAL
+canonical result hash the healthy cluster produced. The
+``decommission`` phase sends SIGPWR instead: the executor migrates
+its shuffle blocks and exits cleanly (the spot-reclaim path), and the
+result must still hash-match.
 
 tests/test_executor_loss.py pins the mechanism on a toy relation; this
 harness proves it on the engine's own heavyweights at generated-twin
@@ -12,16 +16,16 @@ gap-session drain killed mid-micro-batch.
 Each (query × kill_point) row records the clean hash, the faulted
 hash, the killed pid, and whether the worker relaunched a replacement.
 Kill points: ``early`` (0.5 s after the first active task) and
-``late`` (~60% of the clean wall-clock). Records append to
-FAULT_r10.jsonl incrementally; re-runs resume by skipping recorded
-rows.
+``late`` (~60% of the clean wall-clock). Records append to the OUT file
+incrementally; re-runs resume by skipping recorded rows.
 
 Usage::
 
-    python tools/fault_inject.py [batch|stream|all]
+    python tools/fault_inject.py [batch|stream|decommission|all]
 
 Env: SPARK_GRAFT_SF_DIR (default /tmp/scaledata/sf1),
 SPARK_GRAFT_CLUSTER_MASTER (default local-cluster[2,8,3072]).
+Records append to FAULT_r11.jsonl (override SPARK_GRAFT_FAULT_OUT).
 """
 
 from __future__ import annotations
@@ -41,7 +45,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 OUT = os.environ.get(
-    "SPARK_GRAFT_FAULT_OUT", os.path.join(REPO, "FAULT_r10.jsonl")
+    "SPARK_GRAFT_FAULT_OUT", os.path.join(REPO, "FAULT_r11.jsonl")
 )
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/scaledata/sf1")
 MASTER = os.environ.get(
@@ -56,6 +60,16 @@ BATCH_QUERIES = [
     "revenue_by_segment",      # broadcast-join rollup (headline shape)
 ]
 STREAM_QUERIES = ["stream_gap_sessions", "stream_running_totals"]
+# graceful-decommission phase (round 11): SIGPWR instead of SIGKILL —
+# the executor migrates shuffle blocks and exits cleanly, so the
+# result must be identical WITHOUT the FetchFailed recompute path
+# (mechanism pinned at toy scale by tests/test_executor_decommission.py)
+DECOM_QUERIES = [
+    "llm_dedup_clusters",
+    "llm_simhash_hamming",
+    "revenue_by_segment",
+    "stream_gap_sessions",
+]
 
 
 def _done() -> set[tuple[str, str, str]]:
@@ -153,7 +167,20 @@ def _session():
             "spark.sql.shuffle.partitions",
             os.environ.get("SPARK_GRAFT_FAULT_PARTITIONS", "16"),
         )
-        .appName("fault_inject_r10")
+        # decommission knobs are inert for the SIGKILL legs (SIGKILL
+        # cannot be caught) and enable the SIGPWR phase's graceful
+        # path with shuffle-block migration
+        .config("spark.decommission.enabled", "true")
+        .config("spark.storage.decommission.enabled", "true")
+        .config("spark.storage.decommission.shuffleBlocks.enabled", "true")
+        .config("spark.storage.decommission.rddBlocks.enabled", "true")
+        # without this a decommissioned executor can linger forever in
+        # the drained state (observed at sf1: the victim survived the
+        # cell, got re-picked by the next one, and re-signaling a
+        # decommissioned executor is a no-op) — a real fleet's cluster
+        # manager reclaims the host; the timeout plays that role here
+        .config("spark.executor.decommission.forceKillTimeout", "45s")
+        .appName("fault_inject_r11")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -175,10 +202,12 @@ def _canonical_hash(df) -> tuple[str, int]:
     return hashlib.md5(payload.encode()).hexdigest(), len(rows)
 
 
-def _faulted_hash(spark, fn, kill_delay: float) -> dict:
+def _faulted_hash(spark, fn, kill_delay: float,
+                  sig: int = signal.SIGKILL) -> dict:
     """Run ``fn`` in a thread; 0.5 s after the first active task plus
-    ``kill_delay``, SIGKILL the lowest-pid executor; return the result
-    hash plus kill forensics."""
+    ``kill_delay``, send ``sig`` (SIGKILL = crash, SIGPWR = graceful
+    decommission) to the lowest-pid executor; return the result hash
+    plus kill forensics."""
     before = await_executors(expected_executors())
     result: dict = {}
 
@@ -209,7 +238,7 @@ def _faulted_hash(spark, fn, kill_delay: float) -> dict:
                 if live:
                     victim = sorted(live)[0]
                     try:
-                        os.kill(victim, signal.SIGKILL)
+                        os.kill(victim, sig)
                     except ProcessLookupError:
                         victim = None
             break
@@ -238,12 +267,13 @@ def _faulted_hash(spark, fn, kill_delay: float) -> dict:
     return result
 
 
-def run_phase(spark, names: list[str], done: set) -> None:
+def run_phase(spark, names: list[str], done: set,
+              sig: int = signal.SIGKILL, tag: str = "") -> None:
     import __spark_entry__ as e
 
     qs = e.queries()
     for name in names:
-        if all((name, p, SF_DIR) in done for p in ("early", "late")):
+        if all((name, tag + p, SF_DIR) in done for p in ("early", "late")):
             continue  # don't pay two at-scale clean runs to skip both
         fn = lambda n=name: qs[n](spark, SF_DIR)  # noqa: E731
         try:
@@ -266,11 +296,12 @@ def run_phase(spark, names: list[str], done: set) -> None:
             continue
         print(f"{name}: clean {clean_sec:.1f}s rows={clean_rows} "
               f"hash={clean_hash[:12]}", flush=True)
-        for point, delay in (("early", 0.0), ("late", clean_sec * 0.6)):
+        for point, delay in ((tag + "early", 0.0),
+                             (tag + "late", clean_sec * 0.6)):
             if (name, point, SF_DIR) in done:
                 continue
             t0 = time.time()
-            res = _faulted_hash(spark, fn, delay)
+            res = _faulted_hash(spark, fn, delay, sig)
             if res.get("kill_pid") is None and "exc" not in res:
                 # the query beat the kill to the finish line — that is
                 # a non-result, not a pass or a failure
@@ -313,6 +344,9 @@ def main() -> None:
         run_phase(spark, BATCH_QUERIES, done)
     if what in ("stream", "all"):
         run_phase(spark, STREAM_QUERIES, done)
+    if what in ("decommission", "all"):
+        run_phase(spark, DECOM_QUERIES, done,
+                  sig=signal.SIGPWR, tag="decom_")
     recs = []
     if os.path.exists(OUT):
         for line in open(OUT):

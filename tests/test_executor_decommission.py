@@ -9,18 +9,27 @@ MIGRATES its shuffle map outputs to a peer before exiting. The
 observable contract this test pins, under ``local-cluster[2,2,1024]``
 with real executor JVMs:
 
-* the decommissioned executor exits (its pid leaves the executor set)
-  without the query failing;
-* the result is identical to the clean run; and
-* — the migration evidence — the MAP STAGE DOES NOT RE-EXECUTE. Map
-  tasks drop a marker file per (partition, execution) into a shared
-  tmp dir; a second wave of reduce tasks scheduled after the victim
-  exits must fetch the victim's map outputs from the migrated copies,
-  so the marker count stays at exactly one per partition. A SIGKILL
-  at the same point forces FetchFailed → parent-stage resubmission →
-  extra markers (that contrast is exactly what test_executor_loss.py
-  demonstrates), so markers are a real discriminator between
-  "recovered by recompute" and "recovered by migration".
+* mid-query grace (leg A): SIGPWR during the reduce's first wave —
+  the query completes with the identical result, no task failures
+  surface, and the victim pid eventually leaves the executor set;
+* shuffle-block migration (leg B, the airtight discriminator): a
+  fresh query materializes its shuffle (map tasks drop one marker
+  file per (partition, execution) into a shared tmp dir), THEN the
+  victim is decommissioned while idle and the test WAITS for its pid
+  to exit before re-collecting the same Dataset. The re-collect's
+  reduce must fetch the dead executor's map outputs — if migration
+  carried them to the peer, the skipped map stage stays skipped
+  (marker count unchanged); if the blocks had died with the JVM, the
+  FetchFailed path would re-run map partitions and mint extra
+  markers (the SIGKILL contrast in tests/test_executor_loss.py). The
+  victim being provably gone BEFORE the reduce starts removes the
+  serves-fetches-while-draining loophole a mid-query marker check
+  would have.
+  ``spark.executor.decommission.forceKillTimeout`` backstops a
+  lingering drain (observed at sf1 — see SCALE.md §8b); a force-kill
+  before migration completed would surface as lost blocks and fail
+  the marker assertion, so the backstop cannot mask a migration
+  failure.
 
 Subprocess isolation: one JVM hosts one SparkContext; the suite's
 shared session is local[*].
@@ -54,6 +63,7 @@ _SCRIPT = textwrap.dedent(
              .config("spark.storage.decommission.shuffleBlocks.enabled",
                      "true")
              .config("spark.storage.decommission.rddBlocks.enabled", "true")
+             .config("spark.executor.decommission.forceKillTimeout", "45s")
              .appName("executor_decommission").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     from simple_etl_spark.engine import ship_package
@@ -97,7 +107,7 @@ _SCRIPT = textwrap.dedent(
             _t.sleep(1.0)
             yield b
 
-    def build():
+    def build_ds():
         df = (spark.range(0, 2000, 1, 16)
               .select((F.col("id") %% 97).alias("k"),
                       (F.col("id") * 31 %% 1009).alias("v")))
@@ -105,16 +115,25 @@ _SCRIPT = textwrap.dedent(
         agg = marked.groupBy("k").agg(F.sum("v").alias("s"),
                                       F.count("*").alias("c"))
         # same stage as the shuffle read (no extra exchange): slows the
-        # 8 reduce tasks into two waves on 2x2 cores, so wave 2 runs
-        # after the decommissioned executor has exited
-        slowed = agg.mapInPandas(slow, "k bigint, s bigint, c bigint")
-        return sorted((r["k"], r["s"], r["c"]) for r in slowed.collect())
+        # 8 reduce tasks into two waves on 2x2 cores
+        return agg.mapInPandas(slow, "k bigint, s bigint, c bigint")
+
+    def rows_of(ds):
+        return sorted((r["k"], r["s"], r["c"]) for r in ds.collect())
 
     def markers():
         return len(glob.glob(os.path.join(%(mdir)s, "*")))
 
+    def await_exit(victim, timeout=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if victim not in exec_pids():
+                return True
+            time.sleep(0.5)
+        return False
+
     # clean run: 16 map partitions -> exactly 16 markers
-    expected = build()
+    expected = rows_of(build_ds())
     assert len(expected) == 97
     clean_markers = markers()
     assert clean_markers == 16, f"expected 16 map markers, {clean_markers}"
@@ -134,11 +153,12 @@ _SCRIPT = textwrap.dedent(
             time.sleep(0.05)
         raise AssertionError("reduce stage never became active")
 
+    # --- leg A: mid-query grace ---------------------------------------
     before = await_two()
     result = {}
     def run():
         try:
-            result["rows"] = build()
+            result["rows"] = rows_of(build_ds())
         except Exception as exc:
             result["exc"] = repr(exc)
     t = threading.Thread(target=run)
@@ -150,25 +170,33 @@ _SCRIPT = textwrap.dedent(
     assert result["rows"] == expected, "decommission changed the result"
     print("DECOM_RESULT_OK", flush=True)
 
-    # the victim must actually have left (graceful exit, not a no-op
-    # signal): poll because migration takes a moment after the query
-    t0 = time.time()
-    gone = False
-    while time.time() - t0 < 60:
-        if victim not in exec_pids():
-            gone = True
-            break
-        time.sleep(0.5)
-    assert gone, f"executor {victim} never exited after SIGPWR"
+    # the victim must actually leave (graceful exit; the 45 s
+    # forceKillTimeout backstops a lingering drain)
+    assert await_exit(victim), f"executor {victim} never exited"
     print("DECOM_EXIT_OK", flush=True)
 
-    # migration evidence: the faulted run added exactly 16 markers —
-    # the map stage ran once; no FetchFailed-driven resubmission
-    faulted_markers = markers() - clean_markers
-    assert faulted_markers == 16, (
-        f"map stage re-executed after decommission: {faulted_markers} "
-        "markers for the faulted run (16 = migrated, >16 = recomputed)")
-    print("DECOM_NO_RECOMPUTE_OK", flush=True)
+    # --- leg B: migration with the victim provably gone ---------------
+    # materialize the shuffle, decommission an executor while IDLE,
+    # wait for its JVM to exit, then re-collect the SAME Dataset: the
+    # reduce re-runs but the map stage's outputs must come from the
+    # migrated copies (marker count frozen). If the blocks had died
+    # with the JVM, FetchFailed would re-run map partitions and mint
+    # extra markers. A force-kill before migration completed would
+    # ALSO surface as extra markers, so the backstop cannot mask a
+    # migration failure.
+    before_b = await_two()
+    ds = build_ds()
+    expected_b = rows_of(ds)
+    m_after_first = markers()
+    victim_b = sorted(before_b)[0]
+    os.kill(victim_b, signal.SIGPWR)
+    assert await_exit(victim_b), f"executor {victim_b} never exited (leg B)"
+    got_b = rows_of(ds)
+    assert got_b == expected_b, "post-exit re-collect changed the result"
+    assert markers() == m_after_first, (
+        f"map stage re-executed after decommission exit: "
+        f"{markers() - m_after_first} extra markers (0 = migrated)")
+    print("DECOM_MIGRATION_OK", flush=True)
 
     # the scaled-down-then-relaunched cluster must still grade clean
     import __spark_entry__ as e
@@ -196,7 +224,7 @@ def test_decommission_migrates_and_recovers_identically():
         capture_output=True, text=True, timeout=560, cwd=REPO,
     )
     for marker in ("DECOM_RESULT_OK", "DECOM_EXIT_OK",
-                   "DECOM_NO_RECOMPUTE_OK", "POST_DECOM_ORACLE_OK"):
+                   "DECOM_MIGRATION_OK", "POST_DECOM_ORACLE_OK"):
         assert marker in proc.stdout, (
             marker, proc.stdout[-2000:], proc.stderr[-3000:],
         )

@@ -15,7 +15,7 @@ Phases (each incremental + resumable via the JSONL output):
    determinism defect no single-JVM sweep can see.
 
 Usage: ``python tools/cluster_validate.py [window|sweep|all]``
-Writes JSONL to CLUSTER_r9.jsonl (one record per unit, skip-on-resume)
+Writes JSONL to CLUSTER_r11.jsonl (one record per unit, skip-on-resume)
 and a summary to stdout at the end.
 """
 
@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 OUT = os.environ.get(
-    "SPARK_GRAFT_CLUSTER_OUT", os.path.join(REPO, "CLUSTER_r10.jsonl")
+    "SPARK_GRAFT_CLUSTER_OUT", os.path.join(REPO, "CLUSTER_r11.jsonl")
 )
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 MASTER = os.environ.get("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,16,4096]")

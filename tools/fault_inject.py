@@ -291,7 +291,8 @@ def run_phase(spark, names: list[str], done: set,
                               "nondeterministic query, cannot fault-test"})
                 continue
         except Exception as exc:  # noqa: BLE001
-            _emit({"name": name, "kill_point": "clean", "ok": False,
+            _emit({"name": name, "kill_point": "clean", "sf": SF_DIR,
+                   "ok": False,
                    "msg": f"clean run failed: {exc}"[:300]})
             continue
         print(f"{name}: clean {clean_sec:.1f}s rows={clean_rows} "
@@ -336,16 +337,24 @@ def run_phase(spark, names: list[str], done: set,
 
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_FAULT_ONLY", "").split(",")
+        if n
+    }
+
+    def pick(names):
+        return [n for n in names if not only or n in only]
+
     done = _done()
     spark = _session()
     print(f"master={MASTER} sf={SF_DIR} resume={len(done)} records",
           flush=True)
     if what in ("batch", "all"):
-        run_phase(spark, BATCH_QUERIES, done)
+        run_phase(spark, pick(BATCH_QUERIES), done)
     if what in ("stream", "all"):
-        run_phase(spark, STREAM_QUERIES, done)
+        run_phase(spark, pick(STREAM_QUERIES), done)
     if what in ("decommission", "all"):
-        run_phase(spark, DECOM_QUERIES, done,
+        run_phase(spark, pick(DECOM_QUERIES), done,
                   sig=signal.SIGPWR, tag="decom_")
     recs = []
     if os.path.exists(OUT):

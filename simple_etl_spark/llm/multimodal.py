@@ -952,7 +952,7 @@ def _jpeg_ac_refine_block(coef, bi, br, atbl, ss, se, al, eobrun):
 
 
 def _decode_jpeg_lossless(payload, pos, frame, scan, pred_sel, pt,
-                          huff, restart_interval):
+                          huff, restart_interval, adobe_transform):
     """Lossless JPEG (SOF3, Huffman — T.81 Annex H): predictive DPCM
     with the seven spec predictors, DC-style category+bits difference
     coding (SSSS=16 codes a difference of exactly 32768, no extra
@@ -982,6 +982,14 @@ def _decode_jpeg_lossless(payload, pos, frame, scan, pred_sel, pt,
         raise ValueError(f"{prec}-bit lossless JPEG precision")
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component lossless JPEG")
+    if len(comps) == 3 and adobe_transform in (1, 2):
+        # Adobe APP14 transform=1/2 declares the components YCbCr/YCCK;
+        # emitting them as direct RGB would be the scrambled-colors
+        # failure the sequential path's r10 gate exists to prevent
+        # (code-review r11)
+        raise NotImplementedError(
+            "YCbCr/YCCK lossless JPEG requires a color transform"
+        )
     if w * h > MAX_DECODE_PIXELS:
         raise ValueError(
             f"JPEG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
@@ -1049,7 +1057,11 @@ def _decode_jpeg_lossless(payload, pos, frame, scan, pred_sel, pt,
     for ci in range(nch):
         plane = planes[ci]
         for i in range(w * h):
-            v = (plane[i] << pt) & 0xFFFF
+            # no mod-2^16 mask here: reconstruction shifts OUT of the
+            # coded domain, and masking would wrap exactly the
+            # out-of-range samples the guard below exists to catch
+            # (code-review r11)
+            v = plane[i] << pt
             if v > maxval:
                 raise ValueError(
                     "lossless JPEG sample exceeds the declared precision"
@@ -1232,15 +1244,15 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
             pos += seglen
             if lossless:
-                if frame is None:
-                    raise ValueError("JPEG SOS before SOF")
+                # frame is always set here: `lossless` only becomes
+                # True inside the SOF3 handler, which assigns it
                 if se != 0 or ah != 0:
                     raise ValueError(
                         "lossless JPEG scan header must carry Se=0 Ah=0"
                     )
                 return _decode_jpeg_lossless(
                     payload, pos, frame, scan, ss, al, huff,
-                    restart_interval,
+                    restart_interval, adobe_transform,
                 )
             if not progressive:
                 if (ss, se, ah, al) != (0, 63, 0, 0):

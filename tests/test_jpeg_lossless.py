@@ -21,7 +21,7 @@ sys.path.insert(0, "tests")
 
 from simple_etl_spark.llm.multimodal import decode_image
 
-from tests.test_jpeg import DC_LUM, _BitWriter, _bits_of, _category, _enc_huff, seg
+from tests.test_jpeg import _BitWriter, _bits_of, _category, _enc_huff, seg
 
 # DC-style category table extended to SSSS=16 for 16-bit differences:
 # all 17 symbols at code length 5 is a valid canonical set (17 < 32,
@@ -193,3 +193,40 @@ def test_lossless_flows_through_image_features(spark):
     row = image_features(df).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (w, h, 1)
     assert row["mean_px"] == sum(pix) // len(pix)
+
+
+def test_ycbcr_lossless_is_gated_not_scrambled():
+    """Adobe APP14 transform=1 declares YCbCr components: emitting
+    them as direct RGB would scramble colors silently, so the decoder
+    gates — the lossless twin of the sequential path's transform=0
+    RGB gate (code-review r11)."""
+    w, h = 8, 8
+    planes = [_rand(w * h, s, 256) for s in (1, 2, 3)]
+    jpg = encode_jpeg_lossless(planes, w, h, 8)
+    app14 = seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 1]))
+    i = jpg.index(b"\xff\xc4")
+    with pytest.raises(NotImplementedError, match="YCbCr"):
+        decode_image(jpg[:i] + app14 + jpg[i:])
+
+
+def test_out_of_range_point_transform_sample_fails_loud():
+    """A malformed stream whose reconstruction exceeds the declared
+    precision must raise, not wrap mod 2^16 into a small value
+    (code-review r11): prec=8 pt=2 with coded value 0x4000 shifts to
+    0x10000, which a masked reconstruction would fold to 0."""
+    w, h = 1, 1
+    # hand-code one sample: diff = 0x4000 - default(32) = 16352
+    dt = _enc_huff(*DC16)
+    bw = _BitWriter()
+    diff = 0x4000 - (1 << (8 - 2 - 1))
+    s = _category(diff)
+    bw.put(*dt[s])
+    bw.put(_bits_of(diff, s), s)
+    bw.pad()
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xC4, bytes([0x00]) + bytes(DC16[0]) + bytes(DC16[1]))
+    out += seg(0xC3, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 0, 2]))
+    out += bytes(bw.out) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="exceeds the declared precision"):
+        decode_image(bytes(out))

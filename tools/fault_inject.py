@@ -286,13 +286,17 @@ def run_phase(spark, names: list[str], done: set,
             clean_hash, clean_rows = _canonical_hash(fn())
             clean_sec = time.time() - t0
             if cold_hash != clean_hash:
-                _emit({"name": name, "kill_point": "clean", "ok": False,
+                _emit({"name": name, "kill_point": tag + "clean",
+                       "sf": SF_DIR, "ok": False,
                        "msg": "cold/warm clean hashes differ — "
                               "nondeterministic query, cannot fault-test"})
                 continue
         except Exception as exc:  # noqa: BLE001
-            _emit({"name": name, "kill_point": "clean", "sf": SF_DIR,
-                   "ok": False,
+            # tag-prefixed like the kill points: the same query can
+            # appear in the batch AND decommission phases, and a bare
+            # "clean" row could not be attributed (code-review r11)
+            _emit({"name": name, "kill_point": tag + "clean",
+                   "sf": SF_DIR, "ok": False,
                    "msg": f"clean run failed: {exc}"[:300]})
             continue
         print(f"{name}: clean {clean_sec:.1f}s rows={clean_rows} "

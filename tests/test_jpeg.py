@@ -245,6 +245,17 @@ def encode_jpeg(pix, w, h, channels, subsample=False, restart=0,
     coeff_blocks, samp, quants, tq, th, mcux, mcuy = jpeg_front_end(
         pix, w, h, channels, samp
     )
+    jpg = encode_jpeg_from_coeffs(coeff_blocks, samp, w, h, channels,
+                                  tq, th, mcux, mcuy, restart)
+    return jpg, coeff_blocks, samp
+
+
+def encode_jpeg_from_coeffs(coeff_blocks, samp, w, h, channels, tq, th,
+                            mcux, mcuy, restart=0):
+    """Entropy-code + assemble a baseline file from QUANTIZED
+    coefficient blocks directly — lets tests craft coefficient
+    patterns no pixel front end produces (e.g. distinct flat DC per
+    block for the non-divisible upsample pin)."""
     planes = coeff_blocks  # per-component block dicts
 
     # entropy-code
@@ -309,7 +320,7 @@ def encode_jpeg(pix, w, h, channels, subsample=False, restart=0,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += body + b"\xff\xd9"
-    return bytes(out), coeff_blocks, samp
+    return bytes(out)
 
 
 def reference_decode(coeff_blocks, samp, w, h, channels):
@@ -335,9 +346,13 @@ def reference_decode(coeff_blocks, samp, w, h, channels):
         return planes[0][:h, :w].astype(np.uint8).tobytes()
     full = []
     for ci, p in enumerate(planes):
-        fy, fx = vmax // samp[ci][1], hmax // samp[ci][0]
-        up = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
-        full.append(up[:h, :w].astype(np.float64))
+        # nearest-sample index map (src = x*hc//hmax): identical to
+        # np.repeat for divisible ratios, and defined for the
+        # non-divisible ones T.81 permits (e.g. 3:2)
+        hc, vc = samp[ci]
+        ys = (np.arange(h) * vc) // vmax
+        xs = (np.arange(w) * hc) // hmax
+        full.append(p[np.ix_(ys, xs)].astype(np.float64))
     yy, cb, cr = full
     r = np.clip(np.round(yy + 1.402 * (cr - 128)), 0, 255)
     g = np.clip(np.round(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)
@@ -650,3 +665,34 @@ def test_rgb_component_ids_gated():
         buf[sbase + ci * 2] = cid
     with pytest.raises(NotImplementedError, match="RGB"):
         decode_image(bytes(buf))
+
+
+def test_non_divisible_sampling_ratio_3_to_2():
+    """T.81 does not require component factors to divide hmax: a
+    (3,1)/(2,1)/(1,1) frame has a 3:2 luma:chroma ratio. The pixel
+    front end only produces divisible ratios (box-mean needs integer
+    boxes), so this fixture crafts DC-only coefficient blocks directly
+    — every block flat with a DISTINCT value, so the upsample index
+    map (src = x*hc//hmax) is pinned across block boundaries against
+    the same index-map oracle."""
+    samp = [(3, 1), (2, 1), (1, 1)]
+    w, h = 24, 8
+    hmax = 3
+    coeff_blocks = []
+    for ci, (hc, vc) in enumerate(samp):
+        mcux = -(-w // (8 * hmax))
+        nbx, nby = mcux * hc, vc  # one MCU row at h=8
+        blocks = {}
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = np.zeros((8, 8), dtype=np.int64)
+                # distinct flat value per (component, block): DC-only,
+                # exactly invertible (q0*c/8 is integral for q0 16/17)
+                blk[0, 0] = (ci + 1) * 8 + bx * 16
+                blocks[(by, bx)] = blk
+        coeff_blocks.append(blocks)
+    jpg = encode_jpeg_from_coeffs(coeff_blocks, samp, w, h, 3,
+                                  [0, 1, 1], [0, 1, 1], 1, 1)
+    gw, gh, nch, out = decode_image(jpg)
+    assert (gw, gh, nch) == (w, h, 3)
+    assert out == reference_decode(coeff_blocks, samp, w, h, 3)

@@ -155,7 +155,18 @@ def await_executors(n: int, timeout: float = 120) -> set[int]:
 def _session():
     from pyspark.sql import SparkSession
 
-    spark = (
+    # local-cluster[n,cores,mem]'s third field is the WORKER's
+    # capacity, NOT the executor heap: executors default to
+    # spark.executor.memory = 1g regardless of the master string
+    # (discovered r11 — every earlier "per-slot memory" cell ran 1 GB
+    # heaps and only the concurrency varied). Set the executor heap
+    # to the worker capacity so the master string means what it says.
+    exec_mem = None
+    m = re.match(r"local-cluster\[\d+\s*,\s*\d+\s*,\s*(\d+)\]", MASTER)
+    if m:
+        exec_mem = f"{m.group(1)}m"
+
+    builder = (
         SparkSession.builder.master(MASTER)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "6g")
@@ -181,8 +192,10 @@ def _session():
         # manager reclaims the host; the timeout plays that role here
         .config("spark.executor.decommission.forceKillTimeout", "45s")
         .appName("fault_inject_r11")
-        .getOrCreate()
     )
+    if exec_mem is not None:
+        builder = builder.config("spark.executor.memory", exec_mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     from simple_etl_spark.engine import ship_package
 

@@ -206,6 +206,16 @@ def _session():
 
 
 def _canonical_hash(df) -> tuple[str, int]:
+    """Clean-vs-faulted comparison hash. Default: collect + the
+    oracle harness's canonicalization (exact, but the driver must
+    hold the result — fine through sf1). SPARK_GRAFT_FAULT_HASH=agg
+    switches to a DISTRIBUTED order-independent digest (per-row md5
+    over null-tagged stringified columns, reduced by count + sum +
+    xor on the executors), so a ~10M-row sf10 relation never lands on
+    the driver; both runs of a cell use the same mode, which is all
+    the clean-vs-faulted identity check needs."""
+    if os.environ.get("SPARK_GRAFT_FAULT_HASH") == "agg":
+        return _agg_hash(df)
     from oracle_harness import canonicalize
 
     rows = df.collect()
@@ -213,6 +223,31 @@ def _canonical_hash(df) -> tuple[str, int]:
     canon = canonicalize(cols, rows)
     payload = repr(sorted(cols)) + "\n" + "\n".join(repr(r) for r in canon)
     return hashlib.md5(payload.encode()).hexdigest(), len(rows)
+
+
+def _agg_hash(df) -> tuple[str, int]:
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    # null-tagged per-column strings: concat_ws SKIPS nulls, which
+    # would collide (a, NULL, b) with (a, b, NULL) — coalesce every
+    # column to an explicit sentinel first
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        for c in cols
+    ]
+    h = F.md5(F.concat_ws("\x1f", *parts))
+    agg = df.select(
+        F.conv(F.substring(h, 1, 15), 16, 10)
+        .cast("decimal(38,0)").alias("h_hi"),
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("h_lo"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("h_hi").alias("s"),
+        F.expr("bit_xor(h_lo)").alias("x"),
+    ).collect()[0]
+    n = agg["n"]
+    return f"agg:{repr(sorted(cols))}:{n}:{agg['s']}:{agg['x']}", n
 
 
 def _faulted_hash(spark, fn, kill_delay: float,

@@ -668,9 +668,11 @@ class _JpegProgState:
     Scan-script bookkeeping is per coefficient (``band_al``): a first
     scan (Ah=0) may only cover never-coded coefficients, a refinement
     must satisfy Ah == previous Al and Al == Ah-1 (G.1.1.1.2), DC must
-    precede AC per component, and :meth:`finish` requires every
-    coefficient refined to Al=0 — partial/truncated scan scripts fail
-    loud rather than render a silently low-frequency image."""
+    precede AC per component, and :meth:`finish` requires every CODED
+    coefficient refined to Al=0 — a truncated refinement chain fails
+    loud, while a coefficient the script never codes at all is legal
+    per T.81 Annex G (no 0..63 coverage mandate) and decodes as zero,
+    matching libjpeg's handling of partial scan scripts."""
 
     def __init__(self, frame, adobe_transform):
         from array import array
@@ -842,10 +844,17 @@ class _JpegProgState:
     def finish(self, qt) -> tuple[int, int, int, bytes]:
         zig = _JPEG_ZIGZAG
         for ci, band in enumerate(self.band_al):
-            if any(b != 0 for b in band):
+            # A coefficient the scan script never codes is legal
+            # (T.81 Annex G requires no 0..63 coverage) and stays
+            # zero; only a coefficient CODED but left above Al=0 is a
+            # truncated refinement chain and fails loud.
+            stuck = [k for k, b in enumerate(band)
+                     if b is not None and b != 0]
+            if stuck:
                 raise ValueError(
                     "progressive JPEG scan script incomplete: component "
-                    f"{self.comps[ci][0]} not fully refined to Al=0"
+                    f"{self.comps[ci][0]} coefficients {stuck[:4]} left "
+                    "above Al=0"
                 )
         a1 = _jpeg_idct_1d()
         level = 1 << (self.prec - 1)
@@ -1235,6 +1244,12 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             if len(data) < 1 or len(data) < 4 + 2 * data[0]:
                 raise ValueError("JPEG SOS segment too short")
             ns = data[0]
+            if not 1 <= ns <= 4:
+                # T.81 B.2.3: 1 <= Ns <= 4. Ns=0 would pass the
+                # length check with an empty scan list and crash
+                # downstream with the wrong exception type.
+                raise ValueError(f"JPEG SOS component count {ns} "
+                                 "outside 1..4")
             scan = []
             for si in range(ns):
                 cs = data[1 + si * 2]

@@ -519,6 +519,55 @@ def test_incomplete_script_fails_loud():
         decode_image(jpg)
 
 
+def test_never_coded_coefficients_decode_as_zero():
+    """A scan script that simply never codes part of the spectrum is
+    spec-legal (T.81 Annex G mandates no 0..63 coverage) and must
+    decode with those coefficients at zero — only a coefficient CODED
+    but left above Al=0 is a truncated script (ADVICE r11). A flat
+    image has all-zero AC, so a DC-only script reconstructs the exact
+    pixels of its full baseline twin."""
+    w, h = 16, 8
+    pix = bytes([173] * (w * h))
+    script = [([0], 0, 0, 0, 0)]  # DC at Al=0; AC 1..63 never coded
+    jpg, blocks, samp = encode_jpeg_progressive(pix, w, h, 1,
+                                                script=script)
+    got = decode_image(jpg)
+    base = decode_image(encode_jpeg(pix, w, h, 1)[0])
+    assert got == base
+
+
+def test_partial_ac_band_decodes():
+    """Coding AC 1..5 to Al=0 and never touching 6..63 decodes; the
+    result matches the coefficient-domain oracle with the never-coded
+    zigzag band zeroed."""
+    w, h = 16, 16
+    pix = _noise_rgb(w, h, seed=7)[: w * h]  # one gray-ish plane
+    script = [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0)]
+    jpg, blocks, samp = encode_jpeg_progressive(pix, w, h, 1,
+                                                script=script)
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 1)
+    zeroed = {}
+    for key, b in blocks[0].items():
+        b2 = np.array(b).reshape(64).copy()
+        for k in range(6, 64):
+            b2[_JPEG_ZIGZAG[k]] = 0  # bands are zigzag, blocks natural
+        zeroed[key] = b2.reshape(np.array(b).shape)
+    _assert_near(got, reference_decode([zeroed], samp, w, h, 1))
+
+
+def test_sos_zero_components_fails_loud():
+    """An SOS with Ns=0 passes the length check with an empty scan
+    list; the parser must reject it with ValueError (T.81 B.2.3:
+    1 <= Ns <= 4), not crash downstream (ADVICE r11)."""
+    w, h = 8, 8
+    jpg, _, _ = encode_jpeg_progressive(bytes([50]) * 64, w, h, 1)
+    at = jpg.index(b"\xff\xda")
+    bad = jpg[:at] + b"\xff\xda\x00\x06\x00\x00\x3f\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="outside 1..4"):
+        decode_image(bad)
+
+
 def test_ac_scan_before_dc_fails_loud():
     w, h = 8, 8
     pix = bytes([50]) * 64

@@ -231,9 +231,25 @@ def _agg_hash(df) -> tuple[str, int]:
     cols = sorted(df.columns)
     # null-tagged per-column strings: concat_ws SKIPS nulls, which
     # would collide (a, NULL, b) with (a, b, NULL) — coalesce every
-    # column to an explicit sentinel first
+    # column to an explicit sentinel first. Float/double columns are
+    # rounded to 9 significant digits ('%.8e') before hashing: a
+    # fault-induced recompute can legally reorder a floating-point
+    # aggregation and move the last ulp, which must not read as a
+    # clean-vs-faulted mismatch (ADVICE r11). 9 sig digits is far
+    # below any real fault signal and far above reorder noise.
+    fp = {f.name for f in df.schema.fields
+          if f.dataType.simpleString() in ("float", "double")}
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        F.coalesce(
+            # format_string renders a NULL arg as the literal "null"
+            # (Java Formatter), which would collide with a real
+            # string — gate it behind isNotNull so NULLs fall
+            # through to the sentinel
+            F.when(F.col(c).isNotNull(),
+                   F.format_string("%.8e", F.col(c))) if c in fp
+            else F.col(c).cast("string"),
+            F.lit("\x00NULL"),
+        )
         for c in cols
     ]
     h = F.md5(F.concat_ws("\x1f", *parts))

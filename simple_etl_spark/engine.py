@@ -41,6 +41,28 @@ _RUNTIME_CONFS = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
 
+# Static (submit-time) confs for a real multi-executor deployment.
+# These cannot be applied to an already-running context, so they live
+# here as the documented fleet posture; get_spark folds them into the
+# builder (inert under local[*], honored under any cluster manager or
+# local-cluster). Rationale measured in SCALE.md §8a-b: with the first
+# four knobs a spot-reclaim (SIGPWR) migrates shuffle/RDD blocks and
+# the job finishes with ZERO recompute — proven hash-identical on the
+# engine's heavyweights at sf1/sf10. The forceKillTimeout is the
+# operability half of the story: without it a drained executor
+# lingers in the decommissioned state indefinitely (observed across
+# three fault-matrix cells — re-signaling is a no-op), leaking the
+# slot until the cluster manager reclaims the host. 120 s comfortably
+# covers observed migration times (sub-second to a few seconds per
+# executor at sf10) while bounding the leak.
+CLUSTER_POSTURE = {
+    "spark.decommission.enabled": "true",
+    "spark.storage.decommission.enabled": "true",
+    "spark.storage.decommission.shuffleBlocks.enabled": "true",
+    "spark.storage.decommission.rddBlocks.enabled": "true",
+    "spark.executor.decommission.forceKillTimeout": "120s",
+}
+
 
 def get_spark(app_name: str = "simple-etl-spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession sized for the local harness.
@@ -58,6 +80,8 @@ def get_spark(app_name: str = "simple-etl-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
     for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in CLUSTER_POSTURE.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

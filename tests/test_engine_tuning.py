@@ -48,3 +48,28 @@ def test_tune_missing_dir_is_noop(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     tune_for_input(spark, os.path.join("/nonexistent", "nowhere"))
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_cluster_posture_carries_decommission_knobs():
+    """The at-scale posture must include the graceful-decommission
+    family AND the forceKillTimeout: without the timeout a drained
+    executor lingers in the decommissioned state indefinitely
+    (observed across three fault-matrix cells, SCALE.md §8b) — a slot
+    leak a real fleet would rediscover the hard way. Pinning the dict
+    keeps the posture from silently losing a knob."""
+    from simple_etl_spark.engine import CLUSTER_POSTURE
+
+    assert CLUSTER_POSTURE["spark.decommission.enabled"] == "true"
+    assert CLUSTER_POSTURE["spark.storage.decommission.enabled"] == "true"
+    assert (
+        CLUSTER_POSTURE["spark.storage.decommission.shuffleBlocks.enabled"]
+        == "true"
+    )
+    assert (
+        CLUSTER_POSTURE["spark.storage.decommission.rddBlocks.enabled"]
+        == "true"
+    )
+    # any positive bound is fine; absence is the bug
+    assert CLUSTER_POSTURE[
+        "spark.executor.decommission.forceKillTimeout"
+    ].rstrip("s").isdigit()

@@ -12,11 +12,14 @@ Phases (each incremental + resumable via the JSONL output):
    configs (8 shuffle partitions + AQE on vs 200 partitions + AQE
    off); canonical row-set hashes must be identical. A query whose
    result changes with partitioning under a REAL exchange fabric is a
-   determinism defect no single-JVM sweep can see.
+   determinism defect no single-JVM sweep can see. Above ~100 MB of
+   input the hash switches to the distributed order-independent
+   digest (tools/digest.py) so sf1+ sweeps never collect a relation
+   to the driver (round 12; override SPARK_GRAFT_CLUSTER_HASH).
 
 Usage: ``python tools/cluster_validate.py [window|sweep|all]``
-Writes JSONL to CLUSTER_r11.jsonl (one record per unit, skip-on-resume)
-and a summary to stdout at the end.
+Writes JSONL to $SPARK_GRAFT_CLUSTER_OUT (one record per unit,
+skip-on-resume) and a summary to stdout at the end.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 OUT = os.environ.get(
     "SPARK_GRAFT_CLUSTER_OUT", os.path.join(REPO, "CLUSTER_r11.jsonl")
@@ -72,7 +76,40 @@ def _session():
     return spark
 
 
-def _canonical_hash(df) -> tuple[str, int]:
+# Above this summed parquet input size the sweep's cfgA-vs-cfgB hash
+# switches from collect+canonicalize to the DISTRIBUTED digest
+# (tools/digest.py): sf0.1 twins are ~17 MB, sf1 ~173 MB, sf10 ~1.9 GB
+# — the collect path is retired above sf0.1 so an sf10 relation never
+# lands on the 6 GB driver. Both configs of a sweep cell use the same
+# mode, which is all the identity check needs. Override with
+# SPARK_GRAFT_CLUSTER_HASH={collect,agg}.
+_AGG_CUTOVER_BYTES = 100 << 20
+
+
+def _input_bytes(sf_dir: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    continue
+    return total
+
+
+def _hash_mode() -> str:
+    env = os.environ.get("SPARK_GRAFT_CLUSTER_HASH")
+    if env in ("collect", "agg"):
+        return env
+    return "agg" if _input_bytes(SF_DIR) > _AGG_CUTOVER_BYTES else "collect"
+
+
+def _canonical_hash(df, mode: str = "collect") -> tuple[str, int]:
+    if mode == "agg":
+        from digest import agg_hash
+
+        return agg_hash(df)
     from oracle_harness import canonicalize
 
     rows = df.collect()
@@ -111,6 +148,8 @@ def run_sweep(spark, done: set) -> None:
     import __spark_entry__ as e
 
     qs = e.queries()
+    mode = _hash_mode()
+    print(f"sweep hash mode: {mode}", flush=True)
     configs = [
         ("cfgA", {"spark.sql.shuffle.partitions": "8",
                   "spark.sql.adaptive.enabled": "true"}),
@@ -127,7 +166,7 @@ def run_sweep(spark, done: set) -> None:
             for tag, conf in configs:
                 for k, v in conf.items():
                     spark.conf.set(k, v)
-                h, n = _canonical_hash(qs[name](spark, SF_DIR))
+                h, n = _canonical_hash(qs[name](spark, SF_DIR), mode)
                 hashes[tag] = h
                 rec[f"rows_{tag}"] = n
             rec["ok"] = hashes["cfgA"] == hashes["cfgB"]

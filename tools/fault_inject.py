@@ -43,6 +43,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 OUT = os.environ.get(
     "SPARK_GRAFT_FAULT_OUT", os.path.join(REPO, "FAULT_r11.jsonl")
@@ -226,44 +227,11 @@ def _canonical_hash(df) -> tuple[str, int]:
 
 
 def _agg_hash(df) -> tuple[str, int]:
-    from pyspark.sql import functions as F
+    # shared with tools/cluster_validate.py — see tools/digest.py for
+    # the null-sentinel and float-rounding rationale (ADVICE r11)
+    from digest import agg_hash
 
-    cols = sorted(df.columns)
-    # null-tagged per-column strings: concat_ws SKIPS nulls, which
-    # would collide (a, NULL, b) with (a, b, NULL) — coalesce every
-    # column to an explicit sentinel first. Float/double columns are
-    # rounded to 9 significant digits ('%.8e') before hashing: a
-    # fault-induced recompute can legally reorder a floating-point
-    # aggregation and move the last ulp, which must not read as a
-    # clean-vs-faulted mismatch (ADVICE r11). 9 sig digits is far
-    # below any real fault signal and far above reorder noise.
-    fp = {f.name for f in df.schema.fields
-          if f.dataType.simpleString() in ("float", "double")}
-    parts = [
-        F.coalesce(
-            # format_string renders a NULL arg as the literal "null"
-            # (Java Formatter), which would collide with a real
-            # string — gate it behind isNotNull so NULLs fall
-            # through to the sentinel
-            F.when(F.col(c).isNotNull(),
-                   F.format_string("%.8e", F.col(c))) if c in fp
-            else F.col(c).cast("string"),
-            F.lit("\x00NULL"),
-        )
-        for c in cols
-    ]
-    h = F.md5(F.concat_ws("\x1f", *parts))
-    agg = df.select(
-        F.conv(F.substring(h, 1, 15), 16, 10)
-        .cast("decimal(38,0)").alias("h_hi"),
-        F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("h_lo"),
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum("h_hi").alias("s"),
-        F.expr("bit_xor(h_lo)").alias("x"),
-    ).collect()[0]
-    n = agg["n"]
-    return f"agg:{repr(sorted(cols))}:{n}:{agg['s']}:{agg['x']}", n
+    return agg_hash(df)
 
 
 def _faulted_hash(spark, fn, kill_delay: float,

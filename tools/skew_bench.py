@@ -245,8 +245,11 @@ def main() -> None:
 
         # AQE skew-split probe: re-enable AQE, force the split to be
         # eligible at this scale, and assert skew=true in the FINAL
-        # adaptive plan (reading it after execution — AQE plans are
-        # only final once the noop write has run).
+        # adaptive plan. The plan must be read from the SAME
+        # DataFrame's queryExecution AFTER an action on it — a noop
+        # write runs its own execution and leaves this one
+        # isFinalPlan=false (first harness run read exactly that
+        # un-executed twin and misreported the split as not firing).
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         spark.conf.set(
@@ -258,6 +261,7 @@ def main() -> None:
         )
         aqe_join = rollup(fact.join(dim, "key"))
         t_aqe_on = _timed(aqe_join)
+        aqe_join.collect()  # |segments| rows — finalizes THIS plan
         final_plan = (
             aqe_join._jdf.queryExecution().executedPlan().toString()
         )
@@ -265,7 +269,8 @@ def main() -> None:
         emit({
             "cell": "join_aqe_probe", "plain_aqe_off_s": t_aqe_off,
             "aqe_on_s": t_aqe_on,
-            "skew_split_fired": "skew=true" in final_plan,
+            "skew_split_fired": "skew=true" in final_plan
+            and "skewed" in final_plan,
             "hash_identical": h_join == h_aqe,
         })
     finally:

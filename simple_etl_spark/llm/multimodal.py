@@ -9,13 +9,15 @@ through Python row-at-a-time.
 executor can handle — PPM (P6), PGM (P5), BI_RGB BMP (24/32-bit),
 non-interlaced 8-bit PNG (DEFLATE via ``zlib`` + the five scanline
 filters) including 1/2/4/8-bit palette with tRNS, and JPEG (SOF0/1
-sequential AND SOF2 progressive: canonical Huffman + dequant +
-float64 IDCT + YCbCr, the full T.81 sampling-factor range 1-4) —
-returning raw row-major pixels; PNG covers 8/16-bit, palette
-1/2/4/8-bit, and Adam7 interlace. The variants that genuinely need
-a codec library (arithmetic-coded/hierarchical/RGB JPEG;
-MP3-class audio) raise ``NotImplementedError`` (a real deployment
-plugs PIL/libvips into the same dispatch).
+sequential, SOF2 progressive, AND SOF9/SOF10 arithmetic-coded via a
+T.81 Annex D QM-coder: canonical Huffman or adaptive-binary entropy
+tier + dequant + float64 IDCT + YCbCr, the full T.81 sampling-factor
+range 1-4) — returning raw row-major pixels; PNG covers 8/16-bit,
+palette 1/2/4/8-bit, and Adam7 interlace. The variants that
+genuinely need a codec library (hierarchical/differential and
+arithmetic-lossless JPEG; RGB-colorspace JPEG; MP3-class audio)
+raise ``NotImplementedError`` (a real deployment plugs PIL/libvips
+into the same dispatch).
 :func:`decode_audio` does the same for RIFF/WAV: integer PCM
 (8/16/24-bit), IEEE-float (32/64-bit, quantized to the int16 domain),
 G.711 A-law/µ-law, IMA ADPCM, and WAVE_FORMAT_EXTENSIBLE containers. The image-graded queries use :func:`byte_features`, a
@@ -82,17 +84,17 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     (24-bit → RGB, 32-bit → RGBA; bottom-up or top-down),
     non-interlaced 8-bit PNG (gray/gray+alpha/RGB/RGBA — DEFLATE via
     stdlib ``zlib`` plus the five scanline filters) plus 1/2/4/8-bit
-    palette PNG (PLTE→RGB, tRNS→RGBA), and JPEG — sequential and
-    progressive (gray → 1 channel, YCbCr → RGB; see
-    :func:`_decode_jpeg`). Returns ``(width, height, channels,
+    palette PNG (PLTE→RGB, tRNS→RGBA), and JPEG — sequential,
+    progressive, and arithmetic-coded (gray → 1 channel, YCbCr → RGB;
+    see :func:`_decode_jpeg`). Returns ``(width, height, channels,
     pixels)`` with ``pixels`` row-major top-down, channels
     interleaved.
 
     The variants that genuinely need a codec library —
-    arithmetic-coded / hierarchical / RGB-colorspace JPEG —
-    raise ``NotImplementedError``; the dispatch below is where a
-    deployment plugs PIL/libvips in. Malformed payloads raise
-    ``ValueError``."""
+    hierarchical/differential JPEG, arithmetic lossless, and
+    RGB-colorspace sequential JPEG — raise ``NotImplementedError``;
+    the dispatch below is where a deployment plugs PIL/libvips in.
+    Malformed payloads raise ``ValueError``."""
     if payload[:2] in (b"P6", b"P5"):
         channels = 3 if payload[:2] == b"P6" else 1
         (w, h, maxval), off = _ppm_tokens(payload, 3)
@@ -729,10 +731,10 @@ class _JpegProgState:
 
     # -- one scan ----------------------------------------------------
 
-    def decode_scan(self, payload, pos, scan, ss, se, ah, al,
-                    huff, restart_interval):
-        """Decode one scan's entropy data; returns the offset of the
-        next marker's 0xFF."""
+    def _validate_scan(self, scan, ss, se, ah, al):
+        """Shared scan-header validation + band bookkeeping for the
+        Huffman and arithmetic entropy tiers; returns the component
+        indices."""
         if not (0 <= al <= 13) or not (0 <= ah <= 13):
             raise ValueError(f"JPEG successive approximation {ah}/{al}")
         if ah != 0 and al != ah - 1:
@@ -755,6 +757,105 @@ class _JpegProgState:
                 raise ValueError("interleaved scan exceeds 10 data units/MCU")
         for ci in idx:
             self._book_band(ci, ss, se, ah, al)
+        return idx
+
+    def decode_scan_arith(self, payload, pos, scan, ss, se, ah, al,
+                          dac, restart_interval):
+        """One arithmetic-coded progressive scan (SOF10 — T.81 Annex
+        G with the Annex D QM-coder): DC first/refine over the MCU
+        grid, AC first/refine non-interleaved; statistics and the
+        entropy decoder reset at every restart marker. Returns the
+        offset of the next marker's 0xFF."""
+        idx = self._validate_scan(scan, ss, se, ah, al)
+        dac_dc, dac_ac = dac
+        st8 = _ArithScanState(payload, pos, len(self.comps))
+        rst = [0]
+
+        def restart():
+            st8.restart(rst[0])
+            rst[0] = (rst[0] + 1) & 7
+
+        if ss == 0:
+            if len(scan) > 1:
+                # interleaved DC scan over the MCU grid
+                conds = [(ci, td, dac_dc.get(td, (0, 1)))
+                         for (_cs, td, _ta), ci in zip(scan, idx)]
+                for m in range(self.mcux * self.mcuy):
+                    if restart_interval and m and m % restart_interval == 0:
+                        restart()
+                    my, mx = divmod(m, self.mcux)
+                    for ci, td, (lo, up) in conds:
+                        _cid, hc, vc, _tq = self.comps[ci]
+                        coef = self.coef[ci]
+                        bwp = self.geom[ci][0]
+                        for bv in range(vc):
+                            row = (my * vc + bv) * bwp
+                            for bh in range(hc):
+                                bi = (row + mx * hc + bh) * 64
+                                if ah == 0:
+                                    diff, st8.ctx[ci] = _arith_decode_dc(
+                                        st8.qm, st8.dc(td),
+                                        st8.ctx[ci], lo, up,
+                                    )
+                                    st8.last[ci] += diff
+                                    coef[bi] = st8.last[ci] << al
+                                elif st8.qm.decode(st8.fixed, 0):
+                                    coef[bi] |= 1 << al
+            else:
+                # non-interleaved DC scan over the component's own grid
+                ci = idx[0]
+                td = scan[0][1]
+                lo, up = dac_dc.get(td, (0, 1))
+                coef = self.coef[ci]
+                bwp, _bhp, cbw, cbh = self.geom[ci]
+                n = 0
+                for by in range(cbh):
+                    rowbase = by * bwp
+                    for bx in range(cbw):
+                        if restart_interval and n and n % restart_interval == 0:
+                            restart()
+                        n += 1
+                        bi = (rowbase + bx) * 64
+                        if ah == 0:
+                            diff, st8.ctx[ci] = _arith_decode_dc(
+                                st8.qm, st8.dc(td), st8.ctx[ci], lo, up,
+                            )
+                            st8.last[ci] += diff
+                            coef[bi] = st8.last[ci] << al
+                        elif st8.qm.decode(st8.fixed, 0):
+                            coef[bi] |= 1 << al
+            return st8.qm.scan_end()
+        # AC scans: single component, the component's own block grid
+        ci = idx[0]
+        ta = scan[0][2]
+        kx = dac_ac.get(ta, 5)
+        coef = self.coef[ci]
+        bwp, _bhp, cbw, cbh = self.geom[ci]
+        n = 0
+        for by in range(cbh):
+            rowbase = by * bwp
+            for bx in range(cbw):
+                if restart_interval and n and n % restart_interval == 0:
+                    restart()
+                n += 1
+                bi = (rowbase + bx) * 64
+                if ah == 0:
+                    _arith_ac_first_block(
+                        st8.qm, st8.ac(ta), st8.fixed, coef, bi,
+                        ss, se, al, kx,
+                    )
+                else:
+                    _arith_ac_refine_block(
+                        st8.qm, st8.ac(ta), st8.fixed, coef, bi,
+                        ss, se, al,
+                    )
+        return st8.qm.scan_end()
+
+    def decode_scan(self, payload, pos, scan, ss, se, ah, al,
+                    huff, restart_interval):
+        """Decode one scan's entropy data; returns the offset of the
+        next marker's 0xFF."""
+        idx = self._validate_scan(scan, ss, se, ah, al)
         br = _JpegBitReader(payload, pos)
         if ss == 0:
             dc_tbls = []
@@ -960,6 +1061,377 @@ def _jpeg_ac_refine_block(coef, bi, br, atbl, ss, se, al, eobrun):
     return eobrun
 
 
+# -- arithmetic entropy coding (SOF9/SOF10 — T.81 Annex D QM-coder) --
+
+# Probability estimation state machine, T.81 Table D.3 (one row per
+# state: Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS). Index 113
+# is the FIXED equiprobable bin (self-looping, never adapts) used for
+# AC signs and refinement bits per F.1.4.4.1.1 — the same layout the
+# public libjpeg jaricom table uses for the identical Table D.3 data.
+_QM_STATES = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
+    (0x5A1D, 113, 113, 0),  # 113: fixed ~equiprobable, non-adaptive
+)
+_QM_FIXED = 113
+
+
+class _QmDecoder:
+    """QM arithmetic decoder (T.81 Annex D.2), MPS-at-bottom interval
+    convention: after ``a -= qe`` the MPS owns [0, a) and the LPS
+    [a, a+qe), swapped when a < qe (conditional exchange). The code
+    register is kept as a value ``v`` aligned with ``a`` (invariant
+    v < a), renormalized bit-at-a-time; input bytes are unstuffed
+    (0xFF 0x00 → data 0xFF, 0xFF nonzero → marker, after which zero
+    bytes are fed — D.2.8). Statistics bins are one byte each:
+    state index in bits 0..6, current MPS in bit 7."""
+
+    __slots__ = ("buf", "bp", "a", "v", "marker_at", "_bitbuf", "_nbits")
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.bp = pos
+        self.marker_at: int | None = None
+        self._bitbuf = 0
+        self._nbits = 0
+        self.a = 0x10000
+        self.v = (self._byte() << 8) | self._byte()
+
+    def _byte(self) -> int:
+        if self.marker_at is not None:
+            return 0  # feed zero bytes once the scan's marker is hit
+        buf, n = self.buf, len(self.buf)
+        bp = self.bp
+        if bp >= n:
+            raise ValueError("JPEG arithmetic entropy data truncated")
+        b = buf[bp]
+        if b != 0xFF:
+            self.bp = bp + 1
+            return b
+        j = bp + 1
+        while j < n and buf[j] == 0xFF:
+            j += 1  # fill bytes
+        if j < n and buf[j] == 0x00:
+            self.bp = j + 1
+            return 0xFF  # stuffed zero byte → data 0xFF
+        if j >= n:
+            raise ValueError("JPEG arithmetic entropy data truncated")
+        self.marker_at = j - 1  # the 0xFF immediately before the marker
+        return 0
+
+    def _bit(self) -> int:
+        if self._nbits == 0:
+            self._bitbuf = self._byte()
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._bitbuf >> self._nbits) & 1
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        sv = stats[i]
+        qe, nlps, nmps, sw = _QM_STATES[sv & 0x7F]
+        mps = sv >> 7
+        a = self.a - qe
+        v = self.v
+        if v < a:
+            if a >= 0x8000:
+                self.a = a
+                return mps  # MPS, no renorm, no estimation (D.2.4)
+            if a < qe:  # conditional exchange: bottom is the LPS
+                d = 1 - mps
+                if sw:
+                    mps ^= 1
+                stats[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                stats[i] = (mps << 7) | nmps
+        else:
+            v -= a
+            if a < qe:  # conditional exchange: top is the MPS
+                d = mps
+                stats[i] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    mps ^= 1
+                stats[i] = (mps << 7) | nlps
+            a = qe
+        while a < 0x8000:
+            a <<= 1
+            v = (v << 1) | self._bit()
+        self.a = a
+        self.v = v
+        return d
+
+    def scan_end(self) -> int:
+        """Offset of the 0xFF opening the marker that terminates this
+        scan's entropy segment (unconsumed pad bytes are legal)."""
+        if self.marker_at is not None:
+            return self.marker_at
+        buf, n = self.buf, len(self.buf)
+        j = self.bp
+        while j < n:
+            if buf[j] != 0xFF:
+                j += 1
+                continue
+            k = j + 1
+            while k < n and buf[k] == 0xFF:
+                k += 1
+            if k < n and buf[k] == 0x00:
+                j = k + 1
+                continue
+            if k >= n:
+                break
+            return k - 1
+        raise ValueError("JPEG entropy data missing terminating marker")
+
+
+def _arith_decode_dc(qm, stats, ctx, lo, up):
+    """One DC difference (T.81 F.1.4.4.1): zero/sign/magnitude-
+    category decision tree conditioned on the previous diff's
+    classification ``ctx``; returns (diff, next_ctx). Bin layout per
+    DC table: contexts at 0/4/8/12/16 (S0,SS,SP,SN each), categories
+    X2..X15 at 20..33, mantissa bits at +14."""
+    if not qm.decode(stats, ctx):
+        return 0, 0
+    sign = qm.decode(stats, ctx + 1)
+    st = ctx + 2 + sign
+    m = qm.decode(stats, st)
+    if m:
+        st = 20
+        while qm.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("JPEG arithmetic DC magnitude overflow")
+            st += 1
+    # conditioning category for the NEXT block (F.1.4.4.1.2), from
+    # the magnitude-category value before mantissa composition
+    if m < (1 << lo) >> 1:
+        nxt = 0
+    elif m > (1 << up) >> 1:
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    v = m
+    st += 14
+    while m := m >> 1:
+        if qm.decode(stats, st):
+            v |= m
+    v += 1
+    return (-v if sign else v), nxt
+
+
+def _arith_ac_first_block(qm, stats, fixed, out, base, ss, se, al, kx):
+    """AC coefficients of one block, first pass (Ah=0) — sequential
+    (ss=1, se=63, al=0) and progressive-first share it (F.1.4.4.2 /
+    G.2). ``out[base+k]`` is the ZIGZAG-order coefficient store. Bin
+    layout per AC table: triplets (EOB, zero/nonzero, SP-X1-X2) at
+    3·(k-1); shared high categories + mantissa at 189 (k ≤ Kx) / 217."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if qm.decode(stats, st):
+            return  # end of block/band
+        while not qm.decode(stats, st + 1):
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arithmetic AC run past band end")
+        sign = qm.decode(fixed, 0)
+        st += 2
+        m = qm.decode(stats, st)
+        if m and qm.decode(stats, st):
+            m = 2
+            st = 189 if k <= kx else 217
+            while qm.decode(stats, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError(
+                        "JPEG arithmetic AC magnitude overflow"
+                    )
+                st += 1
+        v = m
+        st += 14
+        while m := m >> 1:
+            if qm.decode(stats, st):
+                v |= m
+        v += 1
+        out[base + k] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_ac_refine_block(qm, stats, fixed, out, base, ss, se, al):
+    """AC refinement scan, one block (G.2 successive approximation):
+    already-nonzero coefficients take a correction bit at the
+    triplet's third bin, newly-nonzero insert ±1<<Al with the fixed
+    sign bin; the EOB decision is only coded past the previous
+    stage's last nonzero index (kex)."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex >= ss and out[base + kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and qm.decode(stats, st):
+            return
+        while True:
+            c = out[base + k]
+            if c:
+                if qm.decode(stats, st + 2):
+                    out[base + k] = c + (m1 if c < 0 else p1)
+                break
+            if qm.decode(stats, st + 1):
+                out[base + k] = m1 if qm.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError(
+                    "JPEG arithmetic AC refinement run past band end"
+                )
+        k += 1
+
+
+class _ArithScanState:
+    """Per-scan arithmetic decode state: the QM decoder plus the
+    statistics areas (reset at scan start and at every restart —
+    F.1.4.4.3) and per-component DC predictors/contexts."""
+
+    def __init__(self, payload, pos, n_comps):
+        self.payload = payload
+        self.qm = _QmDecoder(payload, pos)
+        self.dc_stats: dict[int, bytearray] = {}
+        self.ac_stats: dict[int, bytearray] = {}
+        self.fixed = bytearray([_QM_FIXED])
+        self.last = [0] * n_comps
+        self.ctx = [0] * n_comps
+        self._n = n_comps
+
+    def dc(self, tbl: int) -> bytearray:
+        return self.dc_stats.setdefault(tbl, bytearray(64))
+
+    def ac(self, tbl: int) -> bytearray:
+        return self.ac_stats.setdefault(tbl, bytearray(256))
+
+    def restart(self, rst_n: int) -> None:
+        """Consume the expected RSTn marker and re-initialize the
+        entropy decoder and all statistics."""
+        at = self.qm.scan_end()
+        marker = self.payload[at + 1]
+        if marker != 0xD0 + rst_n:
+            raise ValueError(
+                f"JPEG expected RST{rst_n}, found marker 0x{marker:02x}"
+            )
+        self.__init__(self.payload, at + 2, self._n)
+
+
+def _decode_jpeg_arith_sequential(payload, pos, frame, scan, dac,
+                                  qt, restart_interval,
+                                  adobe_transform):
+    """Sequential arithmetic-coded JPEG (SOF9 — T.81 Annex F with
+    the Annex D QM-coder). Mirrors the Huffman sequential MCU loop:
+    per block, DC diff + full AC band, dequantize, IDCT. Reference
+    semantics: T.81 F.1.4.4 (the reference engine delegates decode to
+    a codec library; this is the engine-native tier)."""
+    w, h, comps, hmax, vmax, mcux, mcuy, prec = _jpeg_validate_frame(
+        frame, adobe_transform
+    )
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan sequential JPEG")
+    dc_cond, ac_cond = dac
+    level = 1 << (prec - 1)
+    maxval = (1 << prec) - 1
+    a1 = _jpeg_idct_1d()
+    planes = [
+        bytearray(mcux * hc * 8 * mcuy * vc * 8)
+        for _cid, hc, vc, _tq in comps
+    ]
+    scan_tables = {cs: (dc, ac) for cs, dc, ac in scan}
+    st8 = _ArithScanState(payload, pos, len(comps))
+    zig = _JPEG_ZIGZAG
+    coefz = [0] * 64
+    rst_n = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            st8.restart(rst_n)
+            rst_n = (rst_n + 1) & 7
+        my, mx = divmod(m, mcux)
+        for ci, (cid, hc, vc, tq) in enumerate(comps):
+            if tq not in qt:
+                raise ValueError(f"JPEG quant table {tq} undefined")
+            tabs = scan_tables.get(cid)
+            if tabs is None:
+                raise ValueError(
+                    f"JPEG SOS references undeclared component {cid}"
+                )
+            td, ta = tabs
+            lo, up = dc_cond.get(td, (0, 1))
+            kx = ac_cond.get(ta, 5)
+            q = qt[tq]
+            for bv in range(vc):
+                for bh in range(hc):
+                    for k in range(64):
+                        coefz[k] = 0
+                    diff, st8.ctx[ci] = _arith_decode_dc(
+                        st8.qm, st8.dc(td), st8.ctx[ci], lo, up
+                    )
+                    st8.last[ci] += diff
+                    coefz[0] = st8.last[ci]
+                    _arith_ac_first_block(
+                        st8.qm, st8.ac(ta), st8.fixed, coefz, 0,
+                        1, 63, 0, kx,
+                    )
+                    coeffs = [0.0] * 64
+                    for k in range(64):
+                        v = coefz[k]
+                        if v:
+                            nat = zig[k]
+                            coeffs[nat] = v * q[nat]
+                    _jpeg_idct_block_into(
+                        planes[ci], mcux * hc * 8,
+                        (mx * hc + bh) * 8, (my * vc + bv) * 8,
+                        coeffs, a1, level, maxval,
+                    )
+    return _jpeg_finish(w, h, comps, planes, mcux, hmax, vmax)
+
+
 def _decode_jpeg_lossless(payload, pos, frame, scan, pred_sel, pt,
                           huff, restart_interval, adobe_transform):
     """Lossless JPEG (SOF3, Huffman — T.81 Annex H): predictive DPCM
@@ -1146,6 +1618,11 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
     adobe_transform = None
     progressive = False
     lossless = False
+    arithmetic = False
+    # arithmetic conditioning (DAC): DC (L, U) bounds / AC Kx per
+    # table id; T.81 defaults apply when no DAC segment redefines them
+    dac_dc: dict[int, tuple[int, int]] = {}
+    dac_ac: dict[int, int] = {}
     prog: _JpegProgState | None = None
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1194,15 +1671,18 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 syms = data[i + 17 : i + 17 + n]
                 huff[(tc, th)] = _jpeg_canonical_huffman(counts, syms)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential (identical
             # Huffman decode procedure at 8-bit precision, T.81
             # Annex F) / SOF2 progressive (coefficient-buffered
             # multi-scan decode, T.81 Annex G) / SOF3 lossless
-            # (predictive DPCM, T.81 Annex H)
+            # (predictive DPCM, T.81 Annex H) / SOF9 + SOF10
+            # arithmetic-coded sequential/progressive (same DCT
+            # modes with the Annex D QM-coder entropy tier)
             if frame is not None:
                 raise ValueError("multiple JPEG frame headers")
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             lossless = marker == 0xC3
             if len(data) < 6:
                 raise ValueError("JPEG SOF segment too short")
@@ -1224,12 +1704,34 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 hv = data[7 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 15, data[8 + ci * 3]))
             frame = (h, w, comps, prec)
-        elif marker in (0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG frame (SOF marker 0x{marker:02x}: "
-                "lossless/hierarchical/arithmetic-coded)"
+                "hierarchical/differential or arithmetic lossless)"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i < len(data):
+                if i + 1 >= len(data):
+                    raise ValueError("JPEG DAC segment truncated")
+                tc, tb = data[i] >> 4, data[i] & 15
+                val = data[i + 1]
+                if tc == 0:
+                    lo, up = val & 15, val >> 4
+                    if lo > up:
+                        raise ValueError(
+                            f"JPEG DAC DC conditioning L={lo} > U={up}"
+                        )
+                    dac_dc[tb] = (lo, up)
+                elif tc == 1:
+                    if not 1 <= val <= 63:
+                        raise ValueError(
+                            f"JPEG DAC AC conditioning Kx={val} outside 1..63"
+                        )
+                    dac_ac[tb] = val
+                else:
+                    raise ValueError(f"JPEG DAC table class {tc}")
+                i += 2
         elif marker == 0xDD:  # DRI
             if len(data) < 2:
                 raise ValueError("JPEG DRI segment too short")
@@ -1275,14 +1777,26 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                         "sequential JPEG scan header must carry "
                         f"Ss=0 Se=63 Ah=Al=0, got ({ss},{se},{ah},{al})"
                     )
+                if arithmetic:
+                    return _decode_jpeg_arith_sequential(
+                        payload, pos, frame, scan, (dac_dc, dac_ac),
+                        qt, restart_interval, adobe_transform,
+                    )
                 break
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             if prog is None:
                 prog = _JpegProgState(frame, adobe_transform)
-            pos = prog.decode_scan(
-                payload, pos, scan, ss, se, ah, al, huff, restart_interval
-            )
+            if arithmetic:
+                pos = prog.decode_scan_arith(
+                    payload, pos, scan, ss, se, ah, al,
+                    (dac_dc, dac_ac), restart_interval,
+                )
+            else:
+                pos = prog.decode_scan(
+                    payload, pos, scan, ss, se, ah, al, huff,
+                    restart_interval,
+                )
             scan = None
             continue
         pos += seglen

@@ -483,14 +483,26 @@ def test_lossy_but_close_to_source():
     assert err.max() <= 4, err.max()
 
 
-def test_arithmetic_and_exotic_stay_gated():
-    """Progressive (SOF2) is decodable since r11 — the remaining
-    frame gates are arithmetic-coded / hierarchical / lossless."""
+def test_exotic_frames_stay_gated():
+    """Progressive (SOF2) decodes since r11 and arithmetic (SOF9/10)
+    since r12 — the remaining frame gates are hierarchical /
+    differential and arithmetic lossless."""
     w, h = 8, 8
     jpg, _, _ = encode_jpeg(bytes([9] * 64), w, h, 1)
-    arith = jpg.replace(b"\xff\xc0", b"\xff\xc9", 1)  # SOF0 -> SOF9
-    with pytest.raises(NotImplementedError):
-        decode_image(arith)
+    for m in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        exotic = jpg.replace(b"\xff\xc0", bytes([0xFF, m]), 1)
+        with pytest.raises(NotImplementedError):
+            decode_image(exotic)
+    # a baseline HUFFMAN body relabeled SOF9 is routed to the QM
+    # tier, NOT silently decoded as Huffman (a QM stream carries no
+    # redundancy, so garbage input can "decode" — but never to the
+    # Huffman pixels)
+    arith = jpg.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    base_pixels = decode_image(jpg)
+    try:
+        assert decode_image(arith) != base_pixels
+    except ValueError:
+        pass
     with pytest.raises(ValueError):
         decode_image(jpg[: len(jpg) // 2])  # truncated entropy data
     # a baseline body relabeled SOF2 is NOT silently decoded: the

@@ -627,3 +627,17 @@ def test_arith_jpeg_flows_through_image_features(spark):
     )
     row = image_features(df).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (8, 8, 1)
+
+
+def test_arith_gray_nontrivial_sampling_is_noninterleaved():
+    """T.81 A.2.2: sampling factors are ignored in a single-component
+    frame — a gray SOF9 relabeled 2x2 must decode identically (the
+    normalization lives in the shared _jpeg_validate_frame)."""
+    w, h = 24, 16
+    pix = bytes((x * 7 + y * 11) % 256 for y in range(h) for x in range(w))
+    jpg, _, _ = encode_jpeg_arith(pix, w, h, 1)
+    at = jpg.index(b"\xff\xc9")
+    hv_off = at + 11  # marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1)
+    assert jpg[hv_off] == 0x11
+    patched = jpg[:hv_off] + bytes([0x22]) + jpg[hv_off + 1:]
+    assert decode_image(patched) == decode_image(jpg)

@@ -1362,6 +1362,143 @@ class _ArithScanState:
         self.__init__(self.payload, at + 2, self._n)
 
 
+def _seq_scan_huffman_into(prog, payload, pos, scan, huff,
+                           restart_interval):
+    """One Huffman SEQUENTIAL scan (Ss=0 Se=63 Ah=Al=0) decoded into
+    the shared coefficient buffers — the multi-scan sequential mode
+    T.81 B.2.3 allows (components split across scans, interleaved
+    subsets or one-per-scan non-interleaved, each component coded
+    exactly once). Returns the offset of the next marker's 0xFF."""
+    idx = prog._scan_comp_indices(scan)
+    for ci in idx:
+        prog._book_band(ci, 0, 63, 0, 0)
+    if len(scan) > 1:
+        if sum(prog.comps[i][1] * prog.comps[i][2] for i in idx) > 10:
+            raise ValueError("interleaved scan exceeds 10 data units/MCU")
+    tabs = []
+    for (_cs, td, ta), ci in zip(scan, idx):
+        dt, at = huff.get((0, td)), huff.get((1, ta))
+        if dt is None or at is None:
+            raise ValueError("JPEG Huffman table undefined")
+        tabs.append((ci, dt, at))
+    br = _JpegBitReader(payload, pos)
+    preds = {ci: 0 for ci in idx}
+    rst = 0
+
+    def block(coef, bi, ci, dt, at):
+        s = br.read_huff(dt)
+        preds[ci] += br.receive_extend(s)
+        coef[bi] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = br.read_huff(at)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            coef[bi + k] = br.receive_extend(sz)
+            k += 1
+
+    if len(scan) > 1:
+        for m in range(prog.mcux * prog.mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                br.align_and_expect_rst(rst)
+                rst = (rst + 1) & 7
+                for ci in preds:
+                    preds[ci] = 0
+            my, mx = divmod(m, prog.mcux)
+            for ci, dt, at in tabs:
+                _cid, hc, vc, _tq = prog.comps[ci]
+                coef = prog.coef[ci]
+                bwp = prog.geom[ci][0]
+                for bv in range(vc):
+                    row = (my * vc + bv) * bwp
+                    for bh in range(hc):
+                        block(coef, (row + mx * hc + bh) * 64, ci, dt, at)
+    else:
+        ci, dt, at = tabs[0]
+        coef = prog.coef[ci]
+        bwp, _bhp, cbw, cbh = prog.geom[ci]
+        n = 0
+        for by in range(cbh):
+            rowbase = by * bwp
+            for bx in range(cbw):
+                if restart_interval and n and n % restart_interval == 0:
+                    br.align_and_expect_rst(rst)
+                    rst = (rst + 1) & 7
+                    preds[ci] = 0
+                n += 1
+                block(coef, (rowbase + bx) * 64, ci, dt, at)
+    return _jpeg_scan_end(br)
+
+
+def _seq_scan_arith_into(prog, payload, pos, scan, dac,
+                         restart_interval):
+    """Arithmetic twin of :func:`_seq_scan_huffman_into` (SOF9 frames
+    whose components are split across scans): per block, DC diff +
+    full AC band through the QM-coder, statistics reset at restarts."""
+    idx = prog._scan_comp_indices(scan)
+    for ci in idx:
+        prog._book_band(ci, 0, 63, 0, 0)
+    if len(scan) > 1:
+        if sum(prog.comps[i][1] * prog.comps[i][2] for i in idx) > 10:
+            raise ValueError("interleaved scan exceeds 10 data units/MCU")
+    dac_dc, dac_ac = dac
+    st8 = _ArithScanState(payload, pos, len(prog.comps))
+    conds = []
+    for (_cs, td, ta), ci in zip(scan, idx):
+        lo, up = dac_dc.get(td, (0, 1))
+        conds.append((ci, td, ta, lo, up, dac_ac.get(ta, 5)))
+    rst = [0]
+
+    def block(coef, bi, ci, td, ta, lo, up, kx):
+        diff, st8.ctx[ci] = _arith_decode_dc(
+            st8.qm, st8.dc(td), st8.ctx[ci], lo, up
+        )
+        st8.last[ci] += diff
+        coef[bi] = st8.last[ci]
+        _arith_ac_first_block(
+            st8.qm, st8.ac(ta), st8.fixed, coef, bi, 1, 63, 0, kx
+        )
+
+    def restart():
+        st8.restart(rst[0])
+        rst[0] = (rst[0] + 1) & 7
+
+    if len(scan) > 1:
+        for m in range(prog.mcux * prog.mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                restart()
+            my, mx = divmod(m, prog.mcux)
+            for ci, td, ta, lo, up, kx in conds:
+                _cid, hc, vc, _tq = prog.comps[ci]
+                coef = prog.coef[ci]
+                bwp = prog.geom[ci][0]
+                for bv in range(vc):
+                    row = (my * vc + bv) * bwp
+                    for bh in range(hc):
+                        block(coef, (row + mx * hc + bh) * 64,
+                              ci, td, ta, lo, up, kx)
+    else:
+        ci, td, ta, lo, up, kx = conds[0]
+        coef = prog.coef[ci]
+        bwp, _bhp, cbw, cbh = prog.geom[ci]
+        n = 0
+        for by in range(cbh):
+            rowbase = by * bwp
+            for bx in range(cbw):
+                if restart_interval and n and n % restart_interval == 0:
+                    restart()
+                n += 1
+                block(coef, (rowbase + bx) * 64, ci, td, ta, lo, up, kx)
+    return st8.qm.scan_end()
+
+
 def _decode_jpeg_arith_sequential(payload, pos, frame, scan, dac,
                                   qt, restart_interval,
                                   adobe_transform):
@@ -1374,7 +1511,9 @@ def _decode_jpeg_arith_sequential(payload, pos, frame, scan, dac,
         frame, adobe_transform
     )
     if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan sequential JPEG")
+        # unreachable: the parser routes partial-coverage scans to
+        # the coefficient-buffered multi-scan path before calling this
+        raise ValueError("partial scan reached the single-scan decoder")
     dc_cond, ac_cond = dac
     level = 1 << (prec - 1)
     maxval = (1 << prec) - 1
@@ -1619,6 +1758,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
     progressive = False
     lossless = False
     arithmetic = False
+    seq_multi = False
     # arithmetic conditioning (DAC): DC (L, U) bounds / AC Kx per
     # table id; T.81 defaults apply when no DAC segment redefines them
     dac_dc: dict[int, tuple[int, int]] = {}
@@ -1777,12 +1917,34 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                         "sequential JPEG scan header must carry "
                         f"Ss=0 Se=63 Ah=Al=0, got ({ss},{se},{ah},{al})"
                     )
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF")
+                if len(scan) == len(frame[2]) and prog is None:
+                    # one scan covering every component: the direct
+                    # decode-as-you-go paths (no coefficient buffer)
+                    if arithmetic:
+                        return _decode_jpeg_arith_sequential(
+                            payload, pos, frame, scan, (dac_dc, dac_ac),
+                            qt, restart_interval, adobe_transform,
+                        )
+                    break
+                # multi-scan sequential (T.81 B.2.3): components split
+                # across scans — buffer coefficients like the
+                # progressive path, IDCT once at EOI
+                seq_multi = True
+                if prog is None:
+                    prog = _JpegProgState(frame, adobe_transform)
                 if arithmetic:
-                    return _decode_jpeg_arith_sequential(
-                        payload, pos, frame, scan, (dac_dc, dac_ac),
-                        qt, restart_interval, adobe_transform,
+                    pos = _seq_scan_arith_into(
+                        prog, payload, pos, scan, (dac_dc, dac_ac),
+                        restart_interval,
                     )
-                break
+                else:
+                    pos = _seq_scan_huffman_into(
+                        prog, payload, pos, scan, huff, restart_interval
+                    )
+                scan = None
+                continue
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             if prog is None:
@@ -1800,6 +1962,18 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             scan = None
             continue
         pos += seglen
+    if seq_multi:
+        # unlike progressive (where partial scan scripts are
+        # spec-legal), a sequential component missing from every scan
+        # is malformed — fail loud before finish() would decode it
+        # as a zero plane
+        for ci, band in enumerate(prog.band_al):
+            if band[0] is None:
+                raise ValueError(
+                    "sequential multi-scan JPEG never codes component "
+                    f"{prog.comps[ci][0]}"
+                )
+        return prog.finish(qt)
     if progressive:
         if prog is None:
             raise ValueError("progressive JPEG contains no scan")
@@ -1810,7 +1984,9 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
         frame, adobe_transform
     )
     if len(scan) != len(comps):
-        raise NotImplementedError("multi-scan sequential JPEG")
+        # unreachable: the parser routes partial-coverage scans to
+        # the coefficient-buffered multi-scan path before breaking here
+        raise ValueError("partial scan reached the single-scan decoder")
     level = 1 << (prec - 1)
     maxval = (1 << prec) - 1
     a1 = _jpeg_idct_1d()

@@ -641,3 +641,41 @@ def test_arith_gray_nontrivial_sampling_is_noninterleaved():
     assert jpg[hv_off] == 0x11
     patched = jpg[:hv_off] + bytes([0x22]) + jpg[hv_off + 1:]
     assert decode_image(patched) == decode_image(jpg)
+
+
+def test_12bit_arith_sequential_matches_oracle():
+    """SOF9 at 12-bit precision (T.81 allows 8/12 for the DCT modes):
+    the QM entropy tier + 16-bit Pq=1 quant tables + the 12-bit
+    output-domain scaling, pinned against the coefficient oracle."""
+    from tests.test_jpeg_12bit import (
+        QL12,
+        _coeffs12,
+        _gradient12,
+        reference_decode12,
+    )
+
+    w, h = 21, 13
+    pix12 = _gradient12(w, h)
+    blocks, mcux, mcuy = _coeffs12(pix12, w, h)
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0x10])
+    for z in range(64):
+        dqt += struct.pack(">H", QL12[_JPEG_ZIGZAG[z]])
+    out += seg(0xDB, dqt)
+    sof = bytes([12]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    out += seg(0xC9, sof)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    wtr = ArithWriter(1)
+    for by in range(mcuy):
+        for bx in range(mcux):
+            z = _zz(blocks[(by, bx)])
+            diff = z[0] - wtr.last[0]
+            wtr.last[0] = z[0]
+            enc_dc_diff(wtr, 0, 0, 0, 1, diff)
+            enc_ac_band(wtr, 0, 5, z, 1, 63)
+    out += wtr.enc.flush() + b"\xff\xd9"
+
+    gw, gh, ch, got = decode_image(bytes(out))
+    assert (gw, gh, ch) == (w, h, 1)
+    assert got == reference_decode12(blocks, w, h)

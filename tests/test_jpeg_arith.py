@@ -679,3 +679,26 @@ def test_12bit_arith_sequential_matches_oracle():
     gw, gh, ch, got = decode_image(bytes(out))
     assert (gw, gh, ch) == (w, h, 1)
     assert got == reference_decode12(blocks, w, h)
+
+
+def test_fuzzed_entropy_bodies_fail_loud_or_decode():
+    """A QM stream carries no redundancy, so random entropy bodies
+    may 'decode'; what they must never do is hang, IndexError, or
+    crash the statistical models — every outcome is a clean decode or
+    a ValueError (magnitude-overflow / run-past-band / truncation
+    guards)."""
+    import random
+
+    w, h = 16, 16
+    pix = bytes((x * 13 + y * 5) % 256 for y in range(h) for x in range(w))
+    jpg, _, _ = encode_jpeg_arith(pix, w, h, 1)
+    sos_at = jpg.index(b"\xff\xda")
+    body_at = sos_at + 2 + struct.unpack(">H", jpg[sos_at + 2:sos_at + 4])[0]
+    head = jpg[:body_at]
+    rng = random.Random(1234)
+    for trial in range(40):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(4, 400)))
+        try:
+            decode_image(head + body + b"\xff\xd9")
+        except ValueError:
+            pass

@@ -13,11 +13,12 @@ sequential, SOF2 progressive, AND SOF9/SOF10 arithmetic-coded via a
 T.81 Annex D QM-coder: canonical Huffman or adaptive-binary entropy
 tier + dequant + float64 IDCT + YCbCr, the full T.81 sampling-factor
 range 1-4) — returning raw row-major pixels; PNG covers 8/16-bit,
-palette 1/2/4/8-bit, and Adam7 interlace. The variants that
-genuinely need a codec library (hierarchical/differential and
-arithmetic-lossless JPEG; RGB-colorspace JPEG; MP3-class audio)
-raise ``NotImplementedError`` (a real deployment plugs PIL/libvips
-into the same dispatch).
+palette 1/2/4/8-bit, and Adam7 interlace; RGB-colorspace JPEG
+(Adobe APP14 transform=0 / 'R','G','B' ids) decodes natively without
+the YCbCr matrix. The variants that genuinely need a codec library
+(hierarchical/differential and arithmetic-lossless JPEG; MP3-class
+audio) raise ``NotImplementedError`` (a real deployment plugs
+PIL/libvips into the same dispatch).
 :func:`decode_audio` does the same for RIFF/WAV: integer PCM
 (8/16/24-bit), IEEE-float (32/64-bit, quantized to the int16 domain),
 G.711 A-law/µ-law, IMA ADPCM, and WAVE_FORMAT_EXTENSIBLE containers. The image-graded queries use :func:`byte_features`, a
@@ -91,10 +92,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     interleaved.
 
     The variants that genuinely need a codec library —
-    hierarchical/differential JPEG, arithmetic lossless, and
-    RGB-colorspace sequential JPEG — raise ``NotImplementedError``;
-    the dispatch below is where a deployment plugs PIL/libvips in.
-    Malformed payloads raise ``ValueError``."""
+    hierarchical/differential JPEG and arithmetic lossless — raise
+    ``NotImplementedError``; the dispatch below is where a deployment
+    plugs PIL/libvips in. Malformed payloads raise ``ValueError``."""
     if payload[:2] in (b"P6", b"P5"):
         channels = 3 if payload[:2] == b"P6" else 1
         (w, h, maxval), off = _ppm_tokens(payload, 3)
@@ -563,10 +563,14 @@ def _jpeg_idct_block_into(plane, pw, ox, oy, coeffs, a1,
 
 
 def _jpeg_finish(
-    w: int, h: int, comps, planes, mcux: int, hmax: int, vmax: int
+    w: int, h: int, comps, planes, mcux: int, hmax: int, vmax: int,
+    rgb: bool = False,
 ) -> tuple[int, int, int, bytes]:
     """Upsample decoded component planes to full resolution and apply
-    the JFIF YCbCr→RGB matrix. Upsampling is a nearest-sample index
+    the JFIF YCbCr→RGB matrix (or interleave directly for RGB-
+    colorspace frames — Adobe APP14 transform=0 or 'R','G','B'
+    component ids, where the components already ARE the channels).
+    Upsampling is a nearest-sample index
     map (src_x = x·hc//hmax) — exact pixel replication for the
     divisible factor ratios (1:2, 1:4, 2:4) and spec-legal nearest
     neighbour for the non-divisible ones T.81 permits (e.g. 2:3);
@@ -593,6 +597,15 @@ def _jpeg_finish(
                 for x in range(w):
                     up[o + x] = plane[base + x * hc // hmax]
             full.append((up, w))
+    if rgb:
+        for ci in range(3):
+            plane, pw = full[ci]
+            for y in range(h):
+                base = y * pw
+                o = y * w * 3 + ci
+                for x in range(w):
+                    out[o + x * 3] = plane[base + x]
+        return w, h, 3, bytes(out)
     (yp, ypw), (cbp, cbpw), (crp, crpw) = full
     for y in range(h):
         for x in range(w):
@@ -615,24 +628,23 @@ def _jpeg_validate_frame(frame, adobe_transform):
     gates, the header-declared-allocation ceiling, single-component
     normalization (T.81 A.2.2: sampling factors are ignored in a
     non-interleaved frame), and the spec range check on sampling
-    factors. Returns ``(w, h, comps, hmax, vmax, mcux, mcuy, prec)``."""
+    factors. Returns ``(w, h, comps, hmax, vmax, mcux, mcuy, prec,
+    is_rgb)``."""
     h, w, comps, prec = frame
     if w < 1 or h < 1:
         raise ValueError(f"bad JPEG dimensions {w}x{h}")
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component JPEG")
+    is_rgb = False
     if len(comps) == 3:
-        # fail-loud policy parity with the other codec gates: only
-        # YCbCr 3-component frames are decodable here. Adobe APP14
-        # transform=0 means the components are literally R/G/B, as
-        # does the T.81 'R','G','B' component-ID convention — both
-        # previously fell through to the YCbCr matrix and decoded
-        # silently with scrambled colors (ADVICE r9).
+        # Adobe APP14 transform=0 means the components are literally
+        # R/G/B, as does the T.81 'R','G','B' component-ID
+        # convention — both previously fell through to the YCbCr
+        # matrix and decoded silently with scrambled colors (gated
+        # r10, ADVICE r9; decoded natively since r12: the components
+        # bypass the matrix in _jpeg_finish).
         cids = tuple(c[0] for c in comps)
-        if adobe_transform == 0 or cids == (0x52, 0x47, 0x42):
-            raise NotImplementedError(
-                "RGB (non-YCbCr) 3-component JPEG requires a codec"
-            )
+        is_rgb = adobe_transform == 0 or cids == (0x52, 0x47, 0x42)
     if w * h > MAX_DECODE_PIXELS:
         raise ValueError(
             f"JPEG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
@@ -652,7 +664,7 @@ def _jpeg_validate_frame(frame, adobe_transform):
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    return w, h, comps, hmax, vmax, mcux, mcuy, prec
+    return w, h, comps, hmax, vmax, mcux, mcuy, prec, is_rgb
 
 
 class _JpegProgState:
@@ -680,9 +692,8 @@ class _JpegProgState:
         from array import array
 
         (self.w, self.h, self.comps, self.hmax, self.vmax,
-         self.mcux, self.mcuy, self.prec) = _jpeg_validate_frame(
-            frame, adobe_transform
-        )
+         self.mcux, self.mcuy, self.prec,
+         self.is_rgb) = _jpeg_validate_frame(frame, adobe_transform)
         self.coef: list = []
         self.geom: list[tuple[int, int, int, int]] = []
         for _cid, hc, vc, _tq in self.comps:
@@ -982,7 +993,8 @@ class _JpegProgState:
                                       a1, level, maxval)
             planes.append(plane)
         return _jpeg_finish(self.w, self.h, self.comps, planes,
-                            self.mcux, self.hmax, self.vmax)
+                            self.mcux, self.hmax, self.vmax,
+                            self.is_rgb)
 
 
 def _jpeg_ac_first_block(coef, bi, br, atbl, ss, se, al, eobrun):
@@ -1507,8 +1519,8 @@ def _decode_jpeg_arith_sequential(payload, pos, frame, scan, dac,
     per block, DC diff + full AC band, dequantize, IDCT. Reference
     semantics: T.81 F.1.4.4 (the reference engine delegates decode to
     a codec library; this is the engine-native tier)."""
-    w, h, comps, hmax, vmax, mcux, mcuy, prec = _jpeg_validate_frame(
-        frame, adobe_transform
+    w, h, comps, hmax, vmax, mcux, mcuy, prec, is_rgb = (
+        _jpeg_validate_frame(frame, adobe_transform)
     )
     if len(scan) != len(comps):
         # unreachable: the parser routes partial-coverage scans to
@@ -1568,7 +1580,8 @@ def _decode_jpeg_arith_sequential(payload, pos, frame, scan, dac,
                         (mx * hc + bh) * 8, (my * vc + bv) * 8,
                         coeffs, a1, level, maxval,
                     )
-    return _jpeg_finish(w, h, comps, planes, mcux, hmax, vmax)
+    return _jpeg_finish(w, h, comps, planes, mcux, hmax, vmax,
+                        is_rgb)
 
 
 def _decode_jpeg_lossless(payload, pos, frame, scan, pred_sel, pt,
@@ -1980,8 +1993,8 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
         return prog.finish(qt)
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    w, h, comps, hmax, vmax, mcux, mcuy, prec = _jpeg_validate_frame(
-        frame, adobe_transform
+    w, h, comps, hmax, vmax, mcux, mcuy, prec, is_rgb = (
+        _jpeg_validate_frame(frame, adobe_transform)
     )
     if len(scan) != len(comps):
         # unreachable: the parser routes partial-coverage scans to
@@ -2044,7 +2057,8 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                         (mx * hc + bh) * 8, (my * vc + bv) * 8,
                         coeffs, a1, level, maxval,
                     )
-    return _jpeg_finish(w, h, comps, planes, mcux, hmax, vmax)
+    return _jpeg_finish(w, h, comps, planes, mcux, hmax, vmax,
+                        is_rgb)
 
 
 def byte_features(payload: bytes) -> tuple[int, int]:

@@ -652,31 +652,103 @@ def _app14(transform):
     return bytes([0xFF, 0xEE]) + struct.pack(">H", len(data) + 2) + data
 
 
-def test_adobe_app14_rgb_gated_ycbcr_still_decodes():
-    """Adobe transform=0 (components literally RGB) must raise like the
-    other codec gates instead of decoding through the YCbCr matrix
-    with scrambled colors (ADVICE r9); transform=1 is explicit YCbCr
-    and must decode byte-identically to the unmarked JFIF file."""
-    jpg, _, _ = encode_jpeg(_gradient_rgb(8, 8), 8, 8, 3)
-    with pytest.raises(NotImplementedError, match="RGB"):
-        decode_image(jpg[:2] + _app14(0) + jpg[2:])
-    assert decode_image(jpg[:2] + _app14(1) + jpg[2:]) == decode_image(jpg)
+def encode_rgb_jpeg(pix, w, h, rgb_cids=False):
+    """Native RGB-colorspace baseline fixture: each channel front-
+    ended as an independent gray plane (no color transform), all
+    components on QL/table 0, marked RGB via Adobe APP14 transform=0
+    or via 'R','G','B' component ids. Returns (jpeg, per_channel
+    blocks)."""
+    rgb = np.frombuffer(bytes(pix), np.uint8).reshape(h, w, 3)
+    ch_blocks = []
+    for c in range(3):
+        blks, _s, _q, _tq, _th, mcux, mcuy = jpeg_front_end(
+            rgb[..., c].tobytes(), w, h, 1, [(1, 1)]
+        )
+        ch_blocks.append(blks[0])
+    cids = (0x52, 0x47, 0x42) if rgb_cids else (1, 2, 3)
+    out = bytearray(b"\xff\xd8")
+    if not rgb_cids:
+        out += _app14(0)
+    out += seg(0xDB, dqt_payload(0, QL))
+    out += seg(0xC4, dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for cid in cids:
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xC0, sof)
+    sos = bytes([3])
+    for cid in cids:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    dt, at = _enc_huff(*DC_LUM), _enc_huff(*AC_LUM)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for c in range(3):
+            zz = [int(v) for v in
+                  ch_blocks[c][(my, mx)].flatten()[_JPEG_ZIGZAG]]
+            diff = zz[0] - preds[c]
+            preds[c] = zz[0]
+            s = _category(diff)
+            bw.put(*dt[s])
+            if s:
+                bw.put(_bits_of(diff, s), s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*at[0xF0])
+                    run -= 16
+                s = _category(v)
+                bw.put(*at[(run << 4) | s])
+                bw.put(_bits_of(v, s), s)
+                run = 0
+            if last_nz < 63:
+                bw.put(*at[0x00])
+    bw.pad()
+    out += bytes(bw.out) + b"\xff\xd9"
+    return bytes(out), ch_blocks
 
 
-def test_rgb_component_ids_gated():
+def _rgb_reference(ch_blocks, w, h):
+    """Interleave three independently-decoded gray planes."""
+    planes = [reference_decode([b], [(1, 1)], w, h, 1) for b in ch_blocks]
+    out = bytearray(w * h * 3)
+    for c in range(3):
+        out[c::3] = planes[c]
+    return bytes(out)
+
+
+def test_adobe_app14_rgb_decodes_natively():
+    """Adobe transform=0 components are literally R/G/B — decoded
+    without the YCbCr matrix since r12 (gated fail-loud r10-r11);
+    transform=1 is explicit YCbCr and must decode byte-identically to
+    the unmarked JFIF file."""
+    w, h = 16, 8
+    pix = _gradient_rgb(w, h)
+    jpg, ch_blocks = encode_rgb_jpeg(pix, w, h)
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert got == _rgb_reference(ch_blocks, w, h)
+    ycc, _, _ = encode_jpeg(pix, w, h, 3)
+    assert decode_image(ycc[:2] + _app14(1) + ycc[2:]) == decode_image(ycc)
+    # and RGB data is NOT run through the matrix: the native decode
+    # differs from a YCbCr interpretation of the same file
+    assert got != decode_image(ycc)[3]
+
+
+def test_rgb_component_ids_decode_natively():
     """T.81 'R','G','B' component IDs mark an RGB frame even without
-    APP14 — same fail-loud gate."""
-    jpg, _, _ = encode_jpeg(_gradient_rgb(8, 8), 8, 8, 3)
-    buf = bytearray(jpg)
-    sof = buf.index(b"\xff\xc0")
-    base = sof + 2 + 2 + 6  # marker + seglen + prec/h/w/nc
-    sos = buf.index(b"\xff\xda")
-    sbase = sos + 2 + 2 + 1  # marker + seglen + ns
-    for ci, cid in enumerate((0x52, 0x47, 0x42)):
-        buf[base + ci * 3] = cid
-        buf[sbase + ci * 2] = cid
-    with pytest.raises(NotImplementedError, match="RGB"):
-        decode_image(bytes(buf))
+    APP14 — same native path."""
+    w, h = 8, 8
+    pix = _gradient_rgb(w, h)
+    jpg, ch_blocks = encode_rgb_jpeg(pix, w, h, rgb_cids=True)
+    assert decode_image(jpg)[3] == _rgb_reference(ch_blocks, w, h)
 
 
 def test_non_divisible_sampling_ratio_3_to_2():

@@ -4803,3 +4803,86 @@ def llm_cap_audit(cat: Catalog) -> DataFrame:
         simhash_bucket=_AUDIT_SIMHASH_CAP,
         prefix_bucket=_AUDIT_PREFIX_CAP,
     )
+
+
+@query(
+    "llm_video_features",
+    # the Y4M payload is SYNTHESIZED deterministically from each doc's
+    # characters (luma = min(codepoint,255), packed into 8x8 mono
+    # frames, space-padded (32) to fill the last frame; empty text
+    # becomes one padded frame), and Y4M mono is raw/lossless, so the
+    # oracle recomputes the demux+decode features straight from the
+    # text — the video twin of llm_image_features, driving the REAL
+    # container demux + frame decode on every row. The c <> '' filter
+    # kills DuckDB's phantom empty-split element.
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        FROM documents
+    ),
+    vals AS (
+        SELECT doc_id, least(ascii(c), 255) AS v
+        FROM chars WHERE c <> ''
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n, sum(v) AS s
+        FROM vals GROUP BY doc_id
+    ),
+    dims AS (
+        SELECT d.doc_id,
+               greatest(coalesce(agg.n, 0), 1) AS n,
+               CASE WHEN coalesce(agg.n, 0) = 0 THEN 32
+                    ELSE agg.s END AS s
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg USING (doc_id)
+    )
+    SELECT doc_id,
+           'y4m' AS container,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST((n + 63) // 64 AS BIGINT) AS n_frames,
+           CAST(25 AS BIGINT) AS fps_num,
+           CAST(1 AS BIGINT) AS fps_den,
+           CAST((s + (((n + 63) // 64) * 64 - n) * 32)
+                // (((n + 63) // 64) * 64) AS BIGINT) AS mean_px
+    FROM dims
+    ORDER BY doc_id
+    """,
+    survey="LLM multimodal: video tier — synthesized lossless Y4M "
+    "payloads through the real container demux + per-frame decode "
+    "(demux_video/decode_video_frame; MJPEG-AVI shares the same path "
+    "with JPEG frames, pytest-pinned)",
+)
+def llm_video_features(cat: Catalog) -> DataFrame:
+    """Drive the REAL video path end-to-end on the driver's corpus:
+    each document's characters become 8x8 mono luma frames in a
+    genuine YUV4MPEG2 container (FRAME markers, colorspace/rate
+    header), and video_features demuxes and decodes them back to
+    container metadata plus the exact integer mean pixel over all
+    frames. Y4M mono is raw bytes and the synthesis is deterministic
+    per character, so DuckDB verifies the whole demux+decode+aggregate
+    pipeline from the text column alone."""
+    import pandas as pd
+
+    from simple_etl_spark.llm.multimodal import encode_y4m, video_features
+
+    docs = cat["documents"].select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                px = [] if text is None else [min(ord(c), 255) for c in text]
+                if not px:
+                    px = [32]
+                n_frames = -(-len(px) // 64)
+                px += [32] * (n_frames * 64 - len(px))
+                frames = [bytes(px[i * 64 : (i + 1) * 64])
+                          for i in range(n_frames)]
+                payloads.append(encode_y4m(8, 8, frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    vid_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return video_features(vid_df).orderBy("doc_id")

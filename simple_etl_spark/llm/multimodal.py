@@ -2715,6 +2715,380 @@ def sample_frames(
     return binary_df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
+# -- video containers (stdlib demux: MJPEG/DIB AVI + YUV4MPEG2) -------
+
+_Y4M_COLORSPACES = {
+    b"420": ("yuv420", 3, 2),       # bytes per 2 pixels = 3 (w*h*3//2)
+    b"420jpeg": ("yuv420", 3, 2),
+    b"420mpeg2": ("yuv420", 3, 2),
+    b"420paldv": ("yuv420", 3, 2),
+    b"422": ("yuv422", 2, 1),
+    b"444": ("yuv444", 3, 1),
+    b"mono": ("gray", 1, 1),
+}
+
+
+def demux_video(payload: bytes) -> dict:
+    """Container-level video demux, stdlib only: RIFF AVI carrying
+    MJPEG ('MJPG' — each frame is a JPEG for :func:`decode_image`) or
+    uncompressed DIB (BI_RGB bottom-up BGR) video, and YUV4MPEG2
+    (Y4M) raw planar streams. Returns ``{"container", "width",
+    "height", "fps_num", "fps_den", "frame_kind", "frames"}`` where
+    ``frames`` is the list of per-frame byte payloads in stream
+    order. Compressed codecs beyond MJPEG raise
+    ``NotImplementedError`` (a real deployment plugs pyav/ffmpeg into
+    the same dispatch); malformed containers raise ``ValueError``.
+    Total declared pixels are capped by :data:`MAX_DECODE_PIXELS` —
+    the same header-declared-allocation ceiling every decoder here
+    enforces."""
+    import struct
+
+    if payload[:9] == b"YUV4MPEG2":
+        nl = payload.find(b"\n")
+        if nl < 0:
+            raise ValueError("Y4M header has no terminating newline")
+        w = h = None
+        fps_num, fps_den = 25, 1
+        kind, bnum, bden = "yuv420", 3, 2
+        for tok in payload[9:nl].split():
+            tag, val = tok[:1], tok[1:]
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                a, b = val.split(b":")
+                fps_num, fps_den = int(a), int(b)
+            elif tag == b"C":
+                if val not in _Y4M_COLORSPACES:
+                    raise NotImplementedError(
+                        f"Y4M colorspace {val!r} requires a codec"
+                    )
+                kind, bnum, bden = _Y4M_COLORSPACES[val]
+        if not w or not h or w < 1 or h < 1:
+            raise ValueError("Y4M header missing W/H")
+        if fps_num < 1 or fps_den < 1:
+            raise ValueError("Y4M frame rate must be positive")
+        if kind == "yuv420" and (w % 2 or h % 2):
+            raise ValueError("Y4M 4:2:0 dimensions must be even")
+        if kind == "yuv422" and w % 2:
+            raise ValueError("Y4M 4:2:2 width must be even")
+        fsize = w * h * bnum // bden
+        frames = []
+        pos = nl + 1
+        while pos < len(payload):
+            if payload[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"Y4M FRAME marker expected at {pos}")
+            fnl = payload.find(b"\n", pos)
+            if fnl < 0:
+                raise ValueError("Y4M FRAME header has no newline")
+            body = payload[fnl + 1 : fnl + 1 + fsize]
+            if len(body) != fsize:
+                raise ValueError("Y4M frame truncated")
+            frames.append(body)
+            pos = fnl + 1 + fsize
+        if w * h * max(len(frames), 1) > MAX_DECODE_PIXELS:
+            raise ValueError("Y4M declares more than MAX_DECODE_PIXELS")
+        return {"container": "y4m", "width": w, "height": h,
+                "fps_num": fps_num, "fps_den": fps_den,
+                "frame_kind": kind, "frames": frames}
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(f"not a video container: {payload[:4]!r}")
+
+    def chunks(buf, pos, end):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", buf, pos + 4)
+            if pos + 8 + clen > end:
+                raise ValueError(f"AVI chunk {cid!r} truncated")
+            yield cid, pos + 8, clen
+            pos += 8 + clen + (clen & 1)
+
+    width = height = None
+    fps_num, fps_den = 25, 1
+    frame_kind = None
+    frames: list[bytes] = []
+    saw_vids = False
+    for cid, at, clen in chunks(payload, 12, len(payload)):
+        if cid != b"LIST":
+            continue  # idx1 / JUNK are advisory
+        ltype = payload[at : at + 4]
+        if ltype == b"hdrl":
+            for c2, at2, cl2 in chunks(payload, at + 4, at + clen):
+                if c2 == b"avih" and cl2 >= 40:
+                    width, height = struct.unpack_from(
+                        "<II", payload, at2 + 32
+                    )
+                elif c2 == b"LIST" and payload[at2 : at2 + 4] == b"strl":
+                    fcc_type = None
+                    for c3, at3, cl3 in chunks(payload, at2 + 4,
+                                               at2 + cl2):
+                        if c3 == b"strh" and cl3 >= 32:
+                            fcc_type = payload[at3 : at3 + 4]
+                            if fcc_type == b"vids":
+                                saw_vids = True
+                                scale, rate = struct.unpack_from(
+                                    "<II", payload, at3 + 20
+                                )
+                                if rate and scale:
+                                    fps_num, fps_den = rate, scale
+                        elif (c3 == b"strf" and fcc_type == b"vids"
+                              and cl3 >= 40):
+                            (compression,) = struct.unpack_from(
+                                "<I", payload, at3 + 16
+                            )
+                            if compression in (0x47504A4D, 0x67706A6D):
+                                frame_kind = "jpeg"  # 'MJPG'/'mjpg'
+                            elif compression == 0:
+                                frame_kind = "dib"  # BI_RGB
+                            else:
+                                fourcc = compression.to_bytes(4, "little")
+                                raise NotImplementedError(
+                                    f"AVI codec {fourcc!r} requires a "
+                                    "real decoder"
+                                )
+        elif ltype == b"movi":
+            for c2, at2, cl2 in chunks(payload, at + 4, at + clen):
+                if c2[2:4] in (b"dc", b"db"):
+                    frames.append(payload[at2 : at2 + cl2])
+    if not saw_vids or frame_kind is None:
+        raise ValueError("AVI has no video stream header")
+    if not width or not height:
+        raise ValueError("AVI header missing dimensions")
+    if width * height * max(len(frames), 1) > MAX_DECODE_PIXELS:
+        raise ValueError("AVI declares more than MAX_DECODE_PIXELS")
+    return {"container": "avi", "width": width, "height": height,
+            "fps_num": fps_num, "fps_den": fps_den,
+            "frame_kind": frame_kind, "frames": frames}
+
+
+def decode_video_frame(kind: str, w: int, h: int,
+                       data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode one demuxed frame to row-major pixels: ``jpeg`` frames
+    go through :func:`decode_image` (the full SOF0/1/2/3/9/10 tier),
+    ``dib`` frames are BI_RGB bottom-up BGR rows padded to 4 bytes,
+    ``gray``/``yuv*`` frames are raw planar — chroma upsampled by the
+    same nearest-sample index map as the JPEG path and converted with
+    the BT.601 full-range (JFIF) matrix."""
+    if kind == "jpeg":
+        return _decode_jpeg(data)
+    if kind == "dib":
+        stride = (w * 3 + 3) & ~3
+        if len(data) < stride * h:
+            raise ValueError("DIB frame truncated")
+        out = bytearray(w * h * 3)
+        for y in range(h):
+            src = (h - 1 - y) * stride
+            o = y * w * 3
+            for x in range(w):
+                out[o + x * 3] = data[src + x * 3 + 2]
+                out[o + x * 3 + 1] = data[src + x * 3 + 1]
+                out[o + x * 3 + 2] = data[src + x * 3]
+        return w, h, 3, bytes(out)
+    if kind == "gray":
+        if len(data) != w * h:
+            raise ValueError("mono frame size mismatch")
+        return w, h, 1, bytes(data)
+    if kind in ("yuv420", "yuv422", "yuv444"):
+        cw = w if kind == "yuv444" else (w + 1) // 2
+        ch = (h + 1) // 2 if kind == "yuv420" else h
+        need = w * h + 2 * cw * ch
+        if len(data) != need:
+            raise ValueError(f"{kind} frame size mismatch")
+        yp = data[: w * h]
+        up = data[w * h : w * h + cw * ch]
+        vp = data[w * h + cw * ch :]
+        out = bytearray(w * h * 3)
+        for y in range(h):
+            cy = y * ch // h
+            for x in range(w):
+                cx = x * cw // w
+                yy = yp[y * w + x]
+                cb = up[cy * cw + cx] - 128
+                cr = vp[cy * cw + cx] - 128
+                r = int(round(yy + 1.402 * cr))
+                g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+                b = int(round(yy + 1.772 * cb))
+                o = (y * w + x) * 3
+                out[o] = 0 if r < 0 else (255 if r > 255 else r)
+                out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+        return w, h, 3, bytes(out)
+    raise ValueError(f"unknown frame kind {kind!r}")
+
+
+def encode_y4m(w: int, h: int, frames: list[bytes],
+               fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Mono YUV4MPEG2 synthesis (each frame = w*h luma bytes) — the
+    video twin of :func:`encode_png`/:func:`encode_wav`, used to
+    drive the real demux path from deterministic text-derived
+    pixels."""
+    out = bytearray(
+        b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n"
+        % (w, h, fps[0], fps[1])
+    )
+    for f in frames:
+        if len(f) != w * h:
+            raise ValueError("Y4M mono frame must be w*h bytes")
+        out += b"FRAME\n" + f
+    return bytes(out)
+
+
+def encode_avi_mjpeg(w: int, h: int, jpeg_frames: list[bytes],
+                     fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Minimal MJPEG AVI synthesis (RIFF hdrl/avih/strl/strh/strf +
+    movi with one '00dc' chunk per JPEG frame)."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    usec = 1_000_000 * fps[1] // fps[0]
+    avih = struct.pack(
+        "<IIIIIIIIII4I", usec, 0, 0, 0x10, len(jpeg_frames), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, fps[1], fps[0], 0,
+        len(jpeg_frames), 0, 0, 0, 0,
+    ))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                 + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(b"LIST", b"movi"
+                 + b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("container", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("fps_num", LongType()),
+        StructField("fps_den", LongType()),
+        StructField("mean_px", LongType()),
+    ]
+)
+
+
+def video_features(binary_df: DataFrame) -> DataFrame:
+    """Real demux-backed per-video features, one Arrow pass:
+    container kind, dimensions, frame count, frame rate, and the
+    exact integer mean pixel value over every DECODED frame
+    (``sum // count`` across the whole video — no IEEE mean).
+    Undecodable or NULL payloads yield NULL features, the same
+    corpus-scale contract as :func:`image_features`."""
+
+    cols = ["container", "width", "height", "n_frames",
+            "fps_num", "fps_den", "mean_px"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            for c in cols:
+                out[c] = []
+            for payload in pdf["payload"]:
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    v = demux_video(bytes(payload))
+                    s = n = 0
+                    for f in v["frames"]:
+                        _w, _h, _c, px = decode_video_frame(
+                            v["frame_kind"], v["width"], v["height"], f
+                        )
+                        s += sum(px)
+                        n += len(px)
+                    out["container"].append(v["container"])
+                    out["width"].append(v["width"])
+                    out["height"].append(v["height"])
+                    out["n_frames"].append(len(v["frames"]))
+                    out["fps_num"].append(v["fps_num"])
+                    out["fps_den"].append(v["fps_den"])
+                    out["mean_px"].append(s // n if n else None)
+                except (NotImplementedError, ValueError, IndexError):
+                    for c in cols:
+                        out[c].append(None)
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        run, VIDEO_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("mean_px", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def video_frames(binary_df: DataFrame, stride: int = 1) -> DataFrame:
+    """Demux + per-frame decode as a table-generating transform (rows
+    out > rows in): every ``stride``-th frame becomes a row with its
+    decoded dimensions, exact mean pixel, and the md5 of the decoded
+    pixels — the real-decoder replacement for the byte-chunking
+    :func:`sample_frames` plumbing. Fan-out happens inside the
+    executor per Arrow batch; frames travel onward as rows so
+    downstream stages parallelize per frame, not per video."""
+    import hashlib
+
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "width": [],
+                   "height": [], "channels": [], "mean_px": [],
+                   "frame_md5": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    v = demux_video(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                for idx in range(0, len(v["frames"]), stride):
+                    try:
+                        fw, fh, fc, px = decode_video_frame(
+                            v["frame_kind"], v["width"], v["height"],
+                            v["frames"][idx],
+                        )
+                    except (NotImplementedError, ValueError):
+                        fw = fh = fc = None
+                        px = None
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(fw)
+                    out["height"].append(fh)
+                    out["channels"].append(fc)
+                    out["mean_px"].append(
+                        sum(px) // len(px) if px else None
+                    )
+                    out["frame_md5"].append(
+                        hashlib.md5(px).hexdigest() if px else None
+                    )
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        run, VIDEO_FRAME_SCHEMA
+    )
+
+
 def resize_payload(binary_df: DataFrame, target_bytes: int = 64) -> DataFrame:
     """Resize plumbing for image-like payloads: normalize every payload
     to a fixed byte budget (truncate, or right-pad with 0x20) and

@@ -1,0 +1,146 @@
+"""Video container tier (round 12): stdlib demux for MJPEG/DIB AVI
+and YUV4MPEG2, per-frame decode composed with the full JPEG decoder,
+and the Spark plumbing (video_features / video_frames mapInPandas).
+Fixtures are byte-built by the engine's own encode_y4m /
+encode_avi_mjpeg synthesizers; the JPEG frames come from the
+independent test encoder so the container layer is exercised over a
+payload the decoder tier already pins byte-exactly."""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+import pytest
+
+sys.path.insert(0, "tests")
+
+from simple_etl_spark.llm.multimodal import (
+    decode_video_frame,
+    demux_video,
+    encode_avi_mjpeg,
+    encode_y4m,
+    video_features,
+    video_frames,
+)
+
+from tests.test_jpeg import encode_jpeg, reference_decode
+
+
+def test_y4m_mono_roundtrip():
+    frames = [bytes(range(64)), bytes([200]) * 64, bytes([5]) * 64]
+    v = demux_video(encode_y4m(8, 8, frames, (30, 1)))
+    assert (v["container"], v["width"], v["height"]) == ("y4m", 8, 8)
+    assert (v["fps_num"], v["fps_den"], v["frame_kind"]) == (30, 1, "gray")
+    assert v["frames"] == frames
+    assert decode_video_frame("gray", 8, 8, frames[0])[3] == frames[0]
+
+
+def test_y4m_yuv420_matches_jpeg_matrix():
+    """The raw-YUV frame decode must use the same BT.601 full-range
+    matrix and nearest-sample chroma upsampling as the JPEG path:
+    gray chroma (128) yields r=g=b=luma exactly."""
+    w, h = 4, 2
+    yp = bytes([0, 64, 128, 255, 10, 20, 200, 250])
+    cp = bytes([128, 128])  # 2x1 chroma plane at 4:2:0
+    hdr = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+    payload = hdr + b"FRAME\n" + yp + cp + cp
+    v = demux_video(payload)
+    assert v["frame_kind"] == "yuv420"
+    fw, fh, fc, px = decode_video_frame("yuv420", w, h, v["frames"][0])
+    assert (fw, fh, fc) == (w, h, 3)
+    assert all(px[i * 3] == px[i * 3 + 1] == px[i * 3 + 2] == yp[i]
+               for i in range(w * h))
+
+
+def test_y4m_yuv444_known_color():
+    """Full-resolution chroma: one saturated pixel through the JFIF
+    matrix (y=76, cb=84, cr=255 is ~pure red under BT.601)."""
+    hdr = b"YUV4MPEG2 W1 H1 F25:1 Ip A1:1 C444\n"
+    payload = hdr + b"FRAME\n" + bytes([76, 84, 255])
+    v = demux_video(payload)
+    _w, _h, _c, px = decode_video_frame("yuv444", 1, 1, v["frames"][0])
+    r, g, b = px
+    assert r == 254 and g < 35 and b < 10
+
+
+def test_avi_mjpeg_frames_decode_via_full_jpeg_tier():
+    w, h = 16, 8
+    pix1 = bytes((x * 7 + y * 11) % 256 for y in range(h) for x in range(w))
+    pix2 = bytes([137] * (w * h))
+    j1, b1, s1 = encode_jpeg(pix1, w, h, 1)
+    j2, b2, s2 = encode_jpeg(pix2, w, h, 1)
+    v = demux_video(encode_avi_mjpeg(w, h, [j1, j2], (15, 1)))
+    assert (v["container"], v["frame_kind"]) == ("avi", "jpeg")
+    assert (v["width"], v["height"], v["fps_num"], v["fps_den"]) == \
+        (w, h, 15, 1)
+    f1 = decode_video_frame("jpeg", w, h, v["frames"][0])
+    assert f1[3] == reference_decode(b1, s1, w, h, 1)
+
+
+def test_avi_dib_frames_decode_bottom_up_bgr():
+    """Uncompressed BI_RGB AVI: bottom-up BGR rows, 4-byte padded."""
+    w, h = 2, 2
+    # desired image top-down RGB: top = [blue, white], bottom =
+    # [red, green]; DIB stores BGR rows bottom-up, 4-byte padded
+    bgr_bottom = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"   # red, green
+    bgr_top = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"  # blue, white
+    frame = bgr_bottom + bgr_top  # bottom row stored FIRST
+    avi = bytearray(encode_avi_mjpeg(w, h, [bytes(frame)]))
+    at = bytes(avi).index(b"MJPG")  # strh handler fourcc
+    avi[at : at + 4] = b"DIB "
+    at2 = bytes(avi).index(b"MJPG")  # strf biCompression
+    avi[at2 : at2 + 4] = b"\x00\x00\x00\x00"
+    v = demux_video(bytes(avi))
+    assert v["frame_kind"] == "dib"
+    _w, _h, _c, px = decode_video_frame("dib", w, h, v["frames"][0])
+    assert px[0:6] == bytes([0, 0, 255, 255, 255, 255])  # blue, white
+    assert px[6:12] == bytes([255, 0, 0, 0, 255, 0])     # red, green
+
+
+def test_unknown_codec_and_malformed_fail_loud():
+    j, _, _ = encode_jpeg(bytes([9] * 64), 8, 8, 1)
+    avi = bytearray(encode_avi_mjpeg(8, 8, [j]))
+    for at in [i for i in range(len(avi) - 4)
+               if bytes(avi[i:i + 4]) == b"MJPG"][1:]:
+        avi[at : at + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        demux_video(bytes(avi))
+    with pytest.raises(ValueError):
+        demux_video(b"RIFF\x10\x00\x00\x00AVI LIST")
+    with pytest.raises(ValueError):
+        demux_video(b"YUV4MPEG2 W4 H2 C420jpeg\nFRAME\n\x00")
+    with pytest.raises(NotImplementedError, match="colorspace"):
+        demux_video(b"YUV4MPEG2 W4 H2 C420p10\nFRAME\n")
+    with pytest.raises(ValueError):
+        demux_video(b"\x89PNG....")
+
+
+def test_video_header_bomb_is_rejected():
+    hdr = b"YUV4MPEG2 W60000 H60000 F25:1 Cmono\n"
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        demux_video(hdr)
+
+
+def test_video_features_and_frames_spark(spark):
+    frames = [bytes([10] * 64), bytes([20] * 64), bytes([60] * 64)]
+    y4m = encode_y4m(8, 8, frames, (30, 1))
+    j, _, _ = encode_jpeg(bytes([100] * 64), 8, 8, 1)
+    avi = encode_avi_mjpeg(8, 8, [j, j], (15, 1))
+    df = spark.createDataFrame(
+        [(1, bytearray(y4m)), (2, bytearray(avi)), (3, None),
+         (4, bytearray(b"junk"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in video_features(df).collect()}
+    assert rows[1]["container"] == "y4m" and rows[1]["n_frames"] == 3
+    assert rows[1]["mean_px"] == (10 + 20 + 60) * 64 // 192
+    assert rows[2]["container"] == "avi" and rows[2]["n_frames"] == 2
+    assert rows[2]["fps_num"] == 15
+    assert rows[3]["container"] is None and rows[4]["container"] is None
+
+    fr = video_frames(df.filter("doc_id = 1"), stride=2).collect()
+    assert [r["frame_idx"] for r in fr] == [0, 2]
+    assert [r["mean_px"] for r in fr] == [10, 60]
+    with pytest.raises(ValueError, match="stride"):
+        video_frames(df, stride=0)

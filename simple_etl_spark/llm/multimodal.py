@@ -15,10 +15,13 @@ tier + dequant + float64 IDCT + YCbCr, the full T.81 sampling-factor
 range 1-4) — returning raw row-major pixels; PNG covers 8/16-bit,
 palette 1/2/4/8-bit, and Adam7 interlace; RGB-colorspace JPEG
 (Adobe APP14 transform=0 / 'R','G','B' ids) decodes natively without
-the YCbCr matrix. The variants that genuinely need a codec library
-(hierarchical/differential and arithmetic-lossless JPEG; MP3-class
-audio) raise ``NotImplementedError`` (a real deployment plugs
-PIL/libvips into the same dispatch).
+the YCbCr matrix; hierarchical JPEG (Annex J: DHP progression, EXP
+midpoint-doubling expansion, SOF5 differential sequential frames)
+decodes for Huffman (1,1)-sampled 8-bit pyramids. The variants that
+genuinely need a codec library (differential progressive/lossless
+frames, arithmetic lossless/differential, subsampled or 12-bit
+hierarchical; MP3-class audio) raise ``NotImplementedError`` (a real
+deployment plugs PIL/libvips into the same dispatch).
 :func:`decode_audio` does the same for RIFF/WAV: integer PCM
 (8/16/24-bit), IEEE-float (32/64-bit, quantized to the int16 domain),
 G.711 A-law/µ-law, IMA ADPCM, and WAVE_FORMAT_EXTENSIBLE containers. The image-graded queries use :func:`byte_features`, a
@@ -91,10 +94,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     pixels)`` with ``pixels`` row-major top-down, channels
     interleaved.
 
-    The variants that genuinely need a codec library —
-    hierarchical/differential JPEG and arithmetic lossless — raise
-    ``NotImplementedError``; the dispatch below is where a deployment
-    plugs PIL/libvips in. Malformed payloads raise ``ValueError``."""
+    The variants that genuinely need a codec library — differential
+    progressive/lossless hierarchical frames and arithmetic
+    lossless/differential — raise ``NotImplementedError``; the
+    dispatch below is where a deployment plugs PIL/libvips in.
+    Malformed payloads raise ``ValueError``."""
     if payload[:2] in (b"P6", b"P5"):
         channels = 3 if payload[:2] == b"P6" else 1
         (w, h, maxval), off = _ppm_tokens(payload, 3)
@@ -1073,6 +1077,175 @@ def _jpeg_ac_refine_block(coef, bi, br, atbl, ss, se, al, eobrun):
     return eobrun
 
 
+# -- hierarchical JPEG (DHP/EXP + SOF5 differential — T.81 Annex J) --
+
+
+def _hier_upsample(plane, w, h, eh, ev):
+    """The Annex J.1.1.3 reference-expansion filter: doubling with
+    midpoint interpolation — out[2i] = in[i], out[2i+1] =
+    (in[i] + in[i+1] + 1) >> 1, last sample replicated; horizontal
+    then vertical when both flags are set."""
+    if eh:
+        out = [0] * (2 * w * h)
+        for y in range(h):
+            src = y * w
+            dst = y * 2 * w
+            for x in range(w):
+                v = plane[src + x]
+                out[dst + 2 * x] = v
+                nxt = plane[src + x + 1] if x + 1 < w else v
+                out[dst + 2 * x + 1] = (v + nxt + 1) >> 1
+        plane, w = out, 2 * w
+    if ev:
+        out = [0] * (w * 2 * h)
+        for y in range(h):
+            src = y * w
+            dst = 2 * y * w
+            for x in range(w):
+                out[dst + x] = plane[src + x]
+        for y in range(h):
+            dst = (2 * y + 1) * w
+            src0 = 2 * y * w
+            src1 = (2 * y + 2) * w if y + 1 < h else src0
+            for x in range(w):
+                out[dst + x] = (out[src0 + x] + out[src1 + x] + 1) >> 1
+        plane, h = out, 2 * h
+    return plane, w, h
+
+
+def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
+                       restart_interval, differential):
+    """Decode one hierarchical frame's scan (sequential Huffman,
+    every component, (1,1) sampling — the supported Annex J subset)
+    into per-component w×h sample lists. Non-differential frames
+    level-shift and clamp to [0, 255]; differential frames (SOF5)
+    decode signed correction samples with NO level shift, clamped to
+    [-256, 255], and DC coded with the predictor pinned at zero
+    (differential frames carry no DPCM chain). Returns (planes,
+    next_marker_pos)."""
+    h, w, comps, prec = frame
+    if prec != 8:
+        raise NotImplementedError(f"{prec}-bit hierarchical JPEG")
+    if any((c[1], c[2]) != (1, 1) for c in comps):
+        raise NotImplementedError(
+            "hierarchical frame with subsampled components"
+        )
+    if len(scan) != len(comps):
+        raise NotImplementedError("hierarchical frame with partial scans")
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    pw = mcux * 8
+    planes = [[0] * (pw * mcuy * 8) for _ in comps]
+    scan_tables = {cs: (dc, ac) for cs, dc, ac in scan}
+    a1 = _jpeg_idct_1d()
+    br = _JpegBitReader(payload, pos)
+    preds = [0] * len(comps)
+    zig = _JPEG_ZIGZAG
+    lo_clamp = -256 if differential else 0
+    level = 0 if differential else 128
+    rst_n = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) & 7
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (cid, _hc, _vc, tq) in enumerate(comps):
+            if tq not in qt:
+                raise ValueError(f"JPEG quant table {tq} undefined")
+            tabs = scan_tables.get(cid)
+            if tabs is None:
+                raise ValueError(
+                    f"JPEG SOS references undeclared component {cid}"
+                )
+            dct, act = tabs
+            dc_tbl, ac_tbl = huff.get((0, dct)), huff.get((1, act))
+            if dc_tbl is None or ac_tbl is None:
+                raise ValueError("JPEG Huffman table undefined")
+            q = qt[tq]
+            coeffs = [0.0] * 64
+            s = br.read_huff(dc_tbl)
+            dcv = br.receive_extend(s)
+            if not differential:
+                preds[ci] += dcv
+                dcv = preds[ci]
+            coeffs[0] = dcv * q[0]
+            k = 1
+            while k < 64:
+                rs = br.read_huff(ac_tbl)
+                r, size = rs >> 4, rs & 15
+                if size == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                nat = zig[k]
+                coeffs[nat] = br.receive_extend(size) * q[nat]
+                k += 1
+            # IDCT into the int plane with the frame-kind clamp
+            pass1 = [[0.0] * 8 for _ in range(8)]
+            for x in range(8):
+                ax = a1[x]
+                row = pass1[x]
+                for u in range(8):
+                    axu = ax[u]
+                    bu = u * 8
+                    for v in range(8):
+                        c = coeffs[bu + v]
+                        if c:
+                            row[v] += axu * c
+            plane = planes[ci]
+            for x in range(8):
+                row = pass1[x]
+                orow = (my * 8 + x) * pw + mx * 8
+                for y in range(8):
+                    ay = a1[y]
+                    val = 0.0
+                    for v in range(8):
+                        pv = row[v]
+                        if pv:
+                            val += pv * ay[v]
+                    px = int(round(val)) + level
+                    if px < lo_clamp:
+                        px = lo_clamp
+                    elif px > 255:
+                        px = 255
+                    plane[orow + y] = px
+    cropped = []
+    for plane in planes:
+        if pw == w:
+            cropped.append(plane[: w * h])
+        else:
+            out = []
+            for y in range(h):
+                out.extend(plane[y * pw : y * pw + w])
+            cropped.append(out)
+    return cropped, _jpeg_scan_end(br)
+
+
+def _hier_assemble(refs, w, h, n_comps):
+    """Final hierarchical output: gray passthrough or the JFIF
+    YCbCr→RGB matrix over the full-resolution reference planes."""
+    if n_comps == 1:
+        return w, h, 1, bytes(bytearray(refs[0]))
+    yp, cbp, crp = refs
+    out = bytearray(w * h * 3)
+    for i in range(w * h):
+        yy = yp[i]
+        cb = cbp[i] - 128
+        cr = crp[i] - 128
+        r = int(round(yy + 1.402 * cr))
+        g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+        b = int(round(yy + 1.772 * cb))
+        o = i * 3
+        out[o] = 0 if r < 0 else (255 if r > 255 else r)
+        out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+        out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return w, h, 3, bytes(out)
+
+
 # -- arithmetic entropy coding (SOF9/SOF10 — T.81 Annex D QM-coder) --
 
 # Probability estimation state machine, T.81 Table D.3 (one row per
@@ -1772,6 +1945,10 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
     lossless = False
     arithmetic = False
     seq_multi = False
+    differential = False
+    hier = None        # (w, h, n_comps) from DHP — hierarchical mode
+    hier_refs = None   # per-component reference planes (int lists)
+    hier_dims = None   # current reference dims (w, h)
     # arithmetic conditioning (DAC): DC (L, U) bounds / AC Kx per
     # table id; T.81 defaults apply when no DAC segment redefines them
     dac_dc: dict[int, tuple[int, int]] = {}
@@ -1857,10 +2034,67 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 hv = data[7 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 15, data[8 + ci * 3]))
             frame = (h, w, comps, prec)
+        elif marker == 0xDE:  # DHP — hierarchical progression (B.3.2)
+            if hier is not None:
+                raise ValueError("multiple JPEG DHP segments")
+            if len(data) < 6:
+                raise ValueError("JPEG DHP segment too short")
+            dprec, dh, dw, dnc = (data[0],
+                                  *struct.unpack_from(">HH", data, 1),
+                                  data[5])
+            if dprec != 8:
+                raise NotImplementedError(f"{dprec}-bit hierarchical JPEG")
+            if dnc not in (1, 3):
+                raise NotImplementedError(f"{dnc}-component hierarchical JPEG")
+            if dw < 1 or dh < 1:
+                raise ValueError(f"bad JPEG dimensions {dw}x{dh}")
+            if dw * dh > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"JPEG DHP declares {dw * dh} pixels > MAX_DECODE_PIXELS"
+                )
+            hier = (dw, dh, dnc)
+        elif marker == 0xDF:  # EXP — expand reference (B.3.3)
+            if hier is None or hier_refs is None:
+                raise ValueError("JPEG EXP outside a hierarchical sequence")
+            if len(data) < 1:
+                raise ValueError("JPEG EXP segment too short")
+            eh, ev = data[0] >> 4, data[0] & 15
+            if eh > 1 or ev > 1:
+                raise ValueError(f"JPEG EXP flags {eh}/{ev} must be 0 or 1")
+            cw, ch2 = hier_dims
+            new_refs = []
+            for plane in hier_refs:
+                plane, nw, nh = _hier_upsample(plane, cw, ch2, eh, ev)
+                new_refs.append(plane)
+            hier_refs = new_refs
+            hier_dims = (nw, nh)
+        elif marker == 0xC5 and hier is not None:
+            # differential sequential frame (Annex J): legal only
+            # after a non-differential first frame
+            if hier_refs is None:
+                raise ValueError(
+                    "JPEG differential frame before any reference frame"
+                )
+            if frame is not None:
+                raise ValueError("JPEG frame header inside another frame")
+            if len(data) < 6:
+                raise ValueError("JPEG SOF segment too short")
+            prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF component list truncated")
+            comps = []
+            for ci in range(nc):
+                cid = data[6 + ci * 3]
+                hv = data[7 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 15, data[8 + ci * 3]))
+            frame = (h, w, comps, prec)
+            differential = True
         elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG frame (SOF marker 0x{marker:02x}: "
-                "hierarchical/differential or arithmetic lossless)"
+                "differential progressive/lossless or arithmetic "
+                "lossless/differential — only Huffman sequential "
+                "hierarchical pyramids decode here)"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             i = 0
@@ -1924,6 +2158,56 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                     payload, pos, frame, scan, ss, al, huff,
                     restart_interval, adobe_transform,
                 )
+            if hier is not None:
+                if progressive or arithmetic:
+                    raise NotImplementedError(
+                        "hierarchical frames decode here only as "
+                        "Huffman sequential"
+                    )
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF")
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "sequential JPEG scan header must carry "
+                        f"Ss=0 Se=63 Ah=Al=0, got ({ss},{se},{ah},{al})"
+                    )
+                planes, pos = _hier_frame_planes(
+                    payload, pos, frame, scan, huff, qt,
+                    restart_interval, differential,
+                )
+                fh, fw = frame[0], frame[1]
+                if len(planes) != hier[2]:
+                    raise NotImplementedError(
+                        "hierarchical frame with partial components"
+                    )
+                if hier_refs is None:
+                    if differential:
+                        raise ValueError(
+                            "JPEG differential frame before any "
+                            "reference frame"
+                        )
+                    hier_refs = planes
+                    hier_dims = (fw, fh)
+                else:
+                    if not differential:
+                        raise ValueError(
+                            "non-differential JPEG frame after the "
+                            "first hierarchical frame"
+                        )
+                    if (fw, fh) != hier_dims:
+                        raise ValueError(
+                            f"differential frame {fw}x{fh} does not "
+                            f"match the (expanded) reference "
+                            f"{hier_dims[0]}x{hier_dims[1]}"
+                        )
+                    for ref, diffp in zip(hier_refs, planes):
+                        for i in range(len(ref)):
+                            v = ref[i] + diffp[i]
+                            ref[i] = 0 if v < 0 else (255 if v > 255 else v)
+                frame = None
+                differential = False
+                scan = None
+                continue
             if not progressive:
                 if (ss, se, ah, al) != (0, 63, 0, 0):
                     raise ValueError(
@@ -1975,6 +2259,15 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             scan = None
             continue
         pos += seglen
+    if hier is not None:
+        if hier_refs is None:
+            raise ValueError("hierarchical JPEG contains no frame")
+        if hier_dims != (hier[0], hier[1]):
+            raise ValueError(
+                f"hierarchical output {hier_dims[0]}x{hier_dims[1]} "
+                f"does not reach the DHP dimensions {hier[0]}x{hier[1]}"
+            )
+        return _hier_assemble(hier_refs, hier[0], hier[1], hier[2])
     if seq_multi:
         # unlike progressive (where partial scan scripts are
         # spec-legal), a sequential component missing from every scan

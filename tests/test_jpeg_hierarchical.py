@@ -1,0 +1,280 @@
+"""Hierarchical JPEG (T.81 Annex J subset): DHP progression, a
+non-differential Huffman-sequential base frame, EXP reference
+expansion (the J.1.1.3 midpoint-doubling filter), and SOF5
+differential frames whose decoded corrections add onto the expanded
+reference.
+
+Oracle: the NumPy mirror of the documented algorithm — dequantize +
+matrix-IDCT the base frame, clamp, expand with the same filter,
+dequantize + IDCT the differential coefficients WITHOUT level shift
+(clamp [-256, 255], zero DC prediction), add, clamp — computed from
+the encoder's quantized coefficient blocks without touching the
+bitstream, so encoder/decoder bitstream bugs cannot cancel."""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tests")
+
+from simple_etl_spark.llm.multimodal import _JPEG_ZIGZAG, decode_image
+
+from tests.test_jpeg import (
+    AC_LUM,
+    DC_LUM,
+    QL,
+    _BitWriter,
+    _bits_of,
+    _category,
+    _D,
+    _enc_huff,
+    dht_payload,
+    dqt_payload,
+    seg,
+)
+
+
+def _quantize(plane, q, level):
+    """FDCT + quantize one full plane (h×w numpy) into per-block
+    int64 coefficient dicts; ``level`` subtracted first (128 for the
+    base frame, 0 for differential frames)."""
+    h, w = plane.shape
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    pad = np.empty((mcuy * 8, mcux * 8))
+    pad[:h, :w] = plane
+    pad[h:, :w] = pad[h - 1 : h, :w]
+    pad[:, w:] = pad[:, w - 1 : w][:, :1] * 0 + pad[:, w - 1 : w]
+    qm = np.array(q).reshape(8, 8)
+    blocks = {}
+    for by in range(mcuy):
+        for bx in range(mcux):
+            blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - level
+            f = _D @ blk @ _D.T
+            blocks[(by, bx)] = np.round(f / qm).astype(np.int64)
+    return blocks, mcux, mcuy
+
+
+def _idct_plane(blocks, q, w, h, level, lo):
+    """Oracle reconstruction: dequant → IDCT → +level → clamp
+    [lo, 255] → crop to w×h (int array)."""
+    qm = np.array(q).reshape(8, 8)
+    mcux = max(k[1] for k in blocks) + 1
+    mcuy = max(k[0] for k in blocks) + 1
+    out = np.zeros((mcuy * 8, mcux * 8), dtype=np.int64)
+    for (by, bx), blk in blocks.items():
+        f = blk.astype(np.float64) * qm
+        s = _D.T @ f @ _D
+        px = np.clip(np.round(s).astype(np.int64) + level, lo, 255)
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return out[:h, :w]
+
+
+def _expand(plane):
+    """NumPy mirror of the J.1.1.3 doubling filter (both axes)."""
+    h, w = plane.shape
+    hx = np.zeros((h, 2 * w), dtype=np.int64)
+    hx[:, 0::2] = plane
+    nxt = np.concatenate([plane[:, 1:], plane[:, -1:]], axis=1)
+    hx[:, 1::2] = (plane + nxt + 1) >> 1
+    vx = np.zeros((2 * h, 2 * w), dtype=np.int64)
+    vx[0::2, :] = hx
+    nxt = np.concatenate([hx[1:, :], hx[-1:, :]], axis=0)
+    vx[1::2, :] = (hx + nxt + 1) >> 1
+    return vx
+
+
+def _entropy(frames_blocks, mcux, mcuy, n_comps, differential,
+             restart=0):
+    """Huffman-encode one frame's interleaved (1,1) blocks; DC carries
+    DPCM in non-differential frames and is coded directly (predictor
+    pinned 0) in differential ones."""
+    dt, at = _enc_huff(*DC_LUM), _enc_huff(*AC_LUM)
+    bw = _BitWriter()
+    parts = []
+    preds = [0] * n_comps
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            bw.pad()
+            parts.append(bytes(bw.out))
+            parts.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) & 7
+            bw = _BitWriter()
+            preds = [0] * n_comps
+        my, mx = divmod(m, mcux)
+        for ci in range(n_comps):
+            zz = [int(v) for v in
+                  frames_blocks[ci][(my, mx)].flatten()[_JPEG_ZIGZAG]]
+            if differential:
+                dcv = zz[0]
+            else:
+                dcv = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+            s = _category(dcv)
+            bw.put(*dt[s])
+            if s:
+                bw.put(_bits_of(dcv, s), s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*at[0xF0])
+                    run -= 16
+                s = _category(v)
+                bw.put(*at[(run << 4) | s])
+                bw.put(_bits_of(v, s), s)
+                run = 0
+            if last_nz < 63:
+                bw.put(*at[0x00])
+    bw.pad()
+    parts.append(bytes(bw.out))
+    return b"".join(parts)
+
+
+def _sof(marker, w, h, n_comps, prec=8):
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([n_comps])
+    for ci in range(n_comps):
+        sof += bytes([ci + 1, 0x11, 0])
+    return seg(marker, sof)
+
+
+def _sos(n_comps):
+    s = bytes([n_comps])
+    for ci in range(n_comps):
+        s += bytes([ci + 1, 0x00])
+    return seg(0xDA, s + bytes([0, 63, 0]))
+
+
+def encode_hierarchical(planes_full, w, h, restart=0):
+    """Two-level pyramid: base frame at (w//2, h//2), EXP, one SOF5
+    differential frame at (w, h). ``planes_full`` is a list of h×w
+    numpy arrays (1 = gray, 3 = YCbCr). Returns (jpeg_bytes,
+    oracle_pixels) with the oracle computed coefficient-domain."""
+    n = len(planes_full)
+    w0, h0 = w // 2, h // 2
+    out = bytearray(b"\xff\xd8")
+    out += _sof(0xDE, w, h, n)  # DHP
+    out += seg(0xDB, dqt_payload(0, QL))
+    out += seg(0xC4, dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+
+    base_blocks = []
+    refs = []
+    for p in planes_full:
+        small = np.round(
+            p.reshape(h0, 2, w0, 2).mean(axis=(1, 3))
+        ).astype(np.int64)
+        blocks, mcux0, mcuy0 = _quantize(small.astype(np.float64), QL, 128)
+        base_blocks.append(blocks)
+        refs.append(_idct_plane(blocks, QL, w0, h0, 128, 0))
+    out += _sof(0xC0, w0, h0, n)
+    out += _sos(n)
+    out += _entropy(base_blocks, mcux0, mcuy0, n, False, restart)
+
+    out += seg(0xDF, bytes([0x11]))  # EXP: double both axes
+    expanded = [_expand(r) for r in refs]
+
+    diff_blocks = []
+    finals = []
+    for p, ex in zip(planes_full, expanded):
+        diff = p.astype(np.int64) - ex
+        blocks, mcux1, mcuy1 = _quantize(diff.astype(np.float64), QL, 0)
+        diff_blocks.append(blocks)
+        dec_diff = _idct_plane(blocks, QL, w, h, 0, -256)
+        finals.append(np.clip(ex + dec_diff, 0, 255))
+    out += _sof(0xC5, w, h, n)
+    out += _sos(n)
+    out += _entropy(diff_blocks, mcux1, mcuy1, n, True, restart)
+    out += b"\xff\xd9"
+
+    if n == 1:
+        oracle = finals[0].astype(np.uint8).tobytes()
+    else:
+        yp, cbp, crp = [f.astype(np.float64) for f in finals]
+        r = np.round(yp + 1.402 * (crp - 128))
+        g = np.round(yp - 0.344136 * (cbp - 128) - 0.714136 * (crp - 128))
+        b = np.round(yp + 1.772 * (cbp - 128))
+        rgb = np.stack(
+            [np.clip(c, 0, 255) for c in (r, g, b)], axis=-1
+        ).astype(np.uint8)
+        oracle = rgb.tobytes()
+    return bytes(out), oracle
+
+
+def _gray_plane(w, h, seed=3):
+    return np.array(
+        [[(x * 13 + y * 7 + seed * 11) % 256 for x in range(w)]
+         for y in range(h)], dtype=np.int64
+    )
+
+
+def test_two_level_gray_pyramid_matches_oracle():
+    w, h = 32, 16
+    jpg, oracle = encode_hierarchical([_gray_plane(w, h)], w, h)
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 1)
+    assert got == oracle
+
+
+def test_two_level_ycbcr_pyramid_matches_oracle():
+    w, h = 16, 16
+    planes = [_gray_plane(w, h, s) for s in (1, 5, 9)]
+    jpg, oracle = encode_hierarchical(planes, w, h)
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert got == oracle
+
+
+def test_hierarchical_with_restarts():
+    w, h = 48, 16
+    jpg, oracle = encode_hierarchical([_gray_plane(w, h)], w, h,
+                                      restart=2)
+    assert decode_image(jpg)[3] == oracle
+
+
+def test_expansion_filter_is_midpoint_doubling():
+    """Pin the J.1.1.3 filter directly: out[2i]=in[i], out[2i+1]=
+    (in[i]+in[i+1]+1)>>1, edge-replicated."""
+    from simple_etl_spark.llm.multimodal import _hier_upsample
+
+    plane, w, h = _hier_upsample([10, 20, 30, 40], 2, 2, 1, 1)
+    assert (w, h) == (4, 4)
+    assert plane[0:4] == [10, 15, 20, 20]          # row 0: 10,20 doubled
+    assert plane[8:12] == [30, 35, 40, 40]         # row 2: 30,40 doubled
+    assert plane[4:8] == [20, 25, 30, 30]          # interpolated row
+    assert plane[12:16] == plane[8:12]             # edge-replicated row
+
+
+def test_hierarchical_error_paths():
+    w, h = 16, 16
+    jpg, _ = encode_hierarchical([_gray_plane(w, h)], w, h)
+    # differential frame without a reference: strip the base frame's
+    # SOF0+SOS+entropy (from SOF0 to the EXP marker)
+    at0 = jpg.index(b"\xff\xc0")
+    atx = jpg.index(b"\xff\xdf")
+    with pytest.raises(ValueError,
+                       match="reference|hierarchical sequence"):
+        decode_image(jpg[:at0] + jpg[atx:])
+    # truncated pyramid: stop before the EXP — the half-resolution
+    # reference never reaches the DHP dims
+    atx2 = jpg.index(b"\xff\xdf")
+    with pytest.raises(ValueError, match="DHP"):
+        decode_image(jpg[:atx2] + b"\xff\xd9")
+    # EXP before any frame
+    hdr_end = jpg.index(b"\xff\xdb")
+    with pytest.raises(ValueError, match="EXP"):
+        decode_image(jpg[:hdr_end] + b"\xff\xdf\x00\x03\x11"
+                     + jpg[hdr_end:])
+    # differential progressive stays gated
+    bad = jpg.replace(b"\xff\xc5", b"\xff\xc6", 1)
+    with pytest.raises(NotImplementedError):
+        decode_image(bad)

@@ -4886,3 +4886,77 @@ def llm_video_features(cat: Catalog) -> DataFrame:
 
     vid_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
     return video_features(vid_df).orderBy("doc_id")
+
+
+@query(
+    "llm_flac_features",
+    # the FLAC payload is SYNTHESIZED deterministically from each
+    # doc's characters (sample = min(codepoint,255) - 128, 16-bit mono
+    # 16 kHz verbatim frames), and FLAC is LOSSLESS, so the oracle
+    # recomputes the decoded features straight from the text — the
+    # FLAC twin of llm_audio_features, driving the real frame parser,
+    # CRC verification, and STREAMINFO-MD5 check on every row. The
+    # c <> '' filter kills DuckDB's phantom empty-split element.
+    oracle=r"""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        FROM documents
+    ),
+    vals AS (
+        SELECT doc_id, least(ascii(c), 255) - 128 AS v
+        FROM chars WHERE c <> ''
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n,
+               max(abs(v)) AS peak_abs,
+               sum(abs(v)) // count(*) AS mean_abs
+        FROM vals GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(coalesce(agg.n, 0) AS BIGINT) AS n_frames,
+           CAST(coalesce(agg.n, 0) * 1000 // 16000 AS BIGINT)
+               AS duration_ms,
+           CAST(coalesce(agg.peak_abs, 0) AS BIGINT) AS peak_abs,
+           CAST(coalesce(agg.mean_abs, 0) AS BIGINT) AS mean_abs
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+    """,
+    survey="LLM multimodal: lossless-audio tier — synthesized FLAC "
+    "payloads through the real frame/CRC/MD5-verifying decoder to "
+    "integer-exact amplitude features (speech-corpus format)",
+)
+def llm_flac_features(cat: Catalog) -> DataFrame:
+    """Drive the REAL FLAC path end-to-end on the driver's corpus:
+    each document's characters become 16-bit samples in a genuine
+    FLAC stream (encode_flac_verbatim: frame sync, CRC-8/16,
+    STREAMINFO MD5), and audio_features decodes them back through the
+    native FLAC decoder. Lossless + deterministic synthesis means
+    DuckDB verifies the whole decode+aggregate pipeline from the text
+    column alone."""
+    import pandas as pd
+
+    from simple_etl_spark.llm.multimodal import (
+        audio_features,
+        encode_flac_verbatim,
+    )
+
+    docs = cat["documents"].select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                samples = (
+                    [] if text is None
+                    else [min(ord(c), 255) - 128 for c in text]
+                )
+                payloads.append(encode_flac_verbatim(samples, 16000, 16))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    flac_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return audio_features(flac_df).orderBy("doc_id")

@@ -3031,6 +3031,92 @@ _G711_ULAW = _g711_mulaw_table()
 _G711_ALAW = _g711_alaw_table()
 
 
+def encode_flac_verbatim(
+    samples, rate: int, bps: int = 16, block_size: int = 4096
+) -> bytes:
+    """Minimal spec-valid mono FLAC synthesis (verbatim subframes, one
+    per frame, STREAMINFO MD5 included) — the FLAC twin of
+    :func:`encode_wav`, used to drive the real FLAC decoder from
+    deterministic text-derived samples. Verbatim trades compression
+    for simplicity; every structural element the decoder checks
+    (frame sync, CRC-8/16, UTF-8 frame numbers, STREAMINFO totals and
+    MD5) is real."""
+    import hashlib
+    import struct
+
+    if rate < 1 or not 4 <= bps <= 32:
+        raise ValueError(f"bad FLAC layout: {bps}-bit @ {rate}Hz")
+    lim = 1 << (bps - 1)
+    for v in samples:
+        if not -lim <= v < lim:
+            raise ValueError(f"sample {v} outside {bps}-bit range")
+    n = len(samples)
+    width = (bps + 7) // 8
+    pcm = b"".join(
+        (v & ((1 << bps) - 1)).to_bytes(width, "little") for v in samples
+    ) if bps % 8 == 0 else b""
+    digest = hashlib.md5(pcm).digest() if bps % 8 == 0 else b"\x00" * 16
+    si = struct.pack(">HH", min(block_size, max(n, 16)),
+                     min(block_size, max(n, 16)))
+    si += b"\x00\x00\x00" * 2
+    si += (((rate << 44) | (0 << 41) | ((bps - 1) << 36) | n)
+           .to_bytes(8, "big"))
+    si += digest
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    def utf8_num(num: int) -> bytes:
+        if num < 0x80:
+            return bytes([num])
+        nbytes = 2
+        while num.bit_length() > 6 * (nbytes - 1) + (7 - nbytes):
+            nbytes += 1
+        first = ((0xFF << (8 - nbytes)) & 0xFF) | (num >> (6 * (nbytes - 1)))
+        rest = [0x80 | ((num >> (6 * i)) & 0x3F)
+                for i in range(nbytes - 2, -1, -1)]
+        return bytes([first, *rest])
+
+    at = 0
+    fno = 0
+    while at < n:
+        bs = min(block_size, n - at)
+        bits = bytearray()
+        acc = nb = 0
+
+        def put(v, k):
+            nonlocal acc, nb
+            acc = (acc << k) | (v & ((1 << k) - 1))
+            nb += k
+            while nb >= 8:
+                nb -= 8
+                bits.append((acc >> nb) & 0xFF)
+            acc &= (1 << nb) - 1
+
+        put(0x3FFE, 14)
+        put(0, 2)
+        put(7, 4)          # 16-bit block-size-1 follows the number
+        put(0, 4)          # rate from STREAMINFO
+        put(0, 4)          # 1 channel, independent
+        put({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}.get(bps, 0), 3)
+        put(0, 1)
+        for b in utf8_num(fno):
+            put(b, 8)
+        put(bs - 1, 16)
+        put(_flac_crc8(bytes(bits)), 8)
+        put(0, 1)          # subframe pad
+        put(1, 6)          # verbatim
+        put(0, 1)          # no wasted bits
+        for v in samples[at : at + bs]:
+            put(v, bps)
+        if nb:
+            put(0, 8 - nb)
+        body = bytes(bits)
+        out += body + struct.pack(">H", _flac_crc16(body))
+        at += bs
+        fno += 1
+    return bytes(out)
+
+
 def encode_wav(
     samples: list[int], rate: int, channels: int = 1, bits: int = 8
 ) -> bytes:

@@ -2406,22 +2406,36 @@ class _FlacBits:
         # drop any partial bits (they must be zero padding)
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top \
+                else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_FLAC_CRC8_TAB = _crc_table(0x07, 8)
+_FLAC_CRC16_TAB = _crc_table(0x8005, 16)
+
+
 def _flac_crc8(buf) -> int:
     crc = 0
+    tab = _FLAC_CRC8_TAB
     for b in buf:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tab[crc ^ b]
     return crc
 
 
 def _flac_crc16(buf) -> int:
     crc = 0
+    tab = _FLAC_CRC16_TAB
     for b in buf:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ b]
     return crc
 
 

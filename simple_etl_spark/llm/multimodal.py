@@ -3424,10 +3424,13 @@ def sample_frames(
     as ``mapInPandas`` so the fan-out happens inside the executor,
     per Arrow batch, never on the driver.
 
-    A real deployment swaps the byte-chunking for a container demuxer
-    (pyav/ffmpeg on executors) with this exact signature and output
-    schema; frames travel onward as rows, so downstream decode /
-    feature-extract stages parallelize per frame, not per video."""
+    For real containers use :func:`video_frames`, which demuxes
+    MJPEG/DIB AVI and Y4M natively (r12) with the same fan-out shape;
+    this byte-chunking variant remains for arbitrary opaque payloads
+    (a deployment can also swap in pyav/ffmpeg on executors with this
+    exact signature). Frames travel onward as rows, so downstream
+    decode / feature-extract stages parallelize per frame, not per
+    video."""
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -13,7 +13,9 @@ sequential, SOF2 progressive, AND SOF9/SOF10 arithmetic-coded via a
 T.81 Annex D QM-coder: canonical Huffman or adaptive-binary entropy
 tier + dequant + float64 IDCT + YCbCr, the full T.81 sampling-factor
 range 1-4) — returning raw row-major pixels; PNG covers 8/16-bit,
-palette 1/2/4/8-bit, and Adam7 interlace; RGB-colorspace JPEG
+palette 1/2/4/8-bit, and Adam7 interlace; GIF87a/89a (LZW,
+interlace, transparency, animation disposal — animated GIFs also
+demux through the video tier); RGB-colorspace JPEG
 (Adobe APP14 transform=0 / 'R','G','B' ids) decodes natively without
 the YCbCr matrix; hierarchical JPEG (Annex J: DHP progression, EXP
 midpoint-doubling expansion, SOF5 differential sequential frames)
@@ -168,6 +170,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return _decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return _decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, frames, _delays = _decode_gif_frames(payload)
+        return w, h, 3, frames[0]
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")
 
 
@@ -3449,6 +3454,210 @@ def sample_frames(
     return binary_df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
+# -- GIF (web-corpus images/animations — LZW, 87a/89a) ----------------
+
+
+def _gif_lzw(data: bytes, min_code: int, expected: int) -> bytearray:
+    """GIF LZW decompression: variable 3-12 bit codes packed
+    LSB-first, CLEAR resets the dictionary, EOI ends the stream; a
+    code equal to the next free index is the classic KwKwK case.
+    Stops after ``expected`` indices (trailing bits are padding)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW first code out of range")
+            seq = table[code]
+        elif code < len(table):
+            seq = table[code]
+            table.append(prev + seq[:1])
+        elif code == len(table):
+            seq = prev + prev[:1]
+            table.append(seq)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += seq
+        prev = seq
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError(
+            f"GIF LZW produced {len(out)} of {expected} pixels"
+        )
+    return out[:expected]
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif_frames(payload: bytes):
+    """Decode every frame of a GIF87a/89a: global/local color tables,
+    interlacing, transparency, and the 89a disposal methods (none /
+    keep, restore-to-background, restore-to-previous), composing each
+    frame onto the logical-screen canvas. Returns ``(w, h,
+    frames, delays_cs)`` with frames as full-canvas RGB bytes and
+    per-frame delays in centiseconds."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF payload: {payload[:6]!r}")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if w < 1 or h < 1:
+        raise ValueError(f"bad GIF dimensions {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"GIF declares {w * h} pixels > MAX_DECODE_PIXELS"
+        )
+    packed, bg = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+
+    def bg_rgb():
+        if gct is not None and 3 * bg + 3 <= len(gct):
+            return gct[3 * bg : 3 * bg + 3]
+        return b"\x00\x00\x00"
+
+    canvas = bytearray(bg_rgb() * (w * h))
+    frames: list[bytes] = []
+    delays: list[int] = []
+    transparent = None
+    disposal = 0
+    delay = 0
+    total_px = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("GIF extension truncated")
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                blen = payload[pos]
+                if blen >= 4:
+                    flags = payload[pos + 1]
+                    (delay,) = struct.unpack_from("<H", payload, pos + 2)
+                    disposal = (flags >> 2) & 7
+                    transparent = payload[pos + 4] if flags & 1 else None
+            # skip sub-blocks (any extension)
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF extension sub-blocks truncated")
+                blen = payload[pos]
+                pos += 1 + blen
+                if blen == 0:
+                    break
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF unknown block 0x{b0:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("GIF image descriptor truncated")
+        ix, iy, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        if ix + iw > w or iy + ih > h or iw < 1 or ih < 1:
+            raise ValueError("GIF frame exceeds the logical screen")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            ct = payload[pos : pos + 3 * n]
+            if len(ct) != 3 * n:
+                raise ValueError("GIF local color table truncated")
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        if pos >= len(payload):
+            raise ValueError("GIF image data truncated")
+        min_code = payload[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"GIF LZW minimum code size {min_code}")
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF image sub-blocks truncated")
+            blen = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + blen]
+            pos += 1 + blen
+            if blen == 0:
+                break
+        idx = _gif_lzw(bytes(lzw), min_code, iw * ih)
+        if ipacked & 0x40:  # interlaced: remap rows
+            rows = []
+            for start, step in _GIF_INTERLACE:
+                rows.extend(range(start, ih, step))
+            de = bytearray(iw * ih)
+            for src, dst in enumerate(rows):
+                de[dst * iw : (dst + 1) * iw] = \
+                    idx[src * iw : (src + 1) * iw]
+            idx = de
+        saved = bytes(canvas) if disposal == 3 else None
+        nct = len(ct) // 3
+        for yy in range(ih):
+            crow = ((iy + yy) * w + ix) * 3
+            irow = yy * iw
+            for xx in range(iw):
+                v = idx[irow + xx]
+                if v == transparent:
+                    continue
+                if v >= nct:
+                    raise ValueError("GIF pixel index outside color table")
+                o = crow + xx * 3
+                canvas[o : o + 3] = ct[3 * v : 3 * v + 3]
+        frames.append(bytes(canvas))
+        delays.append(delay)
+        total_px += w * h
+        if total_px > MAX_DECODE_PIXELS:
+            raise ValueError("GIF frames exceed MAX_DECODE_PIXELS")
+        if disposal == 2:  # restore to background
+            bgc = bg_rgb()
+            for yy in range(ih):
+                crow = ((iy + yy) * w + ix) * 3
+                for xx in range(iw):
+                    o = crow + xx * 3
+                    canvas[o : o + 3] = bgc
+        elif disposal == 3 and saved is not None:
+            canvas = bytearray(saved)
+        transparent = None
+        disposal = 0
+        delay = 0
+    if not frames:
+        raise ValueError("GIF contains no image")
+    return w, h, frames, delays
+
+
 # -- video containers (stdlib demux: MJPEG/DIB AVI + YUV4MPEG2) -------
 
 _Y4M_COLORSPACES = {
@@ -3527,6 +3736,14 @@ def demux_video(payload: bytes) -> dict:
                 "fps_num": fps_num, "fps_den": fps_den,
                 "frame_kind": kind, "frames": frames}
 
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF is a video-like source: full-canvas composed
+        # RGB frames, fps from the first nonzero centisecond delay
+        w, h, frames, delays = _decode_gif_frames(payload)
+        d = next((d for d in delays if d), 10)
+        return {"container": "gif", "width": w, "height": h,
+                "fps_num": 100, "fps_den": d,
+                "frame_kind": "rgb", "frames": frames}
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError(f"not a video container: {payload[:4]!r}")
 
@@ -3607,6 +3824,10 @@ def decode_video_frame(kind: str, w: int, h: int,
     the BT.601 full-range (JFIF) matrix."""
     if kind == "jpeg":
         return _decode_jpeg(data)
+    if kind == "rgb":
+        if len(data) != w * h * 3:
+            raise ValueError("RGB frame size mismatch")
+        return w, h, 3, bytes(data)
     if kind == "dib":
         stride = (w * 3 + 3) & ~3
         if len(data) < stride * h:

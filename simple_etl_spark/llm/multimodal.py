@@ -15,7 +15,9 @@ tier + dequant + float64 IDCT + YCbCr, the full T.81 sampling-factor
 range 1-4) — returning raw row-major pixels; PNG covers 8/16-bit,
 palette 1/2/4/8-bit, and Adam7 interlace; GIF87a/89a (LZW,
 interlace, transparency, animation disposal — animated GIFs also
-demux through the video tier); RGB-colorspace JPEG
+demux through the video tier); baseline TIFF (II/MM strips:
+uncompressed, PackBits, TIFF-LZW with early change; gray/RGB/palette
+— the scanned-document corpus format); RGB-colorspace JPEG
 (Adobe APP14 transform=0 / 'R','G','B' ids) decodes natively without
 the YCbCr matrix; hierarchical JPEG (Annex J: DHP progression, EXP
 midpoint-doubling expansion, SOF5 differential sequential frames)
@@ -173,6 +175,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h, frames, _delays = _decode_gif_frames(payload)
         return w, h, 3, frames[0]
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")
 
 
@@ -3452,6 +3456,206 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+# -- TIFF (scanned-document corpora — strips; none/PackBits/LZW) ------
+
+
+def _tiff_packbits(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ValueError("TIFF PackBits stream truncated")
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            chunk = data[pos : pos + n + 1]
+            if len(chunk) != n + 1:
+                raise ValueError("TIFF PackBits literal truncated")
+            out += chunk
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise ValueError("TIFF PackBits run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def _tiff_lzw(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (spec §13): 8-bit symbols, codes packed
+    MSB-first, CLEAR=256/EOI=257, and the *early-change* convention —
+    the code width bumps when the next entry index reaches
+    2^width − 1 (one code earlier than GIF)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("TIFF LZW first code out of range")
+            seq = table[code]
+        elif code < len(table):
+            seq = table[code]
+            table.append(prev + seq[:1])
+        elif code == len(table):
+            seq = prev + prev[:1]
+            table.append(seq)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += seq
+        prev = seq
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError(f"TIFF LZW produced {len(out)} of {expected}")
+    return bytes(out[:expected])
+
+
+def _decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline TIFF (the scanned-document corpus format): II/MM byte
+    orders, first-IFD walk, strip organization, Compression 1 (none),
+    32773 (PackBits), and 5 (TIFF LZW with early change); 8-bit
+    grayscale (both photometric polarities), 8-bit RGB, and palette
+    images (16-bit ColorMap scaled to 8). Tiled, multi-IFD, JPEG-in-
+    TIFF, CCITT fax, and non-8-bit depths raise loudly."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        end = "<"
+    elif payload[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        raise ValueError(f"not a TIFF payload: {payload[:4]!r}")
+    (ifd_off,) = struct.unpack_from(end + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_entries,) = struct.unpack_from(end + "H", payload, ifd_off)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        if at + 12 > len(payload):
+            raise ValueError("TIFF IFD truncated")
+        tag, typ = struct.unpack_from(end + "HH", payload, at)
+        (cnt,) = struct.unpack_from(end + "I", payload, at + 4)
+        tags[tag] = (typ, cnt, at + 8)
+
+    def values(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, vat = tags[tag]
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            raise ValueError(f"TIFF tag {tag} has unsupported type {typ}")
+        total = size * cnt
+        at = vat
+        if total > 4:
+            (at,) = struct.unpack_from(end + "I", payload, vat)
+        if at + total > len(payload):
+            raise ValueError(f"TIFF tag {tag} data out of range")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(struct.unpack_from(end + fmt * cnt, payload, at))
+
+    def one(tag, default=None):
+        v = values(tag)
+        return v[0] if v else default
+
+    w = one(256)
+    h = one(257)
+    if not w or not h:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"TIFF declares {w * h} pixels > MAX_DECODE_PIXELS"
+        )
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = values(258, [8] * spp)
+    if any(b != 8 for b in bits) or len(bits) != spp:
+        raise NotImplementedError(
+            f"TIFF BitsPerSample {bits} (only 8-bit strips decode here)"
+        )
+    if photo is None:
+        raise ValueError("TIFF missing PhotometricInterpretation")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF requires a codec")
+    offs = values(273)
+    counts = values(279)
+    if not offs or not counts or len(offs) != len(counts):
+        raise ValueError("TIFF strip offsets/counts missing or mismatched")
+    rps = one(278, h)
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offs, counts)):
+        strip = payload[so : so + sc]
+        if len(strip) != sc:
+            raise ValueError("TIFF strip out of range")
+        rows = min(rps, h - si * rps)
+        expected = rows * w * spp
+        if comp == 1:
+            if len(strip) < expected:
+                raise ValueError("TIFF uncompressed strip short")
+            raw += strip[:expected]
+        elif comp == 32773:
+            raw += _tiff_packbits(strip, expected)
+        elif comp == 5:
+            raw += _tiff_lzw(strip, expected)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {comp} requires a codec"
+            )
+    if len(raw) != w * h * spp:
+        raise ValueError("TIFF strips do not cover the image")
+    if photo == 2:
+        if spp < 3:
+            raise ValueError("TIFF RGB with fewer than 3 samples")
+        if spp == 3:
+            return w, h, 3, bytes(raw)
+        out = bytearray(w * h * 3)  # drop extra samples (alpha)
+        for i in range(w * h):
+            out[i * 3 : i * 3 + 3] = raw[i * spp : i * spp + 3]
+        return w, h, 3, bytes(out)
+    if photo in (0, 1):
+        if spp != 1:
+            raise NotImplementedError("TIFF multi-sample grayscale")
+        if photo == 0:  # WhiteIsZero: invert into the usual polarity
+            raw = bytearray(255 - v for v in raw)
+        return w, h, 1, bytes(raw)
+    if photo == 3:
+        cmap = values(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("TIFF palette ColorMap missing or mis-sized")
+        out = bytearray(w * h * 3)
+        for i, v in enumerate(raw):
+            o = i * 3
+            # ColorMap entries are 16-bit; scale by the 16-bit rule
+            out[o] = (cmap[v] * 255 + 32767) // 65535
+            out[o + 1] = (cmap[256 + v] * 255 + 32767) // 65535
+            out[o + 2] = (cmap[512 + v] * 255 + 32767) // 65535
+        return w, h, 3, bytes(out)
+    raise NotImplementedError(f"TIFF photometric {photo}")
 
 
 # -- GIF (web-corpus images/animations — LZW, 87a/89a) ----------------

@@ -30,7 +30,8 @@ deployment plugs PIL/libvips into the same dispatch).
 (8/16/24-bit), IEEE-float (32/64-bit, quantized to the int16 domain),
 native FLAC (the lossless speech-corpus format — constant/verbatim/
 fixed/LPC subframes, Rice partitions, stereo decorrelation, CRC and
-STREAMINFO-MD5 verification),
+STREAMINFO-MD5 verification), AIFF/AIFC (big-endian PCM incl. signed
+8-bit and 'sowt', 80-bit-extended sample rates),
 G.711 A-law/µ-law, IMA ADPCM, and WAVE_FORMAT_EXTENSIBLE containers. The image-graded queries use :func:`byte_features`, a
 deterministic extractor with the same batch shape, so their grading
 never depends on payload format; the audio tier is graded end-to-end
@@ -2371,6 +2372,96 @@ def byte_features(payload: bytes) -> tuple[int, int]:
     return len(payload), (payload[0] if payload else -1)
 
 
+# -- AIFF/AIFC (big-endian PCM — Apple-ecosystem corpora) -------------
+
+
+def _aiff_ext80(b: bytes) -> int:
+    """IEEE 754 80-bit extended float → nearest int (AIFF sample
+    rates are small integers): sign/15-bit exponent (bias 16383),
+    64-bit mantissa with an explicit integer bit."""
+    if len(b) != 10:
+        raise ValueError("AIFF sample rate field must be 10 bytes")
+    se = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:], "big")
+    if mant == 0:
+        return 0
+    exp = (se & 0x7FFF) - 16383 - 63
+    v = mant * (2 ** exp) if exp >= 0 else mant / (2 ** -exp)
+    if se & 0x8000:
+        v = -v
+    return int(round(v))
+
+
+def _decode_aiff(payload: bytes) -> "tuple[int, int, int, array]":
+    """AIFF / AIFC-NONE / AIFC-sowt decode: FORM chunk walk, COMM
+    (channels, frames, bits, 80-bit-extended sample rate, and for
+    AIFC the compression fourcc), SSND big-endian signed PCM
+    ('sowt' = byte-swapped little-endian 16-bit). AIFF 8-bit is
+    SIGNED (unlike WAV). Same return contract as the WAV paths."""
+    import struct
+    from array import array
+
+    pos = 12
+    comm = None
+    ssnd = None
+    little = False
+    is_aifc = payload[8:12] == b"AIFC"
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"AIFF chunk {cid!r} truncated")
+        if cid == b"COMM":
+            if comm is not None:
+                raise ValueError("AIFF has more than one COMM chunk")
+            if clen < (22 if is_aifc else 18):
+                raise ValueError("AIFF COMM chunk too short")
+            channels, frames = struct.unpack_from(">hI", body, 0)
+            (bits,) = struct.unpack_from(">h", body, 6)
+            rate = _aiff_ext80(body[8:18])
+            if is_aifc:
+                ctype = body[18:22]
+                if ctype == b"sowt":
+                    little = True
+                elif ctype not in (b"NONE",):
+                    raise NotImplementedError(
+                        f"AIFC compression {ctype!r} requires a codec"
+                    )
+            comm = (channels, frames, bits, rate)
+        elif cid == b"SSND":
+            if ssnd is not None:
+                raise ValueError("AIFF has more than one SSND chunk")
+            if clen < 8:
+                raise ValueError("AIFF SSND chunk too short")
+            off, _blk = struct.unpack_from(">II", body, 0)
+            ssnd = body[8 + off :]
+        pos += 8 + clen + (clen & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    channels, frames, bits, rate = comm
+    if channels < 1 or rate < 1:
+        raise ValueError(f"bad AIFF layout: {channels}ch @ {rate}Hz")
+    if bits not in (8, 16, 24, 32):
+        raise NotImplementedError(f"{bits}-bit AIFF")
+    if little and bits != 16:
+        raise NotImplementedError("AIFC 'sowt' must be 16-bit")
+    width = bits // 8
+    n = frames * channels
+    if n > MAX_DECODE_PIXELS:
+        raise ValueError("AIFF declares more than MAX_DECODE_PIXELS samples")
+    if len(ssnd) < n * width:
+        raise ValueError("AIFF SSND data shorter than COMM declares")
+    tc = {1: "b", 2: "h", 3: "i", 4: "i"}[width]
+    samples = array(tc)
+    endb = "little" if little else "big"
+    for i in range(n):
+        samples.append(int.from_bytes(
+            ssnd[i * width : (i + 1) * width], endb, signed=True
+        ))
+    return rate, channels, bits, samples
+
+
 # -- FLAC (lossless audio — the LibriSpeech-class corpus format) -----
 
 
@@ -2761,6 +2852,8 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
 
     if payload[:4] == b"fLaC":
         return _decode_flac(payload)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE payload: {payload[:4]!r}")
     pos, fmt, data, fact = 12, None, None, None
@@ -3600,32 +3693,67 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
         )
     if photo is None:
         raise ValueError("TIFF missing PhotometricInterpretation")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF requires a codec")
-    offs = values(273)
-    counts = values(279)
-    if not offs or not counts or len(offs) != len(counts):
-        raise ValueError("TIFF strip offsets/counts missing or mismatched")
-    rps = one(278, h)
-    raw = bytearray()
-    for si, (so, sc) in enumerate(zip(offs, counts)):
-        strip = payload[so : so + sc]
-        if len(strip) != sc:
-            raise ValueError("TIFF strip out of range")
-        rows = min(rps, h - si * rps)
-        expected = rows * w * spp
+    def inflate(seg: bytes, expected: int) -> bytes:
         if comp == 1:
-            if len(strip) < expected:
-                raise ValueError("TIFF uncompressed strip short")
-            raw += strip[:expected]
-        elif comp == 32773:
-            raw += _tiff_packbits(strip, expected)
-        elif comp == 5:
-            raw += _tiff_lzw(strip, expected)
-        else:
-            raise NotImplementedError(
-                f"TIFF compression {comp} requires a codec"
+            if len(seg) < expected:
+                raise ValueError("TIFF uncompressed segment short")
+            return seg[:expected]
+        if comp == 32773:
+            return _tiff_packbits(seg, expected)
+        if comp == 5:
+            return _tiff_lzw(seg, expected)
+        raise NotImplementedError(
+            f"TIFF compression {comp} requires a codec"
+        )
+
+    if 322 in tags or 323 in tags:
+        # tile organization (TIFF6 §15): fixed tw×tl tiles, padded at
+        # the right/bottom edges, left-to-right top-to-bottom, each
+        # compressed independently with the same codecs as strips
+        tw = one(322)
+        tl = one(323)
+        toffs = values(324)
+        tcounts = values(325)
+        if not tw or not tl or tw % 16 or tl % 16:
+            raise ValueError(f"TIFF tile size {tw}x{tl} not multiple of 16")
+        if not toffs or not tcounts or len(toffs) != len(tcounts):
+            raise ValueError("TIFF tile offsets/counts missing or mismatched")
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(toffs) != across * down:
+            raise ValueError(
+                f"TIFF has {len(toffs)} tiles, grid needs {across * down}"
             )
+        if across * tw * down * tl > 4 * MAX_DECODE_PIXELS:
+            raise ValueError("TIFF tile grid exceeds the allocation cap")
+        raw = bytearray(w * h * spp)
+        for ti, (so, sc) in enumerate(zip(toffs, tcounts)):
+            seg = payload[so : so + sc]
+            if len(seg) != sc:
+                raise ValueError("TIFF tile out of range")
+            tile = inflate(seg, tw * tl * spp)
+            ty, tx = divmod(ti, across)
+            x0, y0 = tx * tw, ty * tl
+            cols = min(tw, w - x0)
+            for yy in range(min(tl, h - y0)):
+                src = yy * tw * spp
+                dst = ((y0 + yy) * w + x0) * spp
+                raw[dst : dst + cols * spp] = tile[src : src + cols * spp]
+    else:
+        offs = values(273)
+        counts = values(279)
+        if not offs or not counts or len(offs) != len(counts):
+            raise ValueError(
+                "TIFF strip offsets/counts missing or mismatched"
+            )
+        rps = one(278, h)
+        raw = bytearray()
+        for si, (so, sc) in enumerate(zip(offs, counts)):
+            strip = payload[so : so + sc]
+            if len(strip) != sc:
+                raise ValueError("TIFF strip out of range")
+            rows = min(rps, h - si * rps)
+            raw += inflate(strip, rows * w * spp)
     if len(raw) != w * h * spp:
         raise ValueError("TIFF strips do not cover the image")
     if photo == 2:

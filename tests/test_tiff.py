@@ -248,3 +248,115 @@ def test_gates_and_malformed():
     bomb[at + 8 : at + 12] = struct.pack("<I", 60000)
     with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
         decode_image(bytes(bomb))
+
+
+def build_tiled_tiff(w, h, pixels, tw, tl, spp=1, photo=1, comp=5,
+                     endian="<"):
+    """Tile-organized fixture: tw x tl tiles padded at the edges,
+    each compressed independently."""
+    across = -(-w // tw)
+    down = -(-h // tl)
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            tile = bytearray(tw * tl * spp)
+            for yy in range(tl):
+                sy = ty * tl + yy
+                if sy >= h:
+                    break
+                cols = min(tw, w - tx * tw)
+                src = (sy * w + tx * tw) * spp
+                tile[yy * tw * spp : yy * tw * spp + cols * spp] = \
+                    pixels[src : src + cols * spp]
+            if comp == 5:
+                tiles.append(tiff_lzw(bytes(tile)))
+            elif comp == 32773:
+                tiles.append(packbits(bytes(tile)))
+            else:
+                tiles.append(bytes(tile))
+    entries = []
+
+    def entry(tag, typ, cnt, vals):
+        entries.append((tag, typ, cnt, vals))
+
+    entry(256, 3, 1, [w])
+    entry(257, 3, 1, [h])
+    entry(258, 3, spp, [8] * spp)
+    entry(259, 3, 1, [comp])
+    entry(262, 3, 1, [photo])
+    entry(277, 3, 1, [spp])
+    entry(322, 3, 1, [tw])
+    entry(323, 3, 1, [tl])
+    entry(324, 4, len(tiles), None)
+    entry(325, 4, len(tiles), [len(t) for t in tiles])
+    entries.sort()
+    n = len(entries)
+    ifd_at = 8
+    data_at = ifd_at + 2 + 12 * n + 4
+    blobs = {}
+    cursor = data_at
+    for tag, typ, cnt, vals in entries:
+        size = {3: 2, 4: 4}[typ] * cnt
+        if size > 4:
+            blobs[tag] = cursor
+            cursor += size
+    tile_offsets = []
+    for t in tiles:
+        tile_offsets.append(cursor)
+        cursor += len(t)
+    out = bytearray()
+    out += (b"II*\x00" if endian == "<" else b"MM\x00*")
+    out += struct.pack(endian + "I", ifd_at)
+    out += struct.pack(endian + "H", n)
+    for tag, typ, cnt, vals in entries:
+        if tag == 324:
+            vals = tile_offsets
+        out += struct.pack(endian + "HH", tag, typ)
+        out += struct.pack(endian + "I", cnt)
+        size = {3: 2, 4: 4}[typ] * cnt
+        fmt = {3: "H", 4: "I"}[typ]
+        if size <= 4:
+            out += struct.pack(endian + fmt * cnt, *vals)
+            out += b"\x00" * (4 - size)
+        else:
+            out += struct.pack(endian + "I", blobs[tag])
+    out += struct.pack(endian + "I", 0)
+    for tag, typ, cnt, vals in entries:
+        if tag == 324:
+            vals = tile_offsets
+        size = {3: 2, 4: 4}[typ] * cnt
+        if size > 4:
+            fmt = {3: "H", 4: "I"}[typ]
+            out += struct.pack(endian + fmt * cnt, *vals)
+    for t in tiles:
+        out += t
+    return bytes(out)
+
+
+@pytest.mark.parametrize("comp", [1, 32773, 5])
+def test_tiled_tiff_gray_edge_padding(comp):
+    """37x21 image in 16x16 tiles: right/bottom tiles are padded —
+    the blit must crop exactly."""
+    w, h = 37, 21
+    pix = _gray(w, h)
+    tif = build_tiled_tiff(w, h, pix, 16, 16, comp=comp)
+    assert decode_image(tif) == (w, h, 1, pix)
+
+
+def test_tiled_tiff_rgb_big_endian():
+    w, h = 20, 18
+    rgb = bytes((x * 5 + y * 3 + c * 17) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    tif = build_tiled_tiff(w, h, rgb, 16, 16, spp=3, photo=2,
+                           comp=5, endian=">")
+    assert decode_image(tif) == (w, h, 3, rgb)
+
+
+def test_tiled_tiff_bad_grid_fails_loud():
+    w, h = 20, 18
+    pix = _gray(w, h)
+    tif = bytearray(build_tiled_tiff(w, h, pix, 16, 16, comp=1))
+    at = bytes(tif).index(struct.pack("<HH", 322, 3))
+    tif[at + 8 : at + 10] = struct.pack("<H", 15)  # not multiple of 16
+    with pytest.raises(ValueError, match="multiple of 16"):
+        decode_image(bytes(tif))

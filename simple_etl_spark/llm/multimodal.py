@@ -3642,6 +3642,8 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
         end = ">"
     else:
         raise ValueError(f"not a TIFF payload: {payload[:4]!r}")
+    if len(payload) < 8:
+        raise ValueError("TIFF header truncated")
     (ifd_off,) = struct.unpack_from(end + "I", payload, 4)
     if ifd_off + 2 > len(payload):
         raise ValueError("TIFF IFD offset out of range")
@@ -3897,8 +3899,12 @@ def _decode_gif_frames(payload: bytes):
             label = payload[pos + 1]
             pos += 2
             if label == 0xF9:  # graphic control
+                if pos >= len(payload):
+                    raise ValueError("GIF graphic control truncated")
                 blen = payload[pos]
                 if blen >= 4:
+                    if pos + 5 > len(payload):
+                        raise ValueError("GIF graphic control truncated")
                     flags = payload[pos + 1]
                     (delay,) = struct.unpack_from("<H", payload, pos + 2)
                     disposal = (flags >> 2) & 7

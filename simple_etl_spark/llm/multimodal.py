@@ -174,7 +174,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:3] == b"\xff\xd8\xff":
         return _decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        w, h, frames, _delays = _decode_gif_frames(payload)
+        w, h, frames, _delays = _decode_gif_frames(payload,
+                                                   first_only=True)
         return w, h, 3, frames[0]
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(payload)
@@ -1238,11 +1239,23 @@ def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
     return cropped, _jpeg_scan_end(br)
 
 
-def _hier_assemble(refs, w, h, n_comps):
-    """Final hierarchical output: gray passthrough or the JFIF
+def _hier_assemble(refs, w, h, n_comps, is_rgb=False):
+    """Final hierarchical output: gray passthrough, direct R/G/B
+    interleave when the reference frame declared an RGB colorspace
+    (APP14 transform=0 or 'R','G','B' component ids — applying the
+    YCbCr matrix there would scramble colors silently), or the JFIF
     YCbCr→RGB matrix over the full-resolution reference planes."""
     if n_comps == 1:
         return w, h, 1, bytes(bytearray(refs[0]))
+    if is_rgb:
+        rp, gp, bp = refs
+        out = bytearray(w * h * 3)
+        for i in range(w * h):
+            o = i * 3
+            out[o] = rp[i]
+            out[o + 1] = gp[i]
+            out[o + 2] = bp[i]
+        return w, h, 3, bytes(out)
     yp, cbp, crp = refs
     out = bytearray(w * h * 3)
     for i in range(w * h):
@@ -1962,6 +1975,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
     hier = None        # (w, h, n_comps) from DHP — hierarchical mode
     hier_refs = None   # per-component reference planes (int lists)
     hier_dims = None   # current reference dims (w, h)
+    hier_rgb = False   # reference frame declared RGB (APP14 t=0 / 'RGB' ids)
     # arithmetic conditioning (DAC): DC (L, U) bounds / AC Kx per
     # table id; T.81 defaults apply when no DAC segment redefines them
     dac_dc: dict[int, tuple[int, int]] = {}
@@ -2201,6 +2215,17 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                         )
                     hier_refs = planes
                     hier_dims = (fw, fh)
+                    # The reference frame pins the pyramid's
+                    # colorspace: Adobe APP14 transform=0 or the
+                    # T.81 'R','G','B' component-ID convention mean
+                    # the planes are literally R/G/B and must bypass
+                    # the YCbCr matrix in _hier_assemble (same gate
+                    # as _jpeg_validate_frame; ADVICE r12).
+                    cids = tuple(c[0] for c in frame[2])
+                    hier_rgb = len(frame[2]) == 3 and (
+                        adobe_transform == 0
+                        or cids == (0x52, 0x47, 0x42)
+                    )
                 else:
                     if not differential:
                         raise ValueError(
@@ -2280,7 +2305,8 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 f"hierarchical output {hier_dims[0]}x{hier_dims[1]} "
                 f"does not reach the DHP dimensions {hier[0]}x{hier[1]}"
             )
-        return _hier_assemble(hier_refs, hier[0], hier[1], hier[2])
+        return _hier_assemble(hier_refs, hier[0], hier[1], hier[2],
+                              hier_rgb)
     if seq_multi:
         # unlike progressive (where partial scan scripts are
         # spec-legal), a sequential component missing from every scan
@@ -3847,13 +3873,18 @@ def _gif_lzw(data: bytes, min_code: int, expected: int) -> bytearray:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _decode_gif_frames(payload: bytes):
-    """Decode every frame of a GIF87a/89a: global/local color tables,
+def _decode_gif_frames(payload: bytes, first_only: bool = False):
+    """Decode frames of a GIF87a/89a: global/local color tables,
     interlacing, transparency, and the 89a disposal methods (none /
     keep, restore-to-background, restore-to-previous), composing each
-    frame onto the logical-screen canvas. Returns ``(w, h,
-    frames, delays_cs)`` with frames as full-canvas RGB bytes and
-    per-frame delays in centiseconds."""
+    frame onto the logical-screen canvas. Disposal=2 clears the frame
+    rect to transparent (flattened as black in the RGB output),
+    matching mainstream decoders rather than the literal palette
+    background color. With ``first_only`` decoding stops after the
+    first composed frame (the :func:`decode_image` dispatch — the
+    all-frames pixel cap then applies to the logical screen only).
+    Returns ``(w, h, frames, delays_cs)`` with frames as full-canvas
+    RGB bytes and per-frame delays in centiseconds."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -3976,16 +4007,29 @@ def _decode_gif_frames(payload: bytes):
                 canvas[o : o + 3] = ct[3 * v : 3 * v + 3]
         frames.append(bytes(canvas))
         delays.append(delay)
+        if first_only:
+            # the caller wants only the composed first frame — skip
+            # the rest of the animation (and its all-frames pixel
+            # cap; the logical screen was capped at entry)
+            return w, h, frames, delays
         total_px += w * h
         if total_px > MAX_DECODE_PIXELS:
             raise ValueError("GIF frames exceed MAX_DECODE_PIXELS")
-        if disposal == 2:  # restore to background
-            bgc = bg_rgb()
+        if disposal == 2:
+            # "Restore to background": mainstream decoders (PIL's
+            # RGBA compositing, browsers, ffmpeg) clear the frame
+            # rect to TRANSPARENT, not to the global background
+            # color; flattened to the 3-channel output that is
+            # transparent-black (ADVICE r12). Painting the palette
+            # background color here would diverge from every
+            # reference decoder on animations that combine
+            # disposal=2 with a transparency index.
+            zero = b"\x00\x00\x00"
             for yy in range(ih):
                 crow = ((iy + yy) * w + ix) * 3
                 for xx in range(iw):
                     o = crow + xx * 3
-                    canvas[o : o + 3] = bgc
+                    canvas[o : o + 3] = zero
         elif disposal == 3 and saved is not None:
             canvas = bytearray(saved)
         transparent = None
@@ -4138,9 +4182,18 @@ def demux_video(payload: bytes) -> dict:
                                     "real decoder"
                                 )
         elif ltype == b"movi":
-            for c2, at2, cl2 in chunks(payload, at + 4, at + clen):
-                if c2[2:4] in (b"dc", b"db"):
-                    frames.append(payload[at2 : at2 + cl2])
+            # Interleaved AVIs group frames inside 'rec ' sub-LISTs
+            # (AVI 1.0 interleaving unit); recurse in stream order so
+            # those frames aren't silently skipped (ADVICE r12).
+            def movi_frames(s, e):
+                for c2, at2, cl2 in chunks(payload, s, e):
+                    if (c2 == b"LIST"
+                            and payload[at2 : at2 + 4] == b"rec "):
+                        movi_frames(at2 + 4, at2 + cl2)
+                    elif c2[2:4] in (b"dc", b"db"):
+                        frames.append(payload[at2 : at2 + cl2])
+
+            movi_frames(at + 4, at + clen)
     if not saw_vids or frame_kind is None:
         raise ValueError("AVI has no video stream header")
     if not width or not height:

@@ -273,3 +273,54 @@ def test_malformed_gifs_fail_loud():
                      pal2, min_code=2)
     with pytest.raises(ValueError, match="color table"):
         decode_image(bad2)
+
+
+def test_disposal2_restores_to_transparent_black():
+    """Disposal=2 must clear the frame rect to transparent (black in
+    the flattened RGB output), NOT the palette background color —
+    matching PIL/browser compositing (ADVICE r12). bg=3 (white) is
+    deliberately loud: the old behavior painted white here."""
+    w, h = 4, 4
+    f1 = bytes([0] * 16)   # all red
+    f2 = bytes([2] * 4)    # 2x2 blue at (1,1), disposal 2
+    f3 = bytes([1])        # 1x1 green at (0,0): rect stays visible
+    gif = build_gif(
+        w, h,
+        [
+            (0, 0, w, h, f1, (1, 0, None)),
+            (1, 1, 2, 2, f2, (2, 0, 3)),
+            (0, 0, 1, 1, f3, (0, 0, None)),
+        ],
+        PAL4,
+        bg=3,
+    )
+    _w, _h, frames, _d = _decode_gif_frames(gif)
+    assert len(frames) == 3
+    c = bytearray(frames[0])
+    c[0:3] = PAL4[3:6]  # frame 3's green pixel
+    for yy in (1, 2):
+        for xx in (1, 2):
+            o = (yy * w + xx) * 3
+            c[o : o + 3] = b"\x00\x00\x00"
+    assert frames[2] == bytes(c)
+
+
+def test_decode_image_stops_after_first_gif_frame():
+    """decode_image wants frame 0 only: a corrupt SECOND frame must
+    not break the still-image decode (ADVICE r12 early-exit), while
+    the full animation decode still fails loud on it."""
+    w, h = 6, 4
+    f1 = bytes((x + y) % 4 for y in range(h) for x in range(w))
+    f2 = bytes([1] * 4)
+    gif = bytearray(build_gif(w, h, [(0, 0, w, h, f1, None),
+                                     (1, 1, 2, 2, f2, None)], PAL4))
+    # corrupt frame 2's LZW minimum-code-size byte (descriptor is
+    # 0x2C + <HHHH ix=1 iy=1 iw=2 ih=2> + packed flags)
+    desc2 = bytes([0x2C]) + struct.pack("<HHHH", 1, 1, 2, 2)
+    at = bytes(gif).index(desc2)
+    gif[at + 10] = 0x01  # min code size below the legal 2..11 range
+    gw, gh, ch, px = decode_image(bytes(gif))
+    assert (gw, gh, ch) == (w, h, 3)
+    assert px == _expect_rgb(f1, PAL4, w, h)
+    with pytest.raises(ValueError, match="minimum code size"):
+        _decode_gif_frames(bytes(gif))

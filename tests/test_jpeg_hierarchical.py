@@ -139,29 +139,36 @@ def _entropy(frames_blocks, mcux, mcuy, n_comps, differential,
     return b"".join(parts)
 
 
-def _sof(marker, w, h, n_comps, prec=8):
+def _sof(marker, w, h, n_comps, prec=8, cids=None):
+    cids = cids or [ci + 1 for ci in range(n_comps)]
     sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([n_comps])
     for ci in range(n_comps):
-        sof += bytes([ci + 1, 0x11, 0])
+        sof += bytes([cids[ci], 0x11, 0])
     return seg(marker, sof)
 
 
-def _sos(n_comps):
+def _sos(n_comps, cids=None):
+    cids = cids or [ci + 1 for ci in range(n_comps)]
     s = bytes([n_comps])
     for ci in range(n_comps):
-        s += bytes([ci + 1, 0x00])
+        s += bytes([cids[ci], 0x00])
     return seg(0xDA, s + bytes([0, 63, 0]))
 
 
-def encode_hierarchical(planes_full, w, h, restart=0):
+RGB_CIDS = [0x52, 0x47, 0x42]  # 'R','G','B' T.81 component-ID convention
+
+
+def encode_hierarchical(planes_full, w, h, restart=0, cids=None):
     """Two-level pyramid: base frame at (w//2, h//2), EXP, one SOF5
     differential frame at (w, h). ``planes_full`` is a list of h×w
-    numpy arrays (1 = gray, 3 = YCbCr). Returns (jpeg_bytes,
-    oracle_pixels) with the oracle computed coefficient-domain."""
+    numpy arrays (1 = gray, 3 = YCbCr — or literal R/G/B when
+    ``cids`` is RGB_CIDS, in which case the oracle interleaves the
+    planes without the matrix). Returns (jpeg_bytes, oracle_pixels)
+    with the oracle computed coefficient-domain."""
     n = len(planes_full)
     w0, h0 = w // 2, h // 2
     out = bytearray(b"\xff\xd8")
-    out += _sof(0xDE, w, h, n)  # DHP
+    out += _sof(0xDE, w, h, n, cids=cids)  # DHP
     out += seg(0xDB, dqt_payload(0, QL))
     out += seg(0xC4, dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM))
     if restart:
@@ -176,8 +183,8 @@ def encode_hierarchical(planes_full, w, h, restart=0):
         blocks, mcux0, mcuy0 = _quantize(small.astype(np.float64), QL, 128)
         base_blocks.append(blocks)
         refs.append(_idct_plane(blocks, QL, w0, h0, 128, 0))
-    out += _sof(0xC0, w0, h0, n)
-    out += _sos(n)
+    out += _sof(0xC0, w0, h0, n, cids=cids)
+    out += _sos(n, cids=cids)
     out += _entropy(base_blocks, mcux0, mcuy0, n, False, restart)
 
     out += seg(0xDF, bytes([0x11]))  # EXP: double both axes
@@ -191,13 +198,15 @@ def encode_hierarchical(planes_full, w, h, restart=0):
         diff_blocks.append(blocks)
         dec_diff = _idct_plane(blocks, QL, w, h, 0, -256)
         finals.append(np.clip(ex + dec_diff, 0, 255))
-    out += _sof(0xC5, w, h, n)
-    out += _sos(n)
+    out += _sof(0xC5, w, h, n, cids=cids)
+    out += _sos(n, cids=cids)
     out += _entropy(diff_blocks, mcux1, mcuy1, n, True, restart)
     out += b"\xff\xd9"
 
     if n == 1:
         oracle = finals[0].astype(np.uint8).tobytes()
+    elif cids == RGB_CIDS:
+        oracle = np.stack(finals, axis=-1).astype(np.uint8).tobytes()
     else:
         yp, cbp, crp = [f.astype(np.float64) for f in finals]
         r = np.round(yp + 1.402 * (crp - 128))
@@ -278,3 +287,20 @@ def test_hierarchical_error_paths():
     bad = jpg.replace(b"\xff\xc5", b"\xff\xc6", 1)
     with pytest.raises(NotImplementedError):
         decode_image(bad)
+
+
+def test_hierarchical_rgb_component_ids_bypass_matrix():
+    """A hierarchical pyramid whose components carry the 'R','G','B'
+    ids is literal RGB: the planes must interleave directly instead
+    of passing through the YCbCr matrix (ADVICE r12 — the same gate
+    sequential/progressive/arithmetic already honor via is_rgb)."""
+    w, h = 16, 16
+    planes = [_gray_plane(w, h, s) for s in (2, 6, 10)]
+    jpg, oracle = encode_hierarchical(planes, w, h, cids=RGB_CIDS)
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert got == oracle
+    # and the identical pyramid under YCbCr ids decodes DIFFERENTLY
+    jpg_y, oracle_y = encode_hierarchical(planes, w, h)
+    assert decode_image(jpg_y)[3] == oracle_y
+    assert oracle_y != oracle

@@ -144,3 +144,33 @@ def test_video_features_and_frames_spark(spark):
     assert [r["mean_px"] for r in fr] == [10, 60]
     with pytest.raises(ValueError, match="stride"):
         video_frames(df, stride=0)
+
+
+def test_avi_rec_sublists_demux_in_stream_order():
+    """AVI 1.0 interleaving wraps frames in 'rec ' sub-LISTs inside
+    'movi'; the demuxer must recurse into them in stream order
+    instead of silently reporting zero frames (ADVICE r12)."""
+    w, h = 16, 8
+    pixs = [bytes((x * 3 + y * 5 + s) % 256
+                  for y in range(h) for x in range(w))
+            for s in (0, 50, 100)]
+    jpgs = [encode_jpeg(p, w, h, 1)[0] for p in pixs]
+    base = encode_avi_mjpeg(w, h, jpgs, (10, 1))
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    # frame 0 direct, frames 1-2 inside one 'rec ' LIST
+    movi = chunk(
+        b"LIST",
+        b"movi" + chunk(b"00dc", jpgs[0])
+        + chunk(b"LIST", b"rec " + chunk(b"00dc", jpgs[1])
+                + chunk(b"00dc", jpgs[2])),
+    )
+    i = base.index(b"movi")
+    body = base[8 : i - 8] + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    v = demux_video(avi)
+    assert v["frame_kind"] == "jpeg"
+    assert v["frames"] == jpgs

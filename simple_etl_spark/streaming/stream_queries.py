@@ -62,8 +62,79 @@ def _doc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same cutover as tools/cluster_validate.py's collect→agg digest switch:
+# above ~100 MB of streamed input the memory sink's driver-lifetime row
+# accumulation is the measured sf10 OOM cause (SCALE.md §8c), so
+# append-mode drains auto-switch to the FileStreamSink.
+_PARQUET_CUTOVER_BYTES = 100 << 20
+
+
+def _source_bytes(path: str) -> int:
+    """Size of the streamed source: a single parquet file's size, or
+    the sum of ``*.parquet`` under a dataset directory."""
+    if os.path.isfile(path):
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    continue
+    return total
+
+
+def _sink_format(mode: str, source_path: str | None, sink: str) -> str:
+    """Pick the drain sink: an explicit SPARK_GRAFT_DRAIN_SINK wins;
+    otherwise (unset or ``auto``) append-mode drains whose source
+    exceeds the cutover go to the parquet FileStreamSink so result
+    rows never accumulate in driver memory — the user no longer needs
+    to know the env var to avoid the measured sf10 driver OOM
+    (VERDICT r12 watch item #1). Either way the choice is logged.
+    File sinks are append-only, so non-append modes always fall back
+    loudly to the memory sink."""
+    import sys
+
+    env = os.environ.get("SPARK_GRAFT_DRAIN_SINK")
+    if env in ("memory", "parquet"):
+        fmt = env
+    else:
+        if env not in (None, "", "auto"):
+            print(
+                f"warning: ignoring SPARK_GRAFT_DRAIN_SINK={env!r} "
+                "(need memory|parquet|auto); sizing automatically",
+                file=sys.stderr,
+            )
+        fmt = "memory"
+        if mode == "append" and source_path:
+            nbytes = _source_bytes(source_path)
+            if nbytes > _PARQUET_CUTOVER_BYTES:
+                fmt = "parquet"
+                print(
+                    f"drain {sink!r}: source {nbytes >> 20} MiB exceeds "
+                    f"{_PARQUET_CUTOVER_BYTES >> 20} MiB cutover — "
+                    "draining to the parquet FileStreamSink "
+                    "(set SPARK_GRAFT_DRAIN_SINK to override)",
+                    file=sys.stderr,
+                )
+    if fmt == "parquet" and mode != "append":
+        print(
+            f"warning: SPARK_GRAFT_DRAIN_SINK=parquet ignored for "
+            f"{mode!r}-mode drain {sink!r} (file sinks are append-only); "
+            "using memory sink",
+            file=sys.stderr,
+        )
+        fmt = "memory"
+    return fmt
+
+
 def _drain(build, spark: SparkSession, name_prefix: str,
-           mode: str | None = None) -> DataFrame:
+           mode: str | None = None,
+           source_path: str | None = None) -> DataFrame:
     """Run ``build(session)``'s streaming frame to completion on a
     CLONED session and return the memory-sink contents.
 
@@ -84,24 +155,15 @@ def _drain(build, spark: SparkSession, name_prefix: str,
     # holds every result row on the driver for the session's lifetime,
     # and successive sf10 drains (~9.5M gap-session rows each)
     # accumulate past any sane driver heap (SCALE.md §8c — observed
-    # dispatcher OOM at 6 GB). SPARK_GRAFT_DRAIN_SINK=parquet drains
-    # append-mode queries to a temp FileStreamSink instead: rows stay
-    # executor/disk-side, the _spark_metadata commit log keeps the
-    # batch read exactly-once under mid-drain faults, and the graded
-    # memory path is untouched by default. Update-mode drains need
-    # keyed overwrite semantics a file sink can't express — fall back
-    # loudly rather than silently produce append-duplicated state.
-    sink_fmt = os.environ.get("SPARK_GRAFT_DRAIN_SINK", "memory")
-    if sink_fmt == "parquet" and mode != "append":
-        import sys
-
-        print(
-            f"warning: SPARK_GRAFT_DRAIN_SINK=parquet ignored for "
-            f"{mode!r}-mode drain {sink!r} (file sinks are append-only); "
-            "using memory sink",
-            file=sys.stderr,
-        )
-        sink_fmt = "memory"
+    # dispatcher OOM at 6 GB). Append-mode drains above the input-size
+    # cutover therefore go to a temp FileStreamSink automatically
+    # (_sink_format): rows stay executor/disk-side and the
+    # _spark_metadata commit log keeps the batch read exactly-once
+    # under mid-drain faults. SPARK_GRAFT_DRAIN_SINK overrides in
+    # either direction. Update-mode drains need keyed overwrite
+    # semantics a file sink can't express — fall back loudly rather
+    # than silently produce append-duplicated state.
+    sink_fmt = _sink_format(mode, source_path, sink)
     s2 = spark.newSession()
     # newSession() copies NO runtime conf from the parent — re-pin the
     # engine's correctness confs (UTC session timezone, parquet
@@ -168,6 +230,7 @@ def stream_running_totals(cat: Catalog) -> DataFrame:
     return _drain(
         lambda s: running_totals(_doc_stream(s, sf), key_col="lang"),
         cat.spark, "running",
+        source_path=os.path.join(sf, "documents.parquet"),
     )
 
 
@@ -183,6 +246,7 @@ def stream_first_seen_dedupe(cat: Catalog) -> DataFrame:
     return _drain(
         lambda s: first_seen_dedupe(_doc_stream(s, sf), key_col="lang"),
         cat.spark, "dedup",
+        source_path=os.path.join(sf, "documents.parquet"),
     )
 
 # ts reads as TIMESTAMP (ltz): watermarks reject TIMESTAMP_NTZ. The
@@ -236,7 +300,8 @@ def stream_windowed_counts(cat: Catalog) -> DataFrame:
             "cnt",
         )
 
-    return _drain(build, cat.spark, "wincnt", mode="complete")
+    return _drain(build, cat.spark, "wincnt", mode="complete",
+                  source_path=os.path.join(sf, "events.parquet"))
 
 
 @query(
@@ -285,7 +350,8 @@ def stream_sessionized_counts(cat: Catalog) -> DataFrame:
             "cnt",
         )
 
-    return _drain(build, cat.spark, "sesscnt", mode="complete")
+    return _drain(build, cat.spark, "sesscnt", mode="complete",
+                  source_path=os.path.join(sf, "events.parquet"))
 
 
 @query(
@@ -339,6 +405,9 @@ def stream_gap_sessions(cat: Catalog) -> DataFrame:
             stream, key_col="user_key", ts_col="ts", gap_seconds=1800
         )
 
-    return _drain(build, cat.spark, "gapsess", mode="append").orderBy(
+    return _drain(
+        build, cat.spark, "gapsess", mode="append",
+        source_path=os.path.join(sf, "events.parquet"),
+    ).orderBy(
         "key", "start_ms"
     )

@@ -38,6 +38,7 @@ def salted_agg(
     aggs: list[Column],
     merges: list[Column],
     factor: int = 16,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -45,6 +46,19 @@ def salted_agg(
     combine the ``factor`` partials per key (e.g. sum of partial sums,
     sum of partial counts). The first shuffle spreads a hot key over
     ``factor`` reducers; the second shuffles only |keys|·factor rows.
+
+    ``hot_keys`` — values of ``keys[0]`` to salt (take them from
+    :func:`skew_profile`) — restricts salting to the keys that need
+    it; everything else keeps salt 0 and aggregates in one phase-1
+    group exactly as an unsalted plan would. For aggregates with
+    per-GROUP overhead this is the difference between a win and a
+    catastrophe — measured on the 40%-hot-key corpus (SCALE.md §9,
+    r13): the whole-corpus-salted grouped-agg pandas UDAF is 20×
+    SLOWER than plain at sf1 (99.2 s vs 4.9 s — 65 537 keys × factor
+    32 → 2.1M tiny Arrow groups), while hot-only salting WINS 1.74×
+    at sf10 (9.0 s vs 15.7 s: the hot group's 24M-row Arrow transfer
+    splits across 32 Python workers) and 1.34× for collect_set
+    (7.1 s vs 9.5 s).
 
     Spark's built-in partial aggregation already does this *within*
     a partition; salting extends it across reducers when one key's
@@ -54,13 +68,21 @@ def salted_agg(
     Measured boundary (SCALE.md §9, 40%-hot-key corpus at sf10): for
     ALGEBRAIC aggregates (sum/count/avg) and exact countDistinct,
     map-side combine/Expand already absorb the skew and salting is
-    pure overhead (2.4× slower) — reserve this for HOLISTIC
-    aggregates whose partial state is value-proportional
-    (collect_list/set, percentile buffers, grouped-map pandas UDFs).
+    pure overhead (2.3× / 1.4× slower, re-measured r13) — reserve
+    this for HOLISTIC aggregates whose partial state is
+    value-proportional (collect_list/set, percentile buffers,
+    grouped-map/grouped-agg pandas UDFs), and salt those with
+    ``hot_keys``, not the whole corpus.
     The skewed JOIN is where salting pays: see :func:`salted_join`
-    (2.8× at sf10) and AQE skew-split (5.1×, on by default).
+    (1.7× at sf10 r13, 2.8× r12) and AQE skew-split (2.6-5.1×, on by
+    default).
     """
-    salted = df.withColumn(_SALT, _salt_col(df, factor))
+    salt = _salt_col(df, factor)
+    if hot_keys is not None:
+        salt = F.when(
+            F.col(keys[0]).isin(list(hot_keys)), salt
+        ).otherwise(F.lit(0))
+    salted = df.withColumn(_SALT, salt)
     partial = salted.groupBy(*keys, _SALT).agg(*aggs)
     return partial.groupBy(*keys).agg(*merges)
 

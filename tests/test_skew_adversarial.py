@@ -8,6 +8,7 @@ and skew_profile must expose the hot key."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
@@ -115,3 +116,91 @@ def test_salted_left_join_keeps_unmatched_big_rows(hot):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert _rows(plain) == _rows(salted)
+
+
+def test_salted_holistic_set_exact_on_hot_key(hot):
+    """HOLISTIC aggregate recombination (VERDICT r12 #1): per-salt
+    collect_sets are disjoint because the whole-row salt on (key, val)
+    is a function of val within a key, so flatten(collect_list(...))
+    IS the exact set — pinned against the plain collect_set
+    element-for-element (sorted)."""
+    fact, _ = hot
+    kv = fact.select("key", "val")
+    plain = kv.groupBy("key").agg(
+        F.array_sort(F.collect_set("val")).alias("vals")
+    )
+    salted = salted_agg(
+        kv,
+        ["key"],
+        [F.collect_set("val").alias("pv")],
+        [F.array_sort(F.flatten(F.collect_list("pv"))).alias("vals")],
+        factor=8,
+    )
+    assert _rows(plain) == _rows(salted)
+
+
+def test_salted_pandas_udaf_exact_on_hot_key(hot):
+    """Grouped-agg pandas UDAF through the salted two-phase: the hot
+    group's Arrow batch splits across salts and the integer partials
+    (sum / count / max) recombine to exactly the plain result."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def p_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @pandas_udf("bigint")
+    def p_cnt(v: pd.Series) -> int:
+        return len(v)
+
+    @pandas_udf("bigint")
+    def p_max(v: pd.Series) -> int:
+        return int(v.max())
+
+    fact, _ = hot
+    kv = fact.select("key", "val")
+    plain = kv.groupBy("key").agg(
+        p_sum("val").alias("s"), p_cnt("val").alias("n"),
+        p_max("val").alias("m"),
+    )
+    salted = salted_agg(
+        kv,
+        ["key"],
+        [p_sum("val").alias("ps"), p_cnt("val").alias("pn"),
+         p_max("val").alias("pm")],
+        [F.sum("ps").alias("s"), F.sum("pn").alias("n"),
+         F.max("pm").alias("m")],
+        factor=8,
+    )
+    assert _rows(plain) == _rows(salted)
+
+
+def test_hot_key_only_salting_exact_on_hot_key(hot):
+    """hot_keys restricts salting to the profiled keys (the r13 fix
+    for the 27x whole-corpus-salting blowup on per-group-overhead
+    aggregates): results must still equal the plain plan exactly, and
+    cold keys must keep salt 0 (one phase-1 group each)."""
+    fact, _ = hot
+    kv = fact.select("key", "val")
+    plain = kv.groupBy("key").agg(
+        F.array_sort(F.collect_set("val")).alias("vals")
+    )
+    salted = salted_agg(
+        kv,
+        ["key"],
+        [F.collect_set("val").alias("pv")],
+        [F.array_sort(F.flatten(F.collect_list("pv"))).alias("vals")],
+        factor=8,
+        hot_keys=[0],
+    )
+    assert _rows(plain) == _rows(salted)
+    # structural pin: phase-1 group count is |cold keys| + factor
+    # (NOT |keys| * factor) — the whole point of hot_keys
+    from simple_etl_spark.operators.skew import _salt_col, _SALT
+    salted_df = kv.withColumn(
+        _SALT,
+        F.when(F.col("key").isin([0]), _salt_col(kv, 8)).otherwise(F.lit(0)),
+    )
+    n_groups = salted_df.select("key", _SALT).distinct().count()
+    n_keys = kv.select("key").distinct().count()
+    assert n_groups <= n_keys + 8

@@ -25,7 +25,7 @@ no float-reorder tolerance needed.
 
 Usage:
   python tools/skew_bench.py --base /tmp/scaledata/sf1 --tag sf1 \
-      [--hot-permille 400] [--factor 32] [--out SKEW_r12.jsonl]
+      [--hot-permille 400] [--factor 32] [--out SKEW_r13.jsonl]
 
 Env: SPARK_GRAFT_CPUS (local[N], default 32).
 """
@@ -37,6 +37,8 @@ import json
 import os
 import sys
 import time
+
+import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -119,7 +121,10 @@ def main() -> None:
     ap.add_argument("--tag", default="sf1")
     ap.add_argument("--hot-permille", type=int, default=400)
     ap.add_argument("--factor", type=int, default=32)
-    ap.add_argument("--out", default=os.path.join(REPO, "SKEW_r12.jsonl"))
+    ap.add_argument("--out", default=os.path.join(REPO, "SKEW_r13.jsonl"))
+    ap.add_argument("--salt-all-pandas", action="store_true",
+                    help="also time the whole-corpus-salted pandas "
+                    "UDAF (measured 27x slower than plain at sf1)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -161,6 +166,9 @@ def main() -> None:
             for r in prof
         ],
     })
+    # the intended salting workflow: skew_profile picks the keys worth
+    # salting; everything else keeps one phase-1 group
+    hot = [r["key"] for r in prof if r["skew_factor"] >= 100]
 
     # -- 1. grouped-agg heavyweight: algebraic rollup ------------------
     # Expectation worth recording either way: Spark's map-side partial
@@ -219,6 +227,112 @@ def main() -> None:
         "cell": "agg_distinct", "plain_s": t_plain, "salted_s": t_salted,
         "rows": n_plain, "hash_identical": h_plain == h_salted,
     })
+
+    # -- 2b. grouped-agg heavyweight: HOLISTIC set aggregation ---------
+    # The aggregate class salted_agg exists FOR (VERDICT r12 next-round
+    # #1): collect_set's partial state is value-proportional, so the
+    # hot key's reducer receives every map partition's partial set
+    # (~hot-rows elements after per-partition dedup) and merges them
+    # alone. The salted twin builds per-(key,salt) sets — the
+    # whole-row salt on (key, val) is a function of val within a key,
+    # so per-salt sets are DISJOINT and flatten(collect_list(...)) is
+    # already the exact set. Output projects to (size, element-sum):
+    # exact integers, no multi-million-element arrays in the digest.
+    def _set_stats(df, set_col):
+        return df.select(
+            "key",
+            F.size(set_col).alias("n_vals"),
+            F.aggregate(
+                set_col, F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("sum_vals"),
+        )
+
+    def _salted_set(hot_keys):
+        return _set_stats(
+            salted_agg(
+                kv,
+                ["key"],
+                [F.collect_set("val").alias("p_vals")],
+                [F.flatten(F.collect_list("p_vals")).alias("vals")],
+                factor=args.factor,
+                hot_keys=hot_keys,
+            ),
+            "vals",
+        )
+
+    plain_hset = _set_stats(
+        kv.groupBy("key").agg(F.collect_set("val").alias("vals")), "vals"
+    )
+    salted_hset = _salted_set(None)
+    hot_hset = _salted_set(hot)
+    t_plain, t_salted = _timed(plain_hset), _timed(salted_hset)
+    t_hot = _timed(hot_hset)
+    h_plain, n_plain = agg_hash(plain_hset)
+    h_salted, _ = agg_hash(salted_hset)
+    h_hot, _ = agg_hash(hot_hset)
+    emit({
+        "cell": "agg_holistic_set", "plain_s": t_plain,
+        "salted_all_s": t_salted, "salted_hot_s": t_hot,
+        "rows": n_plain,
+        "hash_identical": h_plain == h_salted == h_hot,
+    })
+
+    # -- 2c. grouped-agg heavyweight: grouped-agg pandas UDAF ----------
+    # The OTHER holistic shape: a pandas aggregation must ship the
+    # whole group's column through Arrow to ONE Python worker — the
+    # hot key's 40% of the corpus serializes to a single process no
+    # matter how many cores exist. Salting splits the hot group into
+    # ``factor`` Arrow batches computed in parallel; the partials
+    # (sum / count / max) recombine exactly.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def p_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @pandas_udf("bigint")
+    def p_cnt(v: pd.Series) -> int:
+        return len(v)
+
+    @pandas_udf("bigint")
+    def p_max(v: pd.Series) -> int:
+        return int(v.max())
+
+    def _salted_pd(hot_keys):
+        return salted_agg(
+            kv,
+            ["key"],
+            [p_sum("val").alias("ps"), p_cnt("val").alias("pn"),
+             p_max("val").alias("pm")],
+            [F.sum("ps").alias("s"), F.sum("pn").alias("n"),
+             F.max("pm").alias("m")],
+            factor=args.factor,
+            hot_keys=hot_keys,
+        )
+
+    plain_pd = kv.groupBy("key").agg(
+        p_sum("val").alias("s"), p_cnt("val").alias("n"),
+        p_max("val").alias("m"),
+    )
+    hot_pd = _salted_pd(hot)
+    t_plain, t_hot = _timed(plain_pd), _timed(hot_pd)
+    h_plain, n_plain = agg_hash(plain_pd)
+    h_hot, _ = agg_hash(hot_pd)
+    rec = {
+        "cell": "agg_holistic_pandas", "plain_s": t_plain,
+        "salted_hot_s": t_hot, "rows": n_plain,
+        "hash_identical": h_plain == h_hot,
+    }
+    if args.salt_all_pandas:
+        # whole-corpus salting multiplies the Arrow group count by
+        # ``factor`` — measured 20x SLOWER than plain at sf1 (99.2 s
+        # vs 4.9 s), so it is opt-in here to keep the sf10 run
+        # bounded; the boundary is recorded in SCALE.md SS9 either way
+        t_all = _timed(_salted_pd(None))
+        h_all, _ = agg_hash(_salted_pd(None))
+        rec["salted_all_s"] = t_all
+        rec["hash_identical"] = rec["hash_identical"] and h_plain == h_all
+    emit(rec)
 
     # -- 3. the join heavyweight ---------------------------------------
     # Broadcast force-disabled: at 100 TB the dimension is 100M+ rows

@@ -8,16 +8,19 @@ through Python row-at-a-time.
 :func:`decode_image` REALLY decodes the formats a stdlib-only
 executor can handle — PPM (P6), PGM (P5), BI_RGB BMP (24/32-bit),
 non-interlaced 8-bit PNG (DEFLATE via ``zlib`` + the five scanline
-filters) including 1/2/4/8-bit palette with tRNS, and JPEG (SOF0/1
+filters) including 1/2/4/8-bit palette with tRNS and 1/2/4-bit
+grayscale (the full spec-legal depth matrix), and JPEG (SOF0/1
 sequential, SOF2 progressive, AND SOF9/SOF10 arithmetic-coded via a
 T.81 Annex D QM-coder: canonical Huffman or adaptive-binary entropy
 tier + dequant + float64 IDCT + YCbCr, the full T.81 sampling-factor
 range 1-4) — returning raw row-major pixels; PNG covers 8/16-bit,
 palette 1/2/4/8-bit, and Adam7 interlace; GIF87a/89a (LZW,
 interlace, transparency, animation disposal — animated GIFs also
-demux through the video tier); baseline TIFF (II/MM strips:
-uncompressed, PackBits, TIFF-LZW with early change; gray/RGB/palette
-— the scanned-document corpus format); RGB-colorspace JPEG
+demux through the video tier); baseline TIFF (II/MM strips and
+tiles: uncompressed, PackBits, TIFF-LZW with early change, Deflate
+codes 8/32946 via ``zlib``, horizontal-differencing predictor;
+gray/RGB/palette — the scanned-document corpus format);
+RGB-colorspace JPEG
 (Adobe APP14 transform=0 / 'R','G','B' ids) decodes natively without
 the YCbCr matrix; hierarchical JPEG (Annex J: DHP progression, EXP
 midpoint-doubling expansion, SOF5 differential sequential frames)
@@ -31,8 +34,9 @@ deployment plugs PIL/libvips into the same dispatch).
 native FLAC (the lossless speech-corpus format — constant/verbatim/
 fixed/LPC subframes, Rice partitions, stereo decorrelation, CRC and
 STREAMINFO-MD5 verification), AIFF/AIFC (big-endian PCM incl. signed
-8-bit and 'sowt', 80-bit-extended sample rates),
-G.711 A-law/µ-law, IMA ADPCM, and WAVE_FORMAT_EXTENSIBLE containers. The image-graded queries use :func:`byte_features`, a
+8-bit and 'sowt', 80-bit-extended sample rates, G.711 ulaw/alaw
+compression types), G.711 A-law/µ-law, IMA ADPCM, MS ADPCM, and
+WAVE_FORMAT_EXTENSIBLE containers. The image-graded queries use :func:`byte_features`, a
 deterministic extractor with the same batch shape, so their grading
 never depends on payload format; the audio tier is graded end-to-end
 through the real decoder (llm_audio_features synthesizes WAV from
@@ -260,10 +264,12 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         if trns is not None and len(trns) > len(plte) // 3:
             raise ValueError("PNG tRNS longer than palette")
     else:
-        if depth not in (8, 16):
-            raise NotImplementedError(
-                f"PNG bit depth {depth} requires a codec "
-                "(8/16-bit, or 1/2/4/8-bit palette)"
+        # spec-legal depths: grayscale may be 1/2/4/8/16; the
+        # multi-channel types only 8/16 — anything else is malformed,
+        # not a missing codec (the whole legal matrix decodes here)
+        if depth not in ((1, 2, 4, 8, 16) if color == 0 else (8, 16)):
+            raise ValueError(
+                f"PNG color type {color} bit depth {depth} illegal"
             )
         if trns is not None:
             # color-key transparency on gray/RGB is legal PNG but rare;
@@ -373,6 +379,12 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                     d = o + x * step
                     canvas[d : d + bpp] = row[s : s + bpp]
     if color != 3:
+        if depth < 8:
+            # sub-8 grayscale: the canvas holds one unpacked sample
+            # per pixel; scale to the full 8-bit range (255 is an
+            # exact multiple of every sub-8 max value)
+            scale = 255 // mask
+            return w, h, 1, bytes(v * scale for v in canvas)
         if depth == 16:
             # accurate 16→8 scaling: round(v * 255 / 65535) without
             # floats (exact integer arithmetic)
@@ -2431,6 +2443,7 @@ def _decode_aiff(payload: bytes) -> "tuple[int, int, int, array]":
     comm = None
     ssnd = None
     little = False
+    g711 = None
     is_aifc = payload[8:12] == b"AIFC"
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -2450,6 +2463,10 @@ def _decode_aiff(payload: bytes) -> "tuple[int, int, int, array]":
                 ctype = body[18:22]
                 if ctype == b"sowt":
                     little = True
+                elif ctype in (b"ulaw", b"ULAW"):
+                    g711 = "ulaw"
+                elif ctype in (b"alaw", b"ALAW"):
+                    g711 = "alaw"
                 elif ctype not in (b"NONE",):
                     raise NotImplementedError(
                         f"AIFC compression {ctype!r} requires a codec"
@@ -2468,6 +2485,21 @@ def _decode_aiff(payload: bytes) -> "tuple[int, int, int, array]":
     channels, frames, bits, rate = comm
     if channels < 1 or rate < 1:
         raise ValueError(f"bad AIFF layout: {channels}ch @ {rate}Hz")
+    if g711 is not None:
+        # G.711 codes are one byte per sample; COMM declares the
+        # DECODED size (16). Expansion reuses the WAV tier's ITU-T
+        # tables, returning the same int16-domain contract as WAV
+        # formats 6/7.
+        n = frames * channels
+        if n > MAX_DECODE_PIXELS:
+            raise ValueError(
+                "AIFF declares more than MAX_DECODE_PIXELS samples"
+            )
+        if len(ssnd) < n:
+            raise ValueError("AIFF SSND data shorter than COMM declares")
+        table = _G711_ULAW if g711 == "ulaw" else _G711_ALAW
+        samples = array("h", map(table.__getitem__, ssnd[:n]))
+        return rate, channels, 16, samples
     if bits not in (8, 16, 24, 32):
         raise NotImplementedError(f"{bits}-bit AIFF")
     if little and bits != 16:
@@ -2557,9 +2589,43 @@ def _flac_crc8(buf) -> int:
     return crc
 
 
+_FLAC_CRC16_TAB16 = None  # lazily-built 16-bit-block table (64K entries)
+
+
 def _flac_crc16(buf) -> int:
-    crc = 0
+    """CRC-16/BUYPASS (poly 0x8005) over a frame. For buffers past a
+    small threshold, process 16 input bits per loop iteration with a
+    lazily-built 65 536-entry table: for an MSB-first width-16 CRC the
+    next state after a 16-bit block w is T16[crc ^ w] (the incoming
+    bits XOR directly with the full state), which halves the Python
+    iteration count AND drops the two-op shift/mask update — the r13
+    profile had byte-at-a-time CRC as the top cost after the verbatim
+    fast path landed."""
     tab = _FLAC_CRC16_TAB
+    if len(buf) >= 64:
+        global _FLAC_CRC16_TAB16
+        if _FLAC_CRC16_TAB16 is None:
+            t16 = []
+            for w in range(65536):
+                c = tab[w >> 8]
+                c = ((c << 8) & 0xFFFF) ^ tab[(c >> 8) ^ (w & 0xFF)]
+                t16.append(c)
+            _FLAC_CRC16_TAB16 = t16
+        import sys
+        from array import array
+
+        t16 = _FLAC_CRC16_TAB16
+        n2 = len(buf) & ~1
+        words = array("H", bytes(buf[:n2]))
+        if sys.byteorder == "little":
+            words.byteswap()
+        crc = 0
+        for w in words:
+            crc = t16[crc ^ w]
+        for b in buf[n2:]:
+            crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ b]
+        return crc
+    crc = 0
     for b in buf:
         crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ b]
     return crc
@@ -2607,7 +2673,36 @@ def _flac_subframe(br: _FlacBits, bs: int, bps: int) -> list[int]:
         v = br.sbits(ebps)
         out = [v] * bs
     elif ftype == 1:
-        out = [br.sbits(ebps) for _ in range(bs)]
+        # Verbatim subframes are byte-aligned in practice (frame
+        # header + subframe header are whole bytes), and the r12
+        # profile put 35% of FLAC decode in this per-sample sbits
+        # loop — read aligned byte-multiple widths as one slice
+        # (array byteswap for 16-bit) instead of bit-by-bit.
+        if br.n == 0 and ebps % 8 == 0:
+            import sys
+            from array import array
+
+            width = ebps // 8
+            need = bs * width
+            chunk = br.buf[br.pos : br.pos + need]
+            if len(chunk) != need:
+                raise ValueError("FLAC bitstream truncated")
+            br.pos += need
+            if ebps == 16:
+                a = array("h", chunk)
+                if sys.byteorder == "little":
+                    a.byteswap()
+                out = a.tolist()
+            elif ebps == 8:
+                out = list(array("b", chunk))
+            else:
+                out = [
+                    int.from_bytes(chunk[i : i + width], "big",
+                                   signed=True)
+                    for i in range(0, need, width)
+                ]
+        else:
+            out = [br.sbits(ebps) for _ in range(bs)]
     elif 8 <= ftype <= 12 or ftype & 0x20:
         if ftype & 0x20:
             order = (ftype & 0x1F) + 1
@@ -2808,9 +2903,10 @@ def _decode_flac(payload: bytes) -> "tuple[int, int, int, array]":
         lim = 1 << (fbps - 1)
         for c in range(channels):
             col = subs[c]
-            for v in col:
-                if not -lim <= v < lim:
-                    raise ValueError("FLAC sample out of range")
+            # min/max run at C speed — the per-sample Python loop was
+            # a measurable slice of the r12 profile
+            if col and (min(col) < -lim or max(col) >= lim):
+                raise ValueError("FLAC sample out of range")
             chans[c].extend(col)
         pos = br.pos
     n = len(chans[0])
@@ -2820,16 +2916,27 @@ def _decode_flac(payload: bytes) -> "tuple[int, int, int, array]":
             f"{info['total']}"
         )
     tc = "b" if bps <= 8 else ("h" if bps <= 16 else "i")
-    samples = array(tc)
-    for i in range(n):
-        for c in range(channels):
-            samples.append(chans[c][i])
+    if channels == 1:
+        samples = array(tc, chans[0])
+    else:
+        samples = array(tc)
+        for i in range(n):
+            for c in range(channels):
+                samples.append(chans[c][i])
     if info["md5"] != b"\x00" * 16 and bps % 8 == 0:
+        import sys
+
         width = bps // 8
-        pcm = b"".join(
-            (v & ((1 << bps) - 1)).to_bytes(width, "little")
-            for v in samples
-        )
+        if width == samples.itemsize and sys.byteorder == "little":
+            # the FLAC MD5 is over signed little-endian PCM, which for
+            # 8/16-bit IS the array's native memory on little-endian
+            # hosts — no per-sample to_bytes
+            pcm = samples.tobytes()
+        else:
+            pcm = b"".join(
+                (v & ((1 << bps) - 1)).to_bytes(width, "little")
+                for v in samples
+            )
         if hashlib.md5(pcm).digest() != info["md5"]:
             raise ValueError("FLAC STREAMINFO MD5 does not match decode")
     return rate, channels, bps, samples
@@ -2857,8 +2964,10 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
     host-deterministic) to keep downstream features integer-exact.
     G.711 A-law/µ-law (formats 6/7) expand by the ITU-T tables,
     IMA/DVI ADPCM (format 17) decodes by the published step/index
-    tables (4-bit nibbles, block headers, ``fact``-trimmed tail), and
-    WAVE_FORMAT_EXTENSIBLE containers unwrap their SubFormat code.
+    tables (4-bit nibbles, block headers, ``fact``-trimmed tail),
+    MS ADPCM (format 2) by the published coefficient/adaptation
+    tables, and WAVE_FORMAT_EXTENSIBLE containers unwrap their
+    SubFormat code.
 
     ``bits`` in the return is the CONTAINER's declared depth, not the
     sample domain: float (32/64) and G.711 (8) payloads come back as
@@ -2922,12 +3031,16 @@ def decode_audio(payload: bytes) -> "tuple[int, int, int, array]":
             raise NotImplementedError(
                 "extensible WAV with a non-standard SubFormat GUID"
             )
-    if audio_fmt not in (1, 3, 6, 7, 0x11):
+    if audio_fmt not in (1, 2, 3, 6, 7, 0x11):
         raise NotImplementedError(
             f"compressed WAV (format {audio_fmt}) requires a codec"
         )
     if channels < 1 or rate < 1:
         raise ValueError(f"bad WAV layout: {channels}ch @ {rate}Hz")
+    if audio_fmt == 2:
+        # MS ADPCM (format 2): predictor-coefficient blocks with
+        # adaptive delta — integer-exact, stdlib-only (r13)
+        return _decode_ms_adpcm(fmt, data, channels, rate, bits, fact)
     if audio_fmt == 0x11:
         # IMA/DVI ADPCM (format 17): 4-bit differential nibbles over
         # the published step/index tables — integer-exact, stdlib-only
@@ -3137,6 +3250,153 @@ def _decode_ima_adpcm(
     return rate, channels, bits, samples
 
 
+# MS ADPCM (wFormatTag 0x0002) constants from the public Microsoft
+# ADPCM spec (the seven standard predictor coefficient pairs in
+# 1/256ths, and the 16-entry delta adaptation table).
+_MS_ADPCM_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64),
+                   (240, 0), (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _trunc_div(n: int, d: int) -> int:
+    """C-style integer division (truncate toward zero) — the MS ADPCM
+    reference code divides signed predictors with C ``/``, which
+    differs from Python ``//`` for negatives."""
+    q = abs(n) // d
+    return q if (n >= 0) == (d >= 0) else -q
+
+
+def _decode_ms_adpcm(
+    fmt: bytes, data: bytes, channels: int, rate: int, bits: int, fact
+) -> "tuple[int, int, int, array]":
+    """WAV MS ADPCM (wFormatTag 0x0002) block decode. Each
+    ``nBlockAlign`` block opens with a 7-byte-per-channel header
+    (predictor index into the coefficient table, int16 initial delta,
+    int16 sample1, int16 sample2 — sample2 is emitted FIRST), then
+    4-bit nibbles high-nibble-first, channel-interleaved per nibble.
+    Per nibble: ``pred = trunc((s1*c1 + s2*c2)/256) + signed4*delta``
+    clamped to int16, then ``delta = max(16, trunc(adapt[nib]*delta
+    /256))``. The fmt chunk's extension may carry a custom
+    coefficient table (wNumCoef >= 7, standard pairs first) — honored
+    when present. A ``fact`` chunk trims the final partial block.
+    Returns int16-domain samples; ``bits`` stays the declared 4."""
+    import struct
+    from array import array
+
+    if bits != 4:
+        raise ValueError(f"MS ADPCM WAV must be 4-bit, got {bits}")
+    (block_align,) = struct.unpack_from("<H", fmt, 12)
+    hdr = 7 * channels
+    if block_align <= hdr or (2 * (block_align - hdr)) % channels:
+        raise ValueError(
+            f"bad MS ADPCM block layout: align {block_align}, "
+            f"{channels} channel(s)"
+        )
+    spb = 2 + 2 * (block_align - hdr) // channels
+    coefs = list(_MS_ADPCM_COEFS)
+    if len(fmt) >= 20:
+        (cb,) = struct.unpack_from("<H", fmt, 16)
+        if cb >= 4:
+            (declared,) = struct.unpack_from("<H", fmt, 18)
+            if declared != spb:
+                raise ValueError(
+                    f"MS ADPCM declares {declared} samples/block but "
+                    f"the block layout implies {spb}"
+                )
+            (ncoef,) = struct.unpack_from("<H", fmt, 20)
+            if ncoef < 7:
+                raise ValueError(
+                    f"MS ADPCM coefficient table has {ncoef} < 7 pairs"
+                )
+            if cb >= 4 + 4 * ncoef:
+                coefs = [
+                    struct.unpack_from("<hh", fmt, 22 + 4 * i)
+                    for i in range(ncoef)
+                ]
+                if coefs[:7] != _MS_ADPCM_COEFS:
+                    raise ValueError(
+                        "MS ADPCM coefficient table does not start "
+                        "with the seven standard pairs"
+                    )
+    if not data or len(data) % block_align:
+        raise ValueError("MS ADPCM data is not a whole number of blocks")
+    nblocks = len(data) // block_align
+    if nblocks * spb * channels > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"MS ADPCM declares {nblocks * spb * channels} samples "
+            "> MAX_DECODE_PIXELS"
+        )
+    adapt = _MS_ADAPT
+    samples = array("h")
+    for b in range(nblocks):
+        base = b * block_align
+        cc1: list[int] = []
+        cc2: list[int] = []
+        deltas: list[int] = []
+        s1s: list[int] = []
+        s2s: list[int] = []
+        bufs: list[list[int]] = []
+        for c in range(channels):
+            pi = data[base + c]
+            if pi >= len(coefs):
+                raise ValueError(
+                    f"MS ADPCM predictor index {pi} outside the "
+                    f"{len(coefs)}-pair coefficient table"
+                )
+            c1, c2 = coefs[pi]
+            cc1.append(c1)
+            cc2.append(c2)
+        off = base + channels
+        deltas = [
+            struct.unpack_from("<h", data, off + 2 * c)[0]
+            for c in range(channels)
+        ]
+        off += 2 * channels
+        s1s = [
+            struct.unpack_from("<h", data, off + 2 * c)[0]
+            for c in range(channels)
+        ]
+        off += 2 * channels
+        s2s = [
+            struct.unpack_from("<h", data, off + 2 * c)[0]
+            for c in range(channels)
+        ]
+        bufs = [[s2s[c], s1s[c]] for c in range(channels)]
+        k = 0
+        for byte in data[base + hdr : base + block_align]:
+            for nib in (byte >> 4, byte & 0x0F):
+                c = k % channels
+                k += 1
+                signed = nib - 16 if nib >= 8 else nib
+                pred = _trunc_div(
+                    s1s[c] * cc1[c] + s2s[c] * cc2[c], 256
+                ) + signed * deltas[c]
+                if pred < -32768:
+                    pred = -32768
+                elif pred > 32767:
+                    pred = 32767
+                s2s[c] = s1s[c]
+                s1s[c] = pred
+                d = _trunc_div(adapt[nib] * deltas[c], 256)
+                deltas[c] = 16 if d < 16 else d
+                bufs[c].append(pred)
+        for i in range(spb):
+            for c in range(channels):
+                samples.append(bufs[c][i])
+    if fact is not None:
+        if len(fact) < 4:
+            raise ValueError("WAV fact chunk too short")
+        (frames,) = struct.unpack_from("<I", fact, 0)
+        if not (nblocks - 1) * spb < frames <= nblocks * spb:
+            raise ValueError(
+                f"WAV fact frame count {frames} inconsistent with "
+                f"{nblocks} block(s) of {spb} samples"
+            )
+        del samples[frames * channels :]
+    return rate, channels, bits, samples
+
+
 def _g711_mulaw_table() -> list[int]:
     """ITU-T G.711 µ-law byte → linear int16 (the CCITT reference
     expansion: invert, rebuild the mantissa with the 0x84 bias, shift
@@ -3189,15 +3449,27 @@ def encode_flac_verbatim(
     if rate < 1 or not 4 <= bps <= 32:
         raise ValueError(f"bad FLAC layout: {bps}-bit @ {rate}Hz")
     lim = 1 << (bps - 1)
-    for v in samples:
-        if not -lim <= v < lim:
-            raise ValueError(f"sample {v} outside {bps}-bit range")
+    if samples and (min(samples) < -lim or max(samples) >= lim):
+        bad = next(v for v in samples if not -lim <= v < lim)
+        raise ValueError(f"sample {bad} outside {bps}-bit range")
     n = len(samples)
     width = (bps + 7) // 8
-    pcm = b"".join(
-        (v & ((1 << bps) - 1)).to_bytes(width, "little") for v in samples
-    ) if bps % 8 == 0 else b""
-    digest = hashlib.md5(pcm).digest() if bps % 8 == 0 else b"\x00" * 16
+    if bps % 8 == 0:
+        import sys
+        from array import array as _array
+
+        if bps in (8, 16, 32) and sys.byteorder == "little":
+            # signed little-endian PCM == the array's native memory
+            pcm = _array({8: "b", 16: "h", 32: "i"}[bps],
+                         samples).tobytes()
+        else:
+            pcm = b"".join(
+                (v & ((1 << bps) - 1)).to_bytes(width, "little")
+                for v in samples
+            )
+        digest = hashlib.md5(pcm).digest()
+    else:
+        digest = b"\x00" * 16
     si = struct.pack(">HH", min(block_size, max(n, 16)),
                      min(block_size, max(n, 16)))
     si += b"\x00\x00\x00" * 2
@@ -3248,8 +3520,14 @@ def encode_flac_verbatim(
         put(0, 1)          # subframe pad
         put(1, 6)          # verbatim
         put(0, 1)          # no wasted bits
-        for v in samples[at : at + bs]:
-            put(v, bps)
+        if bps == 16 and nb == 0:
+            # header + subframe header end byte-aligned, so 16-bit
+            # verbatim samples pack in one struct call (the encoder
+            # twin of the decoder's aligned fast path)
+            bits += struct.pack(f">{bs}h", *samples[at : at + bs])
+        else:
+            for v in samples[at : at + bs]:
+                put(v, bps)
         if nb:
             put(0, 8 - nb)
         body = bytes(bits)
@@ -3721,18 +3999,54 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
         )
     if photo is None:
         raise ValueError("TIFF missing PhotometricInterpretation")
-    def inflate(seg: bytes, expected: int) -> bytes:
+    pred = one(317, 1)
+    if pred not in (1, 2):
+        # predictor 3 is float differencing — needs float samples this
+        # 8-bit tier doesn't carry
+        raise NotImplementedError(f"TIFF predictor {pred}")
+
+    def inflate(seg: bytes, expected: int, row_bytes: int) -> bytes:
         if comp == 1:
             if len(seg) < expected:
                 raise ValueError("TIFF uncompressed segment short")
-            return seg[:expected]
-        if comp == 32773:
-            return _tiff_packbits(seg, expected)
-        if comp == 5:
-            return _tiff_lzw(seg, expected)
-        raise NotImplementedError(
-            f"TIFF compression {comp} requires a codec"
-        )
+            out = seg[:expected]
+        elif comp == 32773:
+            out = _tiff_packbits(seg, expected)
+        elif comp == 5:
+            out = _tiff_lzw(seg, expected)
+        elif comp in (8, 32946):
+            # Deflate (TIFF6 tech note 2 / legacy Adobe code 32946):
+            # stdlib zlib, with the same allocation bound discipline
+            # as the PNG inflate (cap at expected+1, then verify)
+            import zlib
+
+            try:
+                d = zlib.decompressobj()
+                out = d.decompress(seg, expected + 1)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"TIFF deflate segment is not a valid zlib "
+                    f"stream: {exc}"
+                ) from exc
+            if len(out) < expected:
+                raise ValueError("TIFF deflate segment short")
+            out = out[:expected]
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {comp} requires a codec"
+            )
+        if pred == 2:
+            # horizontal differencing (tag 317): each sample stores
+            # the delta from the previous pixel's same sample within
+            # the row — silently skipping this scrambled every
+            # predictor-2 file, so it is decoded, not ignored
+            buf = bytearray(out)
+            for r0 in range(0, len(buf), row_bytes):
+                end = min(r0 + row_bytes, len(buf))
+                for i in range(r0 + spp, end):
+                    buf[i] = (buf[i] + buf[i - spp]) & 0xFF
+            out = bytes(buf)
+        return out
 
     if 322 in tags or 323 in tags:
         # tile organization (TIFF6 §15): fixed tw×tl tiles, padded at
@@ -3759,7 +4073,7 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
             seg = payload[so : so + sc]
             if len(seg) != sc:
                 raise ValueError("TIFF tile out of range")
-            tile = inflate(seg, tw * tl * spp)
+            tile = inflate(seg, tw * tl * spp, tw * spp)
             ty, tx = divmod(ti, across)
             x0, y0 = tx * tw, ty * tl
             cols = min(tw, w - x0)
@@ -3781,7 +4095,7 @@ def _decode_tiff(payload: bytes) -> tuple[int, int, int, bytes]:
             if len(strip) != sc:
                 raise ValueError("TIFF strip out of range")
             rows = min(rps, h - si * rps)
-            raw += inflate(strip, rows * w * spp)
+            raw += inflate(strip, rows * w * spp, w * spp)
     if len(raw) != w * h * spp:
         raise ValueError("TIFF strips do not cover the image")
     if photo == 2:

@@ -110,3 +110,54 @@ def test_aiff_flows_through_audio_features(spark):
     assert row["sample_rate"] == 16000
     assert row["n_frames"] == 320
     assert row["peak_abs"] == max(abs(v) for v in pcm)
+
+
+def build_aifc_g711(codes: bytes, rate: int, ctype: bytes,
+                    channels: int = 1) -> bytes:
+    """AIFC container carrying raw G.711 codes (1 byte/sample); COMM
+    declares the DECODED 16-bit size per the AIFC-1991 convention."""
+    frames = len(codes) // channels
+    comm = struct.pack(">hIh", channels, frames, 16) + ext80(rate)
+    comm += ctype + b"\x00"
+    ssnd = struct.pack(">II", 0, 0) + codes
+
+    def chunk(cid, body):
+        return cid + struct.pack(">I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    body = b"AIFC" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def test_aifc_g711_literal_pins():
+    """The same ITU-T literals the WAV tier pins, through the AIFC
+    container (all four fourcc casings)."""
+    _, _, bits, mu = decode_audio(
+        build_aifc_g711(bytes([0x00, 0x7F, 0x80, 0xFF]), 8000, b"ulaw"))
+    assert bits == 16 and list(mu) == [-32124, 0, 32124, 0]
+    _, _, _, al = decode_audio(
+        build_aifc_g711(bytes([0x00, 0x55, 0xD5, 0xAA, 0x2A]), 8000,
+                        b"alaw"))
+    assert list(al) == [-5504, -8, 8, 32256, -32256]
+    for ct in (b"ULAW", b"ALAW"):
+        assert decode_audio(build_aifc_g711(b"\x00\xff", 8000, ct))[2] == 16
+
+
+def test_aifc_g711_matches_wav_tier_full_table():
+    """Cross-container identity: AIFC-ulaw/alaw must decode to exactly
+    the WAV format-7/6 expansion of the same 256 code points."""
+    sys.path.insert(0, "tests")
+    from tests.test_audio import make_wav_g711
+
+    allb = bytes(range(256))
+    for law, ct in (("ulaw", b"ulaw"), ("alaw", b"alaw")):
+        wav = decode_audio(make_wav_g711(allb, 8000, 1, law))
+        aifc = decode_audio(build_aifc_g711(allb, 8000, ct))
+        assert list(aifc[3]) == list(wav[3])
+        assert (aifc[0], aifc[1]) == (8000, 1)
+
+
+def test_aifc_g711_short_ssnd_fails_loud():
+    good = build_aifc_g711(bytes(64), 8000, b"ulaw")
+    with pytest.raises(ValueError):
+        decode_audio(good[:-40])

@@ -81,9 +81,13 @@ def test_wav_codec_gates():
     with pytest.raises(ValueError, match="IEEE-float WAV bit depth"):
         decode_audio(bytes(ieee16))
     adpcm = bytearray(good)
-    struct.pack_into("<H", adpcm, fmt_at, 2)  # MS ADPCM: truly compressed
+    struct.pack_into("<H", adpcm, fmt_at, 2)  # MS ADPCM decodes since
+    with pytest.raises(ValueError, match="4-bit"):  # r13 — but a
+        decode_audio(bytes(adpcm))  # 16-bit relabel is malformed
+    mp3 = bytearray(good)
+    struct.pack_into("<H", mp3, fmt_at, 0x55)  # MPEG Layer 3: gated
     with pytest.raises(NotImplementedError):
-        decode_audio(bytes(adpcm))
+        decode_audio(bytes(mp3))
     f32 = bytearray(good)
     struct.pack_into("<H", f32, fmt_at + 14, 32)  # 32-bit PCM
     with pytest.raises(NotImplementedError):
@@ -524,3 +528,151 @@ def test_ima_adpcm_malformed_raises():
     bad[2] = 89
     with pytest.raises(ValueError, match="step index"):
         decode_audio(make_wav_ima(bytes(bad), 8000, 1, spb))
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM (wFormatTag 0x0002) — r13
+# ---------------------------------------------------------------------------
+
+# independent copies of the published tables — the test must not share
+# the engine's constants
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _tdiv(n, d):
+    q = abs(n) // d
+    return q if n >= 0 else -q
+
+
+def _ms_encode(chans, spb, pi=0, delta0=64):
+    """Greedy MS ADPCM test encoder tracking the decoder-visible
+    reconstruction in lockstep with its OWN copy of the documented
+    update rules — decode must reproduce ``recon`` exactly."""
+    nch = len(chans)
+    per = spb - 2
+    assert (per * nch) % 2 == 0
+    c1, c2 = _MS_COEFS[pi]
+    nblocks = (len(chans[0]) + spb - 1) // spb
+    blocks = b""
+    recon = [[] for _ in range(nch)]
+    pos = 0
+    for _ in range(nblocks):
+        s2, s1, deltas = [], [], []
+        for c in range(nch):
+            v2 = chans[c][pos] if pos < len(chans[c]) else 0
+            v1 = chans[c][pos + 1] if pos + 1 < len(chans[c]) else 0
+            s2.append(v2)
+            s1.append(v1)
+            deltas.append(delta0)
+            recon[c] += [v2, v1]
+        hdr = bytes([pi] * nch)
+        hdr += b"".join(struct.pack("<h", d) for d in deltas)
+        hdr += b"".join(struct.pack("<h", v) for v in s1)
+        hdr += b"".join(struct.pack("<h", v) for v in s2)
+        nibs = []
+        for i in range(per):
+            for c in range(nch):
+                at = pos + 2 + i
+                target = chans[c][at] if at < len(chans[c]) else 0
+                base = _tdiv(s1[c] * c1 + s2[c] * c2, 256)
+                sgn = max(-8, min(7, _tdiv(target - base, deltas[c])))
+                nib = sgn & 0x0F
+                pred = base + sgn * deltas[c]
+                pred = max(-32768, min(32767, pred))
+                s2[c] = s1[c]
+                s1[c] = pred
+                d = _tdiv(_MS_ADAPT[nib] * deltas[c], 256)
+                deltas[c] = 16 if d < 16 else d
+                recon[c].append(pred)
+                nibs.append(nib)
+        body = bytes(
+            (nibs[k] << 4) | nibs[k + 1] for k in range(0, len(nibs), 2)
+        )
+        blocks += hdr + body
+        pos += spb
+    return blocks, recon
+
+
+def make_wav_ms(blocks, rate, nch, spb, fact_frames=None):
+    block_align = 7 * nch + (spb - 2) * nch // 2
+    fmt = struct.pack(
+        "<HHIIHH", 2, nch, rate,
+        rate * block_align // spb, block_align, 4,
+    ) + struct.pack("<HHH", 32, spb, 7)
+    for c1, c2 in _MS_COEFS:
+        fmt += struct.pack("<hh", c1, c2)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if fact_frames is not None:
+        chunks += b"fact" + struct.pack("<II", 4, fact_frames)
+    chunks += b"data" + struct.pack("<I", len(blocks)) + blocks
+    if len(blocks) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_ms_adpcm_mono_tracks_encoder_recon():
+    import math
+
+    spb = 18  # 2 header samples + 16 nibbles
+    sig = [int(4000 * math.sin(i / 5)) for i in range(3 * spb)]
+    blocks, recon = _ms_encode([sig], spb)
+    rate, ch, bits, got = decode_audio(make_wav_ms(blocks, 16000, 1, spb))
+    assert (rate, ch, bits) == (16000, 1, 4)
+    assert list(got) == recon[0]
+
+
+def test_ms_adpcm_stereo_nonzero_predictor_and_fact_trim():
+    import math
+
+    spb = 10
+    left = [int(2500 * math.sin(i / 3)) for i in range(2 * spb)]
+    right = [int(1500 * math.cos(i / 7)) for i in range(2 * spb)]
+    blocks, recon = _ms_encode([left, right], spb, pi=1, delta0=48)
+    # trim 3 frames off the tail via fact
+    frames = 2 * spb - 3
+    rate, ch, bits, got = decode_audio(
+        make_wav_ms(blocks, 8000, 2, spb, fact_frames=frames)
+    )
+    exp = []
+    for i in range(frames):
+        exp += [recon[0][i], recon[1][i]]
+    assert (ch, bits) == (2, 4)
+    assert list(got) == exp
+
+
+def test_ms_adpcm_clamps_and_adapts_delta():
+    """A hand-built block whose nibbles overshoot int16 in both
+    directions: the predictor must clamp at exactly +-32768/32767 and
+    the delta must adapt by adapt[nib]/256 (hand-computed chain)."""
+    # mono block: pi=0 (c1=256,c2=0), delta=20000, s1=30000, s2=100,
+    # nibbles +7 then -8 (one byte 0x78); spb = 4, block_align = 8
+    block = bytes([0]) + struct.pack("<hhh", 20000, 30000, 100) \
+        + bytes([0x78])
+    wav = make_wav_ms(block, 8000, 1, 4)
+    got = decode_audio(wav)[3]
+    # nib +7: pred = 30000 + 7*20000 -> clamp 32767;
+    #         delta -> trunc(614*20000/256) = 47968
+    # nib -8: pred = 32767 - 8*47968 -> clamp -32768
+    assert list(got) == [100, 30000, 32767, -32768]
+
+
+def test_ms_adpcm_malformed_fails_loud():
+    spb = 18
+    blocks, _ = _ms_encode([[0] * spb], spb)
+    good = make_wav_ms(blocks, 8000, 1, spb)
+    # predictor index outside the 7-pair table
+    bad = bytearray(good)
+    at = bytes(bad).index(b"data") + 8
+    bad[at] = 7
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_audio(bytes(bad))
+    # ragged block
+    ragged = bytearray(good[:-2])
+    struct.pack_into(
+        "<I", ragged, bytes(ragged).index(b"data") + 4, len(blocks) - 2
+    )
+    with pytest.raises(ValueError, match="whole number of blocks"):
+        decode_audio(bytes(ragged))

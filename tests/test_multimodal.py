@@ -251,9 +251,10 @@ def test_png_codec_gates():
     gray = bytes([0, 255])
     with pytest.raises(ValueError, match="missing PLTE"):
         decode_image(_png(2, 1, 3, gray))  # palette w/o palette chunk
-    with pytest.raises(NotImplementedError):
-        # sub-8 GRAYSCALE (non-palette) stays gated; 2px packed in 1 byte
-        decode_image(_png(2, 1, 0, bytes([0b10_000000]), depth=2))
+    # sub-8 grayscale decoded since r13 (see the positive tests); an
+    # ILLEGAL depth on a multi-channel type is malformed, not gated
+    with pytest.raises(ValueError, match="illegal"):
+        decode_image(_png(2, 1, 2, bytes([0b10_000000]), depth=4))
     with pytest.raises(NotImplementedError):
         # color-key transparency on non-palette: legal PNG, honestly gated
         decode_image(_png(2, 1, 0, gray, trns=b"\x00\x01"))
@@ -702,3 +703,30 @@ def test_image_features_palette_png_spark_path(spark):
                      for i in [0, 1, 2, 3])
     assert (rows[2]["width"], rows[2]["channels"],
             rows[2]["mean_px"]) == (4, 4, sum(want4) // len(want4))
+
+
+def test_png_sub8_grayscale_scales_to_full_range():
+    """1/2/4-bit grayscale PNGs (spec-legal depths for color type 0)
+    decode with exact range expansion: 255 is divisible by every
+    sub-8 max, so v * (255 // max) is the spec's bit-replication."""
+    # depth 1: 6 px row -> bits 101101, padded to one byte
+    payload = _png(6, 1, 0, bytes([0b10110100]), depth=1)
+    assert decode_image(payload) == (6, 1, 1, bytes([255, 0, 255, 255, 0, 255]))
+    # depth 2: values 0..3 -> 0,85,170,255; 4 px pack in one byte
+    payload = _png(4, 1, 0, bytes([0b00_01_10_11]), depth=2)
+    assert decode_image(payload) == (4, 1, 1, bytes([0, 85, 170, 255]))
+    # depth 4 with a Sub-filtered second row (filters act on bytes)
+    rows = bytes([0x0F, 0x73, 0xA2, 0xC8])  # 2 rows x 4 px (2 bytes/row)
+    payload = _png(4, 2, 0, rows, depth=4, filters=[0, 1])
+    exp = bytes(v * 17 for v in [0x0, 0xF, 0x7, 0x3, 0xA, 0x2, 0xC, 0x8])
+    assert decode_image(payload) == (4, 2, 1, exp)
+
+
+def test_png_sub8_grayscale_interlaced():
+    """Adam7 + 1-bit grayscale: the sub-8 unpack path must scatter
+    per-pass samples correctly (same remap as sub-8 palette)."""
+    w, h = 5, 3
+    bits = [(x + y) % 2 for y in range(h) for x in range(w)]
+    pixels = bytes(b * 255 for b in bits)
+    payload = _adam7_png(w, h, 0, bytes(bits), depth=1)
+    assert decode_image(payload) == (w, h, 1, pixels)

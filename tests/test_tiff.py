@@ -91,8 +91,22 @@ def tiff_lzw(data):
     return bw.bytes()
 
 
+def _hdiff(raw, row_bytes, spp):
+    """Forward-apply TIFF horizontal differencing (tag 317 = 2):
+    every sample stores its delta from the previous pixel's same
+    sample — the inverse of what the decoder must apply."""
+    buf = bytearray(raw)
+    for r0 in range(0, len(buf), row_bytes):
+        end = min(r0 + row_bytes, len(buf))
+        for i in range(end - 1, r0 + spp - 1, -1):
+            buf[i] = (buf[i] - buf[i - spp]) & 0xFF
+    return bytes(buf)
+
+
 def build_tiff(w, h, pixels, spp=1, photo=1, comp=1, rps=None,
-               endian="<", colormap=None):
+               endian="<", colormap=None, predictor=1):
+    import zlib
+
     rps = rps or h
     strips = []
     row_bytes = w * spp
@@ -100,10 +114,14 @@ def build_tiff(w, h, pixels, spp=1, photo=1, comp=1, rps=None,
     while y < h:
         rows = min(rps, h - y)
         raw = pixels[y * row_bytes : (y + rows) * row_bytes]
+        if predictor == 2:
+            raw = _hdiff(raw, row_bytes, spp)
         if comp == 32773:
             strips.append(packbits(raw))
         elif comp == 5:
             strips.append(tiff_lzw(raw))
+        elif comp in (8, 32946):
+            strips.append(zlib.compress(raw))
         else:  # 1 = none; unknown codes carry raw bytes so the
             strips.append(raw)  # decoder's gate fires, not a layout error
         y += rows
@@ -127,6 +145,8 @@ def build_tiff(w, h, pixels, spp=1, photo=1, comp=1, rps=None,
     entry(279, 4, len(strips), [len(s) for s in strips])
     if colormap is not None:
         entry(320, 3, len(colormap), colormap)
+    if predictor != 1:
+        entry(317, 3, 1, [predictor])
     entries.sort()
     n = len(entries)
     ifd_size = 2 + 12 * n + 4
@@ -360,3 +380,42 @@ def test_tiled_tiff_bad_grid_fails_loud():
     tif[at + 8 : at + 10] = struct.pack("<H", 15)  # not multiple of 16
     with pytest.raises(ValueError, match="multiple of 16"):
         decode_image(bytes(tif))
+
+
+def test_deflate_strips_roundtrip_both_codes():
+    """Compression 8 (TIFF6 tech-note Deflate) and 32946 (legacy
+    Adobe code) decode via stdlib zlib — gray and RGB, multi-strip."""
+    w, h = 9, 6
+    gray = bytes((x * 29 + y * 13) % 256 for y in range(h) for x in range(w))
+    for code in (8, 32946):
+        t = build_tiff(w, h, gray, comp=code, rps=2)
+        assert decode_image(t) == (w, h, 1, gray)
+    rgb = bytes((i * 41 + 5) % 256 for i in range(w * h * 3))
+    t = build_tiff(w, h, rgb, spp=3, photo=2, comp=8, rps=3)
+    assert decode_image(t) == (w, h, 3, rgb)
+
+
+def test_predictor2_applies_to_every_codec():
+    """Tag 317=2 (horizontal differencing) must be UN-applied after
+    decompression — silently ignoring it scrambled every predictor-2
+    file. Pinned for deflate, LZW, PackBits, and uncompressed, gray
+    and multi-sample."""
+    w, h = 8, 5
+    gray = bytes((x * 7 + y * 31) % 256 for y in range(h) for x in range(w))
+    for code in (1, 5, 8, 32773):
+        t = build_tiff(w, h, gray, comp=code, rps=2, predictor=2)
+        assert decode_image(t) == (w, h, 1, gray), code
+    rgb = bytes((i * 23 + 3) % 256 for i in range(w * h * 3))
+    t = build_tiff(w, h, rgb, spp=3, photo=2, comp=8, predictor=2)
+    assert decode_image(t) == (w, h, 3, rgb)
+
+
+def test_predictor_gate_and_corrupt_deflate():
+    w, h = 4, 2
+    gray = bytes(range(8))
+    with pytest.raises(NotImplementedError, match="predictor"):
+        decode_image(build_tiff(w, h, gray, predictor=3))
+    t = bytearray(build_tiff(w, h, gray, comp=8))
+    t[-3] ^= 0xFF  # corrupt the zlib stream tail
+    with pytest.raises(ValueError):
+        decode_image(bytes(t))

@@ -1643,6 +1643,58 @@ def orders_skew_profile(cat: Catalog) -> DataFrame:
     return skew_profile(cat["orders"], ["o_orderpriority"])
 
 
+@query(
+    "lang_distinct_stats_salted",
+    oracle="""
+    SELECT lang,
+           cast(count(DISTINCT n_chars) as bigint) AS n_vals,
+           cast(sum(DISTINCT n_chars) as bigint) AS sum_vals
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    survey="ops-ext: skew-safe HOLISTIC aggregation through the full "
+    "profile→salt workflow (skew_profile picks the hot keys, "
+    "salted_agg(hot_keys=...) splits only those across reducers — "
+    "SKEW_r13: hot-only salting wins 1.74x/1.34x at sf10 where "
+    "whole-corpus salting loses 20x; SCALE.md §9c)",
+)
+def lang_distinct_stats_salted(cat: Catalog) -> DataFrame:
+    """Per-language distinct document-length stats computed the way a
+    100 TB corpus would have to: ``skew_profile`` flags the hot
+    language(s), then a two-phase salted ``collect_set`` builds the
+    per-(key,salt) sets — disjoint by construction, because the
+    whole-row salt on (lang, n_chars) is a function of n_chars within
+    a language — and the merge flattens them. Only the profiled hot
+    keys are salted; the cold tail keeps one phase-1 group each
+    (salting it is the measured 20× blowup, SCALE.md §9c). The
+    profile collect is one bounded top-n row, the same scalar-anchor
+    discipline as the engine's other diagnostics. Output projects to
+    exact integers (set size + element sum ≡ COUNT/SUM DISTINCT), so
+    the DuckDB twin replays it directly."""
+    from simple_etl_spark.operators.skew import salted_agg, skew_profile
+
+    docs = cat["documents"]
+    prof = skew_profile(docs, ["lang"], top_n=3).collect()
+    hot = [r["lang"] for r in prof if r["skew_factor"] >= 2]
+    if not hot and prof:
+        hot = [prof[0]["lang"]]
+    kv = docs.select("lang", "n_chars")
+    merged = salted_agg(
+        kv,
+        ["lang"],
+        [F.collect_set("n_chars").alias("p_vals")],
+        [F.flatten(F.collect_list("p_vals")).alias("vals")],
+        factor=8,
+        hot_keys=hot,
+    )
+    return merged.select(
+        "lang",
+        F.size("vals").cast("bigint").alias("n_vals"),
+        F.aggregate(
+            "vals", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("sum_vals"),
+    ).orderBy("lang")
+
+
 def topn_with_other(
     df,
     group_col: str,

@@ -6,7 +6,9 @@ Arrow-batched ``mapInPandas`` so payload bytes never round-trip
 through Python row-at-a-time.
 
 :func:`decode_image` REALLY decodes the formats a stdlib-only
-executor can handle — PPM (P6), PGM (P5), BI_RGB BMP (24/32-bit),
+executor can handle — PPM (P6), PGM (P5), BMP (BI_RGB 24/32-bit,
+1/4/8-bit palette, BI_RLE8/BI_RLE4 runs with absolute/delta/EOL
+escapes),
 non-interlaced 8-bit PNG (DEFLATE via ``zlib`` + the five scanline
 filters) including 1/2/4/8-bit palette with tRNS and 1/2/4-bit
 grayscale (the full spec-legal depth matrix), and JPEG (SOF0/1
@@ -146,15 +148,57 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         w, raw_h = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         compression = struct.unpack_from("<I", payload, 30)[0]
-        if compression != 0:
+        if compression not in (0, 1, 2):
+            # 3 = BI_BITFIELDS (mask-defined layouts), 4/5 = embedded
+            # JPEG/PNG — those genuinely need more machinery
             raise NotImplementedError(
                 f"compressed BMP (compression={compression}) requires a codec"
             )
-        if bpp not in (24, 32):
-            raise ValueError(f"only 24/32-bit BI_RGB BMP supported, bpp={bpp}")
         if w < 1 or raw_h == 0:
             raise ValueError(f"bad BMP dimensions {w}x{raw_h}")
         h, top_down = abs(raw_h), raw_h < 0
+        if w * h > MAX_DECODE_PIXELS:
+            raise ValueError(
+                f"BMP declares {w}x{h} = {w * h} pixels "
+                "> MAX_DECODE_PIXELS"
+            )
+        if bpp in (1, 4, 8):
+            # palette BMP (the legacy-corpus format): BGRA color table
+            # after the DIB header, biClrUsed entries (0 = 2^bpp)
+            used = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
+            if used > 1 << bpp:
+                raise ValueError(
+                    f"BMP declares {used} palette entries at {bpp} bpp"
+                )
+            pal_at = 14 + dib_size
+            pal = payload[pal_at : pal_at + 4 * used]
+            if len(pal) != 4 * used:
+                raise ValueError("BMP color table truncated")
+            idx = _bmp_indices(
+                payload, data_off, w, h, bpp, compression, top_down
+            )
+            out = bytearray(w * h * 3)
+            for i, v in enumerate(idx):
+                if v >= used:
+                    raise ValueError(
+                        f"BMP pixel index {v} outside the "
+                        f"{used}-entry color table"
+                    )
+                p = v * 4
+                o = i * 3
+                out[o] = pal[p + 2]
+                out[o + 1] = pal[p + 1]
+                out[o + 2] = pal[p]
+            return w, h, 3, bytes(out)
+        if compression != 0:
+            raise ValueError(
+                f"BMP RLE compression {compression} requires "
+                f"4/8-bit palette data, got {bpp} bpp"
+            )
+        if bpp not in (24, 32):
+            raise NotImplementedError(
+                f"{bpp}-bit BMP (16-bit needs BI_BITFIELDS masks)"
+            )
         nch = bpp // 8
         stride = (w * nch + 3) & ~3  # rows pad to 4 bytes
         if len(payload) < data_off + stride * h:
@@ -184,6 +228,90 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(payload)
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")
+
+
+def _bmp_indices(payload, data_off, w, h, bpp, compression, top_down):
+    """Decode a palette BMP's pixel data to one index byte per pixel,
+    row-major top-down. Uncompressed rows are MSB-first packed and
+    4-byte padded; BI_RLE8 (compression 1, 8 bpp) and BI_RLE4
+    (compression 2, 4 bpp) decode encoded runs, absolute runs
+    (2-byte aligned), end-of-line/bitmap escapes, and position deltas
+    per the Windows BMP spec — pixels never written stay index 0, the
+    documented RLE behavior. RLE bitmaps are always bottom-up."""
+    idx = bytearray(w * h)
+    if compression == 0:
+        per = 8 // bpp
+        mask = (1 << bpp) - 1
+        stride = ((w * bpp + 31) // 32) * 4
+        if len(payload) < data_off + stride * h:
+            raise ValueError("BMP pixel data truncated")
+        rows = range(h) if top_down else range(h - 1, -1, -1)
+        o = 0
+        for r in rows:
+            row = payload[data_off + r * stride :
+                          data_off + r * stride + stride]
+            for x in range(w):
+                shift = 8 - bpp * ((x % per) + 1)
+                idx[o] = (row[x // per] >> shift) & mask
+                o += 1
+        return idx
+    if (compression, bpp) not in ((1, 8), (2, 4)):
+        raise ValueError(
+            f"BMP RLE{8 if compression == 1 else 4} requires "
+            f"{8 if compression == 1 else 4} bpp, got {bpp}"
+        )
+    if top_down:
+        raise ValueError("RLE BMP cannot be top-down")
+    x, y = 0, 0  # y counts from the BOTTOM row
+    pos = data_off
+
+    def put(v):
+        nonlocal x
+        if x < w and y < h:
+            idx[(h - 1 - y) * w + x] = v
+        x += 1
+
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("BMP RLE data truncated")
+        n, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if n:  # encoded run
+            if compression == 1:
+                for _ in range(n):
+                    put(v)
+            else:
+                for k in range(n):
+                    put((v >> 4) if k % 2 == 0 else (v & 0x0F))
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return idx
+        elif v == 2:  # delta
+            if pos + 2 > len(payload):
+                raise ValueError("BMP RLE delta truncated")
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+        else:  # absolute run of v pixels, padded to 2-byte alignment
+            if compression == 1:
+                need = v
+                run = payload[pos : pos + need]
+                if len(run) != need:
+                    raise ValueError("BMP RLE absolute run truncated")
+                for b in run:
+                    put(b)
+            else:
+                need = (v + 1) // 2
+                run = payload[pos : pos + need]
+                if len(run) != need:
+                    raise ValueError("BMP RLE absolute run truncated")
+                for k in range(v):
+                    b = run[k // 2]
+                    put((b >> 4) if k % 2 == 0 else (b & 0x0F))
+            pos += need + (need & 1)
+        if y > h:
+            raise ValueError("BMP RLE runs past the bitmap height")
 
 
 def _png_paeth(a: int, b: int, c: int) -> int:
@@ -4364,6 +4492,18 @@ _Y4M_COLORSPACES = {
     b"422": ("yuv422", 2, 1),
     b"444": ("yuv444", 3, 1),
     b"mono": ("gray", 1, 1),
+    # high-bit-depth planar tags (ffmpeg convention): 2 bytes/sample
+    # little-endian, decoded with the same 16-bit-PNG rounding rule
+    # down to the 8-bit pipeline (r13)
+    b"420p10": ("yuv420p10", 3, 1),
+    b"420p12": ("yuv420p12", 3, 1),
+    b"420p16": ("yuv420p16", 3, 1),
+    b"422p10": ("yuv422p10", 4, 1),
+    b"422p12": ("yuv422p12", 4, 1),
+    b"422p16": ("yuv422p16", 4, 1),
+    b"444p10": ("yuv444p10", 6, 1),
+    b"444p12": ("yuv444p12", 6, 1),
+    b"444p16": ("yuv444p16", 6, 1),
 }
 
 
@@ -4529,6 +4669,29 @@ def decode_video_frame(kind: str, w: int, h: int,
     the BT.601 full-range (JFIF) matrix."""
     if kind == "jpeg":
         return _decode_jpeg(data)
+    if len(kind) > 3 and kind[-3] == "p" and kind[-2:].isdigit():
+        # high-bit-depth planar frame: 2-byte little-endian samples;
+        # a sample above the declared depth's ceiling is malformed.
+        # Scale into the 8-bit pipeline by the exact rounding rule the
+        # PNG 16-bit path uses, then decode as the 8-bit twin.
+        import sys
+        from array import array
+
+        depth = int(kind[-2:])
+        base = kind[:-3]
+        if len(data) % 2:
+            raise ValueError(f"{kind} frame has a dangling byte")
+        a = array("H", data)
+        if sys.byteorder != "little":
+            a.byteswap()
+        ceil = (1 << depth) - 1
+        if a and max(a) > ceil:
+            raise ValueError(
+                f"{kind} sample exceeds the {depth}-bit ceiling"
+            )
+        half = ceil >> 1
+        scaled = bytes((v * 255 + half) // ceil for v in a)
+        return decode_video_frame(base, w, h, scaled)
     if kind == "rgb":
         if len(data) != w * h * 3:
             raise ValueError("RGB frame size mismatch")

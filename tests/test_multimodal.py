@@ -131,10 +131,13 @@ def test_malformed_payloads_raise_value_error(junk):
         decode_image(junk)
 
 
-def test_rle_bmp_needs_codec():
+def test_bmp_remaining_gates_and_malformed_rle():
     bad = bytearray(_bmp(3, 2, RGB_PIXELS))
-    bad[30] = 1  # BI_RLE8
+    bad[30] = 3  # BI_BITFIELDS: still genuinely gated
     with pytest.raises(NotImplementedError):
+        decode_image(bytes(bad))
+    bad[30] = 1  # RLE8 on 24-bpp data is malformed, not gated (r13)
+    with pytest.raises(ValueError):
         decode_image(bytes(bad))
 
 
@@ -730,3 +733,105 @@ def test_png_sub8_grayscale_interlaced():
     pixels = bytes(b * 255 for b in bits)
     payload = _adam7_png(w, h, 0, bytes(bits), depth=1)
     assert decode_image(payload) == (w, h, 1, pixels)
+
+
+# -- palette / RLE BMP (r13) -------------------------------------------------
+
+def _bmp_pal(w, h, palette_rgb, idx=None, bpp=8, compression=0,
+             data=None, used=None):
+    """Palette BMP builder: BGRA color table, uncompressed rows packed
+    MSB-first bottom-up 4-byte-padded from ``idx`` (top-down indices),
+    or raw ``data`` bytes for RLE streams."""
+    n = used if used is not None else len(palette_rgb)
+    table = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette_rgb)
+    if data is None:
+        per = 8 // bpp
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = []
+        for r in range(h):
+            row = bytearray(stride)
+            for x in range(w):
+                shift = 8 - bpp * ((x % per) + 1)
+                row[x // per] |= idx[r * w + x] << shift
+            rows.append(bytes(row))
+        rows.reverse()
+        data = b"".join(rows)
+    off = 14 + 40 + len(table)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                      len(data), 2835, 2835, n, 0)
+    head = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return head + dib + table + data
+
+
+_PAL = [(0, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]  # K G B W
+
+
+def _expand(idx):
+    return b"".join(bytes(_PAL[v]) for v in idx)
+
+
+def test_bmp_palette_uncompressed_depths():
+    w, h = 5, 3
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    for bpp in (8, 4):
+        got = decode_image(_bmp_pal(w, h, _PAL, idx=idx, bpp=bpp))
+        assert got == (w, h, 3, _expand(idx)), bpp
+    # 1-bit: palette may hold at most 2 entries at 1 bpp
+    ones = [v & 1 for v in idx]
+    got = decode_image(_bmp_pal(w, h, _PAL[:2], idx=ones, bpp=1))
+    assert got == (w, h, 3, _expand(ones))
+    with pytest.raises(ValueError, match="palette entries"):
+        decode_image(_bmp_pal(w, h, _PAL, idx=ones, bpp=1))
+
+
+def test_bmp_rle8_runs_absolute_delta_eob():
+    """Hand-built RLE8 stream exercising encoded runs, an absolute
+    run with its pad byte, EOL, a position delta (skipped pixels stay
+    index 0 per spec), and EOB."""
+    w, h = 4, 3
+    data = bytes([
+        4, 1,              # y=0 (bottom): 4x green
+        0, 0,              # EOL
+        0, 3, 0, 2, 3, 0,  # absolute [black, blue, white] + pad
+        1, 1,              # one green at x=3
+        0, 0,              # EOL
+        0, 2, 1, 0,        # delta dx=1 dy=0 -> x=1
+        2, 3,              # 2x white
+        0, 1,              # EOB
+    ])
+    got = decode_image(_bmp_pal(w, h, _PAL, bpp=8, compression=1,
+                                data=data))
+    exp = _expand([0, 3, 3, 0,
+                   0, 2, 3, 1,
+                   1, 1, 1, 1])
+    assert got == (w, h, 3, exp)
+
+
+def test_bmp_rle4_nibble_runs():
+    w, h = 5, 2
+    data = bytes([
+        5, 0x12,            # y=0: nibbles 1,2,1,2,1
+        0, 0,               # EOL
+        0, 4, 0x30, 0x21,   # absolute [3,0,2,1] (2 bytes, aligned)
+        1, 0x30,            # one nibble 3 at x=4
+        0, 1,               # EOB
+    ])
+    got = decode_image(_bmp_pal(w, h, _PAL, bpp=4, compression=2,
+                                data=data))
+    exp = _expand([3, 0, 2, 1, 3,
+                   1, 2, 1, 2, 1])
+    assert got == (w, h, 3, exp)
+
+
+def test_bmp_palette_bounds_fail_loud():
+    w, h = 2, 1
+    # biClrUsed = 2 but a pixel references index 3
+    bad = _bmp_pal(w, h, _PAL[:2], idx=[0, 1], bpp=8, used=2)
+    bad = bytearray(bad)
+    bad[-4] = 3  # bottom row, first pixel byte
+    with pytest.raises(ValueError, match="color table"):
+        decode_image(bytes(bad))
+    # truncated RLE stream
+    with pytest.raises(ValueError, match="truncated|RLE"):
+        decode_image(_bmp_pal(w, h, _PAL, bpp=8, compression=1,
+                              data=bytes([4, 1])))

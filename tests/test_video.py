@@ -111,7 +111,7 @@ def test_unknown_codec_and_malformed_fail_loud():
     with pytest.raises(ValueError):
         demux_video(b"YUV4MPEG2 W4 H2 C420jpeg\nFRAME\n\x00")
     with pytest.raises(NotImplementedError, match="colorspace"):
-        demux_video(b"YUV4MPEG2 W4 H2 C420p10\nFRAME\n")
+        demux_video(b"YUV4MPEG2 W4 H2 C411\nFRAME\n")
     with pytest.raises(ValueError):
         demux_video(b"\x89PNG....")
 
@@ -174,3 +174,41 @@ def test_avi_rec_sublists_demux_in_stream_order():
     v = demux_video(avi)
     assert v["frame_kind"] == "jpeg"
     assert v["frames"] == jpgs
+
+
+def test_y4m_high_bit_depth_planar():
+    """C420p10/C444p12-style tags (2-byte LE samples) decode through
+    the exact 16-bit-PNG rounding rule into the 8-bit pipeline: a
+    gray-chroma high-depth frame must reproduce the scaled luma on
+    all three channels, and out-of-ceiling samples fail loud."""
+    w, h = 4, 2
+    luma10 = [0, 256, 512, 1023, 100, 200, 300, 1000]
+    mid10 = [512] * 2  # 2x1 chroma at 4:2:0, 10-bit midpoint
+    body = struct.pack("<8H", *luma10) + struct.pack("<2H", *mid10) * 2
+    payload = (b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420p10\n"
+               + b"FRAME\n" + body)
+    v = demux_video(payload)
+    assert v["frame_kind"] == "yuv420p10"
+    fw, fh, fc, px = decode_video_frame("yuv420p10", w, h, v["frames"][0])
+    assert (fw, fh, fc) == (w, h, 3)
+    exp = [(x * 255 + 511) // 1023 for x in luma10]
+    # the 10-bit midpoint 512 scales to exactly 128 — the 8-bit
+    # matrix's neutral chroma — so r=g=b=scaled luma must hold
+    assert all(
+        px[i * 3] == px[i * 3 + 1] == px[i * 3 + 2] == exp[i]
+        for i in range(w * h)
+    )
+    # 444p12 single pixel: 12-bit midpoint 2048 -> 128 as well
+    body = struct.pack("<3H", 4095, 2048, 2048)
+    payload = (b"YUV4MPEG2 W1 H1 F25:1 C444p12\n" + b"FRAME\n" + body)
+    v = demux_video(payload)
+    px = decode_video_frame("yuv444p12", 1, 1, v["frames"][0])[3]
+    assert px == bytes([255, 255, 255])
+    # out-of-ceiling sample fails loud
+    bad = struct.pack("<8H", 1024, *luma10[1:]) \
+        + struct.pack("<2H", *mid10) * 2
+    with pytest.raises(ValueError, match="ceiling"):
+        decode_video_frame("yuv420p10", w, h, bad)
+    # unknown high-depth tag still gates
+    with pytest.raises(NotImplementedError, match="colorspace"):
+        demux_video(b"YUV4MPEG2 W4 H2 C420p9\nFRAME\n")

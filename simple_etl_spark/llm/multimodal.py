@@ -29,8 +29,12 @@ midpoint-doubling expansion, SOF5 differential sequential frames)
 decodes for Huffman (1,1)-sampled 8-bit pyramids. The variants that
 genuinely need a codec library (differential progressive/lossless
 frames, arithmetic lossless/differential, subsampled or 12-bit
-hierarchical; MP3-class audio) raise ``NotImplementedError`` (a real
-deployment plugs PIL/libvips into the same dispatch).
+hierarchical) raise ``NotImplementedError`` (a real deployment plugs
+PIL/libvips into the same dispatch). MPEG audio (Layer I-III) is a
+DELIBERATE freeze, not an oversight: the subband synthesis window
+(ISO 11172-3 Table 3-B.3, 512 tabulated coefficients) is published
+data with no closed form, so a stdlib decode cannot be derived
+honestly here — that family dispatches to a real audio library.
 :func:`decode_audio` does the same for RIFF/WAV: integer PCM
 (8/16/24-bit), IEEE-float (32/64-bit, quantized to the int16 domain),
 native FLAC (the lossless speech-corpus format — constant/verbatim/

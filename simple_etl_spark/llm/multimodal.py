@@ -8,7 +8,8 @@ through Python row-at-a-time.
 :func:`decode_image` REALLY decodes the formats a stdlib-only
 executor can handle — PPM (P6), PGM (P5), BMP (BI_RGB 24/32-bit,
 1/4/8-bit palette, BI_RLE8/BI_RLE4 runs with absolute/delta/EOL
-escapes),
+escapes, BI_BITFIELDS 16/32-bit masked layouts incl. 565/555/8888
+with V3+ alpha),
 non-interlaced 8-bit PNG (DEFLATE via ``zlib`` + the five scanline
 filters) including 1/2/4/8-bit palette with tRNS and 1/2/4-bit
 grayscale (the full spec-legal depth matrix), and JPEG (SOF0/1
@@ -152,9 +153,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         w, raw_h = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         compression = struct.unpack_from("<I", payload, 30)[0]
-        if compression not in (0, 1, 2):
-            # 3 = BI_BITFIELDS (mask-defined layouts), 4/5 = embedded
-            # JPEG/PNG — those genuinely need more machinery
+        if compression not in (0, 1, 2, 3):
+            # 4/5 = embedded JPEG/PNG — those genuinely need a codec
             raise NotImplementedError(
                 f"compressed BMP (compression={compression}) requires a codec"
             )
@@ -166,6 +166,70 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
                 f"BMP declares {w}x{h} = {w * h} pixels "
                 "> MAX_DECODE_PIXELS"
             )
+        if compression == 3:
+            # BI_BITFIELDS: 16/32-bit pixels with mask-defined channel
+            # layouts (565/555/8888 in the wild). Masks live right
+            # after a 40-byte BITMAPINFOHEADER, or at fixed offsets in
+            # the V2+ headers (>= 52 bytes). Channels scale to 8-bit
+            # by the same exact rounding rule as 16-bit PNG.
+            if bpp not in (16, 32):
+                raise ValueError(
+                    f"BI_BITFIELDS BMP must be 16/32-bit, got {bpp}"
+                )
+            # masks sit at absolute offset 54 either way: a 40-byte
+            # header is followed by a 12-byte mask block, V2+ headers
+            # carry them as fields at DIB offset 40; the alpha mask is
+            # a V3+ field at DIB offset 52
+            if len(payload) < 66:
+                raise ValueError("BMP bitfield masks truncated")
+            masks = list(struct.unpack_from("<III", payload, 54))
+            amask = (
+                struct.unpack_from("<I", payload, 66)[0]
+                if dib_size >= 56 and len(payload) >= 70 else 0
+            )
+            shifts, maxvs = [], []
+            for m in masks + [amask]:
+                if m == 0:
+                    shifts.append(0)
+                    maxvs.append(0)
+                    continue
+                tz = (m & -m).bit_length() - 1
+                top = m >> tz
+                if top & (top + 1):
+                    raise ValueError(
+                        f"BMP bitfield mask 0x{m:08x} is not contiguous"
+                    )
+                if m > (1 << bpp) - 1:
+                    raise ValueError(
+                        f"BMP bitfield mask 0x{m:08x} exceeds {bpp} bpp"
+                    )
+                shifts.append(tz)
+                maxvs.append(top)
+            if 0 in maxvs[:3]:
+                raise ValueError("BMP bitfield R/G/B masks must be nonzero")
+            nch = 4 if amask else 3
+            pxw = bpp // 8
+            stride = (w * pxw + 3) & ~3
+            if len(payload) < data_off + stride * h:
+                raise ValueError("BMP pixel data truncated")
+            rows = range(h) if top_down else range(h - 1, -1, -1)
+            out = bytearray(w * h * nch)
+            o = 0
+            unpack = struct.unpack_from
+            fmt = "<H" if bpp == 16 else "<I"
+            layout = [
+                ((masks + [amask])[c], shifts[c], maxvs[c])
+                for c in range(nch)
+            ]
+            for r in rows:
+                base = data_off + r * stride
+                for x in range(w):
+                    (px,) = unpack(fmt, payload, base + x * pxw)
+                    for c, (m, sh, mv) in enumerate(layout):
+                        v = (px & m) >> sh
+                        out[o + c] = (v * 255 + (mv >> 1)) // mv
+                    o += nch
+            return w, h, nch, bytes(out)
         if bpp in (1, 4, 8):
             # palette BMP (the legacy-corpus format): BGRA color table
             # after the DIB header, biClrUsed entries (0 = 2^bpp)

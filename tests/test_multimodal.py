@@ -133,7 +133,7 @@ def test_malformed_payloads_raise_value_error(junk):
 
 def test_bmp_remaining_gates_and_malformed_rle():
     bad = bytearray(_bmp(3, 2, RGB_PIXELS))
-    bad[30] = 3  # BI_BITFIELDS: still genuinely gated
+    bad[30] = 4  # BI_JPEG (embedded codec): still genuinely gated
     with pytest.raises(NotImplementedError):
         decode_image(bytes(bad))
     bad[30] = 1  # RLE8 on 24-bpp data is malformed, not gated (r13)
@@ -835,3 +835,89 @@ def test_bmp_palette_bounds_fail_loud():
     with pytest.raises(ValueError, match="truncated|RLE"):
         decode_image(_bmp_pal(w, h, _PAL, bpp=8, compression=1,
                               data=bytes([4, 1])))
+
+
+def _bmp_bitfields(w, h, pixels, masks, bpp=16, dib=40, amask=0,
+                   top_down=False):
+    """BI_BITFIELDS BMP: ``pixels`` is a top-down list of packed
+    integer pixel values; masks = (r, g, b)."""
+    pxw = bpp // 8
+    stride = (w * pxw + 3) & ~3
+    rows = []
+    for r in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += pixels[r * w + x].to_bytes(pxw, "little")
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    if not top_down:
+        rows.reverse()
+    data = b"".join(rows)
+    extra = b""
+    if dib == 40:
+        extra = struct.pack("<III", *masks)
+    hdr_fields = struct.pack(
+        "<IiiHHIIiiII", dib, w, (-h if top_down else h), 1, bpp, 3,
+        len(data), 0, 0, 0, 0,
+    )
+    if dib > 40:
+        hdr_fields += struct.pack("<III", *masks)
+        hdr_fields += struct.pack("<I", amask)
+        hdr_fields += b"\x00" * (dib - 56)
+    off = 14 + dib + len(extra)
+    head = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return head + hdr_fields + extra + data
+
+
+def test_bmp_bitfields_565_and_8888():
+    # RGB565 on a 40-byte header (masks follow the header)
+    def pack565(r, g, b):
+        return ((r >> 3) << 11) | ((g >> 2) << 5) | (b >> 3)
+
+    pix = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    bmp = _bmp_bitfields(2, 2, [pack565(*p) for p in pix],
+                         (0xF800, 0x07E0, 0x001F))
+    w, h, ch, out = decode_image(bmp)
+    assert (w, h, ch) == (2, 2, 3)
+    exp = []
+    for r, g, b in pix:
+        exp += [((r >> 3) * 255 + 15) // 31, ((g >> 2) * 255 + 31) // 63,
+                ((b >> 3) * 255 + 15) // 31]
+    assert out == bytes(exp)
+    # ARGB8888 on a V3 (56-byte) header with an alpha mask -> RGBA out
+    vals = [0x80FF0000, 0x0100FF00, 0xFF0000FF, 0x00FFFFFF]
+    bmp = _bmp_bitfields(
+        2, 2, vals, (0x00FF0000, 0x0000FF00, 0x000000FF),
+        bpp=32, dib=56, amask=0xFF000000, top_down=True,
+    )
+    w, h, ch, out = decode_image(bmp)
+    assert (w, h, ch) == (2, 2, 4)
+    exp = bytearray()
+    for v in vals:
+        exp += bytes([(v >> 16) & 255, (v >> 8) & 255, v & 255, v >> 24])
+    assert out == bytes(exp)
+
+
+def test_bmp_bitfields_555_and_malformed_masks():
+    def pack555(r, g, b):
+        return ((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)
+
+    pix = [(8, 16, 248)]
+    bmp = _bmp_bitfields(1, 1, [pack555(*p) for p in pix],
+                         (0x7C00, 0x03E0, 0x001F))
+    _, _, ch, out = decode_image(bmp)
+    assert ch == 3
+    assert out == bytes([(1 * 255 + 15) // 31, (2 * 255 + 15) // 31, 255])
+    # non-contiguous mask fails loud
+    bad = _bmp_bitfields(1, 1, [0], (0xF0F0, 0x03E0, 0x001F))
+    with pytest.raises(ValueError, match="contiguous"):
+        decode_image(bad)
+    # zero green mask fails loud
+    bad = _bmp_bitfields(1, 1, [0], (0x7C00, 0, 0x001F))
+    with pytest.raises(ValueError, match="nonzero"):
+        decode_image(bad)
+    # 24-bpp bitfields is malformed
+    bad = bytearray(_bmp(2, 1, RGB_PIXELS[:6]))
+    bad[30] = 3
+    with pytest.raises(ValueError, match="16/32"):
+        decode_image(bytes(bad))

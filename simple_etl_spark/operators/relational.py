@@ -1695,6 +1695,45 @@ def lang_distinct_stats_salted(cat: Catalog) -> DataFrame:
     ).orderBy("lang")
 
 
+@query(
+    "segment_events_salted_join",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           cast(count(*) as bigint) AS n_events,
+           cast(count(DISTINCT user_id) as bigint) AS n_users
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey="ops-ext: skew-safe equi-join through salted_join (salt the "
+    "big side, explode-replicate the small side, join on key+salt) — "
+    "the AQE-independent fallback SKEW_r13 measured at 1.7x on the "
+    "40%-hot-key corpus at sf10",
+)
+def segment_events_salted_join(cat: Catalog) -> DataFrame:
+    """Events⋈customer rollup by market segment executed through
+    ``salted_join`` — the construction for a heavy-tailed probe side
+    against a dimension too big to broadcast. The salt spreads each
+    fact key over 8 sub-keys and replicates the 1-segment-column dim
+    per salt; the result must equal the plain join exactly (the
+    DuckDB twin runs the unsalted SQL). Integer outputs only (count +
+    exact distinct), no float lineage."""
+    from simple_etl_spark.operators.skew import salted_join
+
+    ev = cat["events"].select(
+        F.col("user_id").alias("c_custkey"), "event_id"
+    )
+    cust = cat["customer"].select("c_custkey", "c_mktsegment")
+    j = salted_join(ev, cust, ["c_custkey"], factor=8)
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("c_custkey").alias("n_users"),
+        )
+        .orderBy("segment")
+    )
+
+
 def topn_with_other(
     df,
     group_col: str,

@@ -27,9 +27,11 @@ RGB-colorspace JPEG
 (Adobe APP14 transform=0 / 'R','G','B' ids) decodes natively without
 the YCbCr matrix; hierarchical JPEG (Annex J: DHP progression, EXP
 midpoint-doubling expansion, SOF5 differential sequential frames)
-decodes for Huffman (1,1)-sampled 8-bit pyramids. The variants that
+decodes for Huffman (1,1)-sampled 8- and 12-bit pyramids (12-bit
+keeps full precision through the differential additions, scaling at
+assembly by the exact 16-bit-PNG rule). The variants that
 genuinely need a codec library (differential progressive/lossless
-frames, arithmetic lossless/differential, subsampled or 12-bit
+frames, arithmetic lossless/differential, subsampled
 hierarchical) raise ``NotImplementedError`` (a real deployment plugs
 PIL/libvips into the same dispatch). MPEG audio (Layer I-III) is a
 DELIBERATE freeze, not an oversight: the subband synthesis window
@@ -1346,7 +1348,7 @@ def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
     (differential frames carry no DPCM chain). Returns (planes,
     next_marker_pos)."""
     h, w, comps, prec = frame
-    if prec != 8:
+    if prec not in (8, 12):
         raise NotImplementedError(f"{prec}-bit hierarchical JPEG")
     if any((c[1], c[2]) != (1, 1) for c in comps):
         raise NotImplementedError(
@@ -1362,8 +1364,9 @@ def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
     br = _JpegBitReader(payload, pos)
     preds = [0] * len(comps)
     zig = _JPEG_ZIGZAG
-    lo_clamp = -256 if differential else 0
-    level = 0 if differential else 128
+    maxval = (1 << prec) - 1
+    lo_clamp = -(maxval + 1) if differential else 0
+    level = 0 if differential else (maxval + 1) >> 1
     rst_n = 0
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
@@ -1432,8 +1435,8 @@ def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
                     px = int(round(val)) + level
                     if px < lo_clamp:
                         px = lo_clamp
-                    elif px > 255:
-                        px = 255
+                    elif px > maxval:
+                        px = maxval
                     plane[orow + y] = px
     cropped = []
     for plane in planes:
@@ -1447,12 +1450,21 @@ def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
     return cropped, _jpeg_scan_end(br)
 
 
-def _hier_assemble(refs, w, h, n_comps, is_rgb=False):
+def _hier_assemble(refs, w, h, n_comps, is_rgb=False, maxval=255):
     """Final hierarchical output: gray passthrough, direct R/G/B
     interleave when the reference frame declared an RGB colorspace
     (APP14 transform=0 or 'R','G','B' component ids — applying the
     YCbCr matrix there would scramble colors silently), or the JFIF
-    YCbCr→RGB matrix over the full-resolution reference planes."""
+    YCbCr→RGB matrix over the full-resolution reference planes.
+    12-bit pyramids keep full precision through the differential
+    additions and scale here, per-sample before the matrix — the same
+    convention (and exact rounding rule) as the sequential 12-bit
+    path."""
+    if maxval != 255:
+        half = maxval >> 1
+        refs = [
+            [(v * 255 + half) // maxval for v in p] for p in refs
+        ]
     if n_comps == 1:
         return w, h, 1, bytes(bytearray(refs[0]))
     if is_rgb:
@@ -2277,7 +2289,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             dprec, dh, dw, dnc = (data[0],
                                   *struct.unpack_from(">HH", data, 1),
                                   data[5])
-            if dprec != 8:
+            if dprec not in (8, 12):
                 raise NotImplementedError(f"{dprec}-bit hierarchical JPEG")
             if dnc not in (1, 3):
                 raise NotImplementedError(f"{dnc}-component hierarchical JPEG")
@@ -2287,7 +2299,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(
                     f"JPEG DHP declares {dw * dh} pixels > MAX_DECODE_PIXELS"
                 )
-            hier = (dw, dh, dnc)
+            hier = (dw, dh, dnc, dprec)
         elif marker == 0xDF:  # EXP — expand reference (B.3.3)
             if hier is None or hier_refs is None:
                 raise ValueError("JPEG EXP outside a hierarchical sequence")
@@ -2406,6 +2418,11 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                         "sequential JPEG scan header must carry "
                         f"Ss=0 Se=63 Ah=Al=0, got ({ss},{se},{ah},{al})"
                     )
+                if frame[3] != hier[3]:
+                    raise ValueError(
+                        f"hierarchical frame precision {frame[3]} != "
+                        f"DHP precision {hier[3]}"
+                    )
                 planes, pos = _hier_frame_planes(
                     payload, pos, frame, scan, huff, qt,
                     restart_interval, differential,
@@ -2446,10 +2463,11 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                             f"match the (expanded) reference "
                             f"{hier_dims[0]}x{hier_dims[1]}"
                         )
+                    mx = (1 << hier[3]) - 1
                     for ref, diffp in zip(hier_refs, planes):
                         for i in range(len(ref)):
                             v = ref[i] + diffp[i]
-                            ref[i] = 0 if v < 0 else (255 if v > 255 else v)
+                            ref[i] = 0 if v < 0 else (mx if v > mx else v)
                 frame = None
                 differential = False
                 scan = None
@@ -2514,7 +2532,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 f"does not reach the DHP dimensions {hier[0]}x{hier[1]}"
             )
         return _hier_assemble(hier_refs, hier[0], hier[1], hier[2],
-                              hier_rgb)
+                              hier_rgb, (1 << hier[3]) - 1)
     if seq_multi:
         # unlike progressive (where partial scan scripts are
         # spec-legal), a sequential component missing from every scan

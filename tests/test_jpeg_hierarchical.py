@@ -58,9 +58,9 @@ def _quantize(plane, q, level):
     return blocks, mcux, mcuy
 
 
-def _idct_plane(blocks, q, w, h, level, lo):
+def _idct_plane(blocks, q, w, h, level, lo, hi=255):
     """Oracle reconstruction: dequant → IDCT → +level → clamp
-    [lo, 255] → crop to w×h (int array)."""
+    [lo, hi] → crop to w×h (int array)."""
     qm = np.array(q).reshape(8, 8)
     mcux = max(k[1] for k in blocks) + 1
     mcuy = max(k[0] for k in blocks) + 1
@@ -68,7 +68,7 @@ def _idct_plane(blocks, q, w, h, level, lo):
     for (by, bx), blk in blocks.items():
         f = blk.astype(np.float64) * qm
         s = _D.T @ f @ _D
-        px = np.clip(np.round(s).astype(np.int64) + level, lo, 255)
+        px = np.clip(np.round(s).astype(np.int64) + level, lo, hi)
         out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
     return out[:h, :w]
 
@@ -158,7 +158,8 @@ def _sos(n_comps, cids=None):
 RGB_CIDS = [0x52, 0x47, 0x42]  # 'R','G','B' T.81 component-ID convention
 
 
-def encode_hierarchical(planes_full, w, h, restart=0, cids=None):
+def encode_hierarchical(planes_full, w, h, restart=0, cids=None,
+                        prec=8):
     """Two-level pyramid: base frame at (w//2, h//2), EXP, one SOF5
     differential frame at (w, h). ``planes_full`` is a list of h×w
     numpy arrays (1 = gray, 3 = YCbCr — or literal R/G/B when
@@ -167,9 +168,18 @@ def encode_hierarchical(planes_full, w, h, restart=0, cids=None):
     with the oracle computed coefficient-domain."""
     n = len(planes_full)
     w0, h0 = w // 2, h // 2
+    q = QL if prec == 8 else [v * 20 for v in QL]
+    level = (1 << prec) >> 1
+    maxd = (1 << prec) - 1
     out = bytearray(b"\xff\xd8")
-    out += _sof(0xDE, w, h, n, cids=cids)  # DHP
-    out += seg(0xDB, dqt_payload(0, QL))
+    out += _sof(0xDE, w, h, n, prec=prec, cids=cids)  # DHP
+    if prec == 8:
+        out += seg(0xDB, dqt_payload(0, q))
+    else:  # Pq=1: 16-bit entries, zigzag order
+        dqt = bytes([0x10])
+        for z in range(64):
+            dqt += struct.pack(">H", q[_JPEG_ZIGZAG[z]])
+        out += seg(0xDB, dqt)
     out += seg(0xC4, dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM))
     if restart:
         out += seg(0xDD, struct.pack(">H", restart))
@@ -180,10 +190,14 @@ def encode_hierarchical(planes_full, w, h, restart=0, cids=None):
         small = np.round(
             p.reshape(h0, 2, w0, 2).mean(axis=(1, 3))
         ).astype(np.int64)
-        blocks, mcux0, mcuy0 = _quantize(small.astype(np.float64), QL, 128)
+        blocks, mcux0, mcuy0 = _quantize(small.astype(np.float64), q,
+                                         level)
         base_blocks.append(blocks)
-        refs.append(_idct_plane(blocks, QL, w0, h0, 128, 0))
-    out += _sof(0xC0, w0, h0, n, cids=cids)
+        refs.append(_idct_plane(blocks, q, w0, h0, level, 0, maxd))
+    # baseline SOF0 is 8-bit-only (T.81 B.2.2); 12-bit
+    # non-differential frames ride extended sequential SOF1
+    out += _sof(0xC0 if prec == 8 else 0xC1, w0, h0, n, prec=prec,
+                cids=cids)
     out += _sos(n, cids=cids)
     out += _entropy(base_blocks, mcux0, mcuy0, n, False, restart)
 
@@ -194,15 +208,19 @@ def encode_hierarchical(planes_full, w, h, restart=0, cids=None):
     finals = []
     for p, ex in zip(planes_full, expanded):
         diff = p.astype(np.int64) - ex
-        blocks, mcux1, mcuy1 = _quantize(diff.astype(np.float64), QL, 0)
+        blocks, mcux1, mcuy1 = _quantize(diff.astype(np.float64), q, 0)
         diff_blocks.append(blocks)
-        dec_diff = _idct_plane(blocks, QL, w, h, 0, -256)
-        finals.append(np.clip(ex + dec_diff, 0, 255))
-    out += _sof(0xC5, w, h, n, cids=cids)
+        dec_diff = _idct_plane(blocks, q, w, h, 0, -(maxd + 1), maxd)
+        finals.append(np.clip(ex + dec_diff, 0, maxd))
+    out += _sof(0xC5, w, h, n, prec=prec, cids=cids)
     out += _sos(n, cids=cids)
     out += _entropy(diff_blocks, mcux1, mcuy1, n, True, restart)
     out += b"\xff\xd9"
 
+    if prec != 8:
+        # the decoder scales per-sample into the 8-bit domain BEFORE
+        # any colorspace matrix — mirror exactly
+        finals = [(f * 255 + (maxd >> 1)) // maxd for f in finals]
     if n == 1:
         oracle = finals[0].astype(np.uint8).tobytes()
     elif cids == RGB_CIDS:
@@ -304,3 +322,40 @@ def test_hierarchical_rgb_component_ids_bypass_matrix():
     jpg_y, oracle_y = encode_hierarchical(planes, w, h)
     assert decode_image(jpg_y)[3] == oracle_y
     assert oracle_y != oracle
+
+
+def test_12bit_hierarchical_pyramid_matches_oracle():
+    """12-bit pyramids (DHP/SOF precision 12, Pq=1 quant tables):
+    full precision through the base frame, EXP, and the differential
+    addition, scaled into the 8-bit domain only at assembly — gray
+    and YCbCr, both against the coefficient-domain oracle."""
+    w, h = 16, 16
+    g12 = np.array(
+        [[(x * 201 + y * 117 + 31) % 4096 for x in range(w)]
+         for y in range(h)], dtype=np.int64
+    )
+    jpg, oracle = encode_hierarchical([g12], w, h, prec=12)
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 1)
+    assert got == oracle
+    planes = [(g12 * s + 7 * s) % 4096 for s in (1, 3, 5)]
+    jpg, oracle = encode_hierarchical(planes, w, h, prec=12)
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert got == oracle
+
+
+def test_hierarchical_precision_mismatch_fails_loud():
+    """A frame whose SOF precision differs from the DHP's must raise,
+    not decode with the wrong level shift."""
+    w, h = 16, 16
+    jpg, _ = encode_hierarchical([_gray_plane(w, h)], w, h)
+    bad = bytearray(jpg)
+    at = bytes(bad).index(b"\xff\xde") + 4
+    bad[at] = 12  # DHP says 12-bit, frames stay 8-bit
+    with pytest.raises(ValueError, match="precision"):
+        decode_image(bytes(bad))
+    # 16-bit hierarchical stays gated (T.81 allows DCT only at 8/12)
+    bad[at] = 16
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(bad))

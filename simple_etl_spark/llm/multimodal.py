@@ -27,12 +27,13 @@ RGB-colorspace JPEG
 (Adobe APP14 transform=0 / 'R','G','B' ids) decodes natively without
 the YCbCr matrix; hierarchical JPEG (Annex J: DHP progression, EXP
 midpoint-doubling expansion, SOF5 differential sequential frames)
-decodes for Huffman (1,1)-sampled 8- and 12-bit pyramids (12-bit
-keeps full precision through the differential additions, scaling at
-assembly by the exact 16-bit-PNG rule). The variants that
-genuinely need a codec library (differential progressive/lossless
-frames, arithmetic lossless/differential, subsampled
-hierarchical) raise ``NotImplementedError`` (a real deployment plugs
+decodes for Huffman 8- and 12-bit pyramids at any spec-legal
+sampling factors (per-component references at their own resolutions,
+nearest-sample upsampling only at assembly; 12-bit keeps full
+precision through the differential additions, scaling at assembly by
+the exact 16-bit-PNG rule). The variants that genuinely need a codec
+library (differential progressive/lossless frames, arithmetic
+lossless/differential) raise ``NotImplementedError`` (a real deployment plugs
 PIL/libvips into the same dispatch). MPEG audio (Layer I-III) is a
 DELIBERATE freeze, not an oversight: the subband synthesis window
 (ISO 11172-3 Table 3-B.3, 512 tabulated coefficients) is published
@@ -1340,25 +1341,40 @@ def _hier_upsample(plane, w, h, eh, ev):
 def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
                        restart_interval, differential):
     """Decode one hierarchical frame's scan (sequential Huffman,
-    every component, (1,1) sampling — the supported Annex J subset)
-    into per-component w×h sample lists. Non-differential frames
-    level-shift and clamp to [0, 255]; differential frames (SOF5)
-    decode signed correction samples with NO level shift, clamped to
-    [-256, 255], and DC coded with the predictor pinned at zero
-    (differential frames carry no DPCM chain). Returns (planes,
+    every component, any spec-legal sampling factors) into
+    per-component sample lists at each component's OWN resolution
+    (ceil(w·hᵢ/hmax) × ceil(h·vᵢ/vmax) — Annex J keeps references
+    per-component; upsampling to full resolution happens only at
+    assembly). Interleaved MCUs carry hᵢ×vᵢ blocks per component.
+    Non-differential frames level-shift and clamp to [0, maxval];
+    differential frames (SOF5) decode signed correction samples with
+    NO level shift, clamped to [-(maxval+1), maxval], DC predictor
+    pinned at zero. Returns (planes, comp_dims, factors,
     next_marker_pos)."""
     h, w, comps, prec = frame
     if prec not in (8, 12):
         raise NotImplementedError(f"{prec}-bit hierarchical JPEG")
-    if any((c[1], c[2]) != (1, 1) for c in comps):
-        raise NotImplementedError(
-            "hierarchical frame with subsampled components"
-        )
     if len(scan) != len(comps):
         raise NotImplementedError("hierarchical frame with partial scans")
-    mcux, mcuy = -(-w // 8), -(-h // 8)
-    pw = mcux * 8
-    planes = [[0] * (pw * mcuy * 8) for _ in comps]
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is non-interleaved and
+        # sampling factors are ignored
+        cid0, _h0, _v0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
+    if any(not (1 <= c[1] <= 4 and 1 <= c[2] <= 4) for c in comps):
+        raise ValueError("JPEG sampling factors outside spec range 1-4")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    factors = [(hc, vc) for _cid, hc, vc, _tq in comps]
+    comp_dims = [
+        (-(-w * hc // hmax), -(-h * vc // vmax)) for hc, vc in factors
+    ]
+    pws = [mcux * hc * 8 for hc, _vc in factors]
+    planes = [
+        [0] * (mcux * hc * 8 * mcuy * vc * 8) for hc, vc in factors
+    ]
     scan_tables = {cs: (dc, ac) for cs, dc, ac in scan}
     a1 = _jpeg_idct_1d()
     br = _JpegBitReader(payload, pos)
@@ -1367,6 +1383,21 @@ def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
     maxval = (1 << prec) - 1
     lo_clamp = -(maxval + 1) if differential else 0
     level = 0 if differential else (maxval + 1) >> 1
+    # resolve per-component tables once, not per MCU
+    tables = []
+    for ci, (cid, hc, vc, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError(f"JPEG quant table {tq} undefined")
+        tabs = scan_tables.get(cid)
+        if tabs is None:
+            raise ValueError(
+                f"JPEG SOS references undeclared component {cid}"
+            )
+        dct, act = tabs
+        dc_tbl, ac_tbl = huff.get((0, dct)), huff.get((1, act))
+        if dc_tbl is None or ac_tbl is None:
+            raise ValueError("JPEG Huffman table undefined")
+        tables.append((dc_tbl, ac_tbl, qt[tq]))
     rst_n = 0
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
@@ -1374,92 +1405,105 @@ def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
             rst_n = (rst_n + 1) & 7
             preds = [0] * len(comps)
         my, mx = divmod(m, mcux)
-        for ci, (cid, _hc, _vc, tq) in enumerate(comps):
-            if tq not in qt:
-                raise ValueError(f"JPEG quant table {tq} undefined")
-            tabs = scan_tables.get(cid)
-            if tabs is None:
-                raise ValueError(
-                    f"JPEG SOS references undeclared component {cid}"
-                )
-            dct, act = tabs
-            dc_tbl, ac_tbl = huff.get((0, dct)), huff.get((1, act))
-            if dc_tbl is None or ac_tbl is None:
-                raise ValueError("JPEG Huffman table undefined")
-            q = qt[tq]
-            coeffs = [0.0] * 64
-            s = br.read_huff(dc_tbl)
-            dcv = br.receive_extend(s)
-            if not differential:
-                preds[ci] += dcv
-                dcv = preds[ci]
-            coeffs[0] = dcv * q[0]
-            k = 1
-            while k < 64:
-                rs = br.read_huff(ac_tbl)
-                r, size = rs >> 4, rs & 15
-                if size == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break
-                k += r
-                if k > 63:
-                    raise ValueError("JPEG AC run past block end")
-                nat = zig[k]
-                coeffs[nat] = br.receive_extend(size) * q[nat]
-                k += 1
-            # IDCT into the int plane with the frame-kind clamp
-            pass1 = [[0.0] * 8 for _ in range(8)]
-            for x in range(8):
-                ax = a1[x]
-                row = pass1[x]
-                for u in range(8):
-                    axu = ax[u]
-                    bu = u * 8
-                    for v in range(8):
-                        c = coeffs[bu + v]
-                        if c:
-                            row[v] += axu * c
+        for ci, (hc, vc) in enumerate(factors):
+            dc_tbl, ac_tbl, q = tables[ci]
+            pw = pws[ci]
             plane = planes[ci]
-            for x in range(8):
-                row = pass1[x]
-                orow = (my * 8 + x) * pw + mx * 8
-                for y in range(8):
-                    ay = a1[y]
-                    val = 0.0
-                    for v in range(8):
-                        pv = row[v]
-                        if pv:
-                            val += pv * ay[v]
-                    px = int(round(val)) + level
-                    if px < lo_clamp:
-                        px = lo_clamp
-                    elif px > maxval:
-                        px = maxval
-                    plane[orow + y] = px
+            for by in range(vc):
+                for bx in range(hc):
+                    coeffs = [0.0] * 64
+                    s = br.read_huff(dc_tbl)
+                    dcv = br.receive_extend(s)
+                    if not differential:
+                        preds[ci] += dcv
+                        dcv = preds[ci]
+                    coeffs[0] = dcv * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = br.read_huff(ac_tbl)
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        nat = zig[k]
+                        coeffs[nat] = br.receive_extend(size) * q[nat]
+                        k += 1
+                    # IDCT into the int plane with the frame-kind clamp
+                    pass1 = [[0.0] * 8 for _ in range(8)]
+                    for x in range(8):
+                        ax = a1[x]
+                        row = pass1[x]
+                        for u in range(8):
+                            axu = ax[u]
+                            bu = u * 8
+                            for v in range(8):
+                                c = coeffs[bu + v]
+                                if c:
+                                    row[v] += axu * c
+                    oy = (my * vc + by) * 8
+                    ox = (mx * hc + bx) * 8
+                    for x in range(8):
+                        row = pass1[x]
+                        orow = (oy + x) * pw + ox
+                        for y in range(8):
+                            ay = a1[y]
+                            val = 0.0
+                            for v in range(8):
+                                pv = row[v]
+                                if pv:
+                                    val += pv * ay[v]
+                            px = int(round(val)) + level
+                            if px < lo_clamp:
+                                px = lo_clamp
+                            elif px > maxval:
+                                px = maxval
+                            plane[orow + y] = px
     cropped = []
-    for plane in planes:
-        if pw == w:
-            cropped.append(plane[: w * h])
+    for ci, plane in enumerate(planes):
+        cw, ch = comp_dims[ci]
+        pw = pws[ci]
+        if pw == cw:
+            cropped.append(plane[: cw * ch])
         else:
             out = []
-            for y in range(h):
-                out.extend(plane[y * pw : y * pw + w])
+            for y in range(ch):
+                out.extend(plane[y * pw : y * pw + cw])
             cropped.append(out)
-    return cropped, _jpeg_scan_end(br)
+    return cropped, comp_dims, factors, _jpeg_scan_end(br)
 
 
-def _hier_assemble(refs, w, h, n_comps, is_rgb=False, maxval=255):
+def _hier_assemble(refs, w, h, n_comps, is_rgb=False, maxval=255,
+                   comp_dims=None):
     """Final hierarchical output: gray passthrough, direct R/G/B
     interleave when the reference frame declared an RGB colorspace
     (APP14 transform=0 or 'R','G','B' component ids — applying the
     YCbCr matrix there would scramble colors silently), or the JFIF
     YCbCr→RGB matrix over the full-resolution reference planes.
-    12-bit pyramids keep full precision through the differential
-    additions and scale here, per-sample before the matrix — the same
-    convention (and exact rounding rule) as the sequential 12-bit
-    path."""
+    Subsampled components upsample first by the same nearest-sample
+    index map as the sequential path (src_x = x·cw//w — T.81 mandates
+    no filter). 12-bit pyramids keep full precision through the
+    differential additions and scale here, per-sample before the
+    matrix — the same convention (and exact rounding rule) as the
+    sequential 12-bit path."""
+    if comp_dims is not None:
+        up = []
+        for plane, (cw, ch) in zip(refs, comp_dims):
+            if (cw, ch) == (w, h):
+                up.append(plane)
+                continue
+            full = [0] * (w * h)
+            for y in range(h):
+                base = (y * ch // h) * cw
+                o = y * w
+                for x in range(w):
+                    full[o + x] = plane[base + x * cw // w]
+            up.append(full)
+        refs = up
     if maxval != 255:
         half = maxval >> 1
         refs = [
@@ -2192,9 +2236,11 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
     arithmetic = False
     seq_multi = False
     differential = False
-    hier = None        # (w, h, n_comps) from DHP — hierarchical mode
+    hier = None        # (w, h, n_comps, prec) from DHP — hierarchical
     hier_refs = None   # per-component reference planes (int lists)
-    hier_dims = None   # current reference dims (w, h)
+    hier_dims = None   # current reference FRAME dims (w, h)
+    hier_comp_dims = None  # per-component (cw, ch) at own resolution
+    hier_factors = None    # per-component (h, v) sampling factors
     hier_rgb = False   # reference frame declared RGB (APP14 t=0 / 'RGB' ids)
     # arithmetic conditioning (DAC): DC (L, U) bounds / AC Kx per
     # table id; T.81 defaults apply when no DAC segment redefines them
@@ -2308,13 +2354,16 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             eh, ev = data[0] >> 4, data[0] & 15
             if eh > 1 or ev > 1:
                 raise ValueError(f"JPEG EXP flags {eh}/{ev} must be 0 or 1")
-            cw, ch2 = hier_dims
             new_refs = []
-            for plane in hier_refs:
+            new_dims = []
+            for plane, (cw, ch2) in zip(hier_refs, hier_comp_dims):
                 plane, nw, nh = _hier_upsample(plane, cw, ch2, eh, ev)
                 new_refs.append(plane)
+                new_dims.append((nw, nh))
             hier_refs = new_refs
-            hier_dims = (nw, nh)
+            hier_comp_dims = new_dims
+            hier_dims = (hier_dims[0] * (2 if eh else 1),
+                         hier_dims[1] * (2 if ev else 1))
         elif marker == 0xC5 and hier is not None:
             # differential sequential frame (Annex J): legal only
             # after a non-differential first frame
@@ -2423,7 +2472,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                         f"hierarchical frame precision {frame[3]} != "
                         f"DHP precision {hier[3]}"
                     )
-                planes, pos = _hier_frame_planes(
+                planes, cdims, cfactors, pos = _hier_frame_planes(
                     payload, pos, frame, scan, huff, qt,
                     restart_interval, differential,
                 )
@@ -2440,6 +2489,8 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                         )
                     hier_refs = planes
                     hier_dims = (fw, fh)
+                    hier_comp_dims = cdims
+                    hier_factors = cfactors
                     # The reference frame pins the pyramid's
                     # colorspace: Adobe APP14 transform=0 or the
                     # T.81 'R','G','B' component-ID convention mean
@@ -2462,6 +2513,22 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                             f"differential frame {fw}x{fh} does not "
                             f"match the (expanded) reference "
                             f"{hier_dims[0]}x{hier_dims[1]}"
+                        )
+                    if cfactors != hier_factors:
+                        raise ValueError(
+                            "differential frame sampling factors "
+                            f"{cfactors} differ from the reference "
+                            f"frame's {hier_factors}"
+                        )
+                    if cdims != hier_comp_dims:
+                        # odd-dimension pyramids can make a doubled
+                        # reference plane one sample wider than the
+                        # differential frame's ceil-derived dims —
+                        # fail loud rather than add misaligned planes
+                        raise ValueError(
+                            f"differential component dims {cdims} do "
+                            f"not match the expanded reference's "
+                            f"{hier_comp_dims}"
                         )
                     mx = (1 << hier[3]) - 1
                     for ref, diffp in zip(hier_refs, planes):
@@ -2532,7 +2599,8 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 f"does not reach the DHP dimensions {hier[0]}x{hier[1]}"
             )
         return _hier_assemble(hier_refs, hier[0], hier[1], hier[2],
-                              hier_rgb, (1 << hier[3]) - 1)
+                              hier_rgb, (1 << hier[3]) - 1,
+                              hier_comp_dims)
     if seq_multi:
         # unlike progressive (where partial scan scripts are
         # spec-legal), a sequential component missing from every scan

@@ -38,12 +38,15 @@ from tests.test_jpeg import (
 )
 
 
-def _quantize(plane, q, level):
-    """FDCT + quantize one full plane (h×w numpy) into per-block
-    int64 coefficient dicts; ``level`` subtracted first (128 for the
-    base frame, 0 for differential frames)."""
+def _quantize(plane, q, level, bw=None, bh=None):
+    """FDCT + quantize one plane (h×w numpy) into per-block int64
+    coefficient dicts; ``level`` subtracted first (the mid-level for
+    the base frame, 0 for differential frames). ``bw``/``bh`` force
+    the block grid (interleaved MCU padding for subsampled
+    components); default = ceil(dim/8)."""
     h, w = plane.shape
-    mcux, mcuy = -(-w // 8), -(-h // 8)
+    mcux = bw if bw is not None else -(-w // 8)
+    mcuy = bh if bh is not None else -(-h // 8)
     pad = np.empty((mcuy * 8, mcux * 8))
     pad[:h, :w] = plane
     pad[h:, :w] = pad[h - 1 : h, :w]
@@ -87,16 +90,46 @@ def _expand(plane):
     return vx
 
 
-def _entropy(frames_blocks, mcux, mcuy, n_comps, differential,
+def _entropy(frames_blocks, mcux, mcuy, factors, differential,
              restart=0):
-    """Huffman-encode one frame's interleaved (1,1) blocks; DC carries
-    DPCM in non-differential frames and is coded directly (predictor
-    pinned 0) in differential ones."""
+    """Huffman-encode one frame's interleaved MCUs (hᵢ×vᵢ blocks per
+    component per MCU); DC carries DPCM in non-differential frames
+    and is coded directly (predictor pinned 0) in differential
+    ones. ``factors`` is a per-component (h, v) list."""
     dt, at = _enc_huff(*DC_LUM), _enc_huff(*AC_LUM)
+    n_comps = len(factors)
     bw = _BitWriter()
     parts = []
     preds = [0] * n_comps
     rst = 0
+
+    def put_block(zz, ci):
+        if differential:
+            dcv = zz[0]
+        else:
+            dcv = zz[0] - preds[ci]
+            preds[ci] = zz[0]
+        s = _category(dcv)
+        bw.put(*dt[s])
+        if s:
+            bw.put(_bits_of(dcv, s), s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            v = zz[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.put(*at[0xF0])
+                run -= 16
+            s = _category(v)
+            bw.put(*at[(run << 4) | s])
+            bw.put(_bits_of(v, s), s)
+            run = 0
+        if last_nz < 63:
+            bw.put(*at[0x00])
+
     for m in range(mcux * mcuy):
         if restart and m and m % restart == 0:
             bw.pad()
@@ -106,44 +139,24 @@ def _entropy(frames_blocks, mcux, mcuy, n_comps, differential,
             bw = _BitWriter()
             preds = [0] * n_comps
         my, mx = divmod(m, mcux)
-        for ci in range(n_comps):
-            zz = [int(v) for v in
-                  frames_blocks[ci][(my, mx)].flatten()[_JPEG_ZIGZAG]]
-            if differential:
-                dcv = zz[0]
-            else:
-                dcv = zz[0] - preds[ci]
-                preds[ci] = zz[0]
-            s = _category(dcv)
-            bw.put(*dt[s])
-            if s:
-                bw.put(_bits_of(dcv, s), s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.put(*at[0xF0])
-                    run -= 16
-                s = _category(v)
-                bw.put(*at[(run << 4) | s])
-                bw.put(_bits_of(v, s), s)
-                run = 0
-            if last_nz < 63:
-                bw.put(*at[0x00])
+        for ci, (hc, vc) in enumerate(factors):
+            for by in range(vc):
+                for bx in range(hc):
+                    blk = frames_blocks[ci][(my * vc + by, mx * hc + bx)]
+                    zz = [int(v) for v in blk.flatten()[_JPEG_ZIGZAG]]
+                    put_block(zz, ci)
     bw.pad()
     parts.append(bytes(bw.out))
     return b"".join(parts)
 
 
-def _sof(marker, w, h, n_comps, prec=8, cids=None):
+def _sof(marker, w, h, n_comps, prec=8, cids=None, factors=None):
     cids = cids or [ci + 1 for ci in range(n_comps)]
+    factors = factors or [(1, 1)] * n_comps
     sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([n_comps])
     for ci in range(n_comps):
-        sof += bytes([cids[ci], 0x11, 0])
+        hc, vc = factors[ci]
+        sof += bytes([cids[ci], (hc << 4) | vc, 0])
     return seg(marker, sof)
 
 
@@ -199,7 +212,8 @@ def encode_hierarchical(planes_full, w, h, restart=0, cids=None,
     out += _sof(0xC0 if prec == 8 else 0xC1, w0, h0, n, prec=prec,
                 cids=cids)
     out += _sos(n, cids=cids)
-    out += _entropy(base_blocks, mcux0, mcuy0, n, False, restart)
+    out += _entropy(base_blocks, mcux0, mcuy0, [(1, 1)] * n, False,
+                    restart)
 
     out += seg(0xDF, bytes([0x11]))  # EXP: double both axes
     expanded = [_expand(r) for r in refs]
@@ -214,7 +228,8 @@ def encode_hierarchical(planes_full, w, h, restart=0, cids=None,
         finals.append(np.clip(ex + dec_diff, 0, maxd))
     out += _sof(0xC5, w, h, n, prec=prec, cids=cids)
     out += _sos(n, cids=cids)
-    out += _entropy(diff_blocks, mcux1, mcuy1, n, True, restart)
+    out += _entropy(diff_blocks, mcux1, mcuy1, [(1, 1)] * n, True,
+                    restart)
     out += b"\xff\xd9"
 
     if prec != 8:
@@ -358,4 +373,167 @@ def test_hierarchical_precision_mismatch_fails_loud():
     # 16-bit hierarchical stays gated (T.81 allows DCT only at 8/12)
     bad[at] = 16
     with pytest.raises(NotImplementedError):
+        decode_image(bytes(bad))
+
+
+def encode_hierarchical_subsampled(comp_planes, w, h, factors,
+                                   restart=0):
+    """Subsampled two-level pyramid: ``comp_planes`` are numpy arrays
+    at each component's OWN resolution for the FULL frame level
+    (ceil(h·vᵢ/vmax) × ceil(w·hᵢ/hmax)); the base frame is the
+    2x-downsampled twin. Returns (jpeg_bytes, oracle_pixels) with the
+    oracle mirroring decode exactly: per-component coefficient-domain
+    reconstruction, EXP doubling, differential add, then the
+    nearest-sample upsample (src = x·cw//w) and the JFIF matrix."""
+    n = len(comp_planes)
+    hmax = max(hc for hc, _vc in factors)
+    vmax = max(vc for _hc, vc in factors)
+    w0, h0 = w // 2, h // 2
+    mcux0 = -(-w0 // (8 * hmax))
+    mcuy0 = -(-h0 // (8 * vmax))
+    mcux1 = -(-w // (8 * hmax))
+    mcuy1 = -(-h // (8 * vmax))
+    out = bytearray(b"\xff\xd8")
+    out += _sof(0xDE, w, h, n, factors=factors)  # DHP
+    out += seg(0xDB, dqt_payload(0, QL))
+    out += seg(0xC4, dht_payload(0, 0, *DC_LUM) + dht_payload(1, 0, *AC_LUM))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+
+    base_blocks = []
+    refs = []
+    cdims0 = []
+    cdims1 = []
+    for p, (hc, vc) in zip(comp_planes, factors):
+        chf, cwf = p.shape
+        cw0, ch0 = -(-w0 * hc // hmax), -(-h0 * vc // vmax)
+        assert (cwf, chf) == (-(-w * hc // hmax), -(-h * vc // vmax))
+        assert (cwf // 2, chf // 2) == (cw0, ch0)
+        cdims0.append((cw0, ch0))
+        cdims1.append((cwf, chf))
+        small = np.round(
+            p.reshape(ch0, 2, cw0, 2).mean(axis=(1, 3))
+        ).astype(np.int64)
+        blocks, _, _ = _quantize(small.astype(np.float64), QL, 128,
+                                 bw=mcux0 * hc, bh=mcuy0 * vc)
+        base_blocks.append(blocks)
+        refs.append(_idct_plane(blocks, QL, cw0, ch0, 128, 0))
+    out += _sof(0xC0, w0, h0, n, factors=factors)
+    out += _sos(n)
+    out += _entropy(base_blocks, mcux0, mcuy0, factors, False, restart)
+
+    out += seg(0xDF, bytes([0x11]))  # EXP: double both axes
+    expanded = [_expand(r) for r in refs]
+
+    diff_blocks = []
+    finals = []
+    for p, ex, (hc, vc) in zip(comp_planes, expanded, factors):
+        diff = p.astype(np.int64) - ex
+        blocks, _, _ = _quantize(diff.astype(np.float64), QL, 0,
+                                 bw=mcux1 * hc, bh=mcuy1 * vc)
+        diff_blocks.append(blocks)
+        cwf, chf = p.shape[1], p.shape[0]
+        dec_diff = _idct_plane(blocks, QL, cwf, chf, 0, -256)
+        finals.append(np.clip(ex + dec_diff, 0, 255))
+    out += _sof(0xC5, w, h, n, factors=factors)
+    out += _sos(n)
+    out += _entropy(diff_blocks, mcux1, mcuy1, factors, True, restart)
+    out += b"\xff\xd9"
+
+    # oracle: nearest-sample upsample then the matrix
+    full = []
+    for f, (hc, vc) in zip(finals, factors):
+        chf, cwf = f.shape
+        if (cwf, chf) == (w, h):
+            full.append(f)
+        else:
+            up = np.empty((h, w), dtype=np.int64)
+            for y in range(h):
+                sy = y * chf // h
+                for x in range(w):
+                    up[y, x] = f[sy, x * cwf // w]
+            full.append(up)
+    if n == 1:
+        oracle = full[0].astype(np.uint8).tobytes()
+    else:
+        yp, cbp, crp = [f.astype(np.float64) for f in full]
+        r = np.round(yp + 1.402 * (crp - 128))
+        g = np.round(yp - 0.344136 * (cbp - 128) - 0.714136 * (crp - 128))
+        b = np.round(yp + 1.772 * (cbp - 128))
+        oracle = np.stack(
+            [np.clip(c, 0, 255) for c in (r, g, b)], axis=-1
+        ).astype(np.uint8).tobytes()
+    return bytes(out), oracle
+
+
+def test_subsampled_420_hierarchical_pyramid():
+    """4:2:0 pyramid (luma (2,2), chroma (1,1)): per-component
+    references at their own resolutions through base/EXP/differential,
+    upsampled only at assembly — against the full NumPy mirror."""
+    w, h = 32, 32
+    factors = [(2, 2), (1, 1), (1, 1)]
+    luma = np.array(
+        [[(x * 13 + y * 7 + 3) % 256 for x in range(w)]
+         for y in range(h)], dtype=np.int64
+    )
+    cb = np.array(
+        [[(x * 29 + y * 17 + 11) % 256 for x in range(w // 2)]
+         for y in range(h // 2)], dtype=np.int64
+    )
+    cr = np.array(
+        [[(x * 5 + y * 23 + 7) % 256 for x in range(w // 2)]
+         for y in range(h // 2)], dtype=np.int64
+    )
+    jpg, oracle = encode_hierarchical_subsampled(
+        [luma, cb, cr], w, h, factors
+    )
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert got == oracle
+
+
+def test_subsampled_422_hierarchical_with_restarts():
+    """4:2:2 ((2,1) luma) plus restart markers through the MCU-
+    interleaved hierarchical path."""
+    w, h = 32, 16
+    factors = [(2, 1), (1, 1), (1, 1)]
+    luma = np.array(
+        [[(x * 11 + y * 19 + 1) % 256 for x in range(w)]
+         for y in range(h)], dtype=np.int64
+    )
+    cb = np.array(
+        [[(x * 7 + y * 3 + 90) % 256 for x in range(w // 2)]
+         for y in range(h)], dtype=np.int64
+    )
+    cr = np.array(
+        [[(x * 31 + y * 13 + 40) % 256 for x in range(w // 2)]
+         for y in range(h)], dtype=np.int64
+    )
+    jpg, oracle = encode_hierarchical_subsampled(
+        [luma, cb, cr], w, h, factors, restart=1
+    )
+    assert decode_image(jpg)[3] == oracle
+
+
+def test_subsampled_differential_factor_mismatch_fails_loud():
+    """A differential frame whose sampling factors differ from the
+    reference frame's must raise, not add misaligned planes. A factor
+    flip usually re-shapes the MCU grid so the entropy parse itself
+    fails loud; the dispatcher's explicit factors/dims checks guard
+    the residual case where a permuted layout still parses. Either
+    way: ValueError, never a silently-misassembled image."""
+    w, h = 32, 32
+    factors = [(2, 2), (1, 1), (1, 1)]
+    planes = [
+        np.zeros((h, w), dtype=np.int64),
+        np.zeros((h // 2, w // 2), dtype=np.int64),
+        np.zeros((h // 2, w // 2), dtype=np.int64),
+    ]
+    jpg, _ = encode_hierarchical_subsampled(planes, w, h, factors)
+    bad = bytearray(jpg)
+    at = bytes(bad).rindex(b"\xff\xc5")  # differential SOF5
+    # component 0's (h,v) byte sits at SOF payload offset 7
+    bad[at + 4 + 7] = 0x11  # (2,2) -> (1,1)
+    with pytest.raises(ValueError,
+                       match="factors|component dims|entropy"):
         decode_image(bytes(bad))

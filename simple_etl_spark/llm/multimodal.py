@@ -4751,6 +4751,8 @@ def demux_video(payload: bytes) -> dict:
     frame_kind = None
     frames: list[bytes] = []
     saw_vids = False
+    vid_stream = None   # two-digit ascii stream id of the vids stream
+    stream_idx = 0      # strl lists define stream numbers in order
     for cid, at, clen in chunks(payload, 12, len(payload)):
         if cid != b"LIST":
             continue  # idx1 / JUNK are advisory
@@ -4768,6 +4770,15 @@ def demux_video(payload: bytes) -> dict:
                         if c3 == b"strh" and cl3 >= 32:
                             fcc_type = payload[at3 : at3 + 4]
                             if fcc_type == b"vids":
+                                if saw_vids:
+                                    # frames from two video streams
+                                    # would interleave silently —
+                                    # fail loud instead
+                                    raise NotImplementedError(
+                                        "AVI with more than one video "
+                                        "stream"
+                                    )
+                                vid_stream = b"%02d" % stream_idx
                                 saw_vids = True
                                 scale, rate = struct.unpack_from(
                                     "<II", payload, at3 + 20
@@ -4789,6 +4800,7 @@ def demux_video(payload: bytes) -> dict:
                                     f"AVI codec {fourcc!r} requires a "
                                     "real decoder"
                                 )
+                    stream_idx += 1
         elif ltype == b"movi":
             # Interleaved AVIs group frames inside 'rec ' sub-LISTs
             # (AVI 1.0 interleaving unit); recurse in stream order so
@@ -4798,7 +4810,13 @@ def demux_video(payload: bytes) -> dict:
                     if (c2 == b"LIST"
                             and payload[at2 : at2 + 4] == b"rec "):
                         movi_frames(at2 + 4, at2 + cl2)
-                    elif c2[2:4] in (b"dc", b"db"):
+                    elif (c2[2:4] in (b"dc", b"db")
+                          and (vid_stream is None
+                               or c2[:2] == vid_stream)):
+                        # only the video stream's chunks are frames —
+                        # another stream's '##dc' (e.g. a second
+                        # stream we didn't gate on) must not
+                        # interleave into the frame list
                         frames.append(payload[at2 : at2 + cl2])
 
             movi_frames(at + 4, at + clen)

@@ -212,3 +212,44 @@ def test_y4m_high_bit_depth_planar():
     # unknown high-depth tag still gates
     with pytest.raises(NotImplementedError, match="colorspace"):
         demux_video(b"YUV4MPEG2 W4 H2 C420p9\nFRAME\n")
+
+
+def test_avi_video_stream_id_scopes_frames():
+    """An audio-first AVI numbers the video stream '01': frames must
+    come from '01dc' chunks only, and a stray other-stream '02dc'
+    chunk must not interleave; two vids streams gate loud."""
+    w, h = 16, 8
+    pix = bytes((x * 7 + y) % 256 for y in range(h) for x in range(w))
+    j, _, _ = encode_jpeg(pix, w, h, 1)
+    base = encode_avi_mjpeg(w, h, [j], (10, 1))
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    # build hdrl with an 'auds' strl FIRST, then the vids strl
+    strh_a = (b"auds" + b"\x00" * 4 + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 0, 0, 0, 0, 0))
+    strl_a = chunk(b"LIST", b"strl" + chunk(b"strh", strh_a))
+    i = base.index(b"LIST", base.index(b"hdrl"))  # vids strl
+    # reuse base's avih + vids strl; insert the audio strl before it
+    avih_at = base.index(b"avih")
+    avih = chunk(b"avih", base[avih_at + 8 : avih_at + 8 + 56])
+    vids_at = base.index(b"strl") - 8
+    vids_end = vids_at + 8 + struct.unpack(
+        "<I", base[vids_at + 4 : vids_at + 8])[0]
+    vids = base[vids_at:vids_end]
+    hdrl = chunk(b"LIST", b"hdrl" + avih + strl_a + vids)
+    movi = chunk(b"LIST", b"movi"
+                 + chunk(b"01dc", j)          # the video stream
+                 + chunk(b"00wb", b"\x00" * 8)  # audio data
+                 + chunk(b"02dc", b"garbage"))  # stray stream
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    v = demux_video(avi)
+    assert len(v["frames"]) == 1 and v["frames"][0] == j
+    # two video streams fail loud
+    hdrl2 = chunk(b"LIST", b"hdrl" + avih + vids + vids)
+    body2 = b"AVI " + hdrl2 + movi
+    with pytest.raises(NotImplementedError, match="one video"):
+        demux_video(b"RIFF" + struct.pack("<I", len(body2)) + body2)

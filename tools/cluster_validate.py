@@ -62,16 +62,28 @@ def _emit(rec: dict) -> None:
 
 
 def _session():
+    import re
+
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(MASTER)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "6g")
         .config("spark.sql.shuffle.partitions", "8")
         .appName("cluster_validate_r9")
-        .getOrCreate()
     )
+    # local-cluster[n,cores,mem]'s third field is the WORKER pool, not
+    # the executor heap — executors default to 1 GB regardless (the
+    # SCALE.md §8c lesson, already applied in tools/fault_inject.py).
+    # Without this the sf1 sweep's heaviest cell (the recursive
+    # clustering's checkpointed self-joins) dies with executor OOM →
+    # RejectedExecutionException retry storms (observed r13).
+    m = re.match(r"local-cluster\[\d+\s*,\s*\d+\s*,\s*(\d+)\]", MASTER)
+    if m:
+        builder = builder.config("spark.executor.memory",
+                                 f"{m.group(1)}m")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 

@@ -27,13 +27,15 @@ RGB-colorspace JPEG
 (Adobe APP14 transform=0 / 'R','G','B' ids) decodes natively without
 the YCbCr matrix; hierarchical JPEG (Annex J: DHP progression, EXP
 midpoint-doubling expansion, SOF5 differential sequential frames)
-decodes for Huffman 8- and 12-bit pyramids at any spec-legal
-sampling factors (per-component references at their own resolutions,
-nearest-sample upsampling only at assembly; 12-bit keeps full
-precision through the differential additions, scaling at assembly by
-the exact 16-bit-PNG rule). The variants that genuinely need a codec
+decodes 8- and 12-bit pyramids at any spec-legal sampling factors
+under BOTH entropy tiers — Huffman (SOF0/1 + SOF5) and arithmetic
+(SOF9 + SOF13, differential DC prediction pinned at zero per Annex
+J) — with per-component references at their own resolutions,
+nearest-sample upsampling only at assembly, and 12-bit precision
+kept through the differential additions (assembly scales by the
+exact 16-bit-PNG rule). The variants that genuinely need a codec
 library (differential progressive/lossless frames, arithmetic
-lossless/differential) raise ``NotImplementedError`` (a real deployment plugs
+lossless) raise ``NotImplementedError`` (a real deployment plugs
 PIL/libvips into the same dispatch). MPEG audio (Layer I-III) is a
 DELIBERATE freeze, not an oversight: the subband synthesis window
 (ISO 11172-3 Table 3-B.3, 512 tabulated coefficients) is published
@@ -1477,6 +1479,137 @@ def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
     return cropped, comp_dims, factors, _jpeg_scan_end(br)
 
 
+def _hier_frame_planes_arith(payload, pos, frame, scan, dac, qt,
+                             restart_interval, differential):
+    """Arithmetic twin of :func:`_hier_frame_planes` (SOF9 base /
+    SOF13 differential frames inside a hierarchical sequence): the
+    same geometry and clamp semantics with the Annex D QM-coder
+    entropy tier. In differential frames the DC prediction is pinned
+    at zero (Annex J), so the value the DC statistical model decodes
+    IS the block's DC — the conditioning classification (F.1.4.4.1)
+    still applies to that value, mirrored exactly by the test
+    encoder. Returns (planes, comp_dims, factors, next_marker_pos)."""
+    h, w, comps, prec = frame
+    if prec not in (8, 12):
+        raise NotImplementedError(f"{prec}-bit hierarchical JPEG")
+    if len(scan) != len(comps):
+        raise NotImplementedError("hierarchical frame with partial scans")
+    if len(comps) == 1:
+        cid0, _h0, _v0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
+    if any(not (1 <= c[1] <= 4 and 1 <= c[2] <= 4) for c in comps):
+        raise ValueError("JPEG sampling factors outside spec range 1-4")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    factors = [(hc, vc) for _cid, hc, vc, _tq in comps]
+    comp_dims = [
+        (-(-w * hc // hmax), -(-h * vc // vmax)) for hc, vc in factors
+    ]
+    pws = [mcux * hc * 8 for hc, _vc in factors]
+    planes = [
+        [0] * (mcux * hc * 8 * mcuy * vc * 8) for hc, vc in factors
+    ]
+    scan_tables = {cs: (dc, ac) for cs, dc, ac in scan}
+    dc_cond, ac_cond = dac
+    conds = []
+    for cid, hc, vc, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"JPEG quant table {tq} undefined")
+        tabs = scan_tables.get(cid)
+        if tabs is None:
+            raise ValueError(
+                f"JPEG SOS references undeclared component {cid}"
+            )
+        td, ta = tabs
+        lo, up = dc_cond.get(td, (0, 1))
+        conds.append((td, ta, lo, up, ac_cond.get(ta, 5), qt[tq]))
+    a1 = _jpeg_idct_1d()
+    zig = _JPEG_ZIGZAG
+    maxval = (1 << prec) - 1
+    lo_clamp = -(maxval + 1) if differential else 0
+    level = 0 if differential else (maxval + 1) >> 1
+    st8 = _ArithScanState(payload, pos, len(comps))
+    coefz = [0] * 64
+    rst_n = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            st8.restart(rst_n)
+            rst_n = (rst_n + 1) & 7
+        my, mx = divmod(m, mcux)
+        for ci, (hc, vc) in enumerate(factors):
+            td, ta, lo, up, kx, q = conds[ci]
+            pw = pws[ci]
+            plane = planes[ci]
+            for by in range(vc):
+                for bx in range(hc):
+                    for k in range(64):
+                        coefz[k] = 0
+                    diff, st8.ctx[ci] = _arith_decode_dc(
+                        st8.qm, st8.dc(td), st8.ctx[ci], lo, up
+                    )
+                    if differential:
+                        dcv = diff  # prediction pinned at zero
+                    else:
+                        st8.last[ci] += diff
+                        dcv = st8.last[ci]
+                    coefz[0] = dcv
+                    _arith_ac_first_block(
+                        st8.qm, st8.ac(ta), st8.fixed, coefz, 0,
+                        1, 63, 0, kx,
+                    )
+                    coeffs = [0.0] * 64
+                    for k in range(64):
+                        v = coefz[k]
+                        if v:
+                            nat = zig[k]
+                            coeffs[nat] = v * q[nat]
+                    # IDCT with the frame-kind clamp (same inline
+                    # shape as the Huffman hier path)
+                    pass1 = [[0.0] * 8 for _ in range(8)]
+                    for x in range(8):
+                        ax = a1[x]
+                        row = pass1[x]
+                        for u in range(8):
+                            axu = ax[u]
+                            bu = u * 8
+                            for v in range(8):
+                                c = coeffs[bu + v]
+                                if c:
+                                    row[v] += axu * c
+                    oy = (my * vc + by) * 8
+                    ox = (mx * hc + bx) * 8
+                    for x in range(8):
+                        row = pass1[x]
+                        orow = (oy + x) * pw + ox
+                        for y in range(8):
+                            ay = a1[y]
+                            val = 0.0
+                            for v in range(8):
+                                pv = row[v]
+                                if pv:
+                                    val += pv * ay[v]
+                            px = int(round(val)) + level
+                            if px < lo_clamp:
+                                px = lo_clamp
+                            elif px > maxval:
+                                px = maxval
+                            plane[orow + y] = px
+    cropped = []
+    for ci, plane in enumerate(planes):
+        cw, ch = comp_dims[ci]
+        pw = pws[ci]
+        if pw == cw:
+            cropped.append(plane[: cw * ch])
+        else:
+            out = []
+            for y in range(ch):
+                out.extend(plane[y * pw : y * pw + cw])
+            cropped.append(out)
+    return cropped, comp_dims, factors, st8.qm.scan_end()
+
+
 def _hier_assemble(refs, w, h, n_comps, is_rgb=False, maxval=255,
                    comp_dims=None):
     """Final hierarchical output: gray passthrough, direct R/G/B
@@ -2385,12 +2518,35 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                 comps.append((cid, hv >> 4, hv & 15, data[8 + ci * 3]))
             frame = (h, w, comps, prec)
             differential = True
+            arithmetic = False
+        elif marker == 0xCD and hier is not None:
+            # differential sequential ARITHMETIC frame (SOF13): same
+            # structure as the 0xC5 branch, QM entropy tier
+            if hier_refs is None:
+                raise ValueError(
+                    "JPEG differential frame before any reference frame"
+                )
+            if frame is not None:
+                raise ValueError("JPEG frame header inside another frame")
+            if len(data) < 6:
+                raise ValueError("JPEG SOF segment too short")
+            prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF component list truncated")
+            comps = []
+            for ci in range(nc):
+                cid = data[6 + ci * 3]
+                hv = data[7 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 15, data[8 + ci * 3]))
+            frame = (h, w, comps, prec)
+            differential = True
+            arithmetic = True
         elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG frame (SOF marker 0x{marker:02x}: "
                 "differential progressive/lossless or arithmetic "
-                "lossless/differential — only Huffman sequential "
-                "hierarchical pyramids decode here)"
+                "lossless — sequential pyramids (Huffman or "
+                "arithmetic) decode here)"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             i = 0
@@ -2455,10 +2611,10 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                     restart_interval, adobe_transform,
                 )
             if hier is not None:
-                if progressive or arithmetic:
+                if progressive:
                     raise NotImplementedError(
                         "hierarchical frames decode here only as "
-                        "Huffman sequential"
+                        "sequential (Huffman or arithmetic)"
                     )
                 if frame is None:
                     raise ValueError("JPEG SOS before SOF")
@@ -2472,10 +2628,19 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                         f"hierarchical frame precision {frame[3]} != "
                         f"DHP precision {hier[3]}"
                     )
-                planes, cdims, cfactors, pos = _hier_frame_planes(
-                    payload, pos, frame, scan, huff, qt,
-                    restart_interval, differential,
-                )
+                if arithmetic:
+                    planes, cdims, cfactors, pos = (
+                        _hier_frame_planes_arith(
+                            payload, pos, frame, scan,
+                            (dac_dc, dac_ac), qt, restart_interval,
+                            differential,
+                        )
+                    )
+                else:
+                    planes, cdims, cfactors, pos = _hier_frame_planes(
+                        payload, pos, frame, scan, huff, qt,
+                        restart_interval, differential,
+                    )
                 fh, fw = frame[0], frame[1]
                 if len(planes) != hier[2]:
                     raise NotImplementedError(
@@ -2537,6 +2702,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                             ref[i] = 0 if v < 0 else (mx if v > mx else v)
                 frame = None
                 differential = False
+                arithmetic = False
                 scan = None
                 continue
             if not progressive:

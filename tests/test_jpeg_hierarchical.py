@@ -168,11 +168,51 @@ def _sos(n_comps, cids=None):
     return seg(0xDA, s + bytes([0, 63, 0]))
 
 
+def _entropy_arith(frames_blocks, mcux, mcuy, factors, differential,
+                   restart=0):
+    """QM-coded twin of :func:`_entropy` (SOF9/SOF13 frames): default
+    conditioning (L,U)=(0,1), Kx=5, table 0. Differential frames code
+    each block's DC directly (prediction pinned at zero) — the
+    conditioning classification still applies to that value, exactly
+    as the decoder assumes."""
+    from tests.test_jpeg_arith import (
+        ArithWriter,
+        enc_ac_band,
+        enc_dc_diff,
+    )
+
+    n = len(factors)
+    wtr = ArithWriter(n)
+    parts = []
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            parts.append(wtr.enc.flush())
+            parts.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) & 7
+            wtr.reset()
+        my, mx = divmod(m, mcux)
+        for ci, (hc, vc) in enumerate(factors):
+            for by in range(vc):
+                for bx in range(hc):
+                    blk = frames_blocks[ci][(my * vc + by, mx * hc + bx)]
+                    z = [int(v) for v in blk.flatten()[_JPEG_ZIGZAG]]
+                    if differential:
+                        diff = z[0]
+                    else:
+                        diff = z[0] - wtr.last[ci]
+                        wtr.last[ci] = z[0]
+                    enc_dc_diff(wtr, ci, 0, 0, 1, diff)
+                    enc_ac_band(wtr, 0, 5, z, 1, 63)
+    parts.append(wtr.enc.flush())
+    return b"".join(parts)
+
+
 RGB_CIDS = [0x52, 0x47, 0x42]  # 'R','G','B' T.81 component-ID convention
 
 
 def encode_hierarchical(planes_full, w, h, restart=0, cids=None,
-                        prec=8):
+                        prec=8, arith=False):
     """Two-level pyramid: base frame at (w//2, h//2), EXP, one SOF5
     differential frame at (w, h). ``planes_full`` is a list of h×w
     numpy arrays (1 = gray, 3 = YCbCr — or literal R/G/B when
@@ -208,12 +248,17 @@ def encode_hierarchical(planes_full, w, h, restart=0, cids=None,
         base_blocks.append(blocks)
         refs.append(_idct_plane(blocks, q, w0, h0, level, 0, maxd))
     # baseline SOF0 is 8-bit-only (T.81 B.2.2); 12-bit
-    # non-differential frames ride extended sequential SOF1
-    out += _sof(0xC0 if prec == 8 else 0xC1, w0, h0, n, prec=prec,
-                cids=cids)
+    # non-differential frames ride extended sequential SOF1; the
+    # arithmetic base frame is SOF9 at either precision
+    base_marker = 0xC9 if arith else (0xC0 if prec == 8 else 0xC1)
+    out += _sof(base_marker, w0, h0, n, prec=prec, cids=cids)
     out += _sos(n, cids=cids)
-    out += _entropy(base_blocks, mcux0, mcuy0, [(1, 1)] * n, False,
-                    restart)
+    if arith:
+        out += _entropy_arith(base_blocks, mcux0, mcuy0, [(1, 1)] * n,
+                              False, restart)
+    else:
+        out += _entropy(base_blocks, mcux0, mcuy0, [(1, 1)] * n, False,
+                        restart)
 
     out += seg(0xDF, bytes([0x11]))  # EXP: double both axes
     expanded = [_expand(r) for r in refs]
@@ -226,10 +271,15 @@ def encode_hierarchical(planes_full, w, h, restart=0, cids=None,
         diff_blocks.append(blocks)
         dec_diff = _idct_plane(blocks, q, w, h, 0, -(maxd + 1), maxd)
         finals.append(np.clip(ex + dec_diff, 0, maxd))
-    out += _sof(0xC5, w, h, n, prec=prec, cids=cids)
+    out += _sof(0xCD if arith else 0xC5, w, h, n, prec=prec,
+                cids=cids)
     out += _sos(n, cids=cids)
-    out += _entropy(diff_blocks, mcux1, mcuy1, [(1, 1)] * n, True,
-                    restart)
+    if arith:
+        out += _entropy_arith(diff_blocks, mcux1, mcuy1, [(1, 1)] * n,
+                              True, restart)
+    else:
+        out += _entropy(diff_blocks, mcux1, mcuy1, [(1, 1)] * n, True,
+                        restart)
     out += b"\xff\xd9"
 
     if prec != 8:
@@ -537,3 +587,51 @@ def test_subsampled_differential_factor_mismatch_fails_loud():
     with pytest.raises(ValueError,
                        match="factors|component dims|entropy"):
         decode_image(bytes(bad))
+
+
+def test_arithmetic_hierarchical_matches_oracle_and_huffman_twin():
+    """SOF9 base + SOF13 differential frames through the QM-coder:
+    the entropy tier must be transparent — the arithmetic pyramid
+    decodes byte-identically to its Huffman twin AND to the
+    coefficient-domain oracle (gray and YCbCr)."""
+    w, h = 32, 16
+    gray = [_gray_plane(w, h)]
+    jpg_a, oracle = encode_hierarchical(gray, w, h, arith=True)
+    jpg_h, oracle_h = encode_hierarchical(gray, w, h)
+    assert oracle == oracle_h  # entropy-independent construction
+    got = decode_image(jpg_a)
+    assert got[:3] == (w, h, 1)
+    assert got[3] == oracle
+    assert got[3] == decode_image(jpg_h)[3]
+    planes = [_gray_plane(16, 16, s) for s in (1, 5, 9)]
+    jpg_a, oracle = encode_hierarchical(planes, 16, 16, arith=True)
+    assert decode_image(jpg_a)[3] == oracle
+
+
+def test_arithmetic_hierarchical_with_restarts_and_12bit():
+    w, h = 48, 16
+    jpg, oracle = encode_hierarchical([_gray_plane(w, h)], w, h,
+                                      restart=2, arith=True)
+    assert decode_image(jpg)[3] == oracle
+    g12 = np.array(
+        [[(x * 151 + y * 211 + 9) % 4096 for x in range(16)]
+         for y in range(16)], dtype=np.int64
+    )
+    jpg, oracle = encode_hierarchical([g12], 16, 16, prec=12,
+                                      arith=True)
+    assert decode_image(jpg)[3] == oracle
+
+
+def test_mixed_entropy_pyramid_gates_stay_loud():
+    """Differential progressive (SOF14) stays gated even now that
+    SOF13 decodes; a SOF13 outside a hierarchical sequence is
+    rejected."""
+    w, h = 16, 16
+    jpg, _ = encode_hierarchical([_gray_plane(w, h)], w, h, arith=True)
+    bad = jpg.replace(b"\xff\xcd", b"\xff\xce", 1)
+    with pytest.raises(NotImplementedError):
+        decode_image(bad)
+    at = jpg.index(b"\xff\xc9")
+    no_dhp = jpg[:2] + jpg[at:]  # strip DHP: SOF13 with no hierarchy
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_image(no_dhp)

@@ -68,30 +68,65 @@ def running_totals(stream_df: DataFrame, key_col: str = "id") -> DataFrame:
 _SEEN_STATE = "seen boolean"
 
 
-def first_seen_dedupe(stream_df: DataFrame, key_col: str = "id") -> DataFrame:
+def first_seen_dedupe(
+    stream_df: DataFrame,
+    key_col: str = "id",
+    order_col: str | None = None,
+) -> DataFrame:
     """Streaming exact dedup: emit each key's first-seen row, drop every
     later occurrence (within a batch and across batches).
 
     Unlike ``dropDuplicates`` on a stream (which needs a watermark to
     bound state and still re-emits on some output modes), the contract
-    here is explicit: one row per key, ever, determined by arrival
-    order; state is one boolean per key. Rows keep the input schema so
-    the operator composes with the medallion sink downstream.
+    here is explicit: one row per key, ever; state is one boolean per
+    key. Rows keep the input schema so the operator composes with the
+    medallion sink downstream.
+
+    Survivor choice: by default the first row the operator physically
+    receives wins (arrival order — the ingest-offset semantics of a
+    live Kafka feed). With ``order_col`` the survivor inside each
+    micro-batch is instead the row with the MINIMUM ``order_col``
+    value (nulls lose to non-nulls), which makes the result
+    deterministic regardless of how the shuffle interleaves the
+    group's Arrow chunks — a source that stamps a monotonic
+    ingest/offset id gets min-by-offset "first seen", and a drain
+    whose source fits in one micro-batch becomes exactly the batch
+    ``row_number() OVER (PARTITION BY key ORDER BY order_col) = 1``,
+    i.e. SQL-expressible (VERDICT r13 #2). Across micro-batches the
+    first batch containing the key still wins (append mode cannot
+    retract an emitted row); state stays one boolean either way.
     """
     out_schema = stream_df.schema
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        first: pd.DataFrame | None = None
+        # one candidate row per non-empty chunk (the chunk's min when
+        # ordered); the iterator must be consumed fully either way
+        cands: list[pd.DataFrame] = []
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.iloc[:1]
-        if state.exists or first is None:
-            # consumed the iterator (required) — emit nothing
+            if not len(pdf):
+                continue
+            if order_col is None:
+                if not cands:
+                    cands.append(pdf.iloc[:1])
+            else:
+                cands.append(
+                    pdf.sort_values(
+                        order_col, kind="stable", na_position="last"
+                    ).iloc[:1]
+                )
+        if state.exists or not cands:
             return
+        best = cands[0]
+        if order_col is not None and len(cands) > 1:
+            best = (
+                pd.concat(cands)
+                .sort_values(order_col, kind="stable", na_position="last")
+                .iloc[:1]
+            )
         state.update((True,))
-        yield first
+        yield best
 
     return (
         stream_df.groupBy(key_col)

@@ -7,9 +7,12 @@ DataFrame.
 ``stream_running_totals`` is oracle-verified: with one source file the
 run is exactly one micro-batch, so per-key totals equal a batch
 ``count(*) GROUP BY`` and ``batches`` is literally 1. The dedupe query
-keeps a rows-only check — which row survives per key depends on
-arrival order inside the batch, which no batch SQL can pin down
-(SURVEY §2.9: the driver records the weaker check for such ops).
+is oracle-verified the same way since r14: the drain orders survivors
+by the monotonic ``doc_id`` (``first_seen_dedupe(order_col=...)``),
+so with one micro-batch the survivor per language is exactly
+``row_number() OVER (PARTITION BY lang ORDER BY doc_id) = 1`` — the
+arrival-order ambiguity that kept it rows-only through r13 is gone
+(VERDICT r13 #2).
 """
 
 from __future__ import annotations
@@ -236,15 +239,32 @@ def stream_running_totals(cat: Catalog) -> DataFrame:
 
 @query(
     "stream_first_seen_dedupe",
-    oracle=None,  # survivor row is arrival-order-defined; rows-only check
-    survey="S6-streaming (first-seen exact dedup via applyInPandasWithState)",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (
+        SELECT doc_id, text, lang, source, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ) ranked
+    WHERE rn = 1
+    """,
+    survey="S6-streaming (first-seen exact dedup via "
+    "applyInPandasWithState; min-by-doc_id survivor makes the drain "
+    "deterministic and SQL-replayable — one source file ≡ one "
+    "micro-batch, same premise stream_running_totals grades on)",
 )
 def stream_first_seen_dedupe(cat: Catalog) -> DataFrame:
-    """Streaming exact dedup keyed by lang: one survivor per language
-    (row count = distinct langs, content arrival-defined)."""
+    """Streaming exact dedup keyed by lang: one survivor per language.
+    The survivor is pinned to the language's minimum ``doc_id``
+    (``order_col`` — the table's monotonic ingest id), so the result
+    no longer depends on shuffle chunk interleaving and the DuckDB
+    window-function twin replays it exactly (rows-only check retired
+    in r14, VERDICT r13 #2)."""
     sf = cat.sf_dir
     return _drain(
-        lambda s: first_seen_dedupe(_doc_stream(s, sf), key_col="lang"),
+        lambda s: first_seen_dedupe(
+            _doc_stream(s, sf), key_col="lang", order_col="doc_id"
+        ),
         cat.spark, "dedup",
         source_path=os.path.join(sf, "documents.parquet"),
     )

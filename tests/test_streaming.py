@@ -171,6 +171,49 @@ def test_first_seen_dedupe_across_batches(spark, workdir):
     assert got == {"a": "first-a", "b": "first-b", "c": "first-c"}
 
 
+def test_first_seen_dedupe_order_col_pins_survivor(spark, workdir):
+    """With ``order_col`` the in-batch survivor is the min-order row,
+    not the physically-first one — the property that makes
+    stream_first_seen_dedupe SQL-replayable (r14)."""
+    import datetime as dt
+
+    from simple_etl_spark.streaming.stateful import first_seen_dedupe
+
+    src = f"{workdir}/ordsrc"
+    t = dt.datetime(2024, 1, 1)
+    # physical file order puts the LATER timestamps first per key; the
+    # min-created_at row must still win inside the batch
+    _write_batch(
+        spark,
+        src,
+        [
+            ("a", "late-a", t + dt.timedelta(hours=2)),
+            ("a", "early-a", t),
+            ("b", "late-b", t + dt.timedelta(hours=1)),
+            ("b", "early-b", t + dt.timedelta(minutes=5)),
+        ],
+    )
+    # a second batch must still lose to first-batch state even when it
+    # carries a smaller order value (append mode cannot retract)
+    _write_batch(spark, src, [("a", "earliest-but-late-batch", t - dt.timedelta(days=1))])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        first_seen_dedupe(stream, key_col="id", order_col="created_at")
+        .writeStream.format("memory")
+        .queryName("ordered_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ordered_dedup").collect()
+    got = {r["id"]: r["content"] for r in rows}
+    assert got == {"a": "early-a", "b": "early-b"}
+
+
 def test_sessionized_counts_merges_by_gap(spark, workdir):
     import datetime as dt
 

@@ -92,7 +92,16 @@ GRADE_ORDER: tuple[str, ...] = (
     "scalar_metrics_block",   # A10
     "customers_without_orders",  # J1
     "revenue_by_segment",     # J2
-    "orders_without_items",   # J3
+    # r14: orders_without_items ceded its slot to
+    # segment_events_salted_join. J3 (left-outer diff) keeps graded
+    # covers via customers_without_orders (the same
+    # left-join-null-filter shape, J1's anti twin) and the diff-join
+    # parity pair; the salted skew workflows — the only first-class
+    # operator family whose graded covers sat outside the window
+    # (VERDICT r13 watch item #2) — get a hard driver row.
+    # orders_without_items stays registered, parity-tested, and in the
+    # cross-JVM sweep.
+    "segment_events_salted_join",  # skew: salted_join (r14 re-grade)
     "top_user_per_event_type",  # W2 W3
     "dedupe_keep_max",        # W4
     "top10_orders",           # T1-T3 T6

@@ -60,6 +60,10 @@ def test_musts_inside_driver_window():
         # user_activity_having's slot — A9 keeps its graded cover via
         # m_entity_rollup, the r6 verdict's own co-cover).
         "llm_prefix_dups",
+        # r14: the salted skew workflow's driver row (took
+        # orders_without_items' slot — J3 keeps graded covers via
+        # customers_without_orders and the diff-join parity pair).
+        "segment_events_salted_join",
     ]
     out = [n for n in musts if n not in window]
     assert not out, f"must-grade queries outside the 50-query window: {out}"

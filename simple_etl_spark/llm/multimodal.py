@@ -55,6 +55,22 @@ through the real decoder (llm_audio_features synthesizes WAV from
 text deterministically). Decode paths are exercised in pytest over
 byte-built fixtures (tests/test_multimodal.py, tests/test_jpeg.py,
 tests/test_audio.py).
+
+TIER FREEZE (round 14, permanent): this stdlib codec tier is
+COMPLETE. The remaining ``NotImplementedError`` gates — JPEG
+differential progressive (SOF6/14) and lossless (SOF3/7/11/15)
+frames, arithmetic lossless, embedded JPEG/PNG inside BMP
+(BI_JPEG/BI_PNG), non-MJPEG AVI codecs, multi-'vids' AVIs, and MPEG
+audio (the ISO 11172-3 tabulated synthesis window, rationale above)
+— are exactly the variants whose honest implementation IS a codec
+library, and the dispatch seam they raise through is where a real
+deployment plugs PIL/libvips/libsndfile/ffmpeg. The reference
+workload has zero binary columns (this whole tier is superset
+capability), every gate is loud and individually messaged, and the
+byte-built dual-oracle fixtures plus the property-fuzz suite remain
+as the regression net. No further decoder work will land here;
+anything beyond the gates belongs to a library integration, not to
+more stdlib decoding.
 """
 
 from __future__ import annotations

@@ -1356,6 +1356,20 @@ def _hier_upsample(plane, w, h, eh, ev):
     return plane, w, h
 
 
+def _hier_trim(plane, cw, ch, nw, nh):
+    """T.81 J.1.1.3's other half: after EXP doubling, an expanded
+    reference plane may overhang the next frame's ceil-derived
+    component dims by one column and/or row (odd final dims) — the
+    spec trims the overhang before the differential addition."""
+    if nw == cw and nh == ch:
+        return plane
+    out = []
+    for y in range(nh):
+        base = y * cw
+        out.extend(plane[base:base + nw])
+    return out
+
+
 def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
                        restart_interval, differential):
     """Decode one hierarchical frame's scan (sequential Huffman,
@@ -1372,6 +1386,14 @@ def _hier_frame_planes(payload, pos, frame, scan, huff, qt,
     h, w, comps, prec = frame
     if prec not in (8, 12):
         raise NotImplementedError(f"{prec}-bit hierarchical JPEG")
+    # the DHP cap covers only the pyramid's FINAL dims; each frame
+    # header carries its own (attacker-controlled) dims and the plane
+    # allocation below happens before any cross-check against the
+    # reference, so cap here too (review r14)
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"JPEG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
+        )
     if len(scan) != len(comps):
         raise NotImplementedError("hierarchical frame with partial scans")
     if len(comps) == 1:
@@ -1508,6 +1530,11 @@ def _hier_frame_planes_arith(payload, pos, frame, scan, dac, qt,
     h, w, comps, prec = frame
     if prec not in (8, 12):
         raise NotImplementedError(f"{prec}-bit hierarchical JPEG")
+    # same per-frame allocation cap as the Huffman twin (review r14)
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"JPEG declares {w}x{h} = {w * h} pixels > MAX_DECODE_PIXELS"
+        )
     if len(scan) != len(comps):
         raise NotImplementedError("hierarchical frame with partial scans")
     if len(comps) == 1:
@@ -2390,6 +2417,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
     hier_dims = None   # current reference FRAME dims (w, h)
     hier_comp_dims = None  # per-component (cw, ch) at own resolution
     hier_factors = None    # per-component (h, v) sampling factors
+    hier_cids = None   # component ids in reference-frame order
     hier_rgb = False   # reference frame declared RGB (APP14 t=0 / 'RGB' ids)
     # arithmetic conditioning (DAC): DC (L, U) bounds / AC Kx per
     # table id; T.81 defaults apply when no DAC segment redefines them
@@ -2503,6 +2531,17 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
             eh, ev = data[0] >> 4, data[0] & 15
             if eh > 1 or ev > 1:
                 raise ValueError(f"JPEG EXP flags {eh}/{ev} must be 0 or 1")
+            # each EXP doubles plane memory; a stream of EXPs with no
+            # frames between them must not expand past the decode cap
+            # (the DHP cap bounds only the declared final dims,
+            # review r14)
+            ew = hier_dims[0] * (2 if eh else 1)
+            ehh = hier_dims[1] * (2 if ev else 1)
+            if ew * ehh > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"JPEG EXP expands reference to {ew}x{ehh} = "
+                    f"{ew * ehh} pixels > MAX_DECODE_PIXELS"
+                )
             new_refs = []
             new_dims = []
             for plane, (cw, ch2) in zip(hier_refs, hier_comp_dims):
@@ -2662,6 +2701,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise NotImplementedError(
                         "hierarchical frame with partial components"
                     )
+                fcids = tuple(c[0] for c in frame[2])
                 if hier_refs is None:
                     if differential:
                         raise ValueError(
@@ -2672,6 +2712,7 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                     hier_dims = (fw, fh)
                     hier_comp_dims = cdims
                     hier_factors = cfactors
+                    hier_cids = fcids
                     # The reference frame pins the pyramid's
                     # colorspace: Adobe APP14 transform=0 or the
                     # T.81 'R','G','B' component-ID convention mean
@@ -2689,23 +2730,61 @@ def _decode_jpeg_parsed(payload: bytes) -> tuple[int, int, int, bytes]:
                             "non-differential JPEG frame after the "
                             "first hierarchical frame"
                         )
-                    if (fw, fh) != hier_dims:
-                        raise ValueError(
-                            f"differential frame {fw}x{fh} does not "
-                            f"match the (expanded) reference "
-                            f"{hier_dims[0]}x{hier_dims[1]}"
-                        )
+                    # components are identified by ID, not position
+                    # (review r14: a reordered SOF5/SOF13 component
+                    # list previously merged correction planes into
+                    # the WRONG references whenever the factors/dims
+                    # happened to be symmetric — scrambled output
+                    # returned as success)
+                    if fcids != hier_cids:
+                        if sorted(fcids) != sorted(hier_cids):
+                            raise ValueError(
+                                f"differential frame components "
+                                f"{fcids} differ from the reference "
+                                f"frame's {hier_cids}"
+                            )
+                        order = [fcids.index(c) for c in hier_cids]
+                        planes = [planes[i] for i in order]
+                        cdims = [cdims[i] for i in order]
+                        cfactors = [cfactors[i] for i in order]
                     if cfactors != hier_factors:
                         raise ValueError(
                             "differential frame sampling factors "
                             f"{cfactors} differ from the reference "
                             f"frame's {hier_factors}"
                         )
-                    if cdims != hier_comp_dims:
-                        # odd-dimension pyramids can make a doubled
-                        # reference plane one sample wider than the
-                        # differential frame's ceil-derived dims —
-                        # fail loud rather than add misaligned planes
+                    if (fw, fh) != hier_dims:
+                        # T.81 J.1.1.3: an EXP-doubled reference may
+                        # overhang an odd-dimension frame by exactly
+                        # one column and/or row — the spec TRIMS the
+                        # expanded reference to the frame's dims
+                        # (review r14: previously rejected as
+                        # malformed). Anything beyond a 1-sample
+                        # overhang is a genuinely inconsistent file.
+                        if not (0 <= hier_dims[0] - fw <= 1
+                                and 0 <= hier_dims[1] - fh <= 1):
+                            raise ValueError(
+                                f"differential frame {fw}x{fh} does "
+                                f"not match the (expanded) reference "
+                                f"{hier_dims[0]}x{hier_dims[1]}"
+                            )
+                        for ci in range(len(hier_refs)):
+                            cw, ch2 = hier_comp_dims[ci]
+                            nw, nh = cdims[ci]
+                            if not (0 <= cw - nw <= 1
+                                    and 0 <= ch2 - nh <= 1):
+                                raise ValueError(
+                                    f"differential component dims "
+                                    f"{cdims} do not match the "
+                                    f"expanded reference's "
+                                    f"{hier_comp_dims}"
+                                )
+                            hier_refs[ci] = _hier_trim(
+                                hier_refs[ci], cw, ch2, nw, nh
+                            )
+                        hier_dims = (fw, fh)
+                        hier_comp_dims = list(cdims)
+                    elif cdims != hier_comp_dims:
                         raise ValueError(
                             f"differential component dims {cdims} do "
                             f"not match the expanded reference's "
@@ -3768,12 +3847,27 @@ def _decode_ms_adpcm(
                     f"MS ADPCM declares {declared} samples/block but "
                     f"the block layout implies {spb}"
                 )
+            # every read below must be bounded by the ACTUAL chunk
+            # length, not the declared cbSize — a truncated fmt chunk
+            # must raise ValueError, not leak struct.error through
+            # the feature wrapper's catch list (review r14)
+            if len(fmt) < 22:
+                raise ValueError(
+                    f"MS ADPCM fmt chunk truncated: cbSize {cb} but "
+                    f"only {len(fmt)} bytes present"
+                )
             (ncoef,) = struct.unpack_from("<H", fmt, 20)
             if ncoef < 7:
                 raise ValueError(
                     f"MS ADPCM coefficient table has {ncoef} < 7 pairs"
                 )
             if cb >= 4 + 4 * ncoef:
+                if len(fmt) < 22 + 4 * ncoef:
+                    raise ValueError(
+                        f"MS ADPCM coefficient table truncated: "
+                        f"{ncoef} pairs declared, chunk is "
+                        f"{len(fmt)} bytes"
+                    )
                 coefs = [
                     struct.unpack_from("<hh", fmt, 22 + 4 * i)
                     for i in range(ncoef)
@@ -4884,9 +4978,13 @@ def demux_video(payload: bytes) -> dict:
             raise ValueError("Y4M header missing W/H")
         if fps_num < 1 or fps_den < 1:
             raise ValueError("Y4M frame rate must be positive")
-        if kind == "yuv420" and (w % 2 or h % 2):
+        # startswith: the p10/p12/p16 tags ("yuv420p10", ...) share the
+        # chroma geometry and must hit the same guard — a literal
+        # compare let odd-dimension high-bit-depth files through to a
+        # garbled frame-offset error downstream (review r14)
+        if kind.startswith("yuv420") and (w % 2 or h % 2):
             raise ValueError("Y4M 4:2:0 dimensions must be even")
-        if kind == "yuv422" and w % 2:
+        if kind.startswith("yuv422") and w % 2:
             raise ValueError("Y4M 4:2:2 width must be even")
         fsize = w * h * bnum // bden
         frames = []

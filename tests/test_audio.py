@@ -676,3 +676,26 @@ def test_ms_adpcm_malformed_fails_loud():
     )
     with pytest.raises(ValueError, match="whole number of blocks"):
         decode_audio(bytes(ragged))
+
+
+def test_ms_adpcm_truncated_fmt_raises_valueerror_not_struct_error():
+    """The fmt extension reads must be bounded by the ACTUAL chunk
+    length, not the declared cbSize — a truncated chunk previously
+    leaked struct.error through the feature wrapper's
+    (NotImplementedError, ValueError, IndexError) catch list,
+    killing the whole Arrow task (review r14)."""
+    spb = 18
+    block_align = 7 + (spb - 2) // 2
+    full_fmt = struct.pack(
+        "<HHIIHH", 2, 1, 8000, 8000 * block_align // spb,
+        block_align, 4,
+    ) + struct.pack("<HHH", 32, spb, 7)
+    for c1, c2 in _MS_COEFS:
+        full_fmt += struct.pack("<hh", c1, c2)
+    # cbSize claims 32 but the chunk stops after samples-per-block
+    with pytest.raises(ValueError, match="truncated"):
+        decode_audio(make_wav_fmt(full_fmt[:20], b""))
+    # coefficient table cut mid-pair: cbSize and wNumCoef both claim
+    # the full seven pairs
+    with pytest.raises(ValueError, match="truncated"):
+        decode_audio(make_wav_fmt(full_fmt[:30], b""))

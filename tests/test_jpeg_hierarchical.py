@@ -212,15 +212,20 @@ RGB_CIDS = [0x52, 0x47, 0x42]  # 'R','G','B' T.81 component-ID convention
 
 
 def encode_hierarchical(planes_full, w, h, restart=0, cids=None,
-                        prec=8, arith=False):
-    """Two-level pyramid: base frame at (w//2, h//2), EXP, one SOF5
-    differential frame at (w, h). ``planes_full`` is a list of h×w
-    numpy arrays (1 = gray, 3 = YCbCr — or literal R/G/B when
+                        prec=8, arith=False, diff_cids=None):
+    """Two-level pyramid: base frame at (ceil(w/2), ceil(h/2)), EXP,
+    one SOF5 differential frame at (w, h). ``planes_full`` is a list
+    of h×w numpy arrays (1 = gray, 3 = YCbCr — or literal R/G/B when
     ``cids`` is RGB_CIDS, in which case the oracle interleaves the
-    planes without the matrix). Returns (jpeg_bytes, oracle_pixels)
-    with the oracle computed coefficient-domain."""
+    planes without the matrix). Odd ``w``/``h`` exercise the
+    J.1.1.3 trim: the EXP-doubled reference overhangs the final
+    frame by one column/row and the decoder must crop it.
+    ``diff_cids`` reorders the differential frame's component list
+    (a permutation of the reference's ids) — components are matched
+    by ID, so the oracle is unchanged. Returns (jpeg_bytes,
+    oracle_pixels) with the oracle computed coefficient-domain."""
     n = len(planes_full)
-    w0, h0 = w // 2, h // 2
+    w0, h0 = (w + 1) // 2, (h + 1) // 2
     q = QL if prec == 8 else [v * 20 for v in QL]
     level = (1 << prec) >> 1
     maxd = (1 << prec) - 1
@@ -240,8 +245,12 @@ def encode_hierarchical(planes_full, w, h, restart=0, cids=None,
     base_blocks = []
     refs = []
     for p in planes_full:
+        pp = p
+        if w % 2 or h % 2:  # edge-pad so 2x2 pooling stays defined
+            pp = np.pad(p, ((0, 2 * h0 - h), (0, 2 * w0 - w)),
+                        mode="edge")
         small = np.round(
-            p.reshape(h0, 2, w0, 2).mean(axis=(1, 3))
+            pp.reshape(h0, 2, w0, 2).mean(axis=(1, 3))
         ).astype(np.int64)
         blocks, mcux0, mcuy0 = _quantize(small.astype(np.float64), q,
                                          level)
@@ -261,7 +270,9 @@ def encode_hierarchical(planes_full, w, h, restart=0, cids=None,
                         restart)
 
     out += seg(0xDF, bytes([0x11]))  # EXP: double both axes
-    expanded = [_expand(r) for r in refs]
+    # J.1.1.3: the doubled reference overhangs odd final dims by one
+    # column/row — trim to the next frame's size (no-op when even)
+    expanded = [_expand(r)[:h, :w] for r in refs]
 
     diff_blocks = []
     finals = []
@@ -271,14 +282,21 @@ def encode_hierarchical(planes_full, w, h, restart=0, cids=None,
         diff_blocks.append(blocks)
         dec_diff = _idct_plane(blocks, q, w, h, 0, -(maxd + 1), maxd)
         finals.append(np.clip(ex + dec_diff, 0, maxd))
+    base_cids = cids or [ci + 1 for ci in range(n)]
+    emit_cids, emit_blocks = base_cids, diff_blocks
+    if diff_cids is not None:  # reordered component list, same ids
+        assert sorted(diff_cids) == sorted(base_cids)
+        order = [base_cids.index(c) for c in diff_cids]
+        emit_cids = list(diff_cids)
+        emit_blocks = [diff_blocks[i] for i in order]
     out += _sof(0xCD if arith else 0xC5, w, h, n, prec=prec,
-                cids=cids)
-    out += _sos(n, cids=cids)
+                cids=emit_cids)
+    out += _sos(n, cids=emit_cids)
     if arith:
-        out += _entropy_arith(diff_blocks, mcux1, mcuy1, [(1, 1)] * n,
+        out += _entropy_arith(emit_blocks, mcux1, mcuy1, [(1, 1)] * n,
                               True, restart)
     else:
-        out += _entropy(diff_blocks, mcux1, mcuy1, [(1, 1)] * n, True,
+        out += _entropy(emit_blocks, mcux1, mcuy1, [(1, 1)] * n, True,
                         restart)
     out += b"\xff\xd9"
 
@@ -370,6 +388,84 @@ def test_hierarchical_error_paths():
     bad = jpg.replace(b"\xff\xc5", b"\xff\xc6", 1)
     with pytest.raises(NotImplementedError):
         decode_image(bad)
+
+
+def test_odd_dimension_pyramid_trims_expanded_reference():
+    """T.81 J.1.1.3: for odd final dims the EXP-doubled reference is
+    one column/row larger than the differential frame — the decoder
+    must TRIM it, not reject the file (review r14; previously raised
+    'does not match the (expanded) reference')."""
+    w, h = 17, 9
+    jpg, oracle = encode_hierarchical([_gray_plane(w, h)], w, h)
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 1)
+    assert got == oracle
+    # 3-component odd square, arithmetic entropy tier
+    w, h = 15, 15
+    planes = [_gray_plane(w, h, s) for s in (2, 4, 8)]
+    jpg, oracle = encode_hierarchical(planes, w, h, arith=True)
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert got == oracle
+
+
+def test_differential_frame_component_reorder_matches_by_id():
+    """Components are matched by ID across hierarchical frames: a
+    differential frame listing the same components in a different
+    order must merge each correction into ITS reference, not the
+    positional one (review r14 — symmetric factors/dims previously
+    slipped past the guards and scrambled colors silently)."""
+    w, h = 16, 16
+    planes = [_gray_plane(w, h, s) for s in (1, 5, 9)]
+    jpg, oracle = encode_hierarchical(planes, w, h,
+                                      diff_cids=[3, 1, 2])
+    gw, gh, ch, got = decode_image(jpg)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert got == oracle
+    # a differential frame with DIFFERENT ids is a malformed file
+    jpg_bad, _ = encode_hierarchical(planes, w, h,
+                                     diff_cids=[1, 2, 3])
+    at = jpg_bad.rindex(b"\xff\xc5")
+    sos_at = jpg_bad.index(b"\xff\xda", at)
+    bad = bytearray(jpg_bad)
+    bad[at + 10] = 7      # first diff-frame component id 1 -> 7 (SOF)
+    bad[sos_at + 5] = 7   # and in the scan header, so decode reaches
+    with pytest.raises(ValueError, match="components"):  # the merge
+        decode_image(bytes(bad))
+
+
+def test_hierarchical_frame_pixel_bomb_rejected():
+    """A frame header inside a hierarchical sequence carries its own
+    dims; huge declared dims must be rejected BEFORE plane
+    allocation (review r14 — the DHP cap alone let a crafted SOF
+    allocate unbounded memory)."""
+    jpg, _ = encode_hierarchical([_gray_plane(16, 16)], 16, 16)
+    at = jpg.index(b"\xff\xc0")
+    bad = bytearray(jpg)
+    bad[at + 5 : at + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_image(bytes(bad))
+    # arithmetic twin (SOF9 base frame)
+    jpg_a, _ = encode_hierarchical([_gray_plane(16, 16)], 16, 16,
+                                   arith=True)
+    at = jpg_a.index(b"\xff\xc9")
+    bad = bytearray(jpg_a)
+    bad[at + 5 : at + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        decode_image(bytes(bad))
+
+
+def test_exp_expansion_bomb_rejected(monkeypatch):
+    """A run of EXP markers doubles reference memory each time; the
+    expansion must stay under the decode cap even though each
+    individual EXP is well-formed (review r14)."""
+    import simple_etl_spark.llm.multimodal as mm
+
+    jpg, _ = encode_hierarchical([_gray_plane(16, 16)], 16, 16)
+    spliced = jpg[:-2] + b"\xff\xdf\x00\x03\x11" * 3 + jpg[-2:]
+    monkeypatch.setattr(mm, "MAX_DECODE_PIXELS", 10_000)
+    with pytest.raises(ValueError, match="EXP expands"):
+        decode_image(spliced)
 
 
 def test_hierarchical_rgb_component_ids_bypass_matrix():

@@ -214,6 +214,23 @@ def test_y4m_high_bit_depth_planar():
         demux_video(b"YUV4MPEG2 W4 H2 C420p9\nFRAME\n")
 
 
+def test_y4m_high_bit_depth_odd_dims_fail_with_clear_error():
+    """Odd dimensions under chroma subsampling must hit the same
+    even-dimension guard the 8-bit tags do — a literal kind compare
+    let C420p10/C422p12 odd-dims files through to a garbled
+    frame-offset error (review r14)."""
+    with pytest.raises(ValueError, match="must be even"):
+        demux_video(b"YUV4MPEG2 W3 H2 F25:1 C420p10\nFRAME\n" + b"\x00" * 18)
+    with pytest.raises(ValueError, match="must be even"):
+        demux_video(b"YUV4MPEG2 W4 H3 F25:1 C420p16\nFRAME\n" + b"\x00" * 36)
+    with pytest.raises(ValueError, match="must be even"):
+        demux_video(b"YUV4MPEG2 W3 H1 F25:1 C422p12\nFRAME\n" + b"\x00" * 12)
+    # odd dims stay fine where chroma is full-resolution
+    body = struct.pack("<3H", 4095, 2048, 2048)
+    v = demux_video(b"YUV4MPEG2 W1 H1 F25:1 C444p12\n" + b"FRAME\n" + body)
+    assert v["width"] == 1 and v["height"] == 1
+
+
 def test_avi_video_stream_id_scopes_frames():
     """An audio-first AVI numbers the video stream '01': frames must
     come from '01dc' chunks only, and a stray other-stream '02dc'

@@ -49,13 +49,13 @@ from digest import agg_hash  # noqa: E402
 N_DIM_KEYS = 65536  # cold keys 1..N; key 0 is the hot one
 
 
-def _session(cpus: int):
+def _session(cpus: int, mem: str = "8g"):
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 64)))
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .appName("skew_bench_r12")
         .getOrCreate()
@@ -125,7 +125,24 @@ def main() -> None:
     ap.add_argument("--salt-all-pandas", action="store_true",
                     help="also time the whole-corpus-salted pandas "
                     "UDAF (measured 27x slower than plain at sf1)")
+    ap.add_argument("--mem", default="8g",
+                    help="spark.driver.memory (local mode: the one "
+                    "JVM's heap). The sf30 holistic collect_set needs "
+                    "more than the 8g default — its value-proportional "
+                    "partial state OOMs the map side (SCALE.md §8e); "
+                    "an at-scale deployment sizes executors to state "
+                    "the same way")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated cell subset to run (profile "
+                    "always runs): agg_algebraic,agg_distinct,"
+                    "agg_holistic_set,agg_holistic_pandas,join — for "
+                    "resuming a run that died mid-cell without "
+                    "re-measuring finished cells")
     args = ap.parse_args()
+    want = set(args.only.split(",")) if args.only else None
+
+    def _want(cell: str) -> bool:
+        return want is None or cell in want
 
     from pyspark.sql import functions as F
 
@@ -136,7 +153,7 @@ def main() -> None:
     )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = _session(cpus)
+    spark = _session(cpus, args.mem)
     twin = build_skewed(
         spark,
         args.base,
@@ -195,13 +212,15 @@ def main() -> None:
         ],
         factor=args.factor,
     )
-    t_plain, t_salted = _timed(plain_alg), _timed(salted_alg)
-    h_plain, n_plain = agg_hash(plain_alg)
-    h_salted, _ = agg_hash(salted_alg)
-    emit({
-        "cell": "agg_algebraic", "plain_s": t_plain, "salted_s": t_salted,
-        "rows": n_plain, "hash_identical": h_plain == h_salted,
-    })
+    if _want("agg_algebraic"):
+        t_plain, t_salted = _timed(plain_alg), _timed(salted_alg)
+        h_plain, n_plain = agg_hash(plain_alg)
+        h_salted, _ = agg_hash(salted_alg)
+        emit({
+            "cell": "agg_algebraic", "plain_s": t_plain,
+            "salted_s": t_salted,
+            "rows": n_plain, "hash_identical": h_plain == h_salted,
+        })
 
     # -- 2. grouped-agg heavyweight: exact distinct count --------------
     # countDistinct is the agg shape partial combine can NOT collapse
@@ -220,13 +239,15 @@ def main() -> None:
         [F.sum("p_vals").alias("n_vals")],
         factor=args.factor,
     )
-    t_plain, t_salted = _timed(plain_dist), _timed(salted_dist)
-    h_plain, n_plain = agg_hash(plain_dist)
-    h_salted, _ = agg_hash(salted_dist)
-    emit({
-        "cell": "agg_distinct", "plain_s": t_plain, "salted_s": t_salted,
-        "rows": n_plain, "hash_identical": h_plain == h_salted,
-    })
+    if _want("agg_distinct"):
+        t_plain, t_salted = _timed(plain_dist), _timed(salted_dist)
+        h_plain, n_plain = agg_hash(plain_dist)
+        h_salted, _ = agg_hash(salted_dist)
+        emit({
+            "cell": "agg_distinct", "plain_s": t_plain,
+            "salted_s": t_salted,
+            "rows": n_plain, "hash_identical": h_plain == h_salted,
+        })
 
     # -- 2b. grouped-agg heavyweight: HOLISTIC set aggregation ---------
     # The aggregate class salted_agg exists FOR (VERDICT r12 next-round
@@ -260,22 +281,24 @@ def main() -> None:
             "vals",
         )
 
-    plain_hset = _set_stats(
-        kv.groupBy("key").agg(F.collect_set("val").alias("vals")), "vals"
-    )
-    salted_hset = _salted_set(None)
-    hot_hset = _salted_set(hot)
-    t_plain, t_salted = _timed(plain_hset), _timed(salted_hset)
-    t_hot = _timed(hot_hset)
-    h_plain, n_plain = agg_hash(plain_hset)
-    h_salted, _ = agg_hash(salted_hset)
-    h_hot, _ = agg_hash(hot_hset)
-    emit({
-        "cell": "agg_holistic_set", "plain_s": t_plain,
-        "salted_all_s": t_salted, "salted_hot_s": t_hot,
-        "rows": n_plain,
-        "hash_identical": h_plain == h_salted == h_hot,
-    })
+    if _want("agg_holistic_set"):
+        plain_hset = _set_stats(
+            kv.groupBy("key").agg(F.collect_set("val").alias("vals")),
+            "vals",
+        )
+        salted_hset = _salted_set(None)
+        hot_hset = _salted_set(hot)
+        t_plain, t_salted = _timed(plain_hset), _timed(salted_hset)
+        t_hot = _timed(hot_hset)
+        h_plain, n_plain = agg_hash(plain_hset)
+        h_salted, _ = agg_hash(salted_hset)
+        h_hot, _ = agg_hash(hot_hset)
+        emit({
+            "cell": "agg_holistic_set", "plain_s": t_plain,
+            "salted_all_s": t_salted, "salted_hot_s": t_hot,
+            "rows": n_plain,
+            "hash_identical": h_plain == h_salted == h_hot,
+        })
 
     # -- 2c. grouped-agg heavyweight: grouped-agg pandas UDAF ----------
     # The OTHER holistic shape: a pandas aggregation must ship the
@@ -315,15 +338,18 @@ def main() -> None:
         p_max("val").alias("m"),
     )
     hot_pd = _salted_pd(hot)
-    t_plain, t_hot = _timed(plain_pd), _timed(hot_pd)
-    h_plain, n_plain = agg_hash(plain_pd)
-    h_hot, _ = agg_hash(hot_pd)
-    rec = {
-        "cell": "agg_holistic_pandas", "plain_s": t_plain,
-        "salted_hot_s": t_hot, "rows": n_plain,
-        "hash_identical": h_plain == h_hot,
-    }
-    if args.salt_all_pandas:
+    if not _want("agg_holistic_pandas"):
+        rec = None
+    else:
+        t_plain, t_hot = _timed(plain_pd), _timed(hot_pd)
+        h_plain, n_plain = agg_hash(plain_pd)
+        h_hot, _ = agg_hash(hot_pd)
+        rec = {
+            "cell": "agg_holistic_pandas", "plain_s": t_plain,
+            "salted_hot_s": t_hot, "rows": n_plain,
+            "hash_identical": h_plain == h_hot,
+        }
+    if rec is not None and args.salt_all_pandas:
         # whole-corpus salting multiplies the Arrow group count by
         # ``factor`` — measured 20x SLOWER than plain at sf1 (99.2 s
         # vs 4.9 s), so it is opt-in here to keep the sf10 run
@@ -332,7 +358,8 @@ def main() -> None:
         h_all, _ = agg_hash(_salted_pd(None))
         rec["salted_all_s"] = t_all
         rec["hash_identical"] = rec["hash_identical"] and h_plain == h_all
-    emit(rec)
+    if rec is not None:
+        emit(rec)
 
     # -- 3. the join heavyweight ---------------------------------------
     # Broadcast force-disabled: at 100 TB the dimension is 100M+ rows
@@ -341,6 +368,12 @@ def main() -> None:
     rollup = lambda j: j.groupBy("segment").agg(  # noqa: E731
         F.sum("amount").alias("sum_amount"), F.count(F.lit(1)).alias("n")
     )
+    if not _want("join"):
+        ok = all(r.get("hash_identical", True) for r in recs)
+        print(f"SUMMARY {args.tag}: {len(recs)} cells, "
+              f"hash_identity={'OK' if ok else 'FAIL'}", flush=True)
+        spark.stop()
+        sys.exit(0 if ok else 1)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")

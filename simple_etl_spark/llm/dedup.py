@@ -567,6 +567,8 @@ def near_dedup_minhash(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     persist: bool = True,
+    max_bucket: int | None = None,
+    cap_stats: dict | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands →
     candidate pairs → exact-Jaccard verify ≥ threshold.
@@ -576,7 +578,18 @@ def near_dedup_minhash(
     once instead of recomputed per branch — MEMORY_AND_DISK, i.e.
     spill-not-fail when the shingle relation (≈10× corpus tokens)
     outgrows executor memory; at extreme scale pass ``persist=False``
-    to trade recompute for storage."""
+    to trade recompute for storage.
+
+    ``max_bucket``/``cap_stats`` pass through to
+    :func:`lsh_candidate_pairs` (r14): on a template-heavy corpus
+    whose shingle universe saturates, collision-bucket sizes grow
+    linearly with the corpus and the verify stage goes QUADRATIC —
+    measured at sf30, where the full-clique pipeline's intersection
+    shuffle exhausted the host's ~70 GB of free shuffle disk while a
+    200-cap run completed in 367 s with the drop audited (160 groups
+    — a ~constant per-doc candidate budget across the decade,
+    SCALE.md §8e). The default stays uncapped (lossless); production
+    corpora set the cap and read the audit."""
     do_persist = persist and not df.isStreaming
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
@@ -589,7 +602,10 @@ def near_dedup_minhash(
         .groupBy(id_col)
         .agg(*[F.min(f"g{i}").alias(f"h{i}") for i in range(num_hashes)])
     )
-    cands = lsh_candidate_pairs(sig, id_col, num_hashes, band_size)
+    cands = lsh_candidate_pairs(
+        sig, id_col, num_hashes, band_size,
+        max_bucket=max_bucket, cap_stats=cap_stats,
+    )
     return _jaccard_from_shingles(sh, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )

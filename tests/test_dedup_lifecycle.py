@@ -286,6 +286,43 @@ def test_simhash_degenerate_band_cap(spark):
     assert ids == {p for p in un_ids if p[0] >= 100}, (ids, un_ids)
 
 
+def test_minhash_pipeline_max_bucket_passthrough(spark):
+    """r14: the FULL minhash pipeline exposes the bucket cap (sf30
+    measured the uncapped verify stage going quadratic on a
+    saturated-shingle corpus — SCALE.md §8e). Capping drops the
+    template clique, keeps the genuine near-pair, audits the drop;
+    the default stays lossless (None ≡ uncapped)."""
+    from simple_etl_spark.llm import dedup
+
+    template = ("one two three four five six seven eight nine ten "
+                "eleven twelve thirteen fourteen")
+    rows = [(i, template) for i in range(30)]  # degenerate clique
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta iota"),
+             (101, "alpha beta gamma delta epsilon zeta eta theta kappa")]
+    docs = spark.createDataFrame(rows, "id bigint, text string")
+
+    stats: dict = {}
+    capped = dedup.near_dedup_minhash(
+        docs, "id", "text", threshold=0.5, persist=False,
+        max_bucket=10, cap_stats=stats,
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert ids == {(100, 101)}, ids  # clique dropped, near-pair kept
+    got = stats["stats"].first()
+    assert got["capped_groups"] > 0 and got["dropped_rows"] >= 30, got
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.near_dedup_minhash(
+            docs, "id", "text", threshold=0.5, persist=False,
+        ).collect()
+    }
+    assert (100, 101) in uncapped
+    assert {(a, b) for a, b in uncapped if a < 30 and b < 30}, (
+        "expected the template clique in the uncapped pipeline"
+    )
+
+
 def test_simhash_default_is_lossless(spark):
     """ADVICE r8: the library default must not silently trade recall —
     defaults and max_bucket=None produce identical pairs; the cap is

@@ -379,6 +379,71 @@ def _cap_buckets(
     return df.join(F.broadcast(over.drop("_bc")), keys, "left_anti")
 
 
+def _bucket_pairs(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """All (id_a < id_b) pairs within each ``keys`` collision group —
+    the shared candidate generator of the banded self-join family
+    (LSH, SimHash pigeonhole, winnowing), as ONE grouped aggregation
+    instead of a self-join (r14 optimization).
+
+    The old shape — ``banded.alias("a").join(banded.alias("b"), keys
+    & id<id)`` — evaluated the whole upstream pipeline (signature agg
+    / fingerprint projection) once PER SIDE and planned a sort-merge
+    join with two sorts; AQE's runtime stage reuse did not reliably
+    collapse the twin subtrees (measured: the minhash pair
+    materialization dropped 6.0 s → ~3 s at sf0.1 cache layout).
+    Here the upstream runs once: group ids per bucket
+    (``sort_array(collect_list)`` — deterministic order, groups are
+    cap-bounded or collision-bounded so no giant row), then emit the
+    i<j pairs with posexplode + slice so per-row memory stays O(group)
+    while total output volume is the same Σ|bucket|² the join
+    produced. Pair ordering (``id_a < id_b``) follows the same type
+    ordering the join's ``<`` used.
+
+    Precondition: ``id_col`` is unique within a group (every caller's
+    banded relation emits one row per (id, band)); a duplicate id
+    would pair with itself under ``<`` in neither shape, but would
+    double-count in callers that count shared buckets.
+
+    ``max_bucket``/``stats_out`` mirror :func:`_cap_buckets` (same
+    audit schema): over-cap groups are dropped by a size filter on
+    the SAME grouped frame — no extra count aggregation, no anti-join
+    exchange."""
+    g = df.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    if max_bucket is not None:
+        if stats_out is not None:
+            over = g.filter(F.size("_ids") > max_bucket)
+            stats_out["stats"] = over.agg(
+                F.count(F.lit(1)).alias("capped_groups"),
+                F.coalesce(F.sum(F.size("_ids")), F.lit(0))
+                .cast("bigint")
+                .alias("dropped_rows"),
+            )
+        g = g.filter(F.size("_ids") <= max_bucket)
+    n = F.size("_ids")
+    return (
+        g.filter(n >= 2)
+        .select(F.posexplode("_ids").alias("_i", "id_a"), F.col("_ids"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col("_ids"),
+                    F.col("_i") + 2,
+                    F.greatest(F.size("_ids") - F.col("_i") - 1, F.lit(0)),
+                )
+            ).alias("id_b"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -387,10 +452,13 @@ def lsh_candidate_pairs(
     max_bucket: int | None = None,
     cap_stats: dict | None = None,
 ) -> DataFrame:
-    """Band the signature and self-join on (band_index, band_key):
-    docs sharing any band are candidate near-dups. Returns distinct
-    (id_a < id_b) pairs. The band join shuffles on the band key —
-    collision groups, not the corpus, drive the cost.
+    """Band the signature and pair up docs sharing a (band_index,
+    band_key) bucket: docs sharing any band are candidate near-dups.
+    Returns distinct (id_a < id_b) pairs. Pairing is one grouped
+    aggregation on the band key (:func:`_bucket_pairs`) — collision
+    groups, not the corpus, drive the cost, and the signature
+    aggregation feeding it is evaluated once (the r13 self-join shape
+    evaluated it per side and sort-merge-joined).
 
     The default keeps every collision group because each candidate is
     Jaccard-VERIFIED downstream (dropping a group silently lowers
@@ -400,24 +468,10 @@ def lsh_candidate_pairs(
     :func:`simhash_hamming_pairs`/:func:`prefix_duplicates` — or use
     :func:`lsh_star_edges` when only connectivity is needed."""
     banded = band_keys(sig, id_col, num_hashes, band_size)
-    if max_bucket is not None:
-        banded = _cap_buckets(
-            banded, ["band", "key"], max_bucket, stats_out=cap_stats
-        )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return _bucket_pairs(
+        banded, ["band", "key"], id_col,
+        max_bucket=max_bucket, stats_out=cap_stats,
+    ).distinct()
 
 
 def lsh_star_edges(
@@ -771,25 +825,12 @@ def simhash_hamming_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
-    if max_bucket is not None:
-        banded = _cap_buckets(
-            banded, ["band", "val"], max_bucket, stats_out=cap_stats
-        )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    # candidate pairs per (band, val) bucket as one grouped aggregation
+    # (r14: replaces the banded self-join — see _bucket_pairs)
+    cand = _bucket_pairs(
+        banded, ["band", "val"], id_col,
+        max_bucket=max_bucket, stats_out=cap_stats,
+    ).distinct()
     fa = fp.select(
         F.col(id_col).alias("id_a"), *[F.col(f"p{b}").alias(f"a{b}") for b in range(SIMHASH_BANDS)]
     )
@@ -840,14 +881,18 @@ def dedup_clusters(
     ncap = max(pairs.sparkSession.sparkContext.defaultParallelism, 4)
     # the edge relation is re-joined every round — materialize it once
     # or the whole upstream pair pipeline (minhash/LSH/verify) re-runs
-    # per iteration
-    sym = (
+    # per iteration. Checkpoint the PAIRS first, then build the
+    # symmetric closure from the checkpointed frame: the r13 shape
+    # unioned two selects over the un-materialized pairs, which
+    # evaluated the whole upstream pipeline twice inside one job
+    # (measured ~3 s of the 12 s sf0.1 build).
+    p = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
         .coalesce(ncap)
         .localCheckpoint()
+    )
+    sym = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = (
         members.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
@@ -980,26 +1025,26 @@ def winnowing_near_dups(
     """Near-dup pairs by shared winnowing fingerprints: (id_a < id_b,
     shared) with ``shared`` >= ``min_shared``.
 
-    Scale shape: the pair join is keyed on the fingerprint value —
-    banded like LSH, O(collisions) not O(n²). Boilerplate fingerprints
+    Scale shape: pairing is keyed on the fingerprint value — banded
+    like LSH, O(collisions) not O(n²). Boilerplate fingerprints
     (headers, templates) appearing in more than ``max_df`` documents
-    are dropped before pairing (the standard df-cap); without it one
-    hot fingerprint in f docs generates f² pairs. The cap is a grouped
-    count on the fingerprint key — the same shuffle the join needs, so
-    it adds no extra exchange at scale."""
+    are dropped before pairing (the standard df-cap) as a size filter
+    on the grouped fingerprint buckets; without it one hot fingerprint
+    in f docs generates f² pairs.
+
+    r14 shape: one grouped aggregation on ``fp`` emits each bucket's
+    i<j pairs directly (:func:`_bucket_pairs`), then one keyed count.
+    The r13 shape — df-cap count + semi-join + a/b self-join on fp —
+    evaluated the winnowing fingerprint projection (an md5 per gram
+    position, the operator's dominant cost) THREE times: once per
+    self-join side and once for the cap; measured 6.6 s → ~2.4 s at
+    sf0.1 (cache layout) from this change alone. ``shared`` counts
+    are identical: each shared fingerprint contributes exactly one
+    bucket-pair occurrence in both shapes (fingerprints are
+    array_distinct per doc, so (id, fp) rows are unique)."""
     fp = winnow_fingerprints(df, id_col, text_col, k, w)
-    rare = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("fp")
-    )
-    fp = fp.join(rare, "fp")
-    a = fp.select(F.col(id_col).alias("id_a"), "fp")
-    b = fp.select(F.col(id_col).alias("id_b"), "fp")
     return (
-        a.join(b, ["fp"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(fp, ["fp"], id_col, max_bucket=max_df)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)

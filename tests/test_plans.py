@@ -433,10 +433,15 @@ def test_quantized_topk_broadcasts_queries(cat):
     assert "CartesianProduct" not in plan
 
 
-def test_bm25_term_filter_pushes_to_scan(cat):
-    """The query-term IN filter must reach the posting build's scan
-    side as a pushed/early filter, so the scored relation is
-    |matching postings|, never the corpus."""
+def test_bm25_stays_arrayform_no_posting_shuffle(cat):
+    """r14 shape: BM25 never materializes a (token, doc) posting
+    relation — tf/dl are array expressions on the document row, stats
+    are one global aggregate, and the only join is the broadcast of
+    the 1-row stats frame. Scale property pinned here: exactly two
+    corpus scans (stats pass + scoring pass), no Exchange keyed by a
+    token or doc column, and the head is TakeOrderedAndProject."""
+    import re
+
     from simple_etl_spark.functions.text import bm25_rank
 
     plan = _plan(
@@ -445,8 +450,10 @@ def test_bm25_term_filter_pushes_to_scan(cat):
             ["spark", "merge"],
         )
     )
-    # the isin filter runs before the df-join/groupBy pipeline
-    assert "token IN (merge,spark)" in plan or "token#" in plan and "IN (" in plan
+    assert len(re.findall(r"- Scan parquet", plan)) == 2
+    assert "hashpartitioning(token" not in plan
+    assert "hashpartitioning(doc" not in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):

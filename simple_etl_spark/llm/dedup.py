@@ -806,56 +806,83 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (map-side partial agg, one shuffle keyed by doc id) → sign per
     position, packed arithmetically. Bit values are identical to the
     :func:`_digit_bit` formulation, so SQL oracles need no change."""
+    # Expressions are built as SQL strings and parsed once each
+    # (r14): the Column-algebra construction of 64 sums + 64 band
+    # terms + 64 bit-string CASEs cost ~1,000 py4j round-trips —
+    # measured ~2 s of driver time per plan build; the string form
+    # constructs in ~0.1 s with an identical analyzed plan.
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).withColumn("wh", F.md5(F.col("word")))
-
-    def _hexval(k: int) -> Column:
-        a = F.ascii(F.substring(F.col("wh"), k + 1, 1))
-        return F.when(a <= 57, a - 48).otherwise(a - 87)
-
     digits = words.select(
-        F.col(id_col), *[_hexval(k).alias(f"d{k}") for k in range(16)]
-    )
-    aggs = [
-        F.sum(
-            (F.shiftright(F.col(f"d{j // 4}"), 3 - j % 4) % 2) * 2 - 1
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sums = digits.groupBy(id_col).agg(*aggs)
-
-    def bit(j: int) -> Column:
-        return F.when(F.col(f"s{j}") >= 0, 1).otherwise(0)
-
-    band_cols = []
-    for b in range(SIMHASH_BANDS):
-        expr = F.lit(0)
-        for r in range(_BAND_BITS):
-            expr = expr + bit(b * _BAND_BITS + r) * F.lit(
-                1 << (_BAND_BITS - 1 - r)
-            )
-        band_cols.append(expr.cast("bigint").alias(f"p{b}"))
-    bits_str = F.concat(
+        F.col(id_col),
         *[
-            F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            F.expr(
+                f"CASE WHEN ascii(substring(wh, {k + 1}, 1)) <= 57"
+                f" THEN ascii(substring(wh, {k + 1}, 1)) - 48"
+                f" ELSE ascii(substring(wh, {k + 1}, 1)) - 87 END"
+            ).alias(f"d{k}")
+            for k in range(16)
+        ],
+    )
+    sums = digits.groupBy(id_col).agg(
+        *[
+            F.expr(
+                f"sum((shiftright(d{j // 4}, {3 - j % 4}) % 2) * 2 - 1)"
+            ).alias(f"s{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
-    return sums.select(F.col(id_col), *band_cols, bits_str.alias("simhash"))
+    band_exprs = [
+        "cast(("
+        + " + ".join(
+            f"(CASE WHEN s{b * _BAND_BITS + r} >= 0 THEN 1 ELSE 0 END)"
+            f" * {1 << (_BAND_BITS - 1 - r)}"
+            for r in range(_BAND_BITS)
+        )
+        + f") as bigint) AS p{b}"
+        for b in range(SIMHASH_BANDS)
+    ]
+    bits_expr = (
+        "concat("
+        + ", ".join(
+            f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END"
+            for j in range(SIMHASH_BITS)
+        )
+        + ") AS simhash"
+    )
+    return sums.selectExpr(id_col, *band_exprs, bits_expr)
 
 
 def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-fingerprint (Hamming-0) buckets over the 64-bit SimHash —
     the degenerate case of the banded join; use
-    :func:`simhash_hamming_pairs` for distance > 0."""
+    :func:`simhash_hamming_pairs` for distance > 0.
+
+    r14: pairs come from one grouped aggregation on the fingerprint
+    (the :func:`_bucket_pairs` shape, fingerprint key kept) — the
+    64-sum fingerprint aggregation is planned and evaluated once
+    instead of once per self-join side."""
     fp = simhash_fingerprint(df, id_col, text_col)
-    a = fp.select(F.col(id_col).alias("id_a"), "simhash")
-    b = fp.select(F.col(id_col).alias("id_b"), "simhash")
+    g = fp.groupBy("simhash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    )
     return (
-        a.join(b, ["simhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "simhash")
+        g.filter(F.size("_ids") >= 2)
+        .select(
+            "simhash", F.posexplode("_ids").alias("_i", "id_a"), F.col("_ids")
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col("_ids"),
+                    F.col("_i") + 2,
+                    F.greatest(F.size("_ids") - F.col("_i") - 1, F.lit(0)),
+                )
+            ).alias("id_b"),
+            "simhash",
+        )
     )
 
 

@@ -999,18 +999,27 @@ def quantize_embeddings(
     (array<int>) and ``{out_col}_scale`` (double, for dequantizing
     raw dot products; cosine never needs it — scales cancel).
 
-    One codegen projection; round-half-away-from-zero matches between
-    Spark (HALF_UP) and ANSI engines, so the quantized codes are
-    engine-identical. Zero vectors quantize to all-zero codes (the
-    epsilon floor avoids 0/0) and are excluded from cosine downstream
-    as always."""
+    Round-half-away-from-zero matches between Spark (HALF_UP) and ANSI
+    engines, so the quantized codes are engine-identical. Zero vectors
+    quantize to all-zero codes (the epsilon floor avoids 0/0) and are
+    excluded from cosine downstream as always.
+
+    The scale is materialized as its own projection before the code
+    transform: a HOF lambda that captures the ``array_max(transform(
+    ...))`` *expression* re-evaluates it per element (no CSE inside a
+    projection — the :func:`word_ngrams` / ``winnow_fingerprints``
+    trap), making quantization O(dim²) per vector instead of O(dim)
+    (r14)."""
     absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
-    scale = F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
+    scale_col = f"{out_col}_scale"
+    scaled = df.withColumn(
+        scale_col, F.greatest(absmax, F.lit(1e-30)) / F.lit(127.0)
+    )
     q = F.transform(
         F.col(vec_col),
-        lambda x: F.round(x.cast("double") / scale, 0).cast("int"),
+        lambda x: F.round(x.cast("double") / F.col(scale_col), 0).cast("int"),
     )
-    return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", scale)
+    return scaled.withColumn(out_col, q)
 
 
 def _int_dot(a: Column, b: Column) -> Column:

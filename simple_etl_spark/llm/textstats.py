@@ -658,10 +658,20 @@ def word_ngrams(
     the gram list is explicitly emptied for short documents instead of
     trusting the range to be empty. Empty/whitespace-only text splits
     to the [''] artifact — size 1, which at n=1 would emit a phantom
-    '' gram — so that shape is excluded explicitly too."""
+    '' gram — so that shape is excluded explicitly too.
+
+    The words array is materialized as its OWN projection before the
+    transform: a HOF lambda that captures the raw ``split(lower(text))``
+    *expression* re-evaluates it per element (no common-subexpression
+    elimination inside a projection — the same trap documented on
+    :func:`~simple_etl_spark.llm.dedup.winnow_fingerprints`), which
+    turned the gram build into O(positions × tokenize). Measured at
+    sf0.1: gram construction 2.03 s → 0.29 s, full
+    :func:`hot_ngrams` 3.06 s → 0.76 s, identical output (r14)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    words = _words(F.lower(F.col(text_col)))
+    wdf = df.select(*id_cols, _words(F.lower(F.col(text_col))).alias("_w"))
+    words = F.col("_w")
     m = F.size(words) - F.lit(n - 1)
     grams = F.when(
         (m >= 1) & (words != F.array(F.lit(""))),
@@ -670,7 +680,7 @@ def word_ngrams(
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(*id_cols, F.explode(grams).alias("ngram"))
+    return wdf.select(*id_cols, F.explode(grams).alias("ngram"))
 
 
 def hot_ngrams(

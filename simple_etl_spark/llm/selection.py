@@ -56,9 +56,16 @@ def hashed_ngram_features(
     — 48 digest bits, unbiased mod for any power-of-two bucket count).
 
     Multiplicity is kept (no DISTINCT): DSIR's frequency estimates are
-    over feature OCCURRENCES, unlike the dedup shingle sets."""
-    grams = shingles(_normalized(text_col), n)
-    return df.select(
+    over feature OCCURRENCES, unlike the dedup shingle sets.
+
+    The normalized token stream is materialized as its own projection
+    before shingling: :func:`~simple_etl_spark.llm.dedup.shingles`
+    references its input several times per row, and handing it the raw
+    ``_normalized`` expression re-ran the regexp tokenize chain each
+    time (featurization measured 0.53 s → 0.28 s at sf0.1, r14)."""
+    staged = df.select(F.col(id_col), _normalized(text_col).alias("_s"))
+    grams = shingles(F.col("_s"), n)
+    return staged.select(
         F.col(id_col), F.explode(grams).alias("_g")
     ).select(
         id_col,
@@ -219,10 +226,16 @@ def dsir_select(
     pays two corpus scans (counts, scoring). Weights are
     value-identical: same counts, same decimal expression."""
     if target_filter is not None:
+        # stage the normalized token stream before shingling — same
+        # multi-reference argument as hashed_ngram_features (r14)
         flagged = raw.select(
             F.col(id_col),
             target_filter.cast("int").alias("_is_t"),
-            F.explode(shingles(_normalized(text_col), n)).alias("_g"),
+            _normalized(text_col).alias("_s"),
+        ).select(
+            F.col(id_col),
+            F.col("_is_t"),
+            F.explode(shingles(F.col("_s"), n)).alias("_g"),
         ).select(
             id_col,
             "_is_t",

@@ -339,9 +339,13 @@ def repetition_features(
 
     from simple_etl_spark.llm.dedup import shingles
 
+    # lower(text) staged before shingling: shingles() references its
+    # input several times per row (r14, the word_ngrams lesson)
     grams = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
+    ).select(
         F.col(id_col),
-        F.explode(shingles(F.lower(F.col(text_col)), 2)).alias("g"),
+        F.explode(shingles(F.col("_lt"), 2)).alias("g"),
     )
     gc = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     gstats = gc.groupBy(id_col).agg(F.max("c").alias("top_bigram_count"))

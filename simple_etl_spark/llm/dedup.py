@@ -934,8 +934,25 @@ def simhash_hamming_pairs(
     fp = simhash_fingerprint(df, id_col, text_col).drop("simhash")
     if persist and not df.isStreaming:
         fp = _persist_tracked("simhash_fp", fp)
+    # The banded member carries the WHOLE fingerprint (id + band
+    # words), not just the id: the candidate relation is the
+    # quadratic-sized one (Σ|bucket|² — 12.3M pairs from 55k docs on
+    # the sf1 degenerate corpus), and the r14 _bucket_pairs shape
+    # still exchanged it once for the distinct and probed two
+    # broadcast joins to fetch the words back for verification.
+    # Emitting the words WITH the pair lets the exact hamming filter
+    # run inside the same stage that generates the pair, so the only
+    # thing that ever shuffles after the banded groupBy is the
+    # OUTPUT-sized verified relation (the final distinct). Struct
+    # sort_array orders by the leading id field (ids are unique per
+    # bucket), so pair orientation (id_a < id_b) is unchanged.
+    # Measured at sf1: 11.15 s → 1.04 s, identical 11,776 pairs; the
+    # banded shuffle widens by the 4 words/row, linear in corpus.
+    member = F.struct(
+        F.col(id_col), *[F.col(f"p{b}") for b in range(SIMHASH_BANDS)]
+    )
     banded = fp.select(
-        F.col(id_col),
+        member.alias("_m"),
         F.explode(
             F.array(
                 *[
@@ -946,31 +963,59 @@ def simhash_hamming_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
-    # candidate pairs per (band, val) bucket as one grouped aggregation
-    # (r14: replaces the banded self-join — see _bucket_pairs)
-    cand = _bucket_pairs(
-        banded, ["band", "val"], id_col,
-        max_bucket=max_bucket, stats_out=cap_stats,
-    ).distinct()
-    fa = fp.select(
-        F.col(id_col).alias("id_a"), *[F.col(f"p{b}").alias(f"a{b}") for b in range(SIMHASH_BANDS)]
+    ).select("_m", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    if max_bucket is not None and cap_stats is not None:
+        # same slim keyed-count audit as _bucket_pairs: the stats
+        # frame never touches the collect_list relation
+        over_sizes = (
+            banded.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .filter(F.col("_bc") > max_bucket)
+        )
+        cap_stats["stats"] = over_sizes.agg(
+            F.count(F.lit(1)).alias("capped_groups"),
+            F.coalesce(F.sum("_bc"), F.lit(0))
+            .cast("bigint")
+            .alias("dropped_rows"),
+        )
+    g = banded.groupBy("band", "val").agg(
+        F.sort_array(F.collect_list("_m")).alias("_ms")
     )
-    fb = fp.select(
-        F.col(id_col).alias("id_b"), *[F.col(f"p{b}").alias(f"b{b}") for b in range(SIMHASH_BANDS)]
+    if max_bucket is not None:
+        g = g.filter(F.size("_ms") <= max_bucket)
+    pairs = (
+        g.filter(F.size("_ms") >= 2)
+        .select(F.posexplode("_ms").alias("_i", "_ma"), F.col("_ms"))
+        .select(
+            "_ma",
+            F.explode(
+                F.slice(
+                    F.col("_ms"),
+                    F.col("_i") + 2,
+                    F.greatest(F.size("_ms") - F.col("_i") - 1, F.lit(0)),
+                )
+            ).alias("_mb"),
+        )
     )
     hamming = F.lit(0)
     for b in range(SIMHASH_BANDS):
         hamming = hamming + F.bit_count(
-            F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}"))
+            F.col("_ma").getField(f"p{b}").bitwiseXOR(
+                F.col("_mb").getField(f"p{b}")
+            )
         )
+    # hamming is a pure function of the pair, so the distinct over
+    # (id_a, id_b, hamming) deduplicates multi-band collisions exactly
+    # as the old pre-verify candidate distinct did — but over the
+    # verified (output-sized) relation, not the quadratic one.
     return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
-        .select(
-            "id_a", "id_b", hamming.cast("bigint").alias("hamming")
+        pairs.select(
+            F.col(f"_ma.{id_col}").alias("id_a"),
+            F.col(f"_mb.{id_col}").alias("id_b"),
+            hamming.cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )
 
 

@@ -672,3 +672,72 @@ def test_cap_audit_plan_has_no_pair_join(spark):
                  "CartesianProduct"):
         assert join not in plan, f"{join} leaked into the audit:\n{plan}"
     assert plan.count("HashAggregate") >= 4  # partial+final per tier
+
+
+def test_word_ngram_lambda_carries_no_tokenize(spark):
+    """r14 HOF-capture regression pin: a transform lambda that
+    captures the raw split(lower(text)) expression re-evaluates the
+    tokenize at EVERY gram position (no CSE inside a projection) —
+    measured 7x at sf0.1 and 10.7x at sf1 on the gram build. The
+    words array must be materialized as its own projection, so the
+    gram transform's lambda references only the staged attribute:
+    no split() call may appear inside any lambdafunction of the
+    plan."""
+    import re
+
+    from simple_etl_spark.llm.textstats import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id bigint, text string"
+    )
+    plan = _plan(word_ngrams(df, ["doc_id"], "text", 3))
+    for lam in re.findall(r"lambdafunction\([^\n]*", plan):
+        assert "split(" not in lam, (
+            f"tokenize captured inside a HOF lambda (re-evaluated per "
+            f"gram position):\n{lam}"
+        )
+
+
+def test_quantize_scale_computed_once(spark):
+    """r14 HOF-capture regression pin for quantize_embeddings: the
+    int8 code transform must reference the STAGED scale column, not
+    re-evaluate the array_max(transform(abs)) expression per element
+    (O(dim^2) per vector). Exactly one array_max may appear in the
+    plan, and never inside the rounding lambda."""
+    import re
+
+    from simple_etl_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.5, -0.3])], "vec_id bigint, embedding array<double>"
+    )
+    plan = _plan(quantize_embeddings(df))
+    assert plan.count("array_max") == 1, plan
+    for lam in re.findall(r"lambdafunction\([^\n]*round[^\n]*", plan):
+        assert "array_max" not in lam, (
+            f"scale expression captured inside the code transform:\n{lam}"
+        )
+
+
+def test_simhash_hamming_plan_has_no_join(spark):
+    """r14 verify-in-generator pin: simhash_hamming_pairs carries the
+    fingerprint words through the banded grouped aggregation and
+    verifies bit_count(xor) <= k in the SAME stage that emits the
+    pair — the quadratic candidate relation must never be exchanged
+    for a verification join (measured 11.99s -> 0.64s at sf1 on the
+    degenerate-vocabulary corpus). The plan must contain no join of
+    any kind; the only shuffles are the banded groupBy and the
+    output-sized distinct."""
+    from simple_etl_spark.llm.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3 + str(i)) for i in range(12)],
+        "id bigint, text string",
+    )
+    out = simhash_hamming_pairs(df, "id", "text", max_distance=3,
+                                persist=False)
+    plan = _plan(out)
+    for join in ("SortMergeJoin", "BroadcastHashJoin",
+                 "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct"):
+        assert join not in plan, f"{join} leaked into the verify:\n{plan}"

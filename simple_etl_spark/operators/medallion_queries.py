@@ -39,8 +39,37 @@ from simple_etl_spark.operators.merge import insert_if_absent, upsert_latest_win
 from simple_etl_spark.queries import query
 
 
+def _silver(cat: Catalog) -> DataFrame:
+    """Session-memoized silver plan (r15): ``silver_articles`` is pure
+    Column algebra over ``documents`` — a fixed LAZY plan per
+    (session, data dir) — yet ~25 medallion queries each rebuilt it
+    (~0.2 s of py4j round-trips per build). The plan cache is keyed on
+    the documents table's file identity, so a rewritten input
+    re-resolves; nothing is ever materialized by the cache itself."""
+    import os
+
+    from simple_etl_spark.engine import _path_identity, session_plan
+
+    path = os.path.join(os.path.abspath(cat.sf_dir), "documents.parquet")
+    return session_plan(
+        cat.spark,
+        ("medallion_silver", path, _path_identity(path)),
+        lambda: silver_articles(cat),
+    )
+
+
 def _gold(cat: Catalog) -> DataFrame:
-    return gold_view(silver_articles(cat))
+    """Session-memoized gold plan over :func:`_silver` (same contract)."""
+    import os
+
+    from simple_etl_spark.engine import _path_identity, session_plan
+
+    path = os.path.join(os.path.abspath(cat.sf_dir), "documents.parquet")
+    return session_plan(
+        cat.spark,
+        ("medallion_gold", path, _path_identity(path)),
+        lambda: gold_view(_silver(cat)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +338,7 @@ def m_date_parse_chain(cat: Catalog) -> DataFrame:
     `"Senin, 25 Agu 2025 10:30 WIB"`) plus long-form Indonesian months
     (`"Kamis, 25 Agustus 2025 10:30 WIB"`) and English `dd MMM yyyy` —
     then recover them with the no-UDF parse chain."""
-    a = silver_articles(cat)
+    a = _silver(cat)
     month_id = (
         F.when(F.month("date") == 1, "Jan").when(F.month("date") == 2, "Feb")
         .when(F.month("date") == 3, "Mar").when(F.month("date") == 4, "Apr")
@@ -373,7 +402,7 @@ _INCOMING_CTE = """
 
 def _incoming(cat: Catalog) -> DataFrame:
     return (
-        silver_articles(cat)
+        _silver(cat)
         .filter(F.col("doc_id") % 5 == 0)
         .withColumn("content", F.concat(F.col("content"), F.lit(" updated v2")))
         .withColumn("content_length", F.length("content"))
@@ -402,7 +431,7 @@ def m_upsert_latest_wins(cat: Catalog) -> DataFrame:
     """S7: re-ingest a fifth of the articles with changed content and a
     later timestamp; the merge must surface exactly those as updated."""
     merged = upsert_latest_wins(
-        silver_articles(cat), _incoming(cat), ["link"], "created_at"
+        _silver(cat), _incoming(cat), ["link"], "created_at"
     )
     return merged.select(
         "doc_id",
@@ -430,7 +459,7 @@ def m_upsert_latest_wins(cat: Catalog) -> DataFrame:
 def m_insert_if_absent(cat: Catalog) -> DataFrame:
     """S6: the same conflicting batch must change nothing —
     updated_rows is 0 and the row count is unchanged."""
-    merged = insert_if_absent(silver_articles(cat), _incoming(cat), ["link"])
+    merged = insert_if_absent(_silver(cat), _incoming(cat), ["link"])
     return merged.agg(
         F.count(F.lit(1)).alias("total_rows"),
         F.count_if(F.col("content").like("%updated v2")).alias("updated_rows"),
@@ -740,7 +769,7 @@ def m_json_shaping(cat: Catalog) -> DataFrame:
 def m_health_metrics(cat: Catalog) -> DataFrame:
     """A12: processing_efficiency = gold/bronze, quality_score from the
     conditional quality counts, thresholded into a status label."""
-    articles = silver_articles(cat).agg(F.count(F.lit(1)).alias("total_articles"))
+    articles = _silver(cat).agg(F.count(F.lit(1)).alias("total_articles"))
     g = _gold(cat).agg(
         F.count(F.lit(1)).alias("gold_articles"),
         F.count_if(F.col("has_good_title")).alias("good_titles"),
@@ -944,7 +973,7 @@ def m_trending_terms(cat: Catalog) -> DataFrame:
     TakeOrderedAndProject with a total-order tie-break."""
     from simple_etl_spark.functions.text import tokenize
 
-    g = gold_view(silver_articles(cat))
+    g = _gold(cat)
     toks = (
         g.select(
             F.col("publish_date").alias("d"),

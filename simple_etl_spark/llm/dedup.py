@@ -1076,29 +1076,55 @@ def dedup_clusters(
         .coalesce(ncap)
         .localCheckpoint()
     )
+    # r15 round shape (guide §2.4 + VERDICT r14 #3): the r14 round ran
+    # THREE keyed operations (join neighbors→labels, groupBy(src) for
+    # the neighbor min, join the min back onto labels) plus a separate
+    # convergence-probe job on the checkpointed frontier. Two changes,
+    # output-identical per round:
+    #  - the neighbor minimum and the join-back collapse into ONE
+    #    grouped aggregation over (own ∪ neighbor-contribution) rows:
+    #    min(label) over {own label} ∪ {neighbor labels} is exactly
+    #    least(label, neighbor_min), and the old label rides along as
+    #    a null-elsewhere `_old` column (max ignores nulls; `node` is
+    #    unique in `labels`, so _old is well-defined). Rows whose only
+    #    occurrence is a neighbor contribution (a pair id absent from
+    #    `members`) are dropped by the _old filter — the old LEFT join
+    #    from `labels` never emitted them either.
+    #  - the per-round change count rides the SAME job that
+    #    materializes the frontier (Dataset.observe → localCheckpoint
+    #    collects the metric in the checkpoint action), so the
+    #    separate filter/limit/count job per round disappears. The
+    #    CollectMetrics node is consumed exactly once per round (the
+    #    checkpoint truncates lineage), so the duplicated-observation
+    #    hazard documented on _cap_buckets does not apply.
+    from pyspark.sql import Observation
+
+    label_t = labels.schema["label"].dataType
     converged = False
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+    for _round in range(max_iter):
+        contrib = sym.join(labels, sym["dst"] == labels["node"]).select(
+            F.col("src").alias("node"),
+            F.col("label"),
+            F.lit(None).cast(label_t).alias("_old"),
         )
+        own = labels.select("node", "label", F.col("label").alias("_old"))
+        obs = Observation(f"lp_chg_{_round}_{uuid.uuid4().hex}")
         updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            own.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
+            .filter(F.col("_old").isNotNull())
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
-                    "_chg"
-                ),
+                "label",
+                (F.col("label") < F.col("_old")).alias("_chg"),
             )
             .coalesce(ncap)
-        ).localCheckpoint()
-        changed = updated.filter(F.col("_chg")).limit(1).count()
+            .observe(obs, F.count_if(F.col("_chg")).alias("n_chg"))
+            .localCheckpoint()
+        )
         labels = updated.drop("_chg")
-        if changed == 0:
+        if obs.get["n_chg"] == 0:
             converged = True
             break
     if not converged:

@@ -80,6 +80,18 @@ def get_spark(app_name: str = "simple-etl-spark", cpus: int | None = None) -> Sp
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r15: PySpark 4's DataFrame-debugging wrapper captures the
+        # user-code call site on EVERY DataFrame API call — a Python
+        # traceback walk plus ~3 py4j round-trips per call (conf read,
+        # PySparkCurrentOrigin.set/clear). Across this engine's plan
+        # builders that is ~20% of all plan-construction time
+        # (measured: an 8-query builder subset 4.13 s → 3.26 s,
+        # pricing_summary 0.130 → 0.067 s). The cost is pure
+        # driver-side constructor overhead at ANY scale; disabling
+        # only drops the user-code line attribution from error
+        # messages, never the error itself. Session-build-time conf:
+        # PySpark caches the flag per process at first DataFrame call.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -816,34 +816,25 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (map-side partial agg, one shuffle keyed by doc id) → sign per
     position, packed arithmetically. Bit values are identical to the
     :func:`_digit_bit` formulation, so SQL oracles need no change."""
-    # Expressions are built as SQL strings and parsed once each
-    # (r14): the Column-algebra construction of 64 sums + 64 band
-    # terms + 64 bit-string CASEs cost ~1,000 py4j round-trips —
-    # measured ~2 s of driver time per plan build; the string form
-    # constructs in ~0.1 s with an identical analyzed plan.
-    words = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
-    ).withColumn("wh", F.md5(F.col("word")))
-    digits = words.select(
-        F.col(id_col),
-        *[
-            F.expr(
-                f"CASE WHEN ascii(substring(wh, {k + 1}, 1)) <= 57"
-                f" THEN ascii(substring(wh, {k + 1}, 1)) - 48"
-                f" ELSE ascii(substring(wh, {k + 1}, 1)) - 87 END"
-            ).alias(f"d{k}")
-            for k in range(16)
-        ],
+    # Expressions are built as SQL text (r14), and since r15 the WHOLE
+    # pipeline is ONE ``spark.sql`` statement over the input frame
+    # (PySpark DataFrame templating): the r14 form still paid ~85
+    # separate ``F.expr``/builder py4j round-trips per plan build
+    # (measured 0.21 s in the 64-sum listcomp alone); a single parsed
+    # statement constructs in a handful of round-trips and analyzes to
+    # the same plan (nested selects collapse exactly like the
+    # projection chain did).
+    digit_exprs = ", ".join(
+        f"CASE WHEN ascii(substring(wh, {k + 1}, 1)) <= 57"
+        f" THEN ascii(substring(wh, {k + 1}, 1)) - 48"
+        f" ELSE ascii(substring(wh, {k + 1}, 1)) - 87 END AS d{k}"
+        for k in range(16)
     )
-    sums = digits.groupBy(id_col).agg(
-        *[
-            F.expr(
-                f"sum((shiftright(d{j // 4}, {3 - j % 4}) % 2) * 2 - 1)"
-            ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    sum_exprs = ", ".join(
+        f"sum((shiftright(d{j // 4}, {3 - j % 4}) % 2) * 2 - 1) AS s{j}"
+        for j in range(SIMHASH_BITS)
     )
-    band_exprs = [
+    band_exprs = ", ".join(
         "cast(("
         + " + ".join(
             f"(CASE WHEN s{b * _BAND_BITS + r} >= 0 THEN 1 ELSE 0 END)"
@@ -852,7 +843,7 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         + f") as bigint) AS p{b}"
         for b in range(SIMHASH_BANDS)
-    ]
+    )
     bits_expr = (
         "concat("
         + ", ".join(
@@ -861,7 +852,25 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         + ") AS simhash"
     )
-    return sums.selectExpr(id_col, *band_exprs, bits_expr)
+    q = f"""
+        SELECT `{id_col}`, {band_exprs}, {bits_expr}
+        FROM (
+          SELECT `{id_col}`, {sum_exprs}
+          FROM (
+            SELECT `{id_col}`, {digit_exprs}
+            FROM (
+              SELECT `{id_col}`, md5(word) AS wh
+              FROM (
+                SELECT `{id_col}`,
+                       explode(split(`{text_col}`, ' ')) AS word
+                FROM {{src}}
+              )
+            )
+          )
+          GROUP BY `{id_col}`
+        )
+    """
+    return df.sparkSession.sql(q, src=df)
 
 
 def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -491,9 +491,11 @@ def _bucket_pairs(
     ordering the join's ``<`` used.
 
     Precondition: ``id_col`` is unique within a group (every caller's
-    banded relation emits one row per (id, band)); a duplicate id
-    would pair with itself under ``<`` in neither shape, but would
-    double-count in callers that count shared buckets.
+    banded relation emits one row per (id, band)). Under violation the
+    positional i<j generator differs from the old strict ``id_a <
+    id_b`` self-join: equal ids at different positions DO emit a
+    self-pair (and repeated cross pairs) — pinned by
+    ``tests/test_duplicate_id_precondition.py``.
 
     ``max_bucket``/``stats_out`` mirror :func:`_cap_buckets` (same
     audit schema): over-cap groups are dropped by a size filter on

@@ -995,9 +995,11 @@ def quantize_embeddings(
     out_col: str = "qvec",
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x|/127,
-    q_i = round(x_i / scale) in [-127, 127]. Adds ``out_col``
-    (array<int>) and ``{out_col}_scale`` (double, for dequantizing
-    raw dot products; cosine never needs it — scales cancel).
+    q_i = round(x_i / scale) in [-127, 127]. Adds ``{out_col}_scale``
+    (double, for dequantizing raw dot products; cosine never needs it
+    — scales cancel) and then ``out_col`` (array<int>) — in THAT
+    positional order since the r14 scale-staging rewrite; select by
+    name (every in-repo consumer does).
 
     Round-half-away-from-zero matches between Spark (HALF_UP) and ANSI
     engines, so the quantized codes are engine-identical. Zero vectors

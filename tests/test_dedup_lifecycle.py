@@ -88,6 +88,26 @@ def test_same_input_repeated_call_reuses_cached_handle(spark):
     dedup.release_persisted()
 
 
+def test_persisted_storage_bounded_across_many_calls(spark):
+    """VERDICT r14 #6: a long session interleaving many DISTINCT
+    builder calls must not accumulate cached blocks — the registry is
+    a closed set of tags (grep-proven: exactly ``minhash_docs`` and
+    ``simhash_fp``), each new plan under a tag evicts+unpersists its
+    predecessor, so the context-wide persistent-RDD count stays
+    bounded by the tag count no matter how many builders ran."""
+    dedup.release_persisted()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    for n in (20, 24, 28, 32, 36, 40):  # six distinct plans per family
+        dedup.near_dedup_minhash(_docs(spark, n), "id", "text").count()
+        dedup.simhash_hamming_pairs(_docs(spark, n), "id", "text").count()
+        live = jsc.getPersistentRDDs().size() - base
+        assert live <= 2, f"persisted RDDs grew to {live} after n={n}"
+    assert set(dedup._PERSISTED) <= {"minhash_docs", "simhash_fp"}
+    dedup.release_persisted()
+    assert jsc.getPersistentRDDs().size() - base <= 0
+
+
 def test_lsh_star_edges_linear_in_hot_bucket_same_components(spark):
     """A hot collision bucket (k near-identical docs) must cost O(k)
     star edges, not O(k^2) pairs, while clustering identically."""
